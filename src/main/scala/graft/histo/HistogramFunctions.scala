@@ -1,0 +1,118 @@
+package graft.histo
+
+import graft.model.{Bucket, ExpBucket}
+import org.apache.spark.sql.{Column, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Spark bindings for the pure histogram math in [[HistogramMath]].
+  *
+  * Scalar entry points are registered as Spark UDFs over
+  * `array<struct<le:double,count:bigint>>` columns. The UDFs wrap pure
+  * functions (easy to promote to a Catalyst `Expression` with codegen if
+  * BENCH ever shows UDF overhead on the hot path; at 100 TB the quantile is
+  * evaluated once per *group*, post-aggregation, so the row volume through the
+  * UDF is tiny compared to the scan).
+  *
+  * Errors (p out of range, empty/zero histogram) surface as SQL NULL rather
+  * than exceptions — the relational analog of the reference's `(0, error)`
+  * return (reference: pkg/histogram/percentile.go:17-37).
+  */
+object HistogramFunctions {
+
+  private def rowsToBuckets(rows: Seq[Row]): Seq[Bucket] =
+    if (rows == null) Nil
+    else rows.filter(_ != null).map(r => Bucket(r.getDouble(0), r.getLong(1)))
+
+  /** histogram_quantile(buckets, p) → interpolated value or NULL. */
+  val histogramQuantileUdf =
+    udf { (rows: Seq[Row], p: Double) =>
+      HistogramMath.percentile(rowsToBuckets(rows), p).toOption
+    }
+
+  def histogram_quantile(buckets: Column, p: Column): Column =
+    histogramQuantileUdf(buckets, p)
+
+  /** Multiple percentiles in one pass; NULL on error. */
+  val histogramQuantilesUdf =
+    udf { (rows: Seq[Row], ps: Seq[Double]) =>
+      HistogramMath.percentiles(rowsToBuckets(rows), ps).toOption
+    }
+
+  def histogram_quantiles(buckets: Column, ps: Column): Column =
+    histogramQuantilesUdf(buckets, ps)
+
+  /** Delta→cumulative prefix sum over one bucket vector. */
+  val bucketsToCumulativeUdf =
+    udf { (rows: Seq[Row]) => HistogramMath.deltaToCumulative(rowsToBuckets(rows)) }
+
+  def buckets_to_cumulative(buckets: Column): Column = bucketsToCumulativeUdf(buckets)
+
+  /** Cumulative→delta adjacent difference over one bucket vector. */
+  val bucketsToDeltaUdf =
+    udf { (rows: Seq[Row]) => HistogramMath.cumulativeToDelta(rowsToBuckets(rows)) }
+
+  def buckets_to_delta(buckets: Column): Column = bucketsToDeltaUdf(buckets)
+
+  /** exp_histogram_quantile(scale, zero_count, pos, neg, p) → value or NULL. */
+  val expQuantileUdf =
+    udf { (scale: Int, zeroCount: Long, pos: Seq[Row], neg: Seq[Row], p: Double) =>
+      def conv(rows: Seq[Row]): Seq[ExpBucket] =
+        if (rows == null) Nil
+        else rows.filter(_ != null).map(r => ExpBucket(r.getInt(0), r.getLong(1)))
+      HistogramMath.expPercentile(scale, zeroCount, conv(pos), conv(neg), p).toOption
+    }
+
+  def exp_histogram_quantile(scale: Column, zeroCount: Column, pos: Column,
+      neg: Column, p: Column): Column =
+    expQuantileUdf(scale, zeroCount, pos, neg, p)
+
+  /** Bucket merge as pure built-ins — the scale path. `explode` + `groupBy(le)`
+    * + `sum(count)` is Catalyst-planned (partial aggregation map-side, codegen)
+    * and therefore preferred over a UDAF at 100 TB
+    * (reference semantics: pkg/histogram/percentile.go:83-105).
+    *
+    * Usage: `df.groupBy(keys).agg(merge_buckets_agg($"buckets"))` is NOT
+    * expressible as one built-in agg; instead call
+    * `mergeBuckets(df, keyCols, $"buckets")` which rewrites to
+    * explode → groupBy(keys :+ le) → sum → collect_list → array_sort.
+    */
+  def mergeBuckets(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+      buckets: Column): org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(keys :+ explode(buckets).as("b"): _*)
+    val names = exploded.columns.dropRight(1)
+    val perBound = exploded
+      .groupBy(names.map(col) :+ col("b.le").as("le"): _*)
+      .agg(sum(col("b.count")).as("count"))
+    perBound
+      .groupBy(names.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("le"), col("count")))).as("buckets"))
+  }
+
+  /** Typed Aggregator merging exponential histograms — the one genuinely
+    * stateful custom aggregation in the engine
+    * (reference: pkg/histogram/percentile.go:227-297). Buffer carries
+    * min-scale so far plus index→count maps; merge is associative and
+    * commutative, so Spark can apply it map-side (partial) then reduce-side. */
+  class ExpHistMergeAggregator
+      extends Aggregator[HistogramMath.ExpHist, HistogramMath.ExpHist, HistogramMath.ExpHist] {
+    import HistogramMath.ExpHist
+    def zero: ExpHist = ExpHist(Int.MaxValue, 0L, Double.NegativeInfinity, Nil, Nil)
+    private def merge2(a: ExpHist, b: ExpHist): ExpHist = {
+      if (a.scale == Int.MaxValue) b
+      else if (b.scale == Int.MaxValue) a
+      else HistogramMath.mergeExpHistograms(Seq(a, b))
+    }
+    def reduce(buf: ExpHist, in: ExpHist): ExpHist = merge2(buf, in)
+    def merge(a: ExpHist, b: ExpHist): ExpHist = merge2(a, b)
+    def finish(r: ExpHist): ExpHist =
+      if (r.scale == Int.MaxValue) ExpHist(0, 0L, 0.0, Nil, Nil) else r
+    def bufferEncoder: Encoder[ExpHist] = Encoders.product[ExpHist]
+    def outputEncoder: Encoder[ExpHist] = Encoders.product[ExpHist]
+  }
+
+  /** Column form: `df.groupBy(...).agg(merge_exp_hist(struct-col))` over a
+    * struct column shaped like [[HistogramMath.ExpHist]]. */
+  lazy val merge_exp_hist: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new ExpHistMergeAggregator())
+}
