@@ -1,0 +1,70 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rollup cascade A1–A3 — the Spark re-expression of the reference's
+  * ClickHouse materialized views (reference: internal/clickhouse/schema.sql
+  * :146-192 for 1m, :249-283 for 5m, :340-374 for 1h).
+  *
+  * Shapes reproduced faithfully:
+  *   - tier N+1 reads tier N, not raw (schema.sql:249 reads metrics_1m,
+  *     :340 reads metrics_5m) — so 5m/1h averages are averages OF averages,
+  *     NOT sample-weighted averages (schema.sql:262). Mathematically wrong,
+  *     semantically the reference; pinned by RollupSpec so nobody "fixes" it.
+  *   - value_last is `anyLast(value)` per bucket (schema.sql:161) — the last
+  *     value in per-series order. We make the order explicit and deterministic
+  *     with `max_by(value, seq)` where seq is the ingestion sequence.
+  *   - samples_count counts raw rows at 1m (schema.sql:190 count()) and SUMS
+  *     at coarser tiers (schema.sql:281 sum(samples_count)).
+  *
+  * Scale: each tier is a single hash aggregation — partial map-side combine,
+  * one shuffle on (series keys, bucket). The cascade re-aggregates the
+  * already-small previous tier, so 5m/1h cost is negligible next to 1m. At
+  * 100 TB the 1m shuffle is the dominant cost and is unavoidable (it IS the
+  * groupBy); AQE coalesces the post-shuffle partitions.
+  *
+  * Time buckets are BIGINT ms-epoch floors ((ts_ms div grain) * grain) rather
+  * than timestamps: engine-portable (identical arithmetic in DuckDB), tz-free,
+  * and exactly ClickHouse's toStartOfMinute/FiveMinute/Hour semantics
+  * (schema.sql:152,255,346).
+  */
+object Rollup {
+
+  /** Integer-exact floor: ts - (ts mod grain). Avoids the double-division
+    * rounding hazard of `cast(ts/grain as long)` at bucket boundaries. */
+  def bucketMs(tsMs: Column, grainMs: Long): Column =
+    tsMs.cast("long") - pmod(tsMs.cast("long"), lit(grainMs))
+
+  /** A1 — 1m rollup over raw points. `seq` orders anyLast within the bucket. */
+  def rollup1m(raw: DataFrame, seriesCols: Seq[Column], tsMs: Column,
+      value: Column, seq: Column): DataFrame =
+    raw.groupBy(seriesCols :+ bucketMs(tsMs, 60000L).as("bucket_ms"): _*)
+      .agg(
+        min(value).as("value_min"),
+        max(value).as("value_max"),
+        avg(value).as("value_avg"),
+        max_by(value, seq).as("value_last"),
+        sum(value).as("value_sum"),
+        count(lit(1)).as("samples_count"),
+        max(seq).as("last_seq"))
+
+  /** A2/A3 — re-aggregate a finer tier into `grainMs` buckets, faithful
+    * avg-of-avgs included (schema.sql:262,353). */
+  def rollupCoarser(finer: DataFrame, seriesCols: Seq[Column], grainMs: Long): DataFrame =
+    finer.groupBy(seriesCols :+ bucketMs(col("bucket_ms"), grainMs).as("bucket_ms"): _*)
+      .agg(
+        min(col("value_min")).as("value_min"),
+        max(col("value_max")).as("value_max"),
+        avg(col("value_avg")).as("value_avg"),
+        max_by(col("value_last"), col("last_seq")).as("value_last"),
+        sum(col("value_sum")).as("value_sum"),
+        sum(col("samples_count")).as("samples_count"),
+        max(col("last_seq")).as("last_seq"))
+
+  def rollup5m(oneMinute: DataFrame, seriesCols: Seq[Column]): DataFrame =
+    rollupCoarser(oneMinute, seriesCols, 300000L)
+
+  def rollup1h(fiveMinute: DataFrame, seriesCols: Seq[Column]): DataFrame =
+    rollupCoarser(fiveMinute, seriesCols, 3600000L)
+}
