@@ -81,7 +81,7 @@ object Dedup {
       sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.as("band"),
-        xxhash64(array_join(slice(sig, b * rows + 1, rows), ",")).as("key")))
+        xxhash64(array_join(slice(sig, b * rows + lit(1), lit(rows)), ",")).as("key")))
 
   /** Near-dup candidate pairs via MinHash LSH: signature → bands → equi-join
     * on (band, key) → dedupe pairs → estimate Jaccard as the fraction of
@@ -121,7 +121,7 @@ object Dedup {
         toks,
         lit(0L),
         (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L) << i).otherwise(0L)
+      when(votes > 0, lit(1L << i)).otherwise(0L)
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }

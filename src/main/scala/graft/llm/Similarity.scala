@@ -58,7 +58,7 @@ object Similarity {
       zip_with(vec, sequence(lit(0), size(vec) - 1),
         (x, d) => x * sin(lit(j * 997).cast("double") + d)),
       lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, lit(1L) << j).otherwise(0L)
+    when(proj >= 0, lit(1L << j)).otherwise(0L)
   }
 
   /** Bucket key = nBits sign bits of random-hyperplane projections. */
