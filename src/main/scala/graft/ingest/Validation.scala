@@ -52,7 +52,10 @@ object Validation {
         (buckets.isNull || size(buckets) === 0), lit(ReasonMissingHistogram))
       .when(metricType === "summary" && (count.isNull || sum.isNull),
         lit(ReasonMissingSummary))
-      .when(!metricType.isin("gauge", "sum", "histogram", "summary"),
+      // null-safe: a NULL metricType must reject like the reference's switch
+      // default (every isin/=== above yields NULL and is skipped, so without
+      // the isNull arm a NULL type would fall through to "valid")
+      .when(metricType.isNull || !metricType.isin("gauge", "sum", "histogram", "summary"),
         lit(ReasonUnknownType))
       .otherwise(lit(Valid))
 
@@ -67,9 +70,12 @@ object Validation {
     df.withColumn("ttl_ms", tsNowMs + lit(3L * 3600 * 1000))
 
   /** S4 — exemplar cap: keep the first `max` exemplars, or none when disabled
-    * (processor.go:100-104; otlp.go:298-330). */
+    * (processor.go:100-104; otlp.go:298-330). Both branches return the FULL
+    * exemplar struct ([[graft.model.Schemas.exemplarType]]) so the operator's
+    * type does not depend on the flag. */
   def capExemplars(exemplars: Column, enabled: Boolean, max: Int = 10): Column =
-    if (!enabled) lit(null).cast("array<struct<spanId:string,traceId:string,value:double>>")
+    if (!enabled)
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(graft.model.Schemas.exemplarType))
     else slice(exemplars, 1, max)
 
   /** Split into (valid, deadLetter) on a precomputed reject_reason column. */

@@ -110,26 +110,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** SimHash-64: per token-hash bit, sum +1/−1 weights; the sign per bit forms
-    * the fingerprint. Near-dups differ in few bits → band the 64 bits into 4
-    * 16-bit chunks and equi-join on any equal chunk (hamming ≤ 3 guarantee by
-    * pigeonhole). Expressed with integer bit arithmetic only. */
-  def simHash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(
-        toks,
-        lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << i)).otherwise(0L)
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  /** One literal mask per bit position — lets the vote fold test bits with
+    * bitwiseAND instead of a (Column-amount) shift Spark doesn't have. */
+  private val bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** SimHash-64 per-bit vote counts in ONE pass over the token hashes: hash
+    * each token once, then fold a 64-long vote vector (±1 per bit) through a
+    * single `aggregate` — replaces the earlier 64-separate-aggregates shape
+    * whose codegen tree and 64 array passes dominated the bench. */
+  def simHashVotes(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitMasks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
   }
+
+  /** Pack vote signs into the 64-bit fingerprint. Call on a MATERIALIZED votes
+    * column (project [[simHashVotes]] first): the 64 element_at terms are then
+    * cheap attribute lookups; CollapseProject keeps the expensive fold
+    * un-duplicated because it is referenced more than once. */
+  def packSimHash(votes: Column): Column =
+    (0 until 64).map(i =>
+        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(0L))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+
+  /** SimHash-64: sign per vote bit forms the fingerprint. Near-dups differ in
+    * few bits → band the 64 bits into 4 16-bit chunks and equi-join on any
+    * equal chunk (hamming ≤ 3 guarantee by pigeonhole). */
+  def simHash(text: Column): Column = packSimHash(simHashVotes(text))
 
   /** SimHash candidate pairs with hamming distance ≤ maxDist via 16-bit-chunk
     * banding (4 chunks; dist ≤ 3 ⇒ some chunk equal). */
   def simHashPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
-    val withSh = docs.select(id.as("doc_id"), simHash(text).as("sh"))
+    val withSh = docs.select(id.as("doc_id"), simHashVotes(text).as("votes"))
+      .select(col("doc_id"), packSimHash(col("votes")).as("sh"))
     val chunked = withSh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

@@ -82,15 +82,21 @@ object Temporality {
     * lagged column of the same type (null on the first point).
     */
   def deltaBuckets(buckets: Column, prevBuckets: Column, reset: Column): Column = {
-    val prevMap = map_from_entries(
-      transform(prevBuckets, b => struct(b.getField("le").as("le"),
-        b.getField("count").as("count"))))
+    // Lookup by filter + last element rather than map_from_entries: duplicate
+    // `le` bounds in a snapshot would make map_from_entries throw, while the
+    // reference's Go map insert is silently last-wins — try_element_at(…, -1)
+    // reproduces exactly that. Bucket arrays are small (≈10-20 bounds), so the
+    // O(bounds²) per-row lookup is noise next to the shuffle.
+    def prevCount(le: Column): Column =
+      coalesce(
+        try_element_at(filter(prevBuckets, p => p.getField("le") === le), lit(-1))
+          .getField("count"),
+        lit(0L))
     when(prevBuckets.isNull || reset, buckets)
       .otherwise(transform(buckets, b =>
         struct(
           b.getField("le").as("le"),
-          (b.getField("count") -
-            coalesce(element_at(prevMap, b.getField("le")), lit(0L))).as("count"))))
+          (b.getField("count") - prevCount(b.getField("le"))).as("count"))))
   }
 
   /** Convenience: annotate a gauge/sum DataFrame with `is_reset` and `delta`

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.model.Tables
+
+/** Training-data-pipeline operator queries over `documents`/`embeddings`:
+  * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash), text
+  * analysis, ANN similarity, and multimodal metadata.
+  *
+  * The synthetic corpus has no duplicates, so the dedup queries plant them
+  * deterministically: a union with verbatim copies (exact dup) or with
+  * 3-token-appended mutants (near dup), both restatable in the DuckDB oracle.
+  * Hash-based operators (MinHash/SimHash/LSH buckets) cannot be restated in
+  * DuckDB (no xxhash64) — those register WITHOUT an oracle (driver rows-only
+  * check) and are pinned instead by `LlmSpec` unit tests against the exact
+  * operators on the same fixture.
+  */
+object LlmQueries {
+
+  import OracleDefs.Stopwords
+
+  /** documents ∪ verbatim copies of every 7th doc (ids offset by 100000). */
+  private def docsExactDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-dup mutants of every 11th doc: 3 novel tokens appended
+    * (ids offset by 200000) — Jaccard vs the original ≈ (T−2)/(T+1) ≈ 0.94. */
+  private def docsNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+  }
+
+  private val DupCte =
+    """WITH d2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  private val NearDupCte =
+    """WITH d3 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+      |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: survivors per normalized-text fingerprint. fp (xxhash64)
+    // is dropped from the output so DuckDB can restate the grouping on the
+    // normalized text itself (equivalent while the hash is injective here).
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactSurvivors(docsExactDups(s, d), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("dup_cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard pairs (the LSH-free baseline) — fully
+    // oracle-expressible with DuckDB list functions.
+    "q_dedup_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(docsNearDups(s, d), col("doc_id"), col("text"),
+          n = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH candidates: k=64 sigs, 16 bands × 4 rows, est-Jaccard ≥ 0.5.
+    // xxhash64-dependent → rows-only check here; recall vs the exact pairs is
+    // asserted in LlmSpec.
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minHashCandidates(docsNearDups(s, d), col("doc_id"), col("text"),
+          shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash pairs at hamming ≤ 3 via 16-bit-chunk banding (rows-only).
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashPairs(docsNearDups(s, d), col("doc_id"), col("text"), maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Text analysis battery: every stat is closed-form arithmetic the oracle
+    // restates exactly; runs at scan speed (no shuffle, no UDF).
+    "q_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.distinctTokenCount(t).cast("long").as("n_distinct"),
+        round(TextAnalysis.avgTokenLen(t), 6).as("avg_tok_len"),
+        TextAnalysis.stopwordCount(t, Stopwords).cast("long").as("stop_cnt"),
+        round(TextAnalysis.qualityScore(t, Stopwords), 6).as("quality"),
+        TextAnalysis.langIdPredict(t, Stopwords, 0.06).as("lang_pred"),
+        TextAnalysis.subwordCountEstimate(t).as("subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Brute-force cosine top-k: 1-in-100 probes broadcast against the corpus,
+    // per-probe window top-5. The oracle-checkable ANN baseline.
+    "q_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (12-bit random-hyperplane buckets): the scale path.
+    // Bucket membership is float-sign-sensitive → rows-only here; recall vs
+    // brute force is asserted in LlmSpec.
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, nBits = 12)
+        .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
+    // Multimodal: metadata-only filter — the blob column is never read
+    // (column pruning), which IS the 100 TB point of the typed-struct design.
+    "q_mm_meta" -> ((s, d) => {
+      Multimodal.asMedia(Tables.documents(s, d), col("doc_id"), col("text"))
+        .filter(col("meta.width") > 300)
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.n_frames").cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal frame sampling: every 7th frame index per doc — pure
+    // generator (explode of a sequence), no shuffle.
+    "q_mm_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(Tables.documents(s, d), col("doc_id"), col("text")),
+          everyK = 7)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> s"""$DupCte,
+      |norm AS (SELECT doc_id,
+      |                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      |         FROM d2)
+      |SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+      |FROM norm GROUP BY nt ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" -> s"""$NearDupCte,
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                i -> array_to_string(t[i:i+2], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+      |          FROM inv a JOIN inv b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b,
+      |             n_int * 1.0 / (sa.n_sh + sb.n_sh - n_int) AS jac
+      |      FROM inter
+      |      JOIN sz sa ON sa.doc_id = id_a
+      |      JOIN sz sb ON sb.doc_id = id_b)
+      |SELECT id_a, id_b, round(jac, 6) AS jaccard
+      |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |       round((length(text) - len(t) + 1) * 1.0 / len(t), 6) AS avg_tok_len,
+        |       CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS BIGINT) AS stop_cnt,
+        |       round((least(len(t) / 100.0, 1.0)
+        |              + least(len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) * 10.0, 1.0)
+        |              + len(list_distinct(t)) * 1.0 / len(t)) / 3.0, 6) AS quality,
+        |       CASE WHEN len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) >= 0.06
+        |            THEN 'en-like' ELSE 'other' END AS lang_pred,
+        |       CAST(list_sum(list_transform(t,
+        |              x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS subwords
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT pid, nid, list_cosine_similarity(pv, nv) AS score
+        |      FROM p CROSS JOIN c WHERE nid <> pid),
+        |r AS (SELECT pid, nid, score,
+        |             row_number() OVER (PARTITION BY pid ORDER BY score DESC, nid) AS rank
+        |      FROM s)
+        |SELECT pid, nid, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |       'image/fake' AS media_type,
+        |       CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       CAST(strlen(text) % 640 AS BIGINT) AS width,
+        |       CAST(strlen(text) % 480 AS BIGINT) AS height,
+        |       CAST(strlen(text) % 24 + 1 AS BIGINT) AS n_frames
+        |FROM documents WHERE strlen(text) % 640 > 300 ORDER BY doc_id""".stripMargin,
+
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST(unnest(generate_series(0, strlen(text) % 24, 7)) AS BIGINT) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)
+}

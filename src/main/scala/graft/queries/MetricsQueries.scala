@@ -212,6 +212,7 @@ object MetricsQueries {
         .withColumn("labels", labelsKey(col("attributes")))
         .withColumn("sample_value",
           sampleValue(col("value"), lit(null).cast("long"), lit(null).cast("double")))
+        .filter(col("sample_value").isNotNull) // reference skips null-sample rows
       shape(rows, col("ts_ms"), Seq(col("event_id")))
         .select(col("metric"), col("labels"), col("ts_ms"), col("sample_value"))
     }),

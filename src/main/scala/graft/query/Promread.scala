@@ -86,7 +86,10 @@ object Promread {
   }
 
   /** A13 — sample value per row: gauges/sums carry `value`; histograms expose
-    * sum/count (avg) when count > 0 (handler.go:179-205). */
+    * sum/count (avg) when count > 0 (handler.go:179-205). Rows matching
+    * neither arm yield NULL; the reference skips such rows in its output loop
+    * entirely, so read paths must filter `sample_value IS NOT NULL` before
+    * [[shape]] (q_read_path does). */
   def sampleValue(value: Column, count: Column, sum: Column): Column =
     when(value.isNotNull, value)
       .when(count.isNotNull && sum.isNotNull && count > 0, sum / count)

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Pins the hash-based LLM operators (MinHash LSH, SimHash, hyperplane LSH)
+  * that the DuckDB oracle cannot restate: recall against planted near-dups and
+  * consistency against their exact counterparts. */
+class LlmSpec extends SparkSpec {
+
+  private def docsNearDups = {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+  }
+
+  private lazy val plantedPairs: Set[(Long, Long)] =
+    Tables.documents(spark, Sf).filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 200000L)).toSet
+
+  test("MinHash LSH finds every planted near-dup pair (est_jaccard >= 0.5)") {
+    val found = Dedup.minHashCandidates(docsNearDups, col("doc_id"), col("text"),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = plantedPairs -- found
+    assert(missing.isEmpty, s"planted pairs missed by MinHash LSH: $missing")
+  }
+
+  test("SimHash banding = exact hamming<=3 pairs (pigeonhole: no false negatives)") {
+    // Ground truth: compute every doc's fingerprint, then all-pairs hamming in
+    // Scala. The banding join must return EXACTLY the pairs at distance <= 3
+    // (4 chunks of 16 bits: dist <= 3 => some chunk equal => pair emitted; the
+    // post-join filter removes any same-chunk pair at dist > 3).
+    val fps = docsNearDups
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, sa) <- fps; (ib, sb) <- fps
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty, "fixture produced no hamming<=3 pairs at all")
+    val found = Dedup.simHashPairs(docsNearDups, col("doc_id"), col("text"), maxDist = 3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == expected,
+      s"missing=${expected -- found} spurious=${found -- expected}")
+  }
+
+  test("MinHash est_jaccard within 0.25 of exact Jaccard on planted pairs") {
+    val exact = Dedup.jaccardPairs(docsNearDups, col("doc_id"), col("text"),
+        n = 3, threshold = 0.0)
+      .filter(col("id_b") >= 200000L)
+      .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.minHashCandidates(docsNearDups, col("doc_id"), col("text"),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .filter(col("id_b") >= 200000L)
+      .select(col("id_a"), col("id_b"), col("est_jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    est.foreach { case (pair, e) =>
+      exact.get(pair).foreach { j =>
+        assert(math.abs(e - j) <= 0.25, s"pair $pair: est $e vs exact $j")
+      }
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force scores (same pair => same score)") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(emb, probes, k = 1000)
+      .select(col("pid"), col("nid"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, probes, k = 5, nBits = 12)
+      .select(col("pid"), col("nid"), col("score")).collect()
+    assert(lsh.nonEmpty, "LSH returned no candidates")
+    lsh.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      val bfScore = bf.getOrElse(pair, Double.NaN)
+      assert(math.abs(r.getDouble(2) - bfScore) < 1e-9,
+        s"pair $pair: lsh ${r.getDouble(2)} vs brute ${bfScore}")
+    }
+  }
+
+  test("decodePartitions matches the column-level decodeStub") {
+    val media = Multimodal.asMedia(Tables.documents(spark, Sf), col("doc_id"), col("text"))
+    val viaStub = media.select(col("doc_id"), Multimodal.decodeStub(col("payload")).as("f"))
+      .select(col("doc_id"), col("f.checksum"), col("f.decoded_bytes"), col("f.first_byte"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val viaPartitions = Multimodal.decodePartitions(media)
+      .select(col("doc_id"), col("checksum"), col("decoded_bytes"), col("first_byte"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(viaStub == viaPartitions)
+  }
+}
