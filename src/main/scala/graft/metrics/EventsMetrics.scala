@@ -10,7 +10,7 @@ import graft.model.Tables
   * promread) can be exercised against the DuckDB oracle on shared data.
   *
   * The mapping is pure column arithmetic — identical SQL exists on the oracle
-  * side (see [[graft.SparkEntry.evtCte]]):
+  * side (see [[graft.queries.OracleDefs.EvtCte]]):
   *   - workspace_id  = 'ws-'  || user_id % 4       (tenant, reference metric.go:27)
   *   - metric        = 'evt_' || event_type        (metric name, metric.go:29)
   *   - service_name  = 'svc-' || user_id % 3       (metric.go:30)

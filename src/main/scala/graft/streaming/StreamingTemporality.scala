@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.{Bucket, ConversionState, MetricPoint}
+
+/** Converted output of one datapoint (delta temporality). */
+case class DeltaPoint(
+    series_hash: Long,
+    workspaceId: String,
+    metric: String,
+    ts_ms: Long,
+    is_reset: Boolean,
+    delta: Option[Double],
+    delta_count: Option[Long],
+    delta_sum: Option[Double],
+    delta_buckets: Seq[Bucket])
+
+/** ST1–ST8 — the streaming twin of [[graft.metrics.Temporality]] (reference:
+  * internal/converter/temporality.go:11-141 per-series state map;
+  * internal/processor/processor.go:81-87 dual flush trigger).
+  *
+  * The reference keeps `map[seriesHash]ConversionState` in one process; at
+  * 100 TB-scale ingest that state must live sharded next to the data, so here
+  * it is a `flatMapGroupsWithState` keyed by series_hash: Spark hash-partitions
+  * the stream by key, each executor owns its shard of states in the state
+  * store, and checkpointing (ST6) makes it exactly-once across restarts.
+  *
+  * Semantics — identical to the batch rules, pinned by the reference's test
+  * sequences (test/temporality_test.go:20-95):
+  *   first point → raw; monotonic reset (v < last) → raw; else v − last.
+  *   Histogram count/sum subtract only when previous > 0 (temporality.go:87-94);
+  *   buckets align by bound, absent bound → raw count (temporality.go:115-140,
+  *   Go-map last-wins on duplicate bounds).
+  *
+  * Ordering (ST7): within a micro-batch the group's rows are sorted by
+  * (ts_ms, insertion) before folding — Spark does not guarantee intra-group
+  * order. ACROSS batches, a point at ts <= state.lastTimestamp is late data:
+  * dropped, mirroring the watermark policy (ST3) — the reference instead
+  * trusts arrival order (SURVEY §7.4.1), which a distributed shuffle cannot.
+  */
+object StreamingTemporality {
+
+  /** Pure per-series fold shared by every entry point (and unit tests):
+    * (state, sorted points) → (new state, outputs). */
+  def foldSeries(init: Option[ConversionState], points: Seq[MetricPoint])
+      : (Option[ConversionState], Seq[DeltaPoint]) = {
+    var st = init
+    val out = Seq.newBuilder[DeltaPoint]
+    points.foreach { p =>
+      val tsMs = p.timestamp.getTime
+      if (st.exists(_.lastTimestamp >= tsMs)) {
+        // late or duplicate within the series — dropped (ST3/ST7)
+      } else {
+        val prev = st.filter(_.initialized)
+        val reset = p.is_monotonic &&
+          prev.exists(s => p.value.exists(_ < s.lastValue))
+        val delta = p.value.map { v =>
+          prev match {
+            case Some(s) if !reset => v - s.lastValue
+            case _ => v
+          }
+        }
+        val deltaCount = p.count.map { c =>
+          prev match {
+            case Some(s) if !reset && s.lastCount > 0 => c - s.lastCount
+            case _ => c
+          }
+        }
+        val deltaSum = p.sum.map { v =>
+          prev match {
+            case Some(s) if !reset && s.lastSum > 0 => v - s.lastSum
+            case _ => v
+          }
+        }
+        val deltaBuckets = prev match {
+          case Some(s) if !reset && s.lastBuckets.nonEmpty =>
+            val prevByLe = s.lastBuckets.map(b => b.le -> b.count).toMap // last-wins
+            p.buckets.map(b => Bucket(b.le, b.count - prevByLe.getOrElse(b.le, 0L)))
+          case _ => p.buckets
+        }
+        out += DeltaPoint(p.series_hash, p.workspaceId, p.metric, tsMs,
+          reset, delta, deltaCount, deltaSum, deltaBuckets)
+        st = Some(ConversionState(
+          lastValue = p.value.getOrElse(0.0),
+          lastCount = p.count.getOrElse(0L),
+          lastSum = p.sum.getOrElse(0.0),
+          lastBuckets = p.buckets,
+          lastTimestamp = tsMs,
+          initialized = true))
+      }
+    }
+    (st, out.result())
+  }
+
+  private def convertGroup(
+      key: Long, it: Iterator[MetricPoint],
+      state: GroupState[ConversionState]): Iterator[DeltaPoint] = {
+    val sorted = it.toSeq.sortBy(p => p.timestamp.getTime) // ST7
+    val (next, out) = foldSeries(state.getOption, sorted)
+    next.foreach(state.update)
+    out.iterator
+  }
+
+  /** ST2 — stateful per-series conversion. Works identically on a batch
+    * Dataset (state starts empty per key) and a streaming one (state persists
+    * in the checkpointed state store). */
+  def convertDelta(points: Dataset[MetricPoint]): Dataset[DeltaPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.series_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(convertGroup)
+  }
+
+  /** ST3 — event-time bounds before conversion: watermark for state cleanup /
+    * late-data policy, plus the validation-mirror future cut (P1's too_future
+    * rule, processor.go:129-134). `tsCol` must be a TimestampType column. */
+  def withEventTimeBounds(df: DataFrame, tsCol: String,
+      lateness: String = "10 minutes", maxFutureMs: Long = 24L * 3600 * 1000,
+      nowMs: Option[Long] = None): DataFrame = {
+    val cut = nowMs.map(n => lit(n + maxFutureMs))
+      .getOrElse(unix_millis(current_timestamp()) + maxFutureMs)
+    df.withWatermark(tsCol, lateness)
+      .filter(unix_millis(col(tsCol)) <= cut)
+  }
+
+  /** ST4 — streaming tumbling 1m rollup with watermark-bounded state: the
+    * streaming twin of the metrics_1m MV (schema.sql:146-192). `max_by` gives
+    * anyLast-by-event-time. The 5m/1h tiers cascade by re-reading this sink in
+    * batch (ST8): same MV chain as the reference, and the parquet sink is the
+    * handoff point — streaming aggregation of a streaming aggregate is not a
+    * thing Spark (or the reference's MV engine, which also reads the 1m TABLE)
+    * does. */
+  def rollup1m(points: DataFrame, tsCol: String, lateness: String = "10 minutes")
+      : DataFrame =
+    points
+      .withWatermark(tsCol, lateness)
+      .groupBy(
+        window(col(tsCol), "1 minute").as("w"),
+        col("workspaceId"), col("metric"), col("series_hash"))
+      .agg(
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        avg(col("value")).as("value_avg"),
+        max_by(col("value"), col(tsCol)).as("value_last"),
+        sum(col("value")).as("value_sum"),
+        count(lit(1)).as("samples_count"))
+      .select(unix_millis(col("w.start")).as("bucket_ms"),
+        col("workspaceId"), col("metric"), col("series_hash"),
+        col("value_min"), col("value_max"), col("value_avg"),
+        col("value_last"), col("value_sum"), col("samples_count"))
+
+  /** ST1 + ST6 + S7 — wire a converted stream into a parquet sink with a
+    * processing-time trigger and checkpoint: the flush loop of
+    * processor.go:81-87 (ticker + batch-size) maps to micro-batch triggers;
+    * exactly-once replaces the reference's at-least-once manual flush. */
+  def start(points: Dataset[MetricPoint], sinkDir: String, checkpointDir: String,
+      intervalMs: Long = 10000L): StreamingQuery =
+    convertDelta(points).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      .outputMode(OutputMode.Append)
+      .start()
+}

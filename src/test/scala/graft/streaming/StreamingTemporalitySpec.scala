@@ -1,0 +1,159 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.metrics.Temporality
+import graft.model.{Bucket, MetricPoint}
+
+/** ST1–ST7: streaming conversion must reproduce the reference's own test
+  * sequences (test/temporality_test.go:20-95) and agree with the batch
+  * window-function path on the same inputs — including state carried ACROSS
+  * micro-batches. */
+class StreamingTemporalitySpec extends SparkSpec {
+
+  private def mp(series: Long, tsMs: Long, v: Double,
+      monotonic: Boolean = true): MetricPoint =
+    MetricPoint("ws", series, s"m$series", new Timestamp(tsMs),
+      metric_type = 2, temporality = 1, is_monotonic = monotonic,
+      value = Some(v), count = None, sum = None, buckets = Nil)
+
+  private def runStreaming(batches: Seq[Seq[MetricPoint]]): Seq[DeltaPoint] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[MetricPoint]
+    val q = StreamingTemporality.convertDelta(mem.toDS())
+      .writeStream.format("memory").queryName("st_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      s.table("st_out").as[DeltaPoint].collect().toSeq
+        .sortBy(p => (p.series_hash, p.ts_ms))
+    } finally q.stop()
+  }
+
+  test("reference sequence [100,150,200] -> [100,50,50] across 2 micro-batches") {
+    val pts = Seq(mp(1, 1000, 100), mp(1, 2000, 150), mp(1, 3000, 200))
+    val out = runStreaming(Seq(pts.take(2), pts.drop(2)))
+    assert(out.map(_.delta.get) == Seq(100.0, 50.0, 50.0))
+    assert(out.map(_.is_reset) == Seq(false, false, false))
+  }
+
+  test("reference reset sequence [100,150,20,50] -> [100,50,20,30] (reset at 20)") {
+    val pts = Seq(mp(2, 1000, 100), mp(2, 2000, 150), mp(2, 3000, 20), mp(2, 4000, 50))
+    val out = runStreaming(Seq(pts.take(1), pts.slice(1, 3), pts.drop(3)))
+    assert(out.map(_.delta.get) == Seq(100.0, 50.0, 20.0, 30.0))
+    assert(out.map(_.is_reset) == Seq(false, false, true, false))
+  }
+
+  test("non-monotonic series never resets: [100,150,20] -> [100,50,-130]") {
+    val pts = Seq(mp(3, 1000, 100, monotonic = false),
+      mp(3, 2000, 150, monotonic = false), mp(3, 3000, 20, monotonic = false))
+    val out = runStreaming(Seq(pts))
+    assert(out.map(_.delta.get) == Seq(100.0, 50.0, -130.0))
+    assert(out.forall(!_.is_reset))
+  }
+
+  test("late point (ts <= state.lastTimestamp) is dropped (ST3/ST7)") {
+    val out = runStreaming(Seq(
+      Seq(mp(4, 1000, 100), mp(4, 3000, 150)),
+      Seq(mp(4, 2000, 999), mp(4, 4000, 170)))) // 2000 arrives after 3000: late
+    assert(out.map(_.ts_ms) == Seq(1000L, 3000L, 4000L))
+    assert(out.map(_.delta.get) == Seq(100.0, 50.0, 20.0))
+  }
+
+  test("intra-batch disorder is sorted by event time before folding (ST7)") {
+    val out = runStreaming(Seq(Seq(mp(5, 3000, 200), mp(5, 1000, 100), mp(5, 2000, 150))))
+    assert(out.map(_.ts_ms) == Seq(1000L, 2000L, 3000L))
+    assert(out.map(_.delta.get) == Seq(100.0, 50.0, 50.0))
+  }
+
+  test("histogram count/sum/buckets delta with bound alignment") {
+    val p1 = MetricPoint("ws", 6, "h", new Timestamp(1000), 3, 1, true,
+      None, Some(10L), Some(5.0), Seq(Bucket(0.5, 4), Bucket(1.0, 10)))
+    val p2 = MetricPoint("ws", 6, "h", new Timestamp(2000), 3, 1, true,
+      None, Some(25L), Some(9.0), Seq(Bucket(0.5, 9), Bucket(1.0, 25), Bucket(2.0, 3)))
+    val out = runStreaming(Seq(Seq(p1), Seq(p2)))
+    assert(out.map(_.delta_count) == Seq(Some(10L), Some(15L)))
+    assert(out.map(_.delta_sum) == Seq(Some(5.0), Some(4.0)))
+    assert(out(1).delta_buckets == Seq(Bucket(0.5, 5), Bucket(1.0, 15), Bucket(2.0, 3)))
+  }
+
+  test("ST4: streaming 1m rollup matches batch rollup after watermark close") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[MetricPoint]
+    val q = StreamingTemporality.rollup1m(
+        mem.toDS().toDF().withColumn("value", col("value").cast("double")),
+        tsCol = "timestamp", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("st_rollup")
+      .outputMode("append").start()
+    try {
+      // minute 0 and minute 1 data, then a minute-3 point to advance the
+      // watermark past minutes 0-1 so append mode emits them
+      mem.addData(mp(20, 5000, 10), mp(20, 20000, 30), mp(20, 70000, 7))
+      q.processAllAvailable()
+      mem.addData(mp(20, 200000, 1))
+      q.processAllAvailable()
+      val rows = s.table("st_rollup")
+        .select(col("bucket_ms"), col("value_min"), col("value_max"),
+          col("value_avg"), col("value_last"), col("value_sum"), col("samples_count"))
+        .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+      assert(rows(0L) == ((10.0, 30.0, 20.0, 30.0, 40.0, 2L)))
+      assert(rows(60000L) == ((7.0, 7.0, 7.0, 7.0, 7.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("ST1/ST6: checkpointed restart carries series state across queries") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st6").toString
+    val (in, sink, ckpt) = (s"$dir/in", s"$dir/sink", s"$dir/ckpt")
+    def startQuery() = StreamingTemporality.start(
+      s.readStream.schema(Seq(mp(30, 0, 0)).toDS().schema).parquet(in)
+        .as[MetricPoint],
+      sinkDir = sink, checkpointDir = ckpt, intervalMs = 100)
+
+    Seq(mp(30, 1000, 100), mp(30, 2000, 150)).toDS()
+      .coalesce(1).write.mode("append").parquet(in)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second query, same checkpoint: must resume state (not re-emit batch 1,
+    // and compute 200-150=50, not a first-point raw 200)
+    Seq(mp(30, 3000, 200)).toDS().coalesce(1).write.mode("append").parquet(in)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = s.read.parquet(sink).as[DeltaPoint].collect().toSeq.sortBy(_.ts_ms)
+    assert(out.map(_.delta.get) == Seq(100.0, 50.0, 50.0))
+  }
+
+  test("streaming == batch window path on a multi-series mix") {
+    val s = spark
+    import s.implicits._
+    val pts = for {
+      series <- 10L to 14L
+      i <- 0 to 19
+    } yield mp(series, 1000L * (i + 1), (i * 7 + series * 3) % 50 + i / 4)
+    // split into 4 uneven micro-batches, shuffled within each
+    val batches = pts.grouped(25).map(g => scala.util.Random.shuffle(g.toSeq)).toSeq
+    val streamed = runStreaming(batches)
+      .map(p => (p.series_hash, p.ts_ms) -> (p.delta.get, p.is_reset)).toMap
+
+    val batch = Temporality.toDelta(
+        pts.toDF().withColumn("ts_ms", unix_millis(col("timestamp"))),
+        Seq(col("series_hash")), Seq(col("ts_ms")))
+      .select(col("series_hash"), col("ts_ms"), col("delta"), col("is_reset"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+
+    assert(streamed == batch)
+  }
+}
