@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.MetricsQueries.queries ++
-      graft.queries.LlmQueries.queries ++ graft.queries.HistoQueries.queries
+      graft.queries.LlmQueries.queries ++ graft.queries.HistoQueries.queries ++
+      graft.queries.SinkQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.MetricsQueries.oracles ++
-      graft.queries.LlmQueries.oracles ++ graft.queries.HistoQueries.oracles
+      graft.queries.LlmQueries.oracles ++ graft.queries.HistoQueries.oracles ++
+      graft.queries.SinkQueries.oracles
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.metrics.{EventsMetrics, Rollup}
+import graft.query.Promread
+import graft.sink.{MetricsSink, RollupMaintenance}
+
+/** Storage-layout queries: S6/O4/F4 write→route→read round trip and the ST8
+  * incremental MV cascade (reference: internal/clickhouse/schema.sql:63-73
+  * layout, :183/:274/:365 MV freshness; writer.go:147-258 insert path).
+  *
+  * Both queries write real partitioned Parquet under java.io.tmpdir (the
+  * harness's only writable scratch), then read back through the engine's own
+  * read path — so the oracle checks the full write→storage→read cycle, not
+  * just the in-memory plan.
+  */
+object SinkQueries {
+
+  import OracleDefs.NowMs
+
+  private def m1(s: SparkSession, d: String): DataFrame =
+    Rollup.rollup1m(EventsMetrics.fromEvents(s, d),
+      Seq(col("workspace_id"), col("metric")),
+      col("ts_ms"), col("value"), col("event_id"))
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  private val rollupOut = Seq(col("workspace_id"), col("metric"),
+    col("bucket_ms"), col("value_min"), col("value_max"),
+    round(col("value_avg"), 4).as("value_avg"), col("value_last"),
+    round(col("value_sum"), 2).as("value_sum"), col("samples_count"))
+
+  // q_sink_roundtrip's promread window: 2024-01-20 00:00 → 20:00 UTC.
+  // Age vs pinned now (4d) and span (20h) route it to metrics_1m
+  // (handler.go:304-321: age<15d ∧ span<24h).
+  private val RtStart = 1705708800000L
+  private val RtEnd = RtStart + 20 * 3600L * 1000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6+O4+F4 — write the 1m tier (daily partitions, range-clustered on the
+    // storage sort key), then serve a promread window from it: P8 picks the
+    // tier, the partition filter prunes directories, the bucket predicate
+    // lands on the parquet scan.
+    "q_sink_roundtrip" -> ((s, d) => {
+      val base = scratch("q_sink_rt")
+      MetricsSink.write(m1(s, d), base, MetricsSink.M1, col("bucket_ms"),
+        Seq(col("workspace_id"), col("metric")), mode = "overwrite")
+      val tier = MetricsSink.tiers
+        .find(_.name == Promread.selectTable(RtStart, RtEnd, NowMs)).get
+      MetricsSink.read(s, base, tier)
+        .filter(MetricsSink.partitionFilter(tier, RtStart, RtEnd))
+        .filter(col("bucket_ms").between(RtStart, RtEnd))
+        .select(rollupOut: _*)
+        .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+    }),
+
+    // ST8 — raw tier → incremental 1m/5m/1h cascade with the reference's
+    // freshness windows, read back from the written 1h tier. Only raw rows
+    // inside the 1m window (now − 1d) can reach 1h, exactly like the MV chain.
+    "q_st8_cascade" -> ((s, d) => {
+      val base = scratch("q_st8")
+      val keys = Seq(col("workspace_id"), col("metric"))
+      MetricsSink.write(EventsMetrics.fromEvents(s, d), base, MetricsSink.Raw,
+        col("ts_ms"), keys, mode = "overwrite")
+      RollupMaintenance.refreshCascade(s, base, NowMs, keys,
+        col("ts_ms"), col("value"), col("event_id"))
+      MetricsSink.read(s, base, MetricsSink.H1)
+        .filter(col("bucket_ms") >= NowMs - RollupMaintenance.freshnessMs("metrics_1m"))
+        .select(rollupOut: _*)
+        .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+    }))
+
+  import OracleDefs.EvtCte
+
+  private val m1Sql =
+    """SELECT workspace_id, metric, (ts_ms // 60000) * 60000 AS bucket_ms,
+      |       min(value) vmin, max(value) vmax, avg(value) vavg,
+      |       arg_max(value, event_id) vlast, sum(value) vsum, count(*) cnt,
+      |       max(event_id) lseq
+      |       FROM evt GROUP BY 1,2,3""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_sink_roundtrip" -> s"""$EvtCte,
+      |m1 AS ($m1Sql)
+      |SELECT workspace_id, metric, bucket_ms,
+      |       vmin AS value_min, vmax AS value_max,
+      |       round(vavg, 4) AS value_avg, vlast AS value_last,
+      |       round(vsum, 2) AS value_sum, cnt AS samples_count
+      |FROM m1 WHERE bucket_ms BETWEEN $RtStart AND $RtEnd
+      |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_st8_cascade" -> s"""$EvtCte,
+      |fresh AS (SELECT * FROM evt WHERE ts_ms >= ${NowMs - 86400000L}),
+      |m1 AS (SELECT workspace_id, metric, (ts_ms // 60000) * 60000 AS bucket_ms,
+      |       min(value) vmin, max(value) vmax, avg(value) vavg,
+      |       arg_max(value, event_id) vlast, sum(value) vsum, count(*) cnt,
+      |       max(event_id) lseq
+      |       FROM fresh GROUP BY 1,2,3),
+      |m5 AS (SELECT workspace_id, metric, (bucket_ms // 300000) * 300000 AS bucket_ms,
+      |       min(vmin) vmin, max(vmax) vmax, avg(vavg) vavg,
+      |       arg_max(vlast, lseq) vlast, sum(vsum) vsum,
+      |       CAST(sum(cnt) AS BIGINT) cnt, max(lseq) lseq
+      |       FROM m1 GROUP BY 1,2,3)
+      |SELECT workspace_id, metric, (bucket_ms // 3600000) * 3600000 AS bucket_ms,
+      |       min(vmin) AS value_min, max(vmax) AS value_max,
+      |       round(avg(vavg), 4) AS value_avg,
+      |       arg_max(vlast, lseq) AS value_last,
+      |       round(sum(vsum), 2) AS value_sum,
+      |       CAST(sum(cnt) AS BIGINT) AS samples_count
+      |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin)
+}

@@ -1,0 +1,143 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S6/O4/F4/ST5 — the storage layout: partitioned, sort-clustered Parquet
+  * tables with tiered retention (reference: internal/clickhouse/schema.sql
+  * :63-73 raw = 3h TTL, PARTITION BY toDate, ORDER BY (workspaceId, metric,
+  * series_hash, timestamp); :133-141 1m = 15d/toDate; :237-245 5m =
+  * 63d/toYYYYMM; :328-336 1h = 455d/toYYYYMM; and
+  * internal/clickhouse/writer.go:147-258 columnar batched INSERT).
+  *
+  * Spark-first mapping:
+  *   - MergeTree `PARTITION BY toDate/toYYYYMM` → Parquet directory
+  *     partitioning on a derived date string (F4). Time predicates then prune
+  *     whole directories for free (`PruneFileSourcePartitions`).
+  *   - MergeTree `ORDER BY (ws, metric, series_hash, ts)` → O4:
+  *     `repartitionByRange` on the sort key followed by
+  *     `sortWithinPartitions`. Each output file covers a narrow key range, so
+  *     Parquet min/max column stats give ClickHouse-style range skipping on
+  *     (workspace, metric) lookups — the promread access path.
+  *   - ClickHouse row `TTL _ttl` → ST5: Spark has no row TTL; retention is a
+  *     partition-drop maintenance job (date partitions whose entire range is
+  *     expired are deleted), exactly how large lakehouse deployments run it.
+  *   - `writer.go`'s batch-size/interval dual-trigger flush (S7) is subsumed
+  *     by Structured Streaming micro-batches — see
+  *     [[graft.streaming.StreamingTemporality.start]].
+  *
+  * 100 TB note: `repartitionByRange` samples the sort key, so a day with
+  * 1000× the data simply gets 1000× the range slices — no single-task-per-day
+  * bottleneck, no manual file-count tuning. AQE coalesces small slices.
+  */
+object MetricsSink {
+
+  /** One storage tier (schema.sql table + its TTL). `monthly` = the coarse
+    * tiers' toYYYYMM partitioning (schema.sql:243,334). */
+  final case class Tier(name: String, retentionMs: Long, monthly: Boolean)
+
+  private val H = 3600L * 1000L
+  private val D = 24 * H
+
+  val Raw = Tier("metrics_raw", 3 * H, monthly = false) // schema.sql:63,70
+  val M1 = Tier("metrics_1m", 15 * D, monthly = false)  // schema.sql:133,140
+  val M5 = Tier("metrics_5m", 63 * D, monthly = true)   // schema.sql:237,243
+  val H1 = Tier("metrics_1h", 455 * D, monthly = true)  // schema.sql:328,334
+  val tiers: Seq[Tier] = Seq(Raw, M1, M5, H1)
+
+  /** Partition directory name. UTC, derived from the ms-epoch event time. */
+  val PartitionCol = "p_date"
+
+  /** F4 — toDate / toYYYYMM as a lexicographically ordered string so
+    * partition values compare correctly both as paths and in pruning. */
+  def partitionValue(tier: Tier, tsMs: Column): Column = {
+    val fmt = if (tier.monthly) "yyyyMM" else "yyyy-MM-dd"
+    date_format(to_utc_timestamp(timestamp_millis(tsMs), "UTC"), fmt)
+  }
+
+  /** S6+O4 — write one tier: derive the partition value, range-partition on
+    * the storage sort key, sort within each task, write Parquet partitioned
+    * by date. `mode` defaults to append (the reference INSERTs); the harness
+    * round-trip uses overwrite for idempotence. */
+  def write(df: DataFrame, baseDir: String, tier: Tier, tsMs: Column,
+      sortKey: Seq[Column], mode: String = "append",
+      rangeSlices: Option[Int] = None): String = {
+    val dir = s"$baseDir/${tier.name}"
+    val parted = df.withColumn(PartitionCol, partitionValue(tier, tsMs))
+    val keyed = col(PartitionCol) +: sortKey
+    val ranged = rangeSlices match {
+      case Some(n) => parted.repartitionByRange(n, keyed: _*)
+      case None => parted.repartitionByRange(keyed: _*)
+    }
+    ranged
+      .sortWithinPartitions(keyed :+ tsMs: _*)
+      .write
+      .partitionBy(PartitionCol)
+      .mode(mode)
+      .parquet(dir)
+    dir
+  }
+
+  /** S8 read-back: the partition column comes back as a scan column and any
+    * predicate on it prunes directories before a single row is read. */
+  def read(spark: SparkSession, baseDir: String, tier: Tier): DataFrame =
+    spark.read.parquet(s"$baseDir/${tier.name}")
+
+  /** Read-side twin of [[partitionValue]]: map a ms-epoch range onto the
+    * partition values it can touch. String comparison is safe — values are
+    * zero-padded and lexicographically ordered — and Catalyst turns this into
+    * directory pruning before a single row is read. */
+  def partitionFilter(tier: Tier, startMs: Long, endMs: Long): Column =
+    col(PartitionCol) >= fmt(tier, startMs) && col(PartitionCol) <= fmt(tier, endMs)
+
+  /** Lower-bound-only prune — the shape of the reference's MV freshness
+    * filters (`timestamp >= now() − window`, schema.sql:183,274,365). */
+  def partitionFilterFrom(tier: Tier, startMs: Long): Column =
+    col(PartitionCol) >= fmt(tier, startMs)
+
+  private[sink] def fmt(tier: Tier, tsMs: Long): String = {
+    val p = if (tier.monthly) "yyyyMM" else "yyyy-MM-dd"
+    java.time.Instant.ofEpochMilli(tsMs).atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(p))
+  }
+
+  /** ST5 — retention as partition drop: delete every date partition whose
+    * ENTIRE range is older than now − retention (a partition that straddles
+    * the cutoff is kept — retention errs on keeping, like ClickHouse's
+    * part-level TTL drop). Returns the dropped partition values. */
+  def dropExpiredPartitions(spark: SparkSession, baseDir: String, tier: Tier,
+      nowMs: Long): Seq[String] = {
+    val dir = new Path(s"$baseDir/${tier.name}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val cutoff = nowMs - tier.retentionMs
+    val dropped = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith(s"$PartitionCol=")) None
+        else {
+          val value = name.stripPrefix(s"$PartitionCol=")
+          // expired iff the whole range [start, end) is before the cutoff
+          partitionEndMs(tier, value).filter(_ <= cutoff).map(_ => (st.getPath, value))
+        }
+      }
+    dropped.foreach { case (p, _) => fs.delete(p, true) }
+    dropped.map(_._2).sorted
+  }
+
+  /** Exclusive end of a partition's time range (ms-epoch, UTC). None for a
+    * malformed directory name — never delete what we can't parse. */
+  private[sink] def partitionEndMs(tier: Tier, value: String): Option[Long] = {
+    import java.time.{LocalDate, YearMonth, ZoneOffset}
+    try {
+      val endDay =
+        if (tier.monthly)
+          YearMonth.parse(value, java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+            .atEndOfMonth().plusDays(1)
+        else LocalDate.parse(value).plusDays(1)
+      Some(endDay.atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
+}

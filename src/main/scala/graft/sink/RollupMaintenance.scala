@@ -1,0 +1,98 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ST8 — the MV cascade as incremental batch jobs over recent partitions
+  * (reference: internal/clickhouse/schema.sql — each materialized view
+  * re-aggregates only fresh rows: 1m reads raw `WHERE timestamp >= now() −
+  * INTERVAL 1 DAY` (:183), 5m reads 1m `>= now() − 15 DAY` (:274), 1h reads
+  * 5m `>= now() − 63 DAY` (:365)).
+  *
+  * Spark-first: each refresh is one bounded scan → one hash aggregation →
+  * a dynamic-partition-overwrite Parquet write. The freshness filter lands on
+  * the partition column, so the scan prunes to the last N date directories —
+  * at 100 TB the job cost is proportional to the freshness window, never to
+  * table history.
+  *
+  * Divergence from the reference, deliberate: ClickHouse MVs append partial
+  * aggregate rows per insert block (the same bucket appears once per block,
+  * never merged — plain MergeTree targets, schema.sql:96-143). This job
+  * instead RECOMPUTES each fresh bucket exactly once, then rewrites only the
+  * touched date partitions, merging back the partitions' pre-window rows —
+  * idempotent (re-running converges to the same table) and exact. Pre-window
+  * rows must be preserved explicitly because a monthly partition (5m/1h,
+  * toYYYYMM) spans more history than the freshness window, and the finer
+  * source tier may already be TTL-dropped for that span — recomputing them is
+  * impossible, losing them would silently shrink the table.
+  *
+  * Schedule refreshes at bucket-aligned times (the window edge then falls on
+  * a bucket boundary); an unaligned edge makes the single straddling bucket a
+  * fresh-rows-only partial — the same artifact the reference's per-block MV
+  * aggregation has permanently.
+  */
+object RollupMaintenance {
+
+  private val D = 24 * 3600L * 1000L
+
+  /** Freshness windows per target tier (schema.sql:183,274,365). */
+  val freshnessMs: Map[String, Long] =
+    Map("metrics_1m" -> 1 * D, "metrics_5m" -> 15 * D, "metrics_1h" -> 63 * D)
+
+  /** Recompute one tier from its source tier inside the freshness window and
+    * merge into the target table. `rollup` maps the fresh source slice to
+    * target-tier rows and must emit `bucket_ms`. */
+  def refreshTier(spark: SparkSession, baseDir: String,
+      source: MetricsSink.Tier, target: MetricsSink.Tier,
+      sourceTsMs: Column, nowMs: Long, sortKey: Seq[Column])(
+      rollup: DataFrame => DataFrame): Unit = {
+    val startMs = nowMs - freshnessMs(target.name)
+    val fresh = MetricsSink.read(spark, baseDir, source)
+      .filter(MetricsSink.partitionFilterFrom(source, startMs))
+      .filter(sourceTsMs >= startMs)
+      .drop(MetricsSink.PartitionCol)
+    val recomputed = rollup(fresh)
+
+    // Pre-window rows living in partitions we are about to rewrite (only
+    // monthly partitions can have any, when the window edge is mid-month).
+    // localCheckpoint truncates lineage so the subsequent dynamic overwrite
+    // does not read from the directories it is replacing.
+    val targetDir = new Path(s"$baseDir/${target.name}")
+    val fs = targetDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep =
+      if (!fs.exists(targetDir)) None
+      else Some(MetricsSink.read(spark, baseDir, target)
+        .filter(MetricsSink.partitionFilterFrom(target, startMs))
+        .filter(col("bucket_ms") < startMs)
+        .drop(MetricsSink.PartitionCol)
+        .localCheckpoint(true))
+
+    val merged = keep.fold(recomputed)(_.unionByName(recomputed))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      MetricsSink.write(merged, baseDir, target, col("bucket_ms"), sortKey,
+        mode = "overwrite")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Run the full cascade raw→1m→5m→1h, mirroring the reference's MV chain
+    * (tier N+1 reads the tier-N TABLE, never raw — schema.sql:249,340). */
+  def refreshCascade(spark: SparkSession, baseDir: String, nowMs: Long,
+      seriesCols: Seq[Column], tsMs: Column, value: Column, seq: Column): Unit = {
+    import graft.metrics.Rollup
+    refreshTier(spark, baseDir, MetricsSink.Raw, MetricsSink.M1,
+      tsMs, nowMs, seriesCols)(
+      df => Rollup.rollup1m(df, seriesCols, tsMs, value, seq))
+    refreshTier(spark, baseDir, MetricsSink.M1, MetricsSink.M5,
+      col("bucket_ms"), nowMs, seriesCols)(
+      df => Rollup.rollup5m(df, seriesCols))
+    refreshTier(spark, baseDir, MetricsSink.M5, MetricsSink.H1,
+      col("bucket_ms"), nowMs, seriesCols)(
+      df => Rollup.rollup1h(df, seriesCols))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.metrics.{EventsMetrics, Rollup}
+
+/** S6/O4/F4/ST5 — storage layout: write→read round trip, partition naming,
+  * pruning via the partition filter, and retention partition-drop
+  * (reference: schema.sql:63-73,133-141,237-245,328-336; writer.go:147-258). */
+class MetricsSinkSpec extends SparkSpec {
+
+  private def tmpBase(): String =
+    Files.createTempDirectory("graft_sink_spec").toString
+
+  private def m1(): org.apache.spark.sql.DataFrame =
+    Rollup.rollup1m(EventsMetrics.fromEvents(spark, Sf),
+      Seq(col("workspace_id"), col("metric")),
+      col("ts_ms"), col("value"), col("event_id"))
+
+  test("round trip: written tier reads back identical rows") {
+    val base = tmpBase()
+    val df = m1()
+    MetricsSink.write(df, base, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id"), col("metric")), mode = "overwrite")
+    val back = MetricsSink.read(spark, base, MetricsSink.M1)
+    assert(back.count() === df.count())
+    val cols = df.columns.toSeq // original columns, ignore p_date
+    val a = df.select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    val b = back.select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("partition naming: daily yyyy-MM-dd for 1m, monthly yyyyMM for 1h (F4)") {
+    val base = tmpBase()
+    val df = m1()
+    MetricsSink.write(df, base, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id")), mode = "overwrite")
+    MetricsSink.write(df, base, MetricsSink.H1, col("bucket_ms"),
+      Seq(col("workspace_id")), mode = "overwrite")
+    def parts(t: MetricsSink.Tier): Seq[String] =
+      new java.io.File(s"$base/${t.name}").listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("p_date="))
+    assert(parts(MetricsSink.M1).forall(_.matches("p_date=\\d{4}-\\d{2}-\\d{2}")))
+    assert(parts(MetricsSink.M1).size > 1)
+    assert(parts(MetricsSink.H1).forall(_.matches("p_date=\\d{6}")))
+  }
+
+  test("partition filter prunes files before reading") {
+    val base = tmpBase()
+    MetricsSink.write(m1(), base, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id")), mode = "overwrite")
+    val back = MetricsSink.read(spark, base, MetricsSink.M1)
+    // inputFiles ignores filters — count the files actually scanned instead
+    val all = back.select(input_file_name()).distinct().count()
+    val oneDay = back.filter(
+      MetricsSink.partitionFilter(MetricsSink.M1,
+        java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli,
+        java.time.Instant.parse("2024-01-10T23:59:59Z").toEpochMilli))
+    val scanned = oneDay.select(input_file_name()).distinct().count()
+    assert(scanned < all)
+    assert(oneDay.count() > 0)
+  }
+
+  test("retention drops only fully-expired partitions (ST5)") {
+    val base = tmpBase()
+    MetricsSink.write(m1(), base, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id")), mode = "overwrite")
+    // partition values read back type-inferred (DateType) — cast for compare
+    val before = MetricsSink.read(spark, base, MetricsSink.M1)
+      .select(col(MetricsSink.PartitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // now = end of 2024-01-16 + 15d retention → partitions < 2024-01-02 drop
+    val nowMs = java.time.Instant.parse("2024-01-17T00:00:00Z").toEpochMilli
+    val dropped = MetricsSink.dropExpiredPartitions(spark, base, MetricsSink.M1, nowMs)
+    assert(dropped === before.filter(_ < "2024-01-02").toSeq)
+    val after = MetricsSink.read(spark, base, MetricsSink.M1)
+      .select(col(MetricsSink.PartitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(after.toSeq === before.filter(_ >= "2024-01-02").toSeq)
+  }
+
+  test("partitionEndMs: exclusive end; malformed names never parse (never delete)") {
+    import MetricsSink._
+    assert(partitionEndMs(M1, "2024-01-31") ===
+      Some(java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli))
+    assert(partitionEndMs(H1, "202401") ===
+      Some(java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli))
+    assert(partitionEndMs(M1, "garbage") === None)
+    assert(partitionEndMs(H1, "2024-01-31") === None) // wrong format for monthly
+  }
+
+  test("files are sort-clustered: each file covers a narrow workspace range (O4)") {
+    val base = tmpBase()
+    // Enough range slices that days subdivide into workspace sub-ranges —
+    // the production regime, where slices ≫ date partitions.
+    MetricsSink.write(m1(), base, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id"), col("metric")), mode = "overwrite",
+      rangeSlices = Some(128))
+    val back = MetricsSink.read(spark, base, MetricsSink.M1)
+    // A single sorted file must not span all 4 workspaces — that's the
+    // min/max-stat locality claim behind the ORDER BY key (O4).
+    val perFile = back
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(countDistinct(col("workspace_id")).as("nws"))
+      .agg(max(col("nws"))).collect()(0).getLong(0)
+    assert(perFile <= 3, s"a sorted file spans $perFile workspaces")
+  }
+}

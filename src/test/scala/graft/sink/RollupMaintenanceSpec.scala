@@ -1,0 +1,82 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.metrics.{EventsMetrics, Rollup}
+
+/** ST8 — incremental MV cascade: freshness-window equivalence with the batch
+  * cascade, idempotence, and pre-window preservation inside monthly
+  * partitions (reference: schema.sql:183,274,365 MV freshness filters). */
+class RollupMaintenanceSpec extends SparkSpec {
+
+  private val keys = Seq(col("workspace_id"), col("metric"))
+
+  private def freshBase(): String = {
+    val base = Files.createTempDirectory("graft_maint_spec").toString
+    MetricsSink.write(EventsMetrics.fromEvents(spark, Sf), base,
+      MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
+    base
+  }
+
+  private def h1Rows(base: String): Array[String] =
+    MetricsSink.read(spark, base, MetricsSink.H1)
+      .select(col("workspace_id"), col("metric"), col("bucket_ms"),
+        round(col("value_sum"), 2).as("s"), col("samples_count"))
+      .collect().map(_.toString).sorted
+
+  private def directCascade(fromMs: Long): DataFrame = {
+    val fresh = EventsMetrics.fromEvents(spark, Sf).filter(col("ts_ms") >= fromMs)
+    Rollup.rollup1h(Rollup.rollup5m(
+      Rollup.rollup1m(fresh, keys, col("ts_ms"), col("value"), col("event_id")),
+      keys), keys)
+  }
+
+  // refresh instants chosen bucket-aligned (midnight UTC) inside the events span
+  private val NowA = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+  private val NowB = java.time.Instant.parse("2024-01-27T00:00:00Z").toEpochMilli
+  private val Day = 86400000L
+
+  test("cascade equals the direct batch cascade over the 1m freshness window") {
+    val base = freshBase()
+    RollupMaintenance.refreshCascade(spark, base, NowA, keys,
+      col("ts_ms"), col("value"), col("event_id"))
+    val expected = directCascade(NowA - Day)
+      .select(col("workspace_id"), col("metric"), col("bucket_ms"),
+        round(col("value_sum"), 2).as("s"), col("samples_count"))
+      .collect().map(_.toString).sorted
+    assert(h1Rows(base).sameElements(expected))
+    assert(expected.nonEmpty)
+  }
+
+  test("refresh is idempotent: re-running converges to the same rows") {
+    val base = freshBase()
+    RollupMaintenance.refreshCascade(spark, base, NowA, keys,
+      col("ts_ms"), col("value"), col("event_id"))
+    val once = h1Rows(base)
+    RollupMaintenance.refreshCascade(spark, base, NowA, keys,
+      col("ts_ms"), col("value"), col("event_id"))
+    assert(h1Rows(base).sameElements(once))
+  }
+
+  test("later refresh preserves pre-window buckets in the same monthly partition") {
+    val base = freshBase()
+    RollupMaintenance.refreshCascade(spark, base, NowA, keys,
+      col("ts_ms"), col("value"), col("event_id"))
+    val old = h1Rows(base)
+    RollupMaintenance.refreshCascade(spark, base, NowB, keys,
+      col("ts_ms"), col("value"), col("event_id"))
+    val now = h1Rows(base).toSet
+    // Jan-9/10 buckets (from NowA's window) must survive NowB's refresh even
+    // though the 5m tier's fresh window no longer reaches them and both live
+    // in the same 202401 monthly partition.
+    assert(old.forall(now.contains), "pre-window rows were clobbered")
+    // and NowB's own window produced new buckets
+    val newBuckets = MetricsSink.read(spark, base, MetricsSink.H1)
+      .filter(col("bucket_ms") >= NowB - Day).count()
+    assert(newBuckets > 0)
+  }
+}
