@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession configuration for every entry point (Verify, Bench,
+  * tests, app mains) so behavior-changing confs are set once at session build
+  * and never mid-flight:
+  *   - nanosAsLong: events.parquet carries ns timestamps ([[graft.model
+  *     .Tables.events]]);
+  *   - UTC session timezone: all time bucketing/partition naming is UTC;
+  *   - shuffle partitions sized to the local core count (the 100 TB analog is
+  *     "size to the cluster", never the 200 default);
+  *   - AQE on (default in Spark 4) handles post-shuffle coalesce + skew joins.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized by the SPARK_GRAFT_CPUS contract (driver default 4). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

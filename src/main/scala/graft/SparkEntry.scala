@@ -9,11 +9,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.MetricsQueries.queries ++
       graft.queries.LlmQueries.queries ++ graft.queries.HistoQueries.queries ++
-      graft.queries.SinkQueries.queries
+      graft.queries.SinkQueries.queries ++ graft.queries.IngestQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.MetricsQueries.oracles ++
       graft.queries.LlmQueries.oracles ++ graft.queries.HistoQueries.oracles ++
-      graft.queries.SinkQueries.oracles
+      graft.queries.SinkQueries.oracles ++ graft.queries.IngestQueries.oracles
 }

@@ -54,4 +54,61 @@ object OtlpFlatten {
   /** F10/F11 — OTLP values may be int or double; widen to double
     * (otlp.go:148-155). */
   def widen(value: Column): Column = value.cast("double")
+
+  /** Wire kinds the receiver accepts; anything else errors out of
+    * convertMetric and the metric is rejected (otlp.go:281-284). */
+  val SupportedKinds: Seq[String] =
+    Seq("gauge", "sum", "histogram", "exponential_histogram", "summary")
+
+  /** S3 — full per-type datapoint conversion (otlp.go:126-285), one
+    * whole-stage-codegen projection over exploded datapoint rows instead of
+    * the reference's five typed loops.
+    *
+    * Input wire columns: `kind` (OTLP metric type name), `temporality_code`
+    * (0/1/2 per models.Temporality), `is_monotonic`, `value_int`,
+    * `value_double` (exclusive — otlp.go:147-155), `count`, `sum`, `bounds`
+    * (N doubles), `bucket_counts` (N+1 longs), `resource_attrs`, `dp_attrs`,
+    * `exemplars`.
+    *
+    * Per-type rules, exactly the reference's switch:
+    *   - gauge: temporality forced Unspecified (otlp.go:143), no monotonic.
+    *   - sum: temporality + is_monotonic from the wire (otlp.go:169-170).
+    *   - histogram: count/sum/buckets with the +Inf pad (otlp.go:187-231).
+    *   - exponential_histogram: count/sum ONLY — the reference drops scale /
+    *     zero_count / positive / negative buckets at ingest (otlp.go:234-258
+    *     copies neither) even though the model has fields for them; mirrored,
+    *     divergence-free.
+    *   - summary: count/sum, NO temporality, NO exemplars (otlp.go:260-277).
+    *   - any other kind: row dropped.
+    */
+  def convertDatapoints(df: DataFrame): DataFrame = {
+    import graft.model.Schemas.{MetricType, Temporality}
+    val kind = col("kind")
+    val scalar = kind.isin("gauge", "sum")
+    val counted = kind.isin("histogram", "exponential_histogram", "summary")
+    df.filter(kind.isin(SupportedKinds: _*))
+      .withColumn("metric_type",
+        when(kind === "gauge", MetricType.Gauge)
+          .when(kind === "sum", MetricType.Sum)
+          .when(kind === "histogram", MetricType.Histogram)
+          .when(kind === "exponential_histogram", MetricType.ExponentialHistogram)
+          .otherwise(MetricType.Summary).cast("tinyint"))
+      .withColumn("temporality",
+        when(kind.isin("sum", "histogram", "exponential_histogram"),
+          col("temporality_code"))
+          .otherwise(Temporality.Unspecified).cast("tinyint"))
+      .withColumn("is_monotonic",
+        when(kind === "sum", coalesce(col("is_monotonic"), lit(false)))
+          .otherwise(lit(false)))
+      .withColumn("value",
+        when(scalar, coalesce(col("value_double"), widen(col("value_int")))))
+      .withColumn("count", when(counted, col("count")))
+      .withColumn("sum", when(counted, col("sum")))
+      .withColumn("buckets",
+        when(kind === "histogram" && size(col("bucket_counts")) > 0,
+          withInfBucket(col("bounds"), col("bucket_counts"))))
+      .withColumn("attributes",
+        mergeAttributes(col("resource_attrs"), col("dp_attrs")))
+      .withColumn("exemplars", when(kind =!= "summary", col("exemplars")))
+  }
 }

@@ -25,13 +25,19 @@ object Tables {
 
   /** events.parquet carries nanosecond-precision timestamps, which Spark's
     * parquet reader rejects ([PARQUET_TYPE_ILLEGAL] — TimestampType is µs).
-    * Read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and convert
-    * to a µs TimestampType `ts`. The µs truncation is deliberate and must be
-    * mirrored on the oracle side where sub-µs precision would leak into
-    * results (we only ever emit ts through date_trunc or unix_millis).
+    * The session must be BUILT with `spark.sql.legacy.parquet.nanosAsLong=
+    * true` (Verify/Bench/test sessions all are — see [[graft.Sessions]]);
+    * setting it here at read time would be a global side effect silently
+    * changing other reads in the same session. The ns column then arrives as
+    * long and is converted to a µs TimestampType `ts`. The µs truncation is
+    * deliberate and mirrored on the oracle side where sub-µs precision would
+    * leak into results (we only ever emit ts through date_trunc or
+    * unix_millis).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(see graft.Sessions.builder) — events.parquet has ns timestamps")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

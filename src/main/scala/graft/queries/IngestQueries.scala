@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{OtlpFlatten, Validation}
+import graft.metrics.EventsMetrics
+import graft.query.Promread
+
+/** Ingest-surface queries: S3 full per-type datapoint conversion, S4 exemplar
+  * cap, S5 attribute merge (reference: internal/receiver/otlp.go:126-344;
+  * internal/processor/processor.go:100-104).
+  *
+  * Each builds a deterministic OTLP-wire fixture from the events table with
+  * pure column arithmetic, so the DuckDB oracle can restate both the fixture
+  * and the conversion rules in ANSI SQL.
+  */
+object IngestQueries {
+
+  /** The wire fixture: one datapoint per event, metric kind assigned by
+    * event_type so every per-type branch (plus the unsupported-kind drop) is
+    * exercised; int-vs-double value split by user parity (otlp.go:147-155);
+    * histogram bounds/counts, count/sum, and overlapping resource/dp
+    * attribute maps all derived from (user_id, value, event_id). */
+  private def wire(s: SparkSession, d: String): DataFrame =
+    EventsMetrics.fromEvents(s, d).select(
+      col("event_id"), col("ts_ms"), col("service_name"),
+      when(col("event_id") % 97 === 0, "bogus")
+        .when(col("event_type") === "view", "gauge")
+        .when(col("event_type") === "click", "sum")
+        .when(col("event_type") === "purchase", "histogram")
+        .when(col("event_type") === "signup", "summary")
+        .otherwise("exponential_histogram").as("kind"),
+      when(col("user_id") % 4 === 0, 2).otherwise(1).as("temporality_code"),
+      (col("user_id") % 5 =!= 0).as("is_monotonic"),
+      when(col("user_id") % 2 === 0, round(col("value") * 100, 0).cast("long"))
+        .as("value_int"),
+      when(col("user_id") % 2 =!= 0, col("value")).as("value_double"),
+      (col("user_id") % 10 + 1).cast("long").as("count"),
+      round(col("value") * 10, 2).as("sum"),
+      array(lit(0.1), lit(1.0), lit(10.0)).as("bounds"),
+      array((col("user_id") % 3).cast("long"), (col("user_id") % 5).cast("long"),
+        (col("user_id") % 7).cast("long"), (col("user_id") % 11).cast("long"))
+        .as("bucket_counts"),
+      map(lit("env"), lit("prod"), lit("svc"), col("service_name"))
+        .as("resource_attrs"),
+      map(lit("env"), lit("stage"), lit("user"), col("user_id").cast("string"))
+        .as("dp_attrs"),
+      transform(sequence(lit(1), (col("user_id") % 13 + 1).cast("int")),
+        i => struct(
+          concat(lit("span-"), i.cast("string")).as("spanId"),
+          concat(lit("trace-"), col("event_id").cast("string")).as("traceId"),
+          (col("value") + i).cast("double").as("value"),
+          timestamp_millis(col("ts_ms")).as("timestamp"),
+          map(lit("i"), i.cast("string"))
+            .cast("map<string,string>").as("attributes")))
+        .as("exemplars"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3 — the per-type switch as one codegen projection; output flattened to
+    // oracle-friendly scalars (bucket struct internals are covered by
+    // n_buckets / bucket_total / +Inf-pad checks).
+    "q_s3_per_type" -> ((s, d) => {
+      OtlpFlatten.convertDatapoints(wire(s, d))
+        .select(
+          col("event_id"), col("kind"),
+          col("metric_type").cast("int").as("metric_type"),
+          col("temporality").cast("int").as("temporality"),
+          col("is_monotonic"),
+          round(col("value"), 2).as("value"),
+          col("count"), col("sum"),
+          coalesce(size(col("buckets")), lit(-1)).as("n_buckets"),
+          coalesce(aggregate(col("buckets"), lit(0L),
+            (acc, b) => acc + b.getField("count")), lit(-1L)).as("bucket_total"),
+          coalesce(element_at(col("buckets"), -1).getField("le") ===
+            Double.PositiveInfinity, lit(false)).as("last_le_is_inf"),
+          coalesce(size(col("exemplars")), lit(-1)).as("n_exemplars"),
+          Promread.labelsKey(col("attributes")).as("labels"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S4 — exemplar cap: first-N kept when enabled, typed-null when disabled
+    // (processor.go:100-104); the disabled branch keeps the full exemplar
+    // schema (Validation.scala round-2 schema-drift fix).
+    "q_s4_exemplars" -> ((s, d) => {
+      val w = wire(s, d)
+      w.select(
+        col("event_id"),
+        size(Validation.capExemplars(col("exemplars"), enabled = true, max = 10))
+          .as("n_capped"),
+        Validation.capExemplars(col("exemplars"), enabled = false).isNull
+          .as("disabled_is_null"),
+        element_at(Validation.capExemplars(col("exemplars"), enabled = true), 1)
+          .getField("spanId").as("first_span"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S5 — attribute merge, datapoint wins on key collision (otlp.go:332-344);
+    // rendered through the sorted labels key so map ordering can't leak in.
+    "q_s5_attr_merge" -> ((s, d) => {
+      wire(s, d).select(
+        col("event_id"),
+        Promread.labelsKey(
+          OtlpFlatten.mergeAttributes(col("resource_attrs"), col("dp_attrs")))
+          .as("merged"))
+        .orderBy(col("event_id"))
+    }))
+
+  import OracleDefs.EvtCte
+
+  /** The wire fixture restated for DuckDB (shared by all three oracles). */
+  private val WireCte =
+    s"""$EvtCte,
+      |wire AS (SELECT event_id, ts_ms, service_name, user_id, value,
+      |  CASE WHEN event_id % 97 = 0 THEN 'bogus'
+      |       WHEN event_type = 'view' THEN 'gauge'
+      |       WHEN event_type = 'click' THEN 'sum'
+      |       WHEN event_type = 'purchase' THEN 'histogram'
+      |       WHEN event_type = 'signup' THEN 'summary'
+      |       ELSE 'exponential_histogram' END AS kind,
+      |  CASE WHEN user_id % 4 = 0 THEN 2 ELSE 1 END AS temporality_code,
+      |  user_id % 5 <> 0 AS is_monotonic,
+      |  CASE WHEN user_id % 2 = 0 THEN CAST(round(value * 100, 0) AS BIGINT) END AS value_int,
+      |  CASE WHEN user_id % 2 <> 0 THEN value END AS value_double,
+      |  CAST(user_id % 10 + 1 AS BIGINT) AS cnt,
+      |  round(value * 10, 2) AS sm,
+      |  CAST(user_id % 3 + user_id % 5 + user_id % 7 + user_id % 11 AS BIGINT) AS bucket_total,
+      |  CAST(user_id % 13 + 1 AS BIGINT) AS n_ex
+      |  FROM evt)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_s3_per_type" -> s"""$WireCte
+      |SELECT event_id, kind,
+      |  CASE kind WHEN 'gauge' THEN 1 WHEN 'sum' THEN 2 WHEN 'histogram' THEN 3
+      |            WHEN 'exponential_histogram' THEN 5 ELSE 4 END AS metric_type,
+      |  CASE WHEN kind IN ('sum','histogram','exponential_histogram')
+      |       THEN temporality_code ELSE 0 END AS temporality,
+      |  CASE WHEN kind = 'sum' THEN is_monotonic ELSE false END AS is_monotonic,
+      |  CASE WHEN kind IN ('gauge','sum')
+      |       THEN round(coalesce(value_double, CAST(value_int AS DOUBLE)), 2)
+      |       END AS value,
+      |  CASE WHEN kind IN ('histogram','exponential_histogram','summary')
+      |       THEN cnt END AS count,
+      |  CASE WHEN kind IN ('histogram','exponential_histogram','summary')
+      |       THEN sm END AS sum,
+      |  CASE WHEN kind = 'histogram' THEN 4 ELSE -1 END AS n_buckets,
+      |  CASE WHEN kind = 'histogram' THEN bucket_total ELSE -1 END AS bucket_total,
+      |  kind = 'histogram' AS last_le_is_inf,
+      |  CASE WHEN kind <> 'summary' THEN n_ex ELSE -1 END AS n_exemplars,
+      |  'env=stage,svc=' || service_name || ',user=' || CAST(user_id AS VARCHAR)
+      |    AS labels
+      |FROM wire WHERE kind <> 'bogus' ORDER BY event_id""".stripMargin,
+
+    "q_s4_exemplars" -> s"""$WireCte
+      |SELECT event_id, CAST(least(n_ex, 10) AS INT) AS n_capped,
+      |       true AS disabled_is_null,
+      |       'span-1' AS first_span
+      |FROM wire ORDER BY event_id""".stripMargin,
+
+    "q_s5_attr_merge" -> s"""$WireCte
+      |SELECT event_id,
+      |       'env=stage,svc=' || service_name || ',user=' ||
+      |         CAST(user_id AS VARCHAR) AS merged
+      |FROM wire ORDER BY event_id""".stripMargin)
+}

@@ -119,12 +119,16 @@ object MetricsQueries {
           .as("distinct_keys"))
     }),
 
-    // S2/S3 — OTLP-shaped nest → explode flatten round-trip (otlp.go:91-124):
+    // S2 — OTLP-shaped nest → explode flatten round-trip (otlp.go:91-124):
     // the flattened output must equal the flat projection of the source.
+    // The nest keys include a day bucket so collect_list arrays stay bounded
+    // (~rows/day/resource) — nesting a whole table into a handful of resource
+    // rows would make the harness query itself the scale hazard.
     "q_s2_flatten" -> ((s, d) => {
       val flat = EventsMetrics.fromEvents(s, d)
       val nested = OtlpFlatten.nest(flat,
-        Seq(col("workspace_id"), col("service_name")),
+        Seq(col("workspace_id"), col("service_name"),
+          Rollup.bucketMs(col("ts_ms"), 86400000L).as("day_ms")),
         struct(col("event_id"), col("metric"), col("ts_ms"),
           OtlpFlatten.widen(col("value")).as("value")))
       OtlpFlatten.flatten(nested)
