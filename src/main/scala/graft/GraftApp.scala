@@ -1,0 +1,141 @@
+package graft
+
+import java.io.FileInputStream
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.{OtlpFlatten, Validation}
+import graft.metrics.EventsMetrics
+import graft.model.MetricPoint
+import graft.sink.MetricsSink
+import graft.streaming.{OtlpSource, StreamingTemporality}
+
+/** S10 — config-driven wiring of the whole ingest pipeline (reference:
+  * cmd/main.go:59-216 — YAML config → receiver → processor → writer chain).
+  *
+  * One streaming query: OTLP export files → flatten → per-type convert →
+  * validate (invalid rows DROPPED with a log count, exactly the reference's
+  * behavior — processor.go:66-70 returns the error, the receiver logs and
+  * moves on; nothing is stored) → workspace/TTL stamp → exemplar cap →
+  * series hash → optional cumulative→delta with checkpointed per-series
+  * state → partitioned raw-tier Parquet.
+  *
+  * Config keys (java properties; the reference's YAML fields, flattened):
+  *   source.dir, storage.dir, checkpoint.dir,
+  *   processor.workspace_id, processor.convert_to_delta,
+  *   processor.enable_exemplars, processor.max_exemplars_per_metric,
+  *   processor.flush_interval_ms, source.max_files_per_trigger
+  *
+  * Divergence, documented: in delta mode the sink stores the converted
+  * points without exemplar payloads (the typed state path carries
+  * attributes but not exemplars); exemplar retention with delta conversion
+  * needs the batch path.
+  */
+case class GraftConfig(
+    sourceDir: String,
+    storageDir: String,
+    checkpointDir: String,
+    workspaceId: String = "default",
+    convertToDelta: Boolean = true,
+    enableExemplars: Boolean = true,
+    maxExemplarsPerMetric: Int = 10,
+    flushIntervalMs: Long = 10000L,
+    maxFilesPerTrigger: Int = 16,
+    nowMs: Option[Long] = None)
+
+object GraftApp {
+
+  def load(path: String): GraftConfig = {
+    val p = new Properties()
+    val in = new FileInputStream(path)
+    try p.load(in) finally in.close()
+    def get(k: String): Option[String] = Option(p.getProperty(k))
+    def req(k: String): String = get(k).getOrElse(
+      throw new IllegalArgumentException(s"missing config key: $k"))
+    GraftConfig(
+      sourceDir = req("source.dir"),
+      storageDir = req("storage.dir"),
+      checkpointDir = req("checkpoint.dir"),
+      workspaceId = get("processor.workspace_id").getOrElse("default"),
+      convertToDelta = get("processor.convert_to_delta").forall(_.toBoolean),
+      enableExemplars = get("processor.enable_exemplars").forall(_.toBoolean),
+      maxExemplarsPerMetric =
+        get("processor.max_exemplars_per_metric").map(_.toInt).getOrElse(10),
+      flushIntervalMs =
+        get("processor.flush_interval_ms").map(_.toLong).getOrElse(10000L),
+      maxFilesPerTrigger =
+        get("source.max_files_per_trigger").map(_.toInt).getOrElse(16))
+  }
+
+  /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, typed
+    * per-series points out. Pure column work — identical for batch and
+    * streaming frames. */
+  def toPoints(exports: DataFrame, cfg: GraftConfig, nowMs: Long): Dataset[MetricPoint] = {
+    val spark = exports.sparkSession
+    import spark.implicits._
+    val converted = OtlpFlatten.convertDatapoints(OtlpSource.explodeExport(exports))
+    val validated = converted
+      .withColumn("reject_reason",
+        Validation.rejectReason(col("metric"), col("ts_ms"), col("kind"),
+          col("value"), col("count"), col("sum"), col("buckets"), nowMs))
+      .filter(col("reject_reason") === Validation.Valid)
+    val stamped = Validation.stampTtl(
+      Validation.stampWorkspace(validated, cfg.workspaceId), lit(nowMs))
+      .withColumn("exemplars",
+        Validation.capExemplars(col("exemplars"), cfg.enableExemplars,
+          cfg.maxExemplarsPerMetric))
+      .withColumn("series_hash",
+        EventsMetrics.seriesHash(col("metric"), col("workspace_id"),
+          col("attributes")))
+    stamped.select(
+      col("workspace_id").as("workspaceId"),
+      col("series_hash"),
+      col("metric"),
+      timestamp_millis(col("ts_ms")).as("timestamp"),
+      col("metric_type"),
+      col("temporality"),
+      col("is_monotonic"),
+      col("value"),
+      col("count"),
+      col("sum"),
+      coalesce(col("buckets"),
+        array().cast("array<struct<le:double,count:bigint>>")).as("buckets"),
+      col("attributes")).as[MetricPoint]
+  }
+
+  /** ST1/ST6/S7 — start the pipeline: micro-batch trigger = the reference's
+    * flush ticker, checkpoint = exactly-once, foreachBatch = the columnar
+    * batched INSERT (writer.go:147-258) through the partitioned sink. */
+  def start(spark: SparkSession, cfg: GraftConfig,
+      trigger: Trigger = null): StreamingQuery = {
+    import spark.implicits._
+    val nowMs = cfg.nowMs.getOrElse(System.currentTimeMillis())
+    val exports = OtlpSource.fileStream(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
+    val points = toPoints(exports, cfg, nowMs)
+    val out: DataFrame =
+      if (cfg.convertToDelta) StreamingTemporality.convertDelta(points).toDF()
+      else points.toDF().withColumn("ts_ms", unix_millis(col("timestamp")))
+    val writer = out.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MetricsSink.write(batch, cfg.storageDir, MetricsSink.Raw,
+          col("ts_ms"),
+          Seq(col("workspaceId"), col("metric"), col("series_hash")))
+        ()
+      }
+    Option(trigger).fold(writer)(t => writer.trigger(t))
+      .start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = load(args.headOption.getOrElse("graft.properties"))
+    val spark = Sessions.local()
+    val query = start(spark, cfg,
+      Trigger.ProcessingTime(cfg.flushIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+    query.awaitTermination()
+  }
+}

@@ -103,7 +103,8 @@ case class MetricPoint(
     value: Option[Double],
     count: Option[Long],
     sum: Option[Double],
-    buckets: Seq[Bucket])
+    buckets: Seq[Bucket],
+    attributes: Map[String, String] = Map.empty)
 
 /** Per-series converter state (reference: internal/converter/temporality.go:17-23). */
 case class ConversionState(

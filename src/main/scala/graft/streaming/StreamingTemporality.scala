@@ -16,7 +16,8 @@ case class DeltaPoint(
     delta: Option[Double],
     delta_count: Option[Long],
     delta_sum: Option[Double],
-    delta_buckets: Seq[Bucket])
+    delta_buckets: Seq[Bucket],
+    attributes: Map[String, String] = Map.empty)
 
 /** ST1–ST8 — the streaming twin of [[graft.metrics.Temporality]] (reference:
   * internal/converter/temporality.go:11-141 per-series state map;
@@ -82,7 +83,7 @@ object StreamingTemporality {
           case _ => p.buckets
         }
         out += DeltaPoint(p.series_hash, p.workspaceId, p.metric, tsMs,
-          reset, delta, deltaCount, deltaSum, deltaBuckets)
+          reset, delta, deltaCount, deltaSum, deltaBuckets, p.attributes)
         st = Some(ConversionState(
           lastValue = p.value.getOrElse(0.0),
           lastCount = p.count.getOrElse(0L),

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sink.MetricsSink
+
+/** S1+S10 end-to-end: OTLP export files → flatten → convert → validate →
+  * stamp → delta conversion → partitioned raw sink, with checkpointed
+  * restart (SURVEY §7.2's full-flow milestone; reference cmd/main.go chain
+  * + temporality_test.go:20-95 sequences). */
+class GraftAppSpec extends SparkSpec {
+
+  private val NowMs = java.time.Instant.parse("2024-01-24T00:00:00Z").toEpochMilli
+
+  /** One export row: a cumulative monotonic sum series named `m` for
+    * workspace-agnostic wire input, one datapoint per (ts, value). */
+  private def exportRows(series: Seq[(String, Long, Double)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dps = series.map { case (m, ts, v) =>
+      Row(m, "sum", ts, 1, true, null, v, null, null, null, null,
+        Map("k" -> "v"), null)
+    }
+    val rows = Seq(Row(Map("service.name" -> "svc-a"), dps)).asJava
+    spark.createDataFrame(rows, graft.streaming.OtlpSource.exportSchema)
+  }
+
+  /** Land one micro-batch as a single parquet file in the watched dir. */
+  private def land(dir: String, n: Int, df: DataFrame): Unit = {
+    val tmp = Files.createTempDirectory("land").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = new java.io.File(tmp).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(dir, s"batch_$n.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    ()
+  }
+
+  private def cfgFor(base: String): GraftConfig = GraftConfig(
+    sourceDir = s"$base/in",
+    storageDir = s"$base/store",
+    checkpointDir = s"$base/ckpt",
+    workspaceId = "ws-app",
+    convertToDelta = true,
+    nowMs = Some(NowMs))
+
+  private def runOnce(cfg: GraftConfig): Unit = {
+    val q = GraftApp.start(spark, cfg, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  private def sinkRows(cfg: GraftConfig): Array[(String, Long, Double)] =
+    MetricsSink.read(spark, cfg.storageDir, MetricsSink.Raw)
+      .select(col("metric"), col("ts_ms"), col("delta"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+
+  test("end-to-end: reference sequence [100,150,200] lands as deltas [100,50,50]") {
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base)
+    land(cfg.sourceDir, 1, exportRows(Seq(
+      ("m1", NowMs - 3000, 100.0), ("m1", NowMs - 2000, 150.0),
+      ("m1", NowMs - 1000, 200.0))))
+    runOnce(cfg)
+    assert(sinkRows(cfg).toSeq === Seq(
+      ("m1", NowMs - 3000, 100.0), ("m1", NowMs - 2000, 50.0),
+      ("m1", NowMs - 1000, 50.0)))
+  }
+
+  test("checkpointed restart: new file continues per-series state (ST6)") {
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base)
+    land(cfg.sourceDir, 1, exportRows(Seq(
+      ("m2", NowMs - 3000, 100.0), ("m2", NowMs - 2000, 150.0))))
+    runOnce(cfg)
+    // second run, same checkpoint: the 200 must convert as 200-150=50,
+    // proving state survived; batch 1 must not be re-emitted.
+    land(cfg.sourceDir, 2, exportRows(Seq(("m2", NowMs - 1000, 200.0))))
+    runOnce(cfg)
+    assert(sinkRows(cfg).toSeq === Seq(
+      ("m2", NowMs - 3000, 100.0), ("m2", NowMs - 2000, 50.0),
+      ("m2", NowMs - 1000, 50.0)))
+  }
+
+  test("invalid rows are dropped, workspace stamped, exemplars absent in delta mode") {
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base)
+    land(cfg.sourceDir, 1, exportRows(Seq(
+      ("", NowMs - 1000, 1.0),                    // empty name → dropped
+      ("m3", 0L, 1.0),                            // zero ts → dropped
+      ("m3", NowMs + 2 * 86400000L, 1.0),         // too future → dropped
+      ("m3", NowMs - 1000, 42.0))))               // valid
+    runOnce(cfg)
+    val rows = MetricsSink.read(spark, cfg.storageDir, MetricsSink.Raw)
+    assert(rows.count() === 1)
+    val r = rows.select(col("workspaceId"), col("metric"), col("delta")).collect()(0)
+    assert(r.getString(0) === "ws-app")
+    assert(r.getString(1) === "m3")
+    assert(r.getDouble(2) === 42.0)
+  }
+}
