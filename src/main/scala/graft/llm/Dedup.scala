@@ -53,7 +53,12 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inter = inv.as("a").join(inv.as("b"),
+    // shuffle_merge: a broadcast self-join would compute the shingle
+    // derivation twice and could never broadcast a 100 TB side anyway; with
+    // both sides shuffled on the same key, ReuseExchange evaluates the
+    // subtree ONCE and reads it twice.
+    val inter = inv.as("a").hint("shuffle_merge")
+      .join(inv.as("b").hint("shuffle_merge"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -66,13 +71,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent hash functions simulated as
-    * xxhash64(shingle, seed_i); signature[i] = min over shingles. Pure per-row
-    * projection — deterministic, no shuffle, no fitted model state. */
-  def minHashSignature(sh: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+  /** Hashed word n-gram shingles: hash tokens once, then hash each n-window
+    * of token hashes (24 bytes for n=3) — never materializing shingle
+    * strings. The LSH pipeline only ever needs shingle IDENTITY, and string
+    * concat + re-hash per shingle was the dominant cost of the first-cut
+    * signature stage (230 s of a 468 s bench query at sf0.1). */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    array_distinct(
+      transform(
+        sequence(lit(0), size(th) - n),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
+  }
+
+  /** MinHash signature over hashed shingles: signature[i] = min over
+    * shingles of xxhash64(shingleHash, i) — k independent permutations from
+    * seeded 8-byte hashes.
+    *
+    * Shaped as ONE `aggregate` fold over the shingles whose inner k-wide step
+    * touches only lambda-bound values. The shape matters: Catalyst inlines a
+    * single-use projection into its consumer, and interpreted higher-order
+    * lambdas re-evaluate every subexpression per element — so the earlier
+    * `transform(seq(k), i => array_min(transform(sh, …)))` form recomputed
+    * tokenization+shingling k times per row (230 s of a 468 s bench query).
+    * Here the shingle array is the fold input, evaluated once per row, and
+    * the repeated work is k seeded hashes of one long. Deterministic, pure
+    * per-row projection, no shuffle, no fitted state.
+    *
+    * (Kirsch–Mitzenmacher h1+i·h2 double hashing is NOT used: with a shared
+    * low-h1 shingle it wins every position for all i, estimating J≈1 for
+    * dissimilar docs — independence per seed is load-bearing for MinHash.) */
+  def minHashSignature(shHashes: Column, k: Int): Column = {
+    val seeds = array((0 until k).map(lit): _*)
+    aggregate(shHashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, seeds, (m, i) => least(m, xxhash64(h, i))))
+  }
 
   /** LSH banding: b bands of r rows each (k = b*r); band key = hash of the
     * band's signature slice. Docs sharing any band key are candidates. */
@@ -90,14 +124,16 @@ object Dedup {
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val rows = k / bands
     val sig = docs
-      .select(id.as("doc_id"), shingles(text, shingleN).as("sh"))
+      .select(id.as("doc_id"), shingleHashes(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minHashSignature(col("sh"), k).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // shuffle_merge self-join: one exchange, read twice (see jaccardPairs)
+    val cand = banded.as("a").hint("shuffle_merge")
+      .join(banded.as("b").hint("shuffle_merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -151,7 +187,8 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val xor = col("a.sh").bitwiseXOR(col("b.sh"))
     val popcnt = bit_count(xor)
-    chunked.as("a").join(chunked.as("b"),
+    chunked.as("a").hint("shuffle_merge")
+      .join(chunked.as("b").hint("shuffle_merge"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
