@@ -10,7 +10,10 @@ object Bench {
       // Catalyst prune unreferenced projections, so UDF/expression-heavy
       // queries would bench without executing their hot path).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a failed query must be loud — a swallowed error reads as "fast"
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -33,13 +33,20 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(id).as("doc_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Word n-gram shingle set (distinct) of a text column. */
+  /** Word n-gram shingle set (distinct) of a text column.
+    *
+    * Built as zip_with over n shifted slices of the token array, NOT as
+    * `transform(sequence(0, S−n), i => element_at(toks, i+j))`: interpreted
+    * higher-order lambdas re-evaluate every subexpression of the body per
+    * element, so an array referenced inside the lambda is recomputed per
+    * window — O(S²) tokenization per row. Function ARGUMENTS evaluate once
+    * per row; slices keep the whole thing O(n·S). */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    val parts = (0 until n).map(j => slice(toks, lit(j + 1), len))
     array_distinct(
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b))))
   }
 
   /** Exact n-gram Jaccard similarity pairs via inverted-index join: explode
@@ -78,10 +85,13 @@ object Dedup {
     * signature stage (230 s of a 468 s bench query at sf0.1). */
   def shingleHashes(text: Column, n: Int): Column = {
     val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val len = greatest(size(th) - (n - 1), lit(0))
+    val parts = (0 until n).map(j => slice(th, lit(j + 1), len))
+    // hash-chain the shifted slices pairwise (see shingles for why slices,
+    // not element_at-in-lambda: interpreted lambdas re-evaluate the body's
+    // subtrees per element, turning window lookups into O(S²) rework)
     array_distinct(
-      transform(
-        sequence(lit(0), size(th) - n),
-        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
+      parts.reduce((acc, p) => zip_with(acc, p, (a, b) => xxhash64(a, b))))
   }
 
   /** MinHash signature over hashed shingles: signature[i] = min over
@@ -100,7 +110,12 @@ object Dedup {
     *
     * (Kirsch–Mitzenmacher h1+i·h2 double hashing is NOT used: with a shared
     * low-h1 shingle it wins every position for all i, estimating J≈1 for
-    * dissimilar docs — independence per seed is load-bearing for MinHash.) */
+    * dissimilar docs — independence per seed is load-bearing for MinHash.)
+    *
+    * The production pipeline ([[minHashCandidates]]) uses the codegen'd
+    * [[graft.functions.MinHashSignatureExpr]] instead — same fold as a tight
+    * generated loop (interpreted lambdas put a ~0.5 µs/element floor on this
+    * form). This HOF form remains as the readable reference shape. */
   def minHashSignature(shHashes: Column, k: Int): Column = {
     val seeds = array((0 until k).map(lit): _*)
     aggregate(shHashes,
@@ -126,7 +141,8 @@ object Dedup {
     val sig = docs
       .select(id.as("doc_id"), shingleHashes(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minHashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSignatureExpr.signature(col("sh"), k).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sig"),
