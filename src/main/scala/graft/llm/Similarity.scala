@@ -83,4 +83,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("pid"), col("nid"), col("score"), col("rank"))
   }
+
+  /** IVF — inverted-file ANN with a coarse quantizer: every corpus vector is
+    * assigned to its nearest centroid's cell (one broadcast pass — the
+    * centroid table is tiny by construction); a probe scores only the
+    * corpus rows of its `nprobe` nearest cells, then exact re-rank.
+    *
+    * 100 TB shape: the cell is a partition key. Corpus assignment is a
+    * narrow projection + broadcast argmax (no shuffle of the corpus); the
+    * candidate join is keyed on `cell`, so each query touches ~nprobe/C of
+    * the data. A learned k-means quantizer drops into the same plumbing —
+    * `centroids` is just a DataFrame (here: a deterministic corpus stride,
+    * so every engine and test can rebuild it). */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cell"),
+      col("embedding").cast("array<double>").as("cvec"))
+    def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
+      // explicit cross join: every vector scores every centroid (the
+      // centroid side is C rows, broadcast — this is the IVF assignment)
+      val scored = df.select(col("vec_id").as(idOut),
+          col("embedding").cast("array<double>").as(vecOut))
+        .crossJoin(broadcast(cent))
+        .withColumn("csim", cosine(col(vecOut), col("cvec")))
+      val w = Window.partitionBy(col(idOut)).orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idOut), col(vecOut), col("cell"))
+    }
+    val c = assign(corpus, "nid", "nvec", keep = 1)
+    val p = assign(probes, "pid", "pvec", keep = nprobe)
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("score", cosine(col("pvec"), col("nvec")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("score"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs — the embedding-space twin of
+    * [[graft.llm.Dedup.minHashCandidates]]: LSH bucket as candidate key,
+    * exact cosine inside the bucket, keep pairs ≥ threshold. Positive
+    * scaling preserves every hyperplane sign, so a scaled duplicate is
+    * GUARANTEED to share its original's bucket — recall 1.0 on true
+    * duplicates; near-misses follow the usual LSH recall curve. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int): DataFrame = {
+    val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), nBits))
+    v.as("a").hint("shuffle_merge")
+      .join(v.as("b").hint("shuffle_merge"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
 }

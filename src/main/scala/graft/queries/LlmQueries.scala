@@ -29,6 +29,15 @@ object LlmQueries {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
   }
 
+  /** embeddings ∪ scaled copies (×0.5) of every 9th vector (ids offset by
+    * 200000): same direction ⇒ cosine exactly 1, same LSH bucket always. */
+  private def embScaledDups(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    emb.unionAll(emb.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
+  }
+
   /** documents ∪ near-dup mutants of every 11th doc: 3 novel tokens appended
     * (ids offset by 200000) — Jaccard vs the original ≈ (T−2)/(T+1) ≈ 0.94. */
   private def docsNearDups(s: SparkSession, d: String): DataFrame = {
@@ -124,6 +133,31 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // IVF ANN: deterministic coarse quantizer (corpus stride as centroids),
+    // nprobe=3 cells per probe, exact re-rank. Cell assignment is
+    // float-argmax-sensitive → rows-only; equivalence to brute force when
+    // probing all cells is asserted in LlmSpec.
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          centroids = emb.filter(col("vec_id") % 101 === 0), k = 5, nprobe = 3)
+        .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup: LSH bucket candidates + exact cosine. The
+    // oracle checks the planted slice (vec scaled by 0.5, id + 200000):
+    // positive scaling preserves every hyperplane sign, so recall on true
+    // duplicates is 1.0 by construction and cosine is exactly 1.
+    "q_dedup_embed" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(embScaledDups(s, d),
+          threshold = 0.999, nBits = 12)
+        .filter(col("id_b") === col("id_a") + 200000L)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"))
+    }),
+
     // Multimodal: metadata-only filter — the blob column is never read
     // (column pruning), which IS the 100 TB point of the typed-struct design.
     "q_mm_meta" -> ((s, d) => {
@@ -148,6 +182,12 @@ object LlmQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // planted scaled duplicates: found with recall 1 (sign-preserving
+    // scaling ⇒ same bucket) and cosine exactly 1 after 6-dp rounding
+    "q_dedup_embed" -> """SELECT vec_id AS id_a, vec_id + 200000 AS id_b,
+      |       CAST(1.0 AS DOUBLE) AS cos
+      |FROM embeddings WHERE vec_id % 9 = 0 ORDER BY id_a""".stripMargin,
+
     "q_dedup_exact" -> s"""$DupCte,
       |norm AS (SELECT doc_id,
       |                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt

@@ -86,6 +86,51 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF with all cells probed equals brute force exactly") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val cent = emb.filter(col("vec_id") % 101 === 0)
+    val bf = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select(col("pid"), col("nid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe >= number of cells: candidate set = whole corpus, so the exact
+    // re-rank must reproduce brute force bit-for-bit
+    val ivf = Similarity.ivfTopK(emb, probes, cent, k = 5, nprobe = 1000)
+      .select(col("pid"), col("nid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf === bf)
+  }
+
+  test("IVF at nprobe=3 returns a subset of brute-force scores") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val cent = emb.filter(col("vec_id") % 101 === 0)
+    val bf = Similarity.bruteForceTopK(emb, probes, k = 1000)
+      .select(col("pid"), col("nid"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, probes, cent, k = 5, nprobe = 3)
+      .select(col("pid"), col("nid"), col("score")).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val s = bf.getOrElse((r.getLong(0), r.getLong(1)), Double.NaN)
+      assert(math.abs(r.getDouble(2) - s) < 1e-9)
+    }
+  }
+
+  test("embedding near-dup finds every planted scaled duplicate with cos=1") {
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val dups = emb.unionAll(emb.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
+    val planted = emb.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val found = Similarity.cosineNearDupPairs(dups, threshold = 0.999, nBits = 12)
+      .filter(col("id_b") === col("id_a") + 200000L)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e9) / 1e9))
+    assert(found.map(_._1).toSet === planted)
+    found.foreach { case (id, c) => assert(c === 1.0, s"vec $id cos $c") }
+  }
+
   test("decodePartitions matches the column-level decodeStub") {
     val media = Multimodal.asMedia(Tables.documents(spark, Sf), col("doc_id"), col("text"))
     val viaStub = media.select(col("doc_id"), Multimodal.decodeStub(col("payload")).as("f"))
