@@ -15,11 +15,20 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    Seq("q_dedup_minhash", "q_dedup_jaccard", "q_dedup_simhash").foreach { n =>
-      val q = graft.SparkEntry.queries(n)
-      time(s"$n warm0")(q(spark, d).write.format("noop").mode("overwrite").save())
-      time(s"$n warm1")(q(spark, d).write.format("noop").mode("overwrite").save())
+    def audit(name: String): Unit = {
+      val plan = graft.SparkEntry.queries(name)(spark, d)
+        .queryExecution.executedPlan.toString
+      val pushed = plan.linesIterator
+        .filter(_.contains("PushedFilters: [")).map(_.trim.take(160)).toSeq
+      val codegen = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      println(s"[scratch] $name: codegenSpans=$codegen bhj=$bhj smj=$smj")
+      pushed.filterNot(_.contains("PushedFilters: []")).take(3)
+        .foreach(p => println(s"[scratch]   $p"))
     }
+    Seq("q_read_path", "q_join_agg", "q_dedup_minhash", "q_a1_rollup_1m",
+      "q_p4_matchers", "q_ann_ivf", "q_sink_roundtrip").foreach(audit)
     spark.stop()
   }
 }
