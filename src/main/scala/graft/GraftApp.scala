@@ -73,16 +73,14 @@ object GraftApp {
   /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, typed
     * per-series points out. Pure column work — identical for batch and
     * streaming frames. */
-  def toPoints(exports: DataFrame, cfg: GraftConfig, nowMs: Long): Dataset[MetricPoint] = {
-    val spark = exports.sparkSession
-    import spark.implicits._
+  def convert(exports: DataFrame, cfg: GraftConfig, nowMs: Long): DataFrame = {
     val converted = OtlpFlatten.convertDatapoints(OtlpSource.explodeExport(exports))
     val validated = converted
       .withColumn("reject_reason",
         Validation.rejectReason(col("metric"), col("ts_ms"), col("kind"),
           col("value"), col("count"), col("sum"), col("buckets"), nowMs))
       .filter(col("reject_reason") === Validation.Valid)
-    val stamped = Validation.stampTtl(
+    Validation.stampTtl(
       Validation.stampWorkspace(validated, cfg.workspaceId), lit(nowMs))
       .withColumn("exemplars",
         Validation.capExemplars(col("exemplars"), cfg.enableExemplars,
@@ -90,7 +88,12 @@ object GraftApp {
       .withColumn("series_hash",
         EventsMetrics.seriesHash(col("metric"), col("workspace_id"),
           col("attributes")))
-    stamped.select(
+  }
+
+  def toPoints(exports: DataFrame, cfg: GraftConfig, nowMs: Long): Dataset[MetricPoint] = {
+    val spark = exports.sparkSession
+    import spark.implicits._
+    convert(exports, cfg, nowMs).select(
       col("workspace_id").as("workspaceId"),
       col("series_hash"),
       col("metric"),
@@ -114,16 +117,20 @@ object GraftApp {
     import spark.implicits._
     val nowMs = cfg.nowMs.getOrElse(System.currentTimeMillis())
     val exports = OtlpSource.fileStream(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
-    val points = toPoints(exports, cfg, nowMs)
+    // Delta mode goes through the typed stateful path (exemplar payloads are
+    // not carried through conversion state — documented divergence); the
+    // non-delta path writes the FULL converted frame, exemplars included.
     val out: DataFrame =
-      if (cfg.convertToDelta) StreamingTemporality.convertDelta(points).toDF()
-      else points.toDF().withColumn("ts_ms", unix_millis(col("timestamp")))
+      if (cfg.convertToDelta)
+        StreamingTemporality.convertDelta(toPoints(exports, cfg, nowMs)).toDF()
+          .withColumn("workspace_id", col("workspaceId"))
+      else convert(exports, cfg, nowMs)
     val writer = out.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         MetricsSink.write(batch, cfg.storageDir, MetricsSink.Raw,
           col("ts_ms"),
-          Seq(col("workspaceId"), col("metric"), col("series_hash")))
+          Seq(col("workspace_id"), col("metric"), col("series_hash")))
         ()
       }
     Option(trigger).fold(writer)(t => writer.trigger(t))

@@ -67,4 +67,35 @@ object Rollup {
 
   def rollup1h(fiveMinute: DataFrame, seriesCols: Seq[Column]): DataFrame =
     rollupCoarser(fiveMinute, seriesCols, 3600000L)
+
+  /** A1 with the FULL 1m MV column set (schema.sql:146-192): scalar stats
+    * plus `sum(count)/sum(sum)`, the histogram-bucket concatenation
+    * (ClickHouse `groupArray(buckets.le/count)` collects every snapshot of
+    * the minute — reproduced as `flatten(collect_list(buckets))`, keeping
+    * (le,count) struct pairs instead of parallel arrays), exp-histogram
+    * fields (`any(exp_scale)` → `any_value`; `sum(exp_zero_count)`), and
+    * `any(attributes)`. The reference does NOT sum bucket counts by bound at
+    * rollup time — readers merge on demand (HistogramMath.mergeBuckets);
+    * faithfully mirrored.
+    *
+    * Scale note: identical single hash-agg shape as [[rollup1m]]; the bucket
+    * concat makes rows wider, not the shuffle deeper — collect_list here is
+    * bounded by samples/minute/series, not by table size. */
+  def rollup1mFull(raw: DataFrame, seriesCols: Seq[Column], tsMs: Column,
+      seq: Column): DataFrame =
+    raw.groupBy(seriesCols :+ bucketMs(tsMs, 60000L).as("bucket_ms"): _*)
+      .agg(
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        avg(col("value")).as("value_avg"),
+        max_by(col("value"), seq).as("value_last"),
+        sum(col("count")).as("count"),
+        sum(col("sum")).as("sum"),
+        flatten(collect_list(col("buckets"))).as("buckets"),
+        any_value(col("exp_scale"), lit(true)).as("exp_scale"),
+        sum(col("exp_zero_count")).as("exp_zero_count"),
+        flatten(collect_list(col("exp_positive_buckets"))).as("exp_positive_buckets"),
+        any_value(col("attributes"), lit(true)).as("attributes"),
+        count(lit(1)).as("samples_count"),
+        max(seq).as("last_seq"))
 }

@@ -108,6 +108,45 @@ object MetricsQueries {
         .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
     }),
 
+    // A1 full-width — the COMPLETE 1m MV column set (schema.sql:146-192):
+    // scalar stats + sum(count)/sum(sum) + the groupArray bucket concat +
+    // exp fields + any(attributes), over a deterministic histogram-typed
+    // fixture. Bucket/exp payloads are projected to closed-form scalars so
+    // the oracle can restate them (sizes + count totals).
+    "q_a1_full_rollup" -> ((s, d) => {
+      val u = col("user_id")
+      val hist = EventsMetrics.fromEvents(s, d).select(
+        col("workspace_id"), col("metric"), col("ts_ms"), col("event_id"),
+        col("value"),
+        (u % 10 + 1).cast("long").as("count"),
+        round(col("value") * 10, 2).as("sum"),
+        array(
+          struct(lit(0.1).as("le"), (u % 3).cast("long").as("count")),
+          struct(lit(1.0).as("le"), (u % 5).cast("long").as("count")),
+          struct(lit(10.0).as("le"), (u % 7).cast("long").as("count")),
+          struct(lit(Double.PositiveInfinity).as("le"),
+            (u % 11).cast("long").as("count"))).as("buckets"),
+        (length(col("metric")) % 3).as("exp_scale"),
+        (u % 4).cast("long").as("exp_zero_count"),
+        array(struct(lit(1).as("index"), (u % 5).cast("long").as("count")))
+          .as("exp_positive_buckets"),
+        map(lit("m"), col("metric")).as("attributes"))
+      Rollup.rollup1mFull(hist, Seq(col("workspace_id"), col("metric")),
+          col("ts_ms"), col("event_id"))
+        .select(col("workspace_id"), col("metric"), col("bucket_ms"),
+          col("value_min"), col("value_max"),
+          round(col("value_avg"), 4).as("value_avg"), col("value_last"),
+          col("count"), round(col("sum"), 2).as("sum"),
+          size(col("buckets")).as("n_bucket_entries"),
+          aggregate(col("buckets"), lit(0L),
+            (acc, b) => acc + b.getField("count")).as("bucket_count_total"),
+          col("exp_scale"), col("exp_zero_count"),
+          size(col("exp_positive_buckets")).as("n_exp_entries"),
+          Promread.labelsKey(col("attributes")).as("attrs"),
+          col("samples_count"))
+        .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+    }),
+
     // F9 — series hash determinism: xxhash64 over sorted attribute entries
     // must be injective on the key set (writer.go:105-116 + SURVEY's
     // determinism fix). DuckDB cannot compute xxhash64, so the oracle checks
@@ -305,6 +344,23 @@ object MetricsQueries {
       |       round(sum(vsum), 2) AS value_sum,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
       |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    "q_a1_full_rollup" -> s"""$EvtCte
+      |SELECT workspace_id, metric, (ts_ms // 60000) * 60000 AS bucket_ms,
+      |       min(value) AS value_min, max(value) AS value_max,
+      |       round(avg(value), 4) AS value_avg,
+      |       arg_max(value, event_id) AS value_last,
+      |       CAST(sum(user_id % 10 + 1) AS BIGINT) AS count,
+      |       round(sum(round(value * 10, 2)), 2) AS sum,
+      |       CAST(4 * count(*) AS INT) AS n_bucket_entries,
+      |       CAST(sum(user_id % 3 + user_id % 5 + user_id % 7 + user_id % 11) AS BIGINT)
+      |         AS bucket_count_total,
+      |       CAST(length(metric) % 3 AS INT) AS exp_scale,
+      |       CAST(sum(user_id % 4) AS BIGINT) AS exp_zero_count,
+      |       CAST(count(*) AS INT) AS n_exp_entries,
+      |       'm=' || metric AS attrs,
+      |       count(*) AS samples_count
+      |FROM evt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_f9_series_hash" -> s"""$EvtCte
       |SELECT count(DISTINCT (workspace_id, metric, user_id)) AS distinct_hashes,

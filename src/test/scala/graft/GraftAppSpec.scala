@@ -17,12 +17,15 @@ class GraftAppSpec extends SparkSpec {
   private val NowMs = java.time.Instant.parse("2024-01-24T00:00:00Z").toEpochMilli
 
   /** One export row: a cumulative monotonic sum series named `m` for
-    * workspace-agnostic wire input, one datapoint per (ts, value). */
+    * workspace-agnostic wire input, one datapoint per (ts, value); every
+    * datapoint carries one exemplar. */
   private def exportRows(series: Seq[(String, Long, Double)]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val dps = series.map { case (m, ts, v) =>
+      val ex = Seq(Row("span-1", s"trace-$m", v,
+        new java.sql.Timestamp(ts), Map("e" -> "x")))
       Row(m, "sum", ts, 1, true, null, v, null, null, null, null,
-        Map("k" -> "v"), null)
+        Map("k" -> "v"), ex)
     }
     val rows = Seq(Row(Map("service.name" -> "svc-a"), dps)).asJava
     spark.createDataFrame(rows, graft.streaming.OtlpSource.exportSchema)
@@ -85,6 +88,27 @@ class GraftAppSpec extends SparkSpec {
     assert(sinkRows(cfg).toSeq === Seq(
       ("m2", NowMs - 3000, 100.0), ("m2", NowMs - 2000, 50.0),
       ("m2", NowMs - 1000, 50.0)))
+  }
+
+  test("non-delta mode stores the full converted frame, exemplars included") {
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base).copy(convertToDelta = false)
+    land(cfg.sourceDir, 1, exportRows(Seq(
+      ("m4", NowMs - 2000, 100.0), ("m4", NowMs - 1000, 150.0))))
+    runOnce(cfg)
+    val rows = MetricsSink.read(spark, cfg.storageDir, MetricsSink.Raw)
+      .select(col("workspace_id"), col("metric"), col("value"),
+        col("ttl_ms"), col("attributes"),
+        element_at(col("exemplars"), 1).getField("spanId").as("ex_span"))
+      .orderBy(col("value")).collect()
+    // values stored raw (no delta conversion), TTL = now + 3h, attrs and
+    // exemplar payloads preserved
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(100.0, 150.0))
+    assert(rows.forall(_.getString(0) == "ws-app"))
+    assert(rows.forall(_.getLong(3) == NowMs + 3 * 3600 * 1000L))
+    assert(rows.forall(_.getMap[String, String](4).get("k").contains("v")))
+    assert(rows.forall(_.getString(5) == "span-1"))
   }
 
   test("invalid rows are dropped, workspace stamped, exemplars absent in delta mode") {
