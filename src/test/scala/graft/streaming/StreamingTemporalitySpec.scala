@@ -36,6 +36,45 @@ class StreamingTemporalitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: foldSeries == batch window path == streaming on random sequences") {
+    val rnd = new scala.util.Random(42)
+    val pts: Seq[MetricPoint] = for {
+      s <- 10L to 14L
+      i <- 1 to 40
+    } yield {
+      // mostly-increasing counter with occasional dips → resets exercised
+      val v = i * 25.0 + rnd.nextInt(20) - (if (rnd.nextInt(10) == 0) i * 24 else 0)
+      mp(s, i * 1000L, math.max(0.0, v))
+    }
+
+    // pure fold, per series
+    val fold = pts.groupBy(_.series_hash).toSeq.flatMap { case (_, ps) =>
+      StreamingTemporality.foldSeries(None, ps.sortBy(_.timestamp.getTime))._2
+    }.sortBy(p => (p.series_hash, p.ts_ms))
+      .map(p => (p.series_hash, p.ts_ms, p.delta.get, p.is_reset))
+
+    // batch window path on the same rows
+    val s2 = spark
+    import s2.implicits._
+    val batch = Temporality.toDelta(pts.toDS().toDF(),
+        Seq(col("series_hash")), Seq(col("timestamp")))
+      .select(col("series_hash"), unix_millis(col("timestamp")).as("ts_ms"),
+        col("delta"), col("is_reset"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch == fold, "batch window path diverges from foldSeries")
+
+    // streaming path, random micro-batch splits (time-ordered)
+    val cuts = Seq(7, 19, 26, 40)
+    val batches = cuts.zip(0 +: cuts.dropRight(1)).map { case (hi, lo) =>
+      pts.filter(p => p.timestamp.getTime / 1000 > lo && p.timestamp.getTime / 1000 <= hi)
+    }
+    val streamed = runStreaming(batches)
+      .map(p => (p.series_hash, p.ts_ms, p.delta.get, p.is_reset))
+    assert(streamed == fold, "streaming path diverges from foldSeries")
+  }
+
   test("reference sequence [100,150,200] -> [100,50,50] across 2 micro-batches") {
     val pts = Seq(mp(1, 1000, 100), mp(1, 2000, 150), mp(1, 3000, 200))
     val out = runStreaming(Seq(pts.take(2), pts.drop(2)))
