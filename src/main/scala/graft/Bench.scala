@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    // neutral JVM/codegen warmup so the first timed query doesn't absorb
+    // session startup (classloading, codegen compiler, shuffle init)
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+    spark.range(1 << 10).toDF("id").groupBy(org.apache.spark.sql.functions.expr("id % 7")).count().collect()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write forces EVERY column expression (count() would let

@@ -29,10 +29,8 @@ import graft.streaming.{OtlpSource, StreamingTemporality}
   *   processor.enable_exemplars, processor.max_exemplars_per_metric,
   *   processor.flush_interval_ms, source.max_files_per_trigger
   *
-  * Divergence, documented: in delta mode the sink stores the converted
-  * points without exemplar payloads (the typed state path carries
-  * attributes but not exemplars); exemplar retention with delta conversion
-  * needs the batch path.
+  * The typed state path carries attributes and exemplar payloads through
+  * conversion, so both modes store full rows.
   */
 case class GraftConfig(
     sourceDir: String,
@@ -106,7 +104,10 @@ object GraftApp {
       col("sum"),
       coalesce(col("buckets"),
         array().cast("array<struct<le:double,count:bigint>>")).as("buckets"),
-      col("attributes")).as[MetricPoint]
+      col("attributes"),
+      coalesce(col("exemplars"), array().cast(
+        org.apache.spark.sql.types.ArrayType(graft.model.Schemas.exemplarType)))
+        .as("exemplars")).as[MetricPoint]
   }
 
   /** ST1/ST6/S7 — start the pipeline: micro-batch trigger = the reference's
@@ -117,9 +118,9 @@ object GraftApp {
     import spark.implicits._
     val nowMs = cfg.nowMs.getOrElse(System.currentTimeMillis())
     val exports = OtlpSource.fileStream(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
-    // Delta mode goes through the typed stateful path (exemplar payloads are
-    // not carried through conversion state — documented divergence); the
-    // non-delta path writes the FULL converted frame, exemplars included.
+    // Delta mode rides the typed stateful path (attributes + exemplars carry
+    // through conversion state); the non-delta path writes the full
+    // converted frame as-is.
     val out: DataFrame =
       if (cfg.convertToDelta)
         StreamingTemporality.convertDelta(toPoints(exports, cfg, nowMs)).toDF()

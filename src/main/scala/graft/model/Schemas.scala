@@ -92,6 +92,15 @@ object Schemas {
 case class Bucket(le: Double, count: Long)
 case class ExpBucket(index: Int, count: Long)
 
+/** Typed exemplar (reference: internal/models/metric.go exemplar fields;
+  * schema mirror of [[Schemas.exemplarType]]). */
+case class ExemplarRow(
+    spanId: String,
+    traceId: String,
+    value: Option[Double],
+    timestamp: java.sql.Timestamp,
+    attributes: Map[String, String])
+
 case class MetricPoint(
     workspaceId: String,
     series_hash: Long,
@@ -104,7 +113,8 @@ case class MetricPoint(
     count: Option[Long],
     sum: Option[Double],
     buckets: Seq[Bucket],
-    attributes: Map[String, String] = Map.empty)
+    attributes: Map[String, String] = Map.empty,
+    exemplars: Seq[ExemplarRow] = Nil)
 
 /** Per-series converter state (reference: internal/converter/temporality.go:17-23). */
 case class ConversionState(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.model.{Bucket, ConversionState, MetricPoint}
+import graft.model.{Bucket, ConversionState, ExemplarRow, MetricPoint}
 
 /** Converted output of one datapoint (delta temporality). */
 case class DeltaPoint(
@@ -17,7 +17,8 @@ case class DeltaPoint(
     delta_count: Option[Long],
     delta_sum: Option[Double],
     delta_buckets: Seq[Bucket],
-    attributes: Map[String, String] = Map.empty)
+    attributes: Map[String, String] = Map.empty,
+    exemplars: Seq[ExemplarRow] = Nil)
 
 /** ST1–ST8 — the streaming twin of [[graft.metrics.Temporality]] (reference:
   * internal/converter/temporality.go:11-141 per-series state map;
@@ -83,7 +84,8 @@ object StreamingTemporality {
           case _ => p.buckets
         }
         out += DeltaPoint(p.series_hash, p.workspaceId, p.metric, tsMs,
-          reset, delta, deltaCount, deltaSum, deltaBuckets, p.attributes)
+          reset, delta, deltaCount, deltaSum, deltaBuckets, p.attributes,
+          p.exemplars)
         st = Some(ConversionState(
           lastValue = p.value.getOrElse(0.0),
           lastCount = p.count.getOrElse(0L),

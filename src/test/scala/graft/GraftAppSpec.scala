@@ -111,7 +111,7 @@ class GraftAppSpec extends SparkSpec {
     assert(rows.forall(_.getString(5) == "span-1"))
   }
 
-  test("invalid rows are dropped, workspace stamped, exemplars absent in delta mode") {
+  test("invalid rows are dropped, workspace stamped; exemplars survive delta mode") {
     val base = Files.createTempDirectory("graft_app").toString
     new java.io.File(s"${base}/in").mkdirs()
     val cfg = cfgFor(base)
@@ -123,9 +123,11 @@ class GraftAppSpec extends SparkSpec {
     runOnce(cfg)
     val rows = MetricsSink.read(spark, cfg.storageDir, MetricsSink.Raw)
     assert(rows.count() === 1)
-    val r = rows.select(col("workspaceId"), col("metric"), col("delta")).collect()(0)
+    val r = rows.select(col("workspaceId"), col("metric"), col("delta"),
+      element_at(col("exemplars"), 1).getField("traceId")).collect()(0)
     assert(r.getString(0) === "ws-app")
     assert(r.getString(1) === "m3")
     assert(r.getDouble(2) === 42.0)
+    assert(r.getString(3) === "trace-m3")
   }
 }
