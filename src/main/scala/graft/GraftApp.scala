@@ -3,13 +3,13 @@ package graft
 import java.io.FileInputStream
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ingest.{OtlpFlatten, Validation}
 import graft.metrics.EventsMetrics
-import graft.model.MetricPoint
+import graft.model.{MetricPoint, Schemas}
 import graft.sink.MetricsSink
 import graft.streaming.{OtlpSource, StreamingTemporality}
 
@@ -42,6 +42,7 @@ case class GraftConfig(
     maxExemplarsPerMetric: Int = 10,
     flushIntervalMs: Long = 10000L,
     maxFilesPerTrigger: Int = 16,
+    stateTtlMs: Long = 8L * 24 * 3600 * 1000,
     nowMs: Option[Long] = None)
 
 object GraftApp {
@@ -65,13 +66,17 @@ object GraftApp {
       flushIntervalMs =
         get("processor.flush_interval_ms").map(_.toLong).getOrElse(10000L),
       maxFilesPerTrigger =
-        get("source.max_files_per_trigger").map(_.toInt).getOrElse(16))
+        get("source.max_files_per_trigger").map(_.toInt).getOrElse(16),
+      stateTtlMs = get("processor.state_ttl_ms").map(_.toLong)
+        .getOrElse(8L * 24 * 3600 * 1000))
   }
 
-  /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, typed
-    * per-series points out. Pure column work — identical for batch and
-    * streaming frames. */
-  def convert(exports: DataFrame, cfg: GraftConfig, nowMs: Long): DataFrame = {
+  /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, one
+    * validated/stamped row per datapoint out. Pure column work — identical
+    * for batch and streaming frames. `nowMs` is a Column: streams pass
+    * `current_timestamp()` (pinned per micro-batch by Structured Streaming —
+    * the per-metric `time.Now()` of processor.go:129); tests pin a literal. */
+  def convert(exports: DataFrame, cfg: GraftConfig, nowMs: Column): DataFrame = {
     val converted = OtlpFlatten.convertDatapoints(OtlpSource.explodeExport(exports))
     val validated = converted
       .withColumn("reject_reason",
@@ -79,7 +84,9 @@ object GraftApp {
           col("value"), col("count"), col("sum"), col("buckets"), nowMs))
       .filter(col("reject_reason") === Validation.Valid)
     Validation.stampTtl(
-      Validation.stampWorkspace(validated, cfg.workspaceId), lit(nowMs))
+      Validation.stampWorkspace(validated, cfg.workspaceId), nowMs)
+      .withColumn("service_name",
+        coalesce(element_at(col("resource_attrs"), "service.name"), lit("")))
       .withColumn("exemplars",
         Validation.capExemplars(col("exemplars"), cfg.enableExemplars,
           cfg.maxExemplarsPerMetric))
@@ -88,10 +95,17 @@ object GraftApp {
           col("attributes")))
   }
 
-  def toPoints(exports: DataFrame, cfg: GraftConfig, nowMs: Long): Dataset[MetricPoint] = {
-    val spark = exports.sparkSession
+  /** The storage row shape shared by BOTH write modes (metrics_raw,
+    * schema.sql:2-73) — flipping convert_to_delta must never fork the
+    * table's schema. */
+  private val rawColumns = Seq("workspace_id", "series_hash", "metric",
+    "service_name", "ts_ms", "metric_type", "temporality", "is_monotonic",
+    "value", "count", "sum", "buckets", "attributes", "exemplars", "ttl_ms")
+
+  def toPoints(validated: DataFrame): Dataset[MetricPoint] = {
+    val spark = validated.sparkSession
     import spark.implicits._
-    convert(exports, cfg, nowMs).select(
+    validated.select(
       col("workspace_id").as("workspaceId"),
       col("series_hash"),
       col("metric"),
@@ -107,25 +121,48 @@ object GraftApp {
       col("attributes"),
       coalesce(col("exemplars"), array().cast(
         org.apache.spark.sql.types.ArrayType(graft.model.Schemas.exemplarType)))
-        .as("exemplars")).as[MetricPoint]
+        .as("exemplars"),
+      col("service_name").as("serviceName"),
+      col("ttl_ms")).as[MetricPoint]
   }
+
+  /** Converted DeltaPoint rows reshaped to the raw storage schema: delta
+    * values replace cumulative ones and temporality becomes Delta, exactly
+    * the reference's in-place mutation (temporality.go:64-65). */
+  private def deltaToRaw(deltas: DataFrame): DataFrame =
+    deltas.select(
+      col("workspaceId").as("workspace_id"), col("series_hash"), col("metric"),
+      col("serviceName").as("service_name"), col("ts_ms"), col("metric_type"),
+      lit(Schemas.Temporality.Delta).cast("tinyint").as("temporality"),
+      col("is_monotonic"),
+      col("delta").as("value"), col("delta_count").as("count"),
+      col("delta_sum").as("sum"), col("delta_buckets").as("buckets"),
+      col("attributes"), col("exemplars"), col("ttl_ms"))
 
   /** ST1/ST6/S7 — start the pipeline: micro-batch trigger = the reference's
     * flush ticker, checkpoint = exactly-once, foreachBatch = the columnar
-    * batched INSERT (writer.go:147-258) through the partitioned sink. */
+    * batched INSERT (writer.go:147-258) through the partitioned sink.
+    *
+    * Delta conversion is gated exactly like the reference (processor.go:
+    * 106-110): only CUMULATIVE SUM/HISTOGRAM rows enter the stateful path;
+    * gauges, summaries, and already-delta rows pass through untouched. Both
+    * branches land in the same metrics_raw schema. */
   def start(spark: SparkSession, cfg: GraftConfig,
       trigger: Trigger = null): StreamingQuery = {
-    import spark.implicits._
-    val nowMs = cfg.nowMs.getOrElse(System.currentTimeMillis())
+    val nowCol = cfg.nowMs.map(n => lit(n))
+      .getOrElse(unix_millis(current_timestamp()))
     val exports = OtlpSource.fileStream(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
-    // Delta mode rides the typed stateful path (attributes + exemplars carry
-    // through conversion state); the non-delta path writes the full
-    // converted frame as-is.
+    val validated = convert(exports, cfg, nowCol)
     val out: DataFrame =
-      if (cfg.convertToDelta)
-        StreamingTemporality.convertDelta(toPoints(exports, cfg, nowMs)).toDF()
-          .withColumn("workspace_id", col("workspaceId"))
-      else convert(exports, cfg, nowMs)
+      if (cfg.convertToDelta) {
+        val convertible = col("temporality") === Schemas.Temporality.Cumulative &&
+          col("metric_type").isin(Schemas.MetricType.Sum, Schemas.MetricType.Histogram)
+        val deltas = deltaToRaw(
+          StreamingTemporality.convertDelta(toPoints(validated.filter(convertible)),
+            cfg.stateTtlMs).toDF())
+        validated.filter(!convertible).select(rawColumns.map(col): _*)
+          .unionByName(deltas)
+      } else validated.select(rawColumns.map(col): _*)
     val writer = out.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

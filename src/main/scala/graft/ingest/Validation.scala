@@ -43,10 +43,22 @@ object Validation {
       metricName: Column, tsMs: Column, metricType: Column,
       value: Column, count: Column, sum: Column, buckets: Column,
       nowMs: Long): Column =
+    rejectReason(metricName, tsMs, metricType, value, count, sum, buckets,
+      lit(nowMs))
+
+  /** Column-`now` overload: a long-running stream passes
+    * `unix_millis(current_timestamp())`, which Structured Streaming pins to
+    * each micro-batch's time — the per-metric `time.Now()` of
+    * processor.go:129-134. A frozen launch-time literal would start
+    * rejecting ALL fresh data as too_future after 24h of uptime. */
+  def rejectReason(
+      metricName: Column, tsMs: Column, metricType: Column,
+      value: Column, count: Column, sum: Column, buckets: Column,
+      nowMs: Column): Column =
     when(metricName.isNull || metricName === "", lit(ReasonEmptyName))
       .when(tsMs.isNull || tsMs === 0L, lit(ReasonZeroTs))
-      .when(tsMs > lit(nowMs + DayMs), lit(ReasonTooFuture))
-      .when(tsMs < lit(nowMs - 7 * DayMs), lit(ReasonTooOld))
+      .when(tsMs > nowMs + lit(DayMs), lit(ReasonTooFuture))
+      .when(tsMs < nowMs - lit(7 * DayMs), lit(ReasonTooOld))
       .when(metricType.isin("gauge", "sum") && value.isNull, lit(ReasonMissingValue))
       .when(metricType === "histogram" && count.isNull && sum.isNull &&
         (buckets.isNull || size(buckets) === 0), lit(ReasonMissingHistogram))

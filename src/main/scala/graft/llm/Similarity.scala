@@ -99,20 +99,28 @@ object Similarity {
       k: Int, nprobe: Int): DataFrame = {
     val cent = centroids.select(col("vec_id").as("cell"),
       col("embedding").cast("array<double>").as("cvec"))
-    def assign(df: DataFrame, idOut: String, vecOut: String, keep: Int): DataFrame = {
-      // explicit cross join: every vector scores every centroid (the
-      // centroid side is C rows, broadcast — this is the IVF assignment)
-      val scored = df.select(col("vec_id").as(idOut),
+    // explicit cross join: every vector scores every centroid (the centroid
+    // side is C rows, broadcast — this is the IVF assignment)
+    def scoreCells(df: DataFrame, idOut: String, vecOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut),
           col("embedding").cast("array<double>").as(vecOut))
         .crossJoin(broadcast(cent))
         .withColumn("csim", cosine(col(vecOut), col("cvec")))
-      val w = Window.partitionBy(col(idOut)).orderBy(col("csim").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(idOut), col(vecOut), col("cell"))
-    }
-    val c = assign(corpus, "nid", "nvec", keep = 1)
-    val p = assign(probes, "pid", "pvec", keep = nprobe)
+    // Corpus argmax via hash aggregation, NOT a window: a window would
+    // shuffle+sort the full |corpus|×C product; groupBy gets map-side
+    // partial combine, so the corpus never moves expanded. Tie-break on the
+    // lowest cell id (max of (csim, −cell) lexicographically).
+    val c = scoreCells(corpus, "nid", "nvec")
+      .groupBy(col("nid"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+        any_value(col("nvec")).as("nvec"))
+      .select(col("nid"), col("nvec"), col("cell"))
+    // Probe side is the small broadcast set — a window top-nprobe is fine.
+    val pw = Window.partitionBy(col("pid")).orderBy(col("csim").desc, col("cell"))
+    val p = scoreCells(probes, "pid", "pvec")
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= nprobe)
+      .select(col("pid"), col("pvec"), col("cell"))
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("nid") =!= col("pid"))
       .withColumn("score", cosine(col("pvec"), col("nvec")))

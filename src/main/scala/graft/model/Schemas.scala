@@ -114,7 +114,9 @@ case class MetricPoint(
     sum: Option[Double],
     buckets: Seq[Bucket],
     attributes: Map[String, String] = Map.empty,
-    exemplars: Seq[ExemplarRow] = Nil)
+    exemplars: Seq[ExemplarRow] = Nil,
+    serviceName: String = "",
+    ttl_ms: Long = 0L)
 
 /** Per-series converter state (reference: internal/converter/temporality.go:17-23). */
 case class ConversionState(

@@ -23,7 +23,7 @@ object LlmQueries {
   import OracleDefs.Stopwords
 
   /** documents ∪ verbatim copies of every 7th doc (ids offset by 100000). */
-  private def docsExactDups(s: SparkSession, d: String): DataFrame = {
+  def docsExactDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
@@ -31,7 +31,7 @@ object LlmQueries {
 
   /** embeddings ∪ scaled copies (×0.5) of every 9th vector (ids offset by
     * 200000): same direction ⇒ cosine exactly 1, same LSH bucket always. */
-  private def embScaledDups(s: SparkSession, d: String): DataFrame = {
+  def embScaledDups(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     emb.unionAll(emb.filter(col("vec_id") % 9 === 0)
       .select((col("vec_id") + 200000L).as("vec_id"),
@@ -40,7 +40,7 @@ object LlmQueries {
 
   /** documents ∪ near-dup mutants of every 11th doc: 3 novel tokens appended
     * (ids offset by 200000) — Jaccard vs the original ≈ (T−2)/(T+1) ≈ 0.94. */
-  private def docsNearDups(s: SparkSession, d: String): DataFrame = {
+  def docsNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionAll(docs.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"),

@@ -18,7 +18,11 @@ case class DeltaPoint(
     delta_sum: Option[Double],
     delta_buckets: Seq[Bucket],
     attributes: Map[String, String] = Map.empty,
-    exemplars: Seq[ExemplarRow] = Nil)
+    exemplars: Seq[ExemplarRow] = Nil,
+    metric_type: Byte = 0,
+    is_monotonic: Boolean = false,
+    serviceName: String = "",
+    ttl_ms: Long = 0L)
 
 /** ST1–ST8 — the streaming twin of [[graft.metrics.Temporality]] (reference:
   * internal/converter/temporality.go:11-141 per-series state map;
@@ -43,10 +47,17 @@ case class DeltaPoint(
   * dropped, mirroring the watermark policy (ST3) — the reference instead
   * trusts arrival order (SURVEY §7.4.1), which a distributed shuffle cannot.
   */
-object StreamingTemporality {
+object StreamingTemporality extends Serializable {
 
   /** Pure per-series fold shared by every entry point (and unit tests):
-    * (state, sorted points) → (new state, outputs). */
+    * (state, sorted points) → (new state, outputs).
+    *
+    * Reset detection is type-aware, exactly the reference's ResetDetector
+    * (temporality.go:145-179): a monotonic SUM resets when value drops; a
+    * HISTOGRAM resets when COUNT drops (sum/buckets don't vote). State
+    * fields update only when the point carries them (temporality.go:79,
+    * :100-105 — `if metric.X != nil { state.LastX = … }`), except
+    * lastBuckets, which the reference overwrites unconditionally (:106). */
   def foldSeries(init: Option[ConversionState], points: Seq[MetricPoint])
       : (Option[ConversionState], Seq[DeltaPoint]) = {
     var st = init
@@ -57,8 +68,11 @@ object StreamingTemporality {
         // late or duplicate within the series — dropped (ST3/ST7)
       } else {
         val prev = st.filter(_.initialized)
-        val reset = p.is_monotonic &&
-          prev.exists(s => p.value.exists(_ < s.lastValue))
+        val isHistogram = p.metric_type == graft.model.Schemas.MetricType.Histogram
+        val reset = prev.exists { s =>
+          if (isHistogram) p.count.exists(_ < s.lastCount)
+          else p.is_monotonic && p.value.exists(_ < s.lastValue)
+        }
         val delta = p.value.map { v =>
           prev match {
             case Some(s) if !reset => v - s.lastValue
@@ -85,11 +99,11 @@ object StreamingTemporality {
         }
         out += DeltaPoint(p.series_hash, p.workspaceId, p.metric, tsMs,
           reset, delta, deltaCount, deltaSum, deltaBuckets, p.attributes,
-          p.exemplars)
+          p.exemplars, p.metric_type, p.is_monotonic, p.serviceName, p.ttl_ms)
         st = Some(ConversionState(
-          lastValue = p.value.getOrElse(0.0),
-          lastCount = p.count.getOrElse(0L),
-          lastSum = p.sum.getOrElse(0.0),
+          lastValue = p.value.getOrElse(prev.fold(0.0)(_.lastValue)),
+          lastCount = p.count.getOrElse(prev.fold(0L)(_.lastCount)),
+          lastSum = p.sum.getOrElse(prev.fold(0.0)(_.lastSum)),
           lastBuckets = p.buckets,
           lastTimestamp = tsMs,
           initialized = true))
@@ -98,24 +112,42 @@ object StreamingTemporality {
     (st, out.result())
   }
 
-  private def convertGroup(
-      key: Long, it: Iterator[MetricPoint],
-      state: GroupState[ConversionState]): Iterator[DeltaPoint] = {
-    val sorted = it.toSeq.sortBy(p => p.timestamp.getTime) // ST7
-    val (next, out) = foldSeries(state.getOption, sorted)
-    next.foreach(state.update)
-    out.iterator
-  }
-
   /** ST2 — stateful per-series conversion. Works identically on a batch
-    * Dataset (state starts empty per key) and a streaming one (state persists
-    * in the checkpointed state store). */
-  def convertDelta(points: Dataset[MetricPoint]): Dataset[DeltaPoint] = {
+    * Dataset (state starts empty per key; timeouts are inert) and a
+    * streaming one (state persists in the checkpointed state store).
+    *
+    * `stateTtlMs > 0` bounds state growth: a series idle longer than the TTL
+    * is evicted (processing-time timeout). The reference leaks conversion
+    * state forever (temporality.go:11-23 — never deleted); a deliberate
+    * improvement for long-running deployments (GraftApp enables it), sized
+    * well above the validation late-window so no live series can be evicted
+    * while its data is still accepted. Opt-in because timeout bookkeeping
+    * keeps an open-ended-trigger query permanently busy — continuous
+    * timeout-evaluation micro-batches — which e.g. blocks
+    * `processAllAvailable` in tests and burns cycles on idle streams. */
+  def convertDelta(points: Dataset[MetricPoint],
+      stateTtlMs: Long = 0L): Dataset[DeltaPoint] = {
     val spark = points.sparkSession
     import spark.implicits._
+    def convertGroup(key: Long, it: Iterator[MetricPoint],
+        state: GroupState[ConversionState]): Iterator[DeltaPoint] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = it.toSeq.sortBy(p => p.timestamp.getTime) // ST7
+        val (next, out) = foldSeries(state.getOption, sorted)
+        next.foreach(state.update)
+        if (stateTtlMs > 0 && state.exists) state.setTimeoutDuration(stateTtlMs)
+        out.iterator
+      }
+    }
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     points
       .groupByKey(_.series_hash)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(convertGroup)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(convertGroup)
   }
 
   /** ST3 — event-time bounds before conversion: watermark for state cleanup /

@@ -16,20 +16,23 @@ class GraftAppSpec extends SparkSpec {
 
   private val NowMs = java.time.Instant.parse("2024-01-24T00:00:00Z").toEpochMilli
 
-  /** One export row: a cumulative monotonic sum series named `m` for
-    * workspace-agnostic wire input, one datapoint per (ts, value); every
+  /** Export rows with explicit kind/temporality per datapoint; every
     * datapoint carries one exemplar. */
-  private def exportRows(series: Seq[(String, Long, Double)]): DataFrame = {
+  private def exportRowsTyped(series: Seq[(String, String, Int, Long, Double)]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val dps = series.map { case (m, ts, v) =>
+    val dps = series.map { case (m, kind, temp, ts, v) =>
       val ex = Seq(Row("span-1", s"trace-$m", v,
         new java.sql.Timestamp(ts), Map("e" -> "x")))
-      Row(m, "sum", ts, 1, true, null, v, null, null, null, null,
+      Row(m, kind, ts, temp, true, null, v, null, null, null, null,
         Map("k" -> "v"), ex)
     }
     val rows = Seq(Row(Map("service.name" -> "svc-a"), dps)).asJava
     spark.createDataFrame(rows, graft.streaming.OtlpSource.exportSchema)
   }
+
+  /** Cumulative monotonic sum series named `m`, one datapoint per (ts, value). */
+  private def exportRows(series: Seq[(String, Long, Double)]): DataFrame =
+    exportRowsTyped(series.map { case (m, ts, v) => (m, "sum", 1, ts, v) })
 
   /** Land one micro-batch as a single parquet file in the watched dir. */
   private def land(dir: String, n: Int, df: DataFrame): Unit = {
@@ -42,12 +45,16 @@ class GraftAppSpec extends SparkSpec {
     ()
   }
 
+  // stateTtlMs = 0: processing-time timeouts + AvailableNow would keep
+  // scheduling timeout-evaluation batches and never drain; the TTL is for
+  // the interval-triggered daemon (see StreamingTemporality.convertDelta).
   private def cfgFor(base: String): GraftConfig = GraftConfig(
     sourceDir = s"$base/in",
     storageDir = s"$base/store",
     checkpointDir = s"$base/ckpt",
     workspaceId = "ws-app",
     convertToDelta = true,
+    stateTtlMs = 0L,
     nowMs = Some(NowMs))
 
   private def runOnce(cfg: GraftConfig): Unit = {
@@ -57,7 +64,7 @@ class GraftAppSpec extends SparkSpec {
 
   private def sinkRows(cfg: GraftConfig): Array[(String, Long, Double)] =
     MetricsSink.read(spark, cfg.storageDir, MetricsSink.Raw)
-      .select(col("metric"), col("ts_ms"), col("delta"))
+      .select(col("metric"), col("ts_ms"), col("value"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .sortBy(t => (t._1, t._2))
 
@@ -88,6 +95,30 @@ class GraftAppSpec extends SparkSpec {
     assert(sinkRows(cfg).toSeq === Seq(
       ("m2", NowMs - 3000, 100.0), ("m2", NowMs - 2000, 50.0),
       ("m2", NowMs - 1000, 50.0)))
+  }
+
+  test("conversion gating: gauges and already-delta sums bypass the stateful path") {
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base)
+    land(cfg.sourceDir, 1, exportRowsTyped(Seq(
+      // gauge [70, 50]: must NOT become [70, -20]
+      ("g1", "gauge", 1, NowMs - 2000, 70.0), ("g1", "gauge", 1, NowMs - 1000, 50.0),
+      // delta-temporality sum [5, 5]: must NOT become [5, 0]
+      ("d1", "sum", 2, NowMs - 2000, 5.0), ("d1", "sum", 2, NowMs - 1000, 5.0),
+      // cumulative sum [10, 30]: MUST become [10, 20]
+      ("c1", "sum", 1, NowMs - 2000, 10.0), ("c1", "sum", 1, NowMs - 1000, 30.0))))
+    runOnce(cfg)
+    val rows = MetricsSink.read(spark, cfg.storageDir, MetricsSink.Raw)
+      .select(col("metric"), col("ts_ms"), col("value"), col("temporality"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getByte(3))).sortBy(t => (t._1, t._2))
+    assert(rows.filter(_._1 == "g1").map(_._3).toSeq === Seq(70.0, 50.0))
+    assert(rows.filter(_._1 == "g1").forall(_._4 == 0)) // gauge: unspecified
+    assert(rows.filter(_._1 == "d1").map(_._3).toSeq === Seq(5.0, 5.0))
+    assert(rows.filter(_._1 == "d1").forall(_._4 == 2)) // already delta
+    assert(rows.filter(_._1 == "c1").map(_._3).toSeq === Seq(10.0, 20.0))
+    assert(rows.filter(_._1 == "c1").forall(_._4 == 2)) // converted to delta
   }
 
   test("non-delta mode stores the full converted frame, exemplars included") {
@@ -123,7 +154,7 @@ class GraftAppSpec extends SparkSpec {
     runOnce(cfg)
     val rows = MetricsSink.read(spark, cfg.storageDir, MetricsSink.Raw)
     assert(rows.count() === 1)
-    val r = rows.select(col("workspaceId"), col("metric"), col("delta"),
+    val r = rows.select(col("workspace_id"), col("metric"), col("value"),
       element_at(col("exemplars"), 1).getField("traceId")).collect()(0)
     assert(r.getString(0) === "ws-app")
     assert(r.getString(1) === "m3")

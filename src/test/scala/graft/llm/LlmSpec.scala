@@ -10,12 +10,9 @@ import graft.model.Tables
   * consistency against their exact counterparts. */
 class LlmSpec extends SparkSpec {
 
-  private def docsNearDups = {
-    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
-    docs.unionAll(docs.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 200000L).as("doc_id"),
-        concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
-  }
+  // the registered queries' own fixture builders — the spec must pin the
+  // SAME data the rows-only driver checks exercise
+  private def docsNearDups = graft.queries.LlmQueries.docsNearDups(spark, Sf)
 
   private lazy val plantedPairs: Set[(Long, Long)] =
     Tables.documents(spark, Sf).filter(col("doc_id") % 11 === 0)
@@ -118,11 +115,8 @@ class LlmSpec extends SparkSpec {
   }
 
   test("embedding near-dup finds every planted scaled duplicate with cos=1") {
-    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
-    val dups = emb.unionAll(emb.filter(col("vec_id") % 9 === 0)
-      .select((col("vec_id") + 200000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
-    val planted = emb.filter(col("vec_id") % 9 === 0)
+    val dups = graft.queries.LlmQueries.embScaledDups(spark, Sf)
+    val planted = Tables.embeddings(spark, Sf).filter(col("vec_id") % 9 === 0)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val found = Similarity.cosineNearDupPairs(dups, threshold = 0.999, nBits = 12)
       .filter(col("id_b") === col("id_a") + 200000L)

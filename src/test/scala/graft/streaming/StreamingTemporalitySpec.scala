@@ -97,6 +97,30 @@ class StreamingTemporalitySpec extends SparkSpec {
     assert(out.forall(!_.is_reset))
   }
 
+  test("histogram reset (count drop) emits the raw snapshot (temporality.go:166-172)") {
+    val p1 = MetricPoint("ws", 8, "h", new Timestamp(1000), 3, 1, false,
+      None, Some(100L), Some(50.0), Seq(Bucket(1.0, 60L), Bucket(10.0, 100L)))
+    val p2 = MetricPoint("ws", 8, "h", new Timestamp(2000), 3, 1, false,
+      None, Some(10L), Some(5.0), Seq(Bucket(1.0, 6L), Bucket(10.0, 10L)))
+    val (_, out) = StreamingTemporality.foldSeries(None, Seq(p1, p2))
+    assert(out(1).is_reset, "count drop 100 -> 10 must flag a reset")
+    assert(out(1).delta_count === Some(10L)) // raw, not -90
+    assert(out(1).delta_sum === Some(5.0))   // raw, not -45
+    assert(out(1).delta_buckets === Seq(Bucket(1.0, 6L), Bucket(10.0, 10L)))
+  }
+
+  test("missing field on a point preserves prior state (temporality.go:100-105)") {
+    val p1 = MetricPoint("ws", 7, "h", new Timestamp(1000), 3, 1, false,
+      None, Some(100L), Some(50.0), Nil)
+    val p2 = MetricPoint("ws", 7, "h", new Timestamp(2000), 3, 1, false,
+      None, Some(150L), None, Nil) // no sum — lastSum must stay 50
+    val p3 = MetricPoint("ws", 7, "h", new Timestamp(3000), 3, 1, false,
+      None, Some(200L), Some(90.0), Nil)
+    val (_, out) = StreamingTemporality.foldSeries(None, Seq(p1, p2, p3))
+    assert(out(2).delta_sum === Some(40.0), "90 - 50 (preserved), not 90 - 0")
+    assert(out(2).delta_count === Some(50L))
+  }
+
   test("late point (ts <= state.lastTimestamp) is dropped (ST3/ST7)") {
     val out = runStreaming(Seq(
       Seq(mp(4, 1000, 100), mp(4, 3000, 150)),
