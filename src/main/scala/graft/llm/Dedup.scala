@@ -194,8 +194,11 @@ object Dedup {
   /** SimHash candidate pairs with hamming distance ≤ maxDist via 16-bit-chunk
     * banding (4 chunks; dist ≤ 3 ⇒ some chunk equal). */
   def simHashPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
-    val withSh = docs.select(id.as("doc_id"), simHashVotes(text).as("votes"))
-      .select(col("doc_id"), packSimHash(col("votes")).as("sh"))
+    // native codegen'd fingerprint (bit-identical to simHashVotes+packSimHash,
+    // pinned by SimHash64ExprSpec) — the 64×|tokens| vote fold is the hot loop
+    val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val withSh = docs.select(id.as("doc_id"),
+      graft.functions.SimHash64Expr.simHash64(th).as("sh"))
     val chunked = withSh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
