@@ -61,9 +61,17 @@ object Similarity {
     when(proj >= 0, lit(1L << j)).otherwise(0L)
   }
 
-  /** Bucket key = nBits sign bits of random-hyperplane projections. */
-  def lshBucket(vec: Column, nBits: Int): Column =
+  /** Bucket key = nBits sign bits of random-hyperplane projections —
+    * readable reference shape (one interpreted fold per plane). Production
+    * paths use [[lshBucket]], the codegen'd one-pass twin; the two are
+    * pinned bit-identical by HyperplaneBucketExprSpec. */
+  def lshBucketHof(vec: Column, nBits: Int): Column =
     (0 until nBits).map(hyperplaneBit(vec, _)).reduce((a: Column, b: Column) => a.bitwiseOR(b))
+
+  /** Bucket key via the native expression: one generated pass over the
+    * vector computes all nBits projections. */
+  def lshBucket(vec: Column, nBits: Int): Column =
+    graft.functions.HyperplaneBucketExpr.bucket(vec, nBits)
 
   /** LSH-bucketed ANN: score only within the probe's bucket, exact re-rank.
     * Recall < 1 by construction; `nBits` trades bucket size vs recall
