@@ -32,7 +32,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Readable HOF reference shape; production paths use [[cosine]] (native,
+    * fp-identical — pinned by CosineSimilarityExprSpec). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the codegen'd expression — the per-candidate hot
+    * op of every ANN/near-dup join. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarityExpr.cosine(a, b)
 
   /** Exact cosine top-k: probes (small, broadcast) × corpus, ranked per probe.
     * Self-matches excluded. Tie-break on neighbor id keeps output
