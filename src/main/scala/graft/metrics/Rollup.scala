@@ -73,8 +73,9 @@ object Rollup {
     * (ClickHouse `groupArray(buckets.le/count)` collects every snapshot of
     * the minute — reproduced as `flatten(collect_list(buckets))`, keeping
     * (le,count) struct pairs instead of parallel arrays), exp-histogram
-    * fields (`any(exp_scale)` → `any_value`; `sum(exp_zero_count)`), and
-    * `any(attributes)`. The reference does NOT sum bucket counts by bound at
+    * fields (`any(exp_scale)`/`any(exp_zero_threshold)` → `any_value`;
+    * `sum(exp_zero_count)`; positive AND negative bucket concats,
+    * schema.sql:172-178), and `any(attributes)`. The reference does NOT sum bucket counts by bound at
     * rollup time — readers merge on demand (HistogramMath.mergeBuckets);
     * faithfully mirrored.
     *
@@ -94,7 +95,9 @@ object Rollup {
         flatten(collect_list(col("buckets"))).as("buckets"),
         any_value(col("exp_scale"), lit(true)).as("exp_scale"),
         sum(col("exp_zero_count")).as("exp_zero_count"),
+        any_value(col("exp_zero_threshold"), lit(true)).as("exp_zero_threshold"),
         flatten(collect_list(col("exp_positive_buckets"))).as("exp_positive_buckets"),
+        flatten(collect_list(col("exp_negative_buckets"))).as("exp_negative_buckets"),
         any_value(col("attributes"), lit(true)).as("attributes"),
         count(lit(1)).as("samples_count"),
         max(seq).as("last_seq"))

@@ -128,8 +128,13 @@ object MetricsQueries {
             (u % 11).cast("long").as("count"))).as("buckets"),
         (length(col("metric")) % 3).as("exp_scale"),
         (u % 4).cast("long").as("exp_zero_count"),
+        // per-metric constant (exact binary fraction — no rounding hazard)
+        // so any_value is deterministic within the (workspace, metric) group
+        ((length(col("metric")) % 3) * 0.5).as("exp_zero_threshold"),
         array(struct(lit(1).as("index"), (u % 5).cast("long").as("count")))
           .as("exp_positive_buckets"),
+        array(struct(lit(-1).as("index"), (u % 6).cast("long").as("count")))
+          .as("exp_negative_buckets"),
         map(lit("m"), col("metric")).as("attributes"))
       Rollup.rollup1mFull(hist, Seq(col("workspace_id"), col("metric")),
           col("ts_ms"), col("event_id"))
@@ -140,8 +145,11 @@ object MetricsQueries {
           size(col("buckets")).as("n_bucket_entries"),
           aggregate(col("buckets"), lit(0L),
             (acc, b) => acc + b.getField("count")).as("bucket_count_total"),
-          col("exp_scale"), col("exp_zero_count"),
+          col("exp_scale"), col("exp_zero_count"), col("exp_zero_threshold"),
           size(col("exp_positive_buckets")).as("n_exp_entries"),
+          size(col("exp_negative_buckets")).as("n_exp_neg_entries"),
+          aggregate(col("exp_negative_buckets"), lit(0L),
+            (acc, b) => acc + b.getField("count")).as("exp_neg_count_total"),
           Promread.labelsKey(col("attributes")).as("attrs"),
           col("samples_count"))
         .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
@@ -260,6 +268,31 @@ object MetricsQueries {
         .select(col("metric"), col("labels"), col("ts_ms"), col("sample_value"))
     }),
 
+    // A13 histogram arm — the same read path over a MIXED fixture where every
+    // 5th row is histogram-typed (value NULL, count/sum set): sampleValue must
+    // take the sum/count avg branch (handler.go:201-205) for those rows and
+    // the gauge branch for the rest, in one scan.
+    "q_read_path_hist" -> ((s, d) => {
+      import Promread._
+      val df = EventsMetrics.withAttributes(EventsMetrics.fromEvents(s, d))
+      val isHist = col("event_id") % 5 === 0
+      val pred = predicate(
+        Seq(Matcher("__name__", RE, "^evt_(purchase|signup)$")),
+        workspaceId = "ws-2", startMs = 1704844800000L, endMs = 1705708800000L)
+      val rows = df.filter(pred)
+        .withColumn("labels", labelsKey(col("attributes")))
+        .withColumn("sample_value",
+          sampleValue(
+            when(!isHist, col("value")),
+            when(isHist, (col("user_id") % 7 + 2).cast("long")),
+            when(isHist, round(col("value") * 3, 2))))
+        .filter(col("sample_value").isNotNull)
+      shape(rows, col("ts_ms"), Seq(col("event_id")))
+        .select(col("metric"), col("labels"), col("ts_ms"),
+          round(col("sample_value"), 6).as("sample_value"),
+          isHist.as("is_hist"))
+    }),
+
     // A14 — series regrouping for output (handler.go:137-174)
     "q_a14_series_regroup" -> ((s, d) => {
       val df = EventsMetrics.withAttributes(EventsMetrics.fromEvents(s, d))
@@ -357,7 +390,10 @@ object MetricsQueries {
       |         AS bucket_count_total,
       |       CAST(length(metric) % 3 AS INT) AS exp_scale,
       |       CAST(sum(user_id % 4) AS BIGINT) AS exp_zero_count,
+      |       CAST((length(metric) % 3) * 0.5 AS DOUBLE) AS exp_zero_threshold,
       |       CAST(count(*) AS INT) AS n_exp_entries,
+      |       CAST(count(*) AS INT) AS n_exp_neg_entries,
+      |       CAST(sum(user_id % 6) AS BIGINT) AS exp_neg_count_total,
       |       'm=' || metric AS attrs,
       |       count(*) AS samples_count
       |FROM evt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
@@ -438,6 +474,22 @@ object MetricsQueries {
       |  AND ts_ms >= 1704844800000 AND ts_ms <= 1705708800000
       |  AND regexp_matches(metric, '^evt_(purchase|signup)$$')
       |  AND CAST(user_id AS VARCHAR) <> '3'
+      |ORDER BY metric, ts_ms, event_id
+      |LIMIT 100000""".stripMargin,
+
+    "q_read_path_hist" -> s"""$EvtCte
+      |SELECT metric,
+      |       'kind=' || event_type || ',svc=' || service_name ||
+      |         ',user=' || CAST(user_id AS VARCHAR) AS labels,
+      |       ts_ms,
+      |       round(CASE WHEN event_id % 5 = 0
+      |                  THEN round(value * 3, 2) / (user_id % 7 + 2)
+      |                  ELSE value END, 6) AS sample_value,
+      |       event_id % 5 = 0 AS is_hist
+      |FROM evt
+      |WHERE workspace_id = 'ws-2'
+      |  AND ts_ms >= 1704844800000 AND ts_ms <= 1705708800000
+      |  AND regexp_matches(metric, '^evt_(purchase|signup)$$')
       |ORDER BY metric, ts_ms, event_id
       |LIMIT 100000""".stripMargin,
 

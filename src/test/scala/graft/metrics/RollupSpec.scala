@@ -53,25 +53,31 @@ class RollupSpec extends SparkSpec {
   test("rollup1mFull concatenates bucket snapshots (groupArray) without merging") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val df = Seq(
-      ("w", "a", 0L, 1.0, 1L, 10L, 5.0, Seq((0.1, 1L), (1.0, 2L)), 0, 0L,
-        Seq((1, 1L)), Map("k" -> "v")),
-      ("w", "a", 1000L, 2.0, 2L, 20L, 6.0, Seq((0.1, 3L), (1.0, 4L)), 0, 1L,
-        Seq((1, 2L)), Map("k" -> "v")))
+      ("w", "a", 0L, 1.0, 1L, 10L, 5.0, Seq((0.1, 1L), (1.0, 2L)), 0, 0L, 0.25,
+        Seq((1, 1L)), Seq((-1, 7L)), Map("k" -> "v")),
+      ("w", "a", 1000L, 2.0, 2L, 20L, 6.0, Seq((0.1, 3L), (1.0, 4L)), 0, 1L, 0.25,
+        Seq((1, 2L)), Seq((-1, 8L), (-2, 9L)), Map("k" -> "v")))
       .toDF("ws", "m", "ts_ms", "value", "seq", "count", "sum", "buckets",
-        "exp_scale", "exp_zero_count", "exp_positive_buckets", "attributes")
+        "exp_scale", "exp_zero_count", "exp_zero_threshold",
+        "exp_positive_buckets", "exp_negative_buckets", "attributes")
       .withColumn("buckets",
         col("buckets").cast("array<struct<le:double,count:bigint>>"))
       .withColumn("exp_positive_buckets",
         col("exp_positive_buckets").cast("array<struct<index:int,count:bigint>>"))
+      .withColumn("exp_negative_buckets",
+        col("exp_negative_buckets").cast("array<struct<index:int,count:bigint>>"))
     val out = Rollup.rollup1mFull(df, keys, col("ts_ms"), col("seq"))
       .select(col("count"), col("sum"), size(col("buckets")),
         col("exp_zero_count"), size(col("exp_positive_buckets")),
-        col("samples_count")).collect()(0)
+        col("samples_count"), col("exp_zero_threshold"),
+        size(col("exp_negative_buckets"))).collect()(0)
     assert(out.getLong(0) === 30L)        // sum(count)
     assert(out.getDouble(1) === 11.0)     // sum(sum)
     assert(out.getInt(2) === 4)           // 2 snapshots × 2 buckets, concatenated
     assert(out.getLong(3) === 1L)         // sum(exp_zero_count)
     assert(out.getInt(4) === 2)           // exp snapshots concatenated
     assert(out.getLong(5) === 2L)
+    assert(out.getDouble(6) === 0.25)     // any(exp_zero_threshold)
+    assert(out.getInt(7) === 3)           // negative snapshots concatenated
   }
 }
