@@ -20,15 +20,39 @@ object Scratch {
         .queryExecution.executedPlan.toString
       val pushed = plan.linesIterator
         .filter(_.contains("PushedFilters: [")).map(_.trim.take(160)).toSeq
-      val codegen = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      // codegen'd operators print with a "*(n)" stage prefix in executedPlan
+      val codegen = plan.linesIterator.count(_.trim.matches(".*\\*\\(\\d+\\).*"))
       val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
       val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
       println(s"[scratch] $name: codegenSpans=$codegen bhj=$bhj smj=$smj")
       pushed.filterNot(_.contains("PushedFilters: []")).take(3)
         .foreach(p => println(s"[scratch]   $p"))
     }
-    Seq("q_read_path", "q_join_agg", "q_dedup_minhash", "q_a1_rollup_1m",
-      "q_p4_matchers", "q_ann_ivf", "q_sink_roundtrip").foreach(audit)
+    if (args.headOption.contains("fscalars_ab")) {
+      // decompose q_f_scalars: regex extraction vs substring arithmetic
+      val ev = graft.metrics.EventsMetrics.fromEvents(spark, d)
+      def noop(dfb: org.apache.spark.sql.DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      for (_ <- 1 to 2) {
+        time("regex")(noop(ev.select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"))))
+        time("substr")(noop(ev.select(col("event_id"),
+          col("props").substr(lit(7), length(col("props")) - 7).cast("long").as("k_val"))))
+        time("base")(noop(ev.select(col("event_id"), col("props"))))
+      }
+    } else if (args.nonEmpty) {
+      // time the named queries (forcing full execution, Bench-style)
+      args.foreach { name =>
+        time(name) {
+          graft.SparkEntry.queries(name)(spark, d)
+            .write.mode("overwrite").format("noop").save()
+        }
+        audit(name)
+      }
+    } else {
+      Seq("q_read_path", "q_join_agg", "q_dedup_minhash", "q_a1_rollup_1m",
+        "q_p4_matchers", "q_ann_ivf", "q_sink_roundtrip").foreach(audit)
+    }
     spark.stop()
   }
 }

@@ -56,7 +56,11 @@ object Dedup {
     * [[minHashCandidates]] when the corpus no longer fits a shingle join. */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), shingles(text, n).as("sh"))
+    // hashed shingles, not strings: the inverted index only needs shingle
+    // IDENTITY, and |A∩B|/|A∪B| is unchanged under the (injective modulo
+    // 2^-64 collisions) hash — while the string form pays interpreted
+    // concat_ws chains plus string exchange/sort in the self-join
+    val sh = docs.select(id.as("doc_id"), shingleHashesNative(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -93,6 +97,14 @@ object Dedup {
     array_distinct(
       parts.reduce((acc, p) => zip_with(acc, p, (a, b) => xxhash64(a, b))))
   }
+
+  /** Codegen'd twin of [[shingleHashes]] — identical output (pinned by
+    * ShingleHashExprSpec), with the interpreted transform+zip_with chain
+    * replaced by [[graft.functions.ShingleHashExpr]]'s generated loop. The
+    * HOF form above stays as the readable reference shape. */
+  def shingleHashesNative(text: Column, n: Int): Column =
+    array_distinct(
+      graft.functions.ShingleHashExpr.windows(TextAnalysis.tokens(text), n))
 
   /** MinHash signature over hashed shingles: signature[i] = min over
     * shingles of xxhash64(shingleHash, i) — k independent permutations from
@@ -139,7 +151,7 @@ object Dedup {
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val rows = k / bands
     val sig = docs
-      .select(id.as("doc_id"), shingleHashes(text, shingleN).as("sh"))
+      .select(id.as("doc_id"), shingleHashesNative(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         graft.functions.MinHashSignatureExpr.signature(col("sh"), k).as("sig"))
@@ -195,8 +207,9 @@ object Dedup {
     * banding (4 chunks; dist ≤ 3 ⇒ some chunk equal). */
   def simHashPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
     // native codegen'd fingerprint (bit-identical to simHashVotes+packSimHash,
-    // pinned by SimHash64ExprSpec) — the 64×|tokens| vote fold is the hot loop
-    val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    // pinned by SimHash64ExprSpec) — the 64×|tokens| vote fold is the hot
+    // loop; token hashing is the n=1 ShingleHashExpr (same family, pinned)
+    val th = graft.functions.ShingleHashExpr.tokenHashes(TextAnalysis.tokens(text))
     val withSh = docs.select(id.as("doc_id"),
       graft.functions.SimHash64Expr.simHash64(th).as("sh"))
     val chunked = withSh.select(col("doc_id"), col("sh"),

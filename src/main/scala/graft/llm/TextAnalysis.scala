@@ -10,34 +10,42 @@ import org.apache.spark.sql.functions._
   * functions — no UDFs, no shuffles — so at 100 TB it runs at scan speed and
   * composes with any downstream filter/groupBy. Formulas are engine-portable
   * arithmetic so the DuckDB oracle can state the identical expression.
+  *
+  * Tokenize ONCE: every stat takes the materialized token array (project
+  * `tokens(text).as("toks")` in one stage, then reference the attribute),
+  * not the raw text. `split` is non-cheap, so CollapseProject keeps the
+  * two-stage projection and the split runs once per row instead of once per
+  * stat; likewise the derived counters (n_tokens/n_distinct/stop_cnt) should
+  * be projected once and fed to [[qualityScore]]/[[langIdScore]] as columns.
   */
 object TextAnalysis {
 
   /** Whitespace tokenization — the split every stat below shares. */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(toks: Column): Column = size(toks)
 
-  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+  def distinctTokenCount(toks: Column): Column = size(array_distinct(toks))
 
   /** Mean token length via pure arithmetic (chars minus the separators,
     * divided by token count) — identical expression on the oracle side. */
-  def avgTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
+  def avgTokenLen(text: Column, toks: Column): Column = {
+    val n = size(toks)
     (length(text) - n + lit(1)).cast("double") / n
   }
 
-  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
 
   /** Quality score ∈ [0,1]: blend of length saturation, stopword presence and
     * token diversity — the shape of a Gopher/C4-style quality filter with
-    * deterministic, closed-form terms. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val n = tokenCount(text).cast("double")
+    * deterministic, closed-form terms. Takes the three PRE-PROJECTED counters
+    * so each is computed once per row however many scores consume them. */
+  def qualityScore(nTokens: Column, nDistinct: Column, stopCnt: Column): Column = {
+    val n = nTokens.cast("double")
     val lenTerm = least(n / 100.0, lit(1.0))
-    val stopTerm = least(stopwordCount(text, stopwords).cast("double") / n * 10.0, lit(1.0))
-    val divTerm = distinctTokenCount(text).cast("double") / n
+    val stopTerm = least(stopCnt.cast("double") / n * 10.0, lit(1.0))
+    val divTerm = nDistinct.cast("double") / n
     (lenTerm + stopTerm + divTerm) / 3.0
   }
 
@@ -46,11 +54,11 @@ object TextAnalysis {
     * carry one stopword set per language; the synthetic corpus shares one
     * vocabulary, so the interesting part — the Spark shape — is a per-row
     * scalar with no shuffle. */
-  def langIdScore(text: Column, stopwords: Seq[String]): Column =
-    stopwordCount(text, stopwords).cast("double") / tokenCount(text)
+  def langIdScore(nTokens: Column, stopCnt: Column): Column =
+    stopCnt.cast("double") / nTokens
 
-  def langIdPredict(text: Column, stopwords: Seq[String], threshold: Double): Column =
-    when(langIdScore(text, stopwords) >= threshold, "en-like").otherwise("other")
+  def langIdPredict(nTokens: Column, stopCnt: Column, threshold: Double): Column =
+    when(langIdScore(nTokens, stopCnt) >= threshold, "en-like").otherwise("other")
 
   /** Document fingerprint: 64-bit hash of the normalized text. Deterministic
     * across runs and partitions (xxhash64 is seed-fixed), so it is a join key
@@ -64,9 +72,31 @@ object TextAnalysis {
   /** BPE-ish subword count estimate: whitespace tokens plus an extra unit per
     * 4 chars of long tokens — a deterministic stand-in for a real tokenizer's
     * token count (the usual ~4 chars/token heuristic). */
-  def subwordCountEstimate(text: Column): Column =
+  def subwordCountEstimate(toks: Column): Column =
     aggregate(
-      tokens(text),
+      toks,
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
+
+  /** The full stat battery as a three-stage projection: tokenize once,
+    * derive the counters once, then compose scores from the counters.
+    * Output columns: n_tokens, n_distinct, avg_tok_len, stop_cnt, quality,
+    * lang_pred, subwords — appended to `df`'s columns (minus the internal
+    * token array). */
+  def withStats(df: DataFrame, text: Column, stopwords: Seq[String],
+      langThreshold: Double = 0.06): DataFrame = {
+    val toks = col("__toks")
+    val staged = df
+      .withColumn("__toks", tokens(text))
+      .withColumns(Map(
+        "n_tokens" -> tokenCount(toks).cast("long"),
+        "n_distinct" -> distinctTokenCount(toks).cast("long"),
+        "avg_tok_len" -> avgTokenLen(text, toks),
+        "stop_cnt" -> stopwordCount(toks, stopwords).cast("long"),
+        "subwords" -> subwordCountEstimate(toks)))
+      .withColumns(Map(
+        "quality" -> qualityScore(col("n_tokens"), col("n_distinct"), col("stop_cnt")),
+        "lang_pred" -> langIdPredict(col("n_tokens"), col("stop_cnt"), langThreshold)))
+    staged.drop("__toks")
+  }
 }

@@ -67,12 +67,17 @@ object CoreQueries {
         .orderBy(col("n_name"))
     }),
 
-    // F1/F10/F16-ish scalar battery: regexp extraction from the JSON-ish props
-    // string, string funcs, ms-epoch conversion (F14)
+    // F1/F10/F16-ish scalar battery: scalar extraction from the JSON-ish props
+    // string, string funcs, ms-epoch conversion (F14). Extraction is substring
+    // arithmetic, not regexp_extract: props is the fixed shape '{"k": N}', and
+    // the regex path benched ~3 s cold / +0.4 s warm at sf0.1 against ~0.9 s
+    // for substr (r3 verdict task 4). Regex coverage (F1/F16) stays exercised
+    // by q_p4_matchers' rlike matchers and the fingerprint normalize.
     "q_f_scalars" -> ((s, d) => {
       EventsMetrics.fromEvents(s, d).select(
         col("event_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"),
+        col("props").substr(lit(7), length(col("props")) - 7)
+          .cast("long").as("k_val"),
         upper(col("event_type")).as("etype_u"),
         length(col("props")).cast("long").as("props_len"),
         ascii(col("event_type")).cast("long").as("etype_ascii"),
@@ -128,7 +133,7 @@ object CoreQueries {
 
     "q_f_scalars" ->
       """SELECT event_id,
-        |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+        |       CAST(substring(props, 7, length(props) - 7) AS BIGINT) AS k_val,
         |       upper(event_type) AS etype_u,
         |       CAST(length(props) AS BIGINT) AS props_len,
         |       CAST(ascii(event_type) AS BIGINT) AS etype_ascii,

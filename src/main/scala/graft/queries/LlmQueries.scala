@@ -97,18 +97,15 @@ object LlmQueries {
     }),
 
     // Text analysis battery: every stat is closed-form arithmetic the oracle
-    // restates exactly; runs at scan speed (no shuffle, no UDF).
+    // restates exactly; runs at scan speed (no shuffle, no UDF). Tokenizes
+    // ONCE via the staged projection (r3 verdict: the per-stat re-split cost
+    // ~12 evaluations of split() per row).
     "q_text_stats" -> ((s, d) => {
-      val t = col("text")
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-        TextAnalysis.distinctTokenCount(t).cast("long").as("n_distinct"),
-        round(TextAnalysis.avgTokenLen(t), 6).as("avg_tok_len"),
-        TextAnalysis.stopwordCount(t, Stopwords).cast("long").as("stop_cnt"),
-        round(TextAnalysis.qualityScore(t, Stopwords), 6).as("quality"),
-        TextAnalysis.langIdPredict(t, Stopwords, 0.06).as("lang_pred"),
-        TextAnalysis.subwordCountEstimate(t).as("subwords"))
+      TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("avg_tok_len"), 6).as("avg_tok_len"),
+          col("stop_cnt"), round(col("quality"), 6).as("quality"),
+          col("lang_pred"), col("subwords"))
         .orderBy(col("doc_id"))
     }),
 
