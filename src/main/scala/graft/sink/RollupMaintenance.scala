@@ -40,6 +40,15 @@ object RollupMaintenance {
   val freshnessMs: Map[String, Long] =
     Map("metrics_1m" -> 1 * D, "metrics_5m" -> 15 * D, "metrics_1h" -> 63 * D)
 
+  /** True when `tsMs` lands exactly on a partition boundary of `tier`
+    * (UTC midnight; first-of-month midnight for monthly tiers) — then no
+    * rewritten partition can contain pre-window rows. */
+  private[sink] def partitionAligned(tier: MetricsSink.Tier, tsMs: Long): Boolean = {
+    val t = java.time.Instant.ofEpochMilli(tsMs).atZone(java.time.ZoneOffset.UTC)
+    val midnight = t.toLocalTime == java.time.LocalTime.MIDNIGHT
+    if (tier.monthly) midnight && t.getDayOfMonth == 1 else midnight
+  }
+
   /** Recompute one tier from its source tier inside the freshness window and
     * merge into the target table. `rollup` maps the fresh source slice to
     * target-tier rows and must emit `bucket_ms`. */
@@ -54,16 +63,23 @@ object RollupMaintenance {
       .drop(MetricsSink.PartitionCol)
     val recomputed = rollup(fresh)
 
-    // Pre-window rows living in partitions we are about to rewrite (only
-    // monthly partitions can have any, when the window edge is mid-month).
+    // Pre-window rows living in partitions we are about to rewrite. Only the
+    // SINGLE partition containing the window edge can hold any — every later
+    // partition starts at or after the edge — so the keep-scan reads exactly
+    // one partition (not the whole freshness span, which for the 1h tier is
+    // ~3 monthly partitions), and is skipped entirely when the edge lands on
+    // a partition boundary. The read is load-bearing even for daily tiers: a
+    // mid-day edge leaves that morning's buckets pre-window, and the finer
+    // source tier may already be TTL-dropped for them (raw keeps 3h) —
+    // recomputing is impossible, losing them would silently shrink the table.
     // localCheckpoint truncates lineage so the subsequent dynamic overwrite
     // does not read from the directories it is replacing.
     val targetDir = new Path(s"$baseDir/${target.name}")
     val fs = targetDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keep =
-      if (!fs.exists(targetDir)) None
+      if (!fs.exists(targetDir) || partitionAligned(target, startMs)) None
       else Some(MetricsSink.read(spark, baseDir, target)
-        .filter(MetricsSink.partitionFilterFrom(target, startMs))
+        .filter(col(MetricsSink.PartitionCol) === MetricsSink.fmt(target, startMs))
         .filter(col("bucket_ms") < startMs)
         .drop(MetricsSink.PartitionCol)
         .localCheckpoint(true))

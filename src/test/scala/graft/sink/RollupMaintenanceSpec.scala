@@ -62,6 +62,31 @@ class RollupMaintenanceSpec extends SparkSpec {
     assert(h1Rows(base).sameElements(once))
   }
 
+  test("mid-day edge preserves same-day pre-window buckets in a DAILY partition") {
+    // The keep-scan is restricted to the single edge-straddling partition and
+    // skipped when the edge is partition-aligned. This pins the case where it
+    // must NOT be skipped: a mid-day window edge leaves that morning's 1m
+    // buckets pre-window inside a daily partition about to be rewritten.
+    val base = freshBase()
+    RollupMaintenance.refreshCascade(spark, base, NowA, keys,
+      col("ts_ms"), col("value"), col("event_id"))
+    val morning = MetricsSink.read(spark, base, MetricsSink.M1)
+      .filter(col("bucket_ms") >= NowA - Day && col("bucket_ms") < NowA - Day / 2)
+      .select(col("workspace_id"), col("metric"), col("bucket_ms"),
+        col("samples_count"))
+      .collect().map(_.toString).sorted
+    assert(morning.nonEmpty)
+    val NowC = NowA + Day / 2 // edge NowC − 1d = NowA − 12h: mid-day on Jan 9
+    RollupMaintenance.refreshCascade(spark, base, NowC, keys,
+      col("ts_ms"), col("value"), col("event_id"))
+    val after = MetricsSink.read(spark, base, MetricsSink.M1)
+      .filter(col("bucket_ms") >= NowA - Day && col("bucket_ms") < NowA - Day / 2)
+      .select(col("workspace_id"), col("metric"), col("bucket_ms"),
+        col("samples_count"))
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(morning), "same-day pre-window 1m rows were clobbered")
+  }
+
   test("later refresh preserves pre-window buckets in the same monthly partition") {
     val base = freshBase()
     RollupMaintenance.refreshCascade(spark, base, NowA, keys,
