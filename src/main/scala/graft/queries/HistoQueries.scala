@@ -159,6 +159,40 @@ object HistoQueries {
         .orderBy(col("flag"))
     }),
 
+    // A12+A11 negative walk — merge exp-histograms whose NEGATIVE side is
+    // populated ('O' rows land in negative buckets by magnitude, 'F' in
+    // positive), then take quantiles that resolve inside the negative walk
+    // (percentile.go:186-191) as well as the positive one, end-to-end through
+    // the Aggregator. Same scale both sides, so merge rescale is identity and
+    // the oracle is closed-form.
+    "q_a12_exp_neg" -> ((s, d) => {
+      val hists = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("ls"),
+          log2Floor(col("l_extendedprice")).as("idx"))
+        .groupBy(col("flag"), col("ls"), col("idx"))
+        .agg(count(lit(1)).as("count"))
+        .groupBy(col("flag"), col("ls"))
+        .agg(array_sort(collect_list(struct(col("idx").as("index"), col("count"))))
+          .as("bkts"))
+        .select(col("flag"), lit(0).as("scale"), lit(0L).as("zeroCount"),
+          lit(0.0).as("zeroThreshold"),
+          when(col("ls") === "F", col("bkts"))
+            .otherwise(array().cast(EmptyExpBuckets)).as("positive"),
+          when(col("ls") === "O", col("bkts"))
+            .otherwise(array().cast(EmptyExpBuckets)).as("negative"))
+      hists.groupBy(col("flag"))
+        .agg(HistogramFunctions.merge_exp_hist(col("scale"), col("zeroCount"),
+          col("zeroThreshold"), col("positive"), col("negative")).as("m"))
+        .select(col("flag"),
+          col("m.scale").as("scale"),
+          size(col("m.negative")).cast("long").as("n_neg_buckets"),
+          round(HistogramFunctions.exp_histogram_quantile(col("m.scale"),
+            col("m.zeroCount"), col("m.positive"), col("m.negative"), lit(25.0)), 6).as("p25"),
+          round(HistogramFunctions.exp_histogram_quantile(col("m.scale"),
+            col("m.zeroCount"), col("m.positive"), col("m.negative"), lit(90.0)), 6).as("p90"))
+        .orderBy(col("flag"))
+    }),
+
     // A15 — quantiles over RAW values (reference test/validate_percentiles.go:
     // 99-114 `quantile(0.5)(value)`): Spark exact `percentile` ≡ DuckDB
     // quantile_cont. percentile_approx is the 100 TB scale path (mergeable
@@ -290,6 +324,35 @@ object HistoQueries {
       |       round(max(CASE WHEN p = 50 THEN v END), 6) AS p50,
       |       round(max(CASE WHEN p = 90 THEN v END), 6) AS p90
       |FROM q GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q_a12_exp_neg" -> """WITH pr AS (
+      |  SELECT l_returnflag AS flag, l_linestatus = 'O' AS neg,
+      |         length(bin(CAST(floor(l_extendedprice) AS BIGINT))) - 1 AS idx
+      |  FROM lineitem),
+      |hist AS (SELECT flag, neg, idx, count(*) AS cnt FROM pr GROUP BY 1, 2, 3),
+      |c AS (SELECT flag, neg, idx, cnt,
+      |             sum(cnt) OVER (PARTITION BY flag
+      |               ORDER BY neg DESC, idx) AS cum,
+      |             sum(cnt) OVER (PARTITION BY flag) AS total
+      |      FROM hist),
+      |ps AS (SELECT unnest([25.0, 90.0]) AS p),
+      |sel AS (SELECT flag, p, neg, idx,
+      |               row_number() OVER (PARTITION BY flag, p
+      |                 ORDER BY neg DESC, idx) AS rn
+      |        FROM c CROSS JOIN ps
+      |        WHERE cum >= total * (p / 100.0)),
+      |q AS (SELECT flag, p,
+      |             (CASE WHEN neg THEN -1 ELSE 1 END) *
+      |               (pow(2, idx) + pow(2, idx + 1)) / 2.0 AS v
+      |      FROM sel WHERE rn = 1),
+      |nneg AS (SELECT flag, CAST(count(DISTINCT idx) AS BIGINT) AS n_neg_buckets
+      |         FROM pr WHERE neg GROUP BY flag)
+      |SELECT q.flag, CAST(0 AS INTEGER) AS scale,
+      |       coalesce(nneg.n_neg_buckets, 0) AS n_neg_buckets,
+      |       round(max(CASE WHEN p = 25 THEN v END), 6) AS p25,
+      |       round(max(CASE WHEN p = 90 THEN v END), 6) AS p90
+      |FROM q LEFT JOIN nneg ON nneg.flag = q.flag
+      |GROUP BY q.flag, nneg.n_neg_buckets ORDER BY q.flag""".stripMargin,
 
     "q_a15_raw_quantile" -> """SELECT l_returnflag AS flag,
       |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
