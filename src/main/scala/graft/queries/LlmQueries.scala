@@ -143,6 +143,21 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // IVF probing ALL cells: every corpus row meets every probe exactly once
+    // (each row lives in exactly one cell), so the result is brute-force
+    // cosine top-k regardless of float-argmax assignment — which gives the
+    // IVF plumbing (assignment, cell join, re-rank) a full hash-match oracle
+    // row, not just the LlmSpec recall assertion.
+    "q_ann_ivf_all" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          centroids = emb.filter(col("vec_id") % 101 === 0), k = 5,
+          nprobe = Int.MaxValue)
+        .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup: LSH bucket candidates + exact cosine. The
     // oracle checks the planted slice (vec scaled by 0.5, id + 200000):
     // positive scaling preserves every hyperplane sign, so recall on true
@@ -227,6 +242,19 @@ object LlmQueries {
         |              x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS subwords
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // identical SQL to q_ann_topk: probing all cells IS brute force
+    "q_ann_ivf_all" ->
+      """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT pid, nid, list_cosine_similarity(pv, nv) AS score
+        |      FROM p CROSS JOIN c WHERE nid <> pid),
+        |r AS (SELECT pid, nid, score,
+        |             row_number() OVER (PARTITION BY pid ORDER BY score DESC, nid) AS rank
+        |      FROM s)
+        |SELECT pid, nid, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
 
     "q_ann_topk" ->
       """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
