@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *     candidates re-checks estimated similarity on the signatures, never the
   *     raw text.
   *   - skew: a degenerate bucket (e.g. empty docs) would hot-spot one
-  *     partition; AQE skew-join splitting plus an optional salt on the band
-  *     key covers it.
+  *     partition; AQE skew-join splitting plus the pair-preserving band-key
+  *     salt ([[saltedBandPairs]], armed via `bucketCap`) covers it.
   */
 object Dedup {
 
@@ -146,9 +146,15 @@ object Dedup {
 
   /** Near-dup candidate pairs via MinHash LSH: signature → bands → equi-join
     * on (band, key) → dedupe pairs → estimate Jaccard as the fraction of
-    * agreeing signature positions; keep pairs ≥ threshold. */
+    * agreeing signature positions; keep pairs ≥ threshold.
+    *
+    * `bucketCap` arms the skew guard ([[saltedBandPairs]]): buckets larger
+    * than the cap are salted into bounded sub-cells before the self-join.
+    * Default off — the fixture corpus has no degenerate buckets, and the
+    * unsalted join reuses one exchange for both sides. */
   def minHashCandidates(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     val sig = docs
       .select(id.as("doc_id"), shingleHashesNative(text, shingleN).as("sh"))
@@ -159,19 +165,65 @@ object Dedup {
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    // shuffle_merge self-join: one exchange, read twice (see jaccardPairs)
-    val cand = banded.as("a").hint("shuffle_merge")
-      .join(banded.as("b").hint("shuffle_merge"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val cand =
+      (if (bucketCap == Int.MaxValue) {
+        // shuffle_merge self-join: one exchange, read twice (see jaccardPairs)
+        banded.as("a").hint("shuffle_merge")
+          .join(banded.as("b").hint("shuffle_merge"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      } else saltedBandPairs(banded, bucketCap))
       .dropDuplicates("id_a", "id_b")
     cand.withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Skew guard: the pair-preserving salted self-join over (band, key)
+    * buckets — the salt the file-header note promises.
+    *
+    * A degenerate bucket (near-identical short docs, an adversarial shingle)
+    * of m rows puts all m in ONE task and m²/2 pairs through it. Split each
+    * oversized bucket into S = ⌈m/cap⌉ salts, s(row) = hash(doc_id) mod S,
+    * replicate each row into the S cells {(min(t,s), max(t,s)) : t < S},
+    * and accept a pair only in the ONE cell equal to its own ordered salt
+    * pair — pair with salts (a ≤ b) survives exactly in cell (a,b). Per-task
+    * work drops from m² to (m/S)² per cell (the standard quadratic→bounded
+    * redistribution); replication factor is S on oversized-bucket rows only.
+    * Buckets at or under the cap keep S = 1 (single (0,0) cell), i.e. the
+    * exact unsalted join; output equality with the unsalted plan is pinned
+    * by LlmSpec.
+    *
+    * Bucket sizes come from one map-side-combined aggregation, and only
+    * OVERSIZED keys (rare by construction) join back — broadcast, so the
+    * main banded stream is never reshuffled for the stats. */
+  private[llm] def saltedBandPairs(banded: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, "bucketCap must be positive")
+    val oversized = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > cap)
+    val salted = banded.join(broadcast(oversized), Seq("band", "key"), "left")
+      .withColumn("nsalt",
+        coalesce(ceil(col("m").cast("double") / cap).cast("int"), lit(1)))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int"))
+      .withColumn("cell", explode(transform(
+        sequence(lit(0), col("nsalt") - 1),
+        t => struct(least(t, col("salt")).as("ci"),
+          greatest(t, col("salt")).as("cj")))))
+      .select(col("doc_id"), col("sig"), col("band"), col("key"),
+        col("salt"), col("cell"))
+    salted.as("a").hint("shuffle_merge")
+      .join(salted.as("b").hint("shuffle_merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.cell") === col("b.cell") &&
+          least(col("a.salt"), col("b.salt")) === col("a.cell").getField("ci") &&
+          greatest(col("a.salt"), col("b.salt")) === col("a.cell").getField("cj") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
   }
 
   /** One literal mask per bit position — lets the vote fold test bits with

@@ -28,6 +28,20 @@ class LlmSpec extends SparkSpec {
     assert(missing.isEmpty, s"planted pairs missed by MinHash LSH: $missing")
   }
 
+  test("salted band join (bucketCap) emits exactly the unsalted pair set") {
+    // cap=2 forces real multi-salt splits on every non-trivial bucket (the
+    // planted duplicates guarantee buckets of >= 2 rows), so the cell
+    // replication + one-cell-per-pair predicate is exercised, not bypassed
+    def pairs(cap: Int) =
+      Dedup.minHashCandidates(docsNearDups, col("doc_id"), col("text"),
+          shingleN = 3, k = 64, bands = 16, threshold = 0.5, bucketCap = cap)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6))
+        .collect().map(_.toString).sorted
+    val unsalted = pairs(Int.MaxValue)
+    assert(unsalted.nonEmpty)
+    assert(pairs(2).sameElements(unsalted), "salted pair set diverged")
+  }
+
   test("SimHash banding = exact hamming<=3 pairs (pigeonhole: no false negatives)") {
     // Ground truth: compute every doc's fingerprint, then all-pairs hamming in
     // Scala. The banding join must return EXACTLY the pairs at distance <= 3
