@@ -94,9 +94,16 @@ object Promread {
     when(value.isNotNull, value)
       .when(count.isNotNull && sum.isNotNull && count > 0, sum / count)
 
-  /** F15 — deterministic label-set key "k1=v1,k2=v2" with sorted keys
-    * (handler.go:341-347; reference iterates a map, we sort). */
+  /** F15 — deterministic label-set key "k1=v1,k2=v2" with sorted entries
+    * (handler.go:341-347; reference iterates a map, we sort). Native codegen
+    * expression — computed once per OUTPUT row of every read path, so the
+    * interpreted HOF chain was measurable at bench scale. */
   def labelsKey(attributes: Column): Column =
+    graft.functions.LabelsKeyExpr.labelsKey(attributes)
+
+  /** Readable HOF reference shape of [[labelsKey]]; pinned identical by
+    * LabelsKeyExprSpec. */
+  def labelsKeyHof(attributes: Column): Column =
     array_join(
       array_sort(transform(map_entries(attributes),
         e => concat(e.getField("key"), lit("="), e.getField("value")))),
