@@ -81,12 +81,21 @@ object Temporality {
     * `buckets` is array<struct<le:double,count:bigint>>; `prevBuckets` the
     * lagged column of the same type (null on the first point).
     */
-  def deltaBuckets(buckets: Column, prevBuckets: Column, reset: Column): Column = {
-    // Lookup by filter + last element rather than map_from_entries: duplicate
-    // `le` bounds in a snapshot would make map_from_entries throw, while the
-    // reference's Go map insert is silently last-wins — try_element_at(…, -1)
-    // reproduces exactly that. Bucket arrays are small (≈10-20 bounds), so the
-    // O(bounds²) per-row lookup is noise next to the shuffle.
+  def deltaBuckets(buckets: Column, prevBuckets: Column, reset: Column): Column =
+    // Native codegen delta (graft.functions.BucketDeltaExpr): bucket
+    // alignment runs per histogram data point — full-scan row volume — and
+    // the HOF form below is O(bounds²) interpreted lambda evals per row.
+    // Pinned bit-identical (incl. last-wins duplicate bounds) by
+    // BucketDeltaExprSpec.
+    when(prevBuckets.isNull || reset, buckets)
+      .otherwise(graft.functions.BucketDeltaExpr.delta(buckets, prevBuckets))
+
+  /** Readable HOF reference shape of [[deltaBuckets]].
+    * Lookup by filter + last element rather than map_from_entries: duplicate
+    * `le` bounds in a snapshot would make map_from_entries throw, while the
+    * reference's Go map insert is silently last-wins — try_element_at(…, -1)
+    * reproduces exactly that. */
+  def deltaBucketsHof(buckets: Column, prevBuckets: Column, reset: Column): Column = {
     def prevCount(le: Column): Column =
       coalesce(
         try_element_at(filter(prevBuckets, p => p.getField("le") === le), lit(-1))
