@@ -53,6 +53,41 @@ object MetricsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // A4 histogram arm — cumulative→delta for count/sum/buckets per series
+    // (temporality.go:87-94 guarded subtraction + :115-140 bucket alignment):
+    // count/sum subtract only when the previous value is > 0; reset (count
+    // decreased) passes the raw snapshot through; buckets delta at matching
+    // bounds. The fixture's pmod sequences hit every arm: first point, reset,
+    // prev=0 passthrough, and the normal subtraction.
+    "q_a4_hist_deltas" -> ((s, d) => {
+      val w = Temporality.seriesWindow(seriesCols, orderCols)
+      val snap = EventsMetrics.fromEvents(s, d).select(
+        col("workspace_id"), col("metric"), col("user_id"),
+        col("ts_ms"), col("event_id"),
+        pmod(col("event_id"), lit(97L)).as("ccount"),
+        round(col("value") * 10, 2).as("csum"),
+        array(
+          struct(lit(1.0).as("le"), pmod(col("event_id"), lit(13L)).as("count")),
+          struct(lit(5.0).as("le"), pmod(col("event_id"), lit(29L)).as("count")))
+          .as("cbuckets"))
+      val prevCount = lag(col("ccount"), 1).over(w)
+      val prevSum = lag(col("csum"), 1).over(w)
+      val prevBuckets = lag(col("cbuckets"), 1).over(w)
+      val reset = coalesce(Temporality.resetFlag(col("ccount"), w), lit(false))
+      snap.select(
+          col("event_id"),
+          reset.as("is_reset"),
+          Temporality.deltaGuarded(col("ccount"), prevCount, reset)
+            .as("count_delta"),
+          round(Temporality.deltaGuarded(col("csum"), prevSum, reset), 2)
+            .as("sum_delta"),
+          aggregate(
+            Temporality.deltaBuckets(col("cbuckets"), prevBuckets, reset),
+            lit(0L), (acc, b) => acc + b.getField("count"))
+            .as("bucket_delta_total"))
+        .orderBy(col("event_id"))
+    }),
+
     // J1/W1 — series-state lookup: previous point per series via lag
     // (temporality.go:11-23,51-61 as-of self-join semantics)
     "q_j1_lag_lookup" -> ((s, d) => {
@@ -328,6 +363,27 @@ object MetricsQueries {
       |       round(sum(value) OVER ($SeriesPart
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
       |FROM evt ORDER BY event_id""".stripMargin,
+
+    "q_a4_hist_deltas" -> s"""$EvtCte,
+      |x AS (SELECT event_id,
+      |             event_id % 97 AS ccount, round(value * 10, 2) AS csum,
+      |             lag(event_id % 97) OVER ($SeriesPart) AS pcount,
+      |             lag(round(value * 10, 2)) OVER ($SeriesPart) AS psum,
+      |             lag(event_id) OVER ($SeriesPart) AS pev
+      |      FROM evt)
+      |SELECT event_id,
+      |       (pcount IS NOT NULL AND ccount < pcount) AS is_reset,
+      |       CAST(CASE WHEN pcount IS NULL OR ccount < pcount THEN ccount
+      |                 WHEN pcount > 0 THEN ccount - pcount
+      |                 ELSE ccount END AS BIGINT) AS count_delta,
+      |       round(CASE WHEN pcount IS NULL OR ccount < pcount THEN csum
+      |                  WHEN psum > 0 THEN csum - psum
+      |                  ELSE csum END, 2) AS sum_delta,
+      |       CAST(CASE WHEN pcount IS NULL OR ccount < pcount
+      |                 THEN (event_id % 13) + (event_id % 29)
+      |                 ELSE (event_id % 13 - pev % 13) + (event_id % 29 - pev % 29)
+      |            END AS BIGINT) AS bucket_delta_total
+      |FROM x ORDER BY event_id""".stripMargin,
 
     "q_j1_lag_lookup" -> s"""$EvtCte
       |SELECT event_id,
