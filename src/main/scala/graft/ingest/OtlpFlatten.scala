@@ -40,11 +40,19 @@ object OtlpFlatten {
       (le, c) => struct(le.as("le"), c.as("count")))
 
   /** S5 — attribute merge, datapoint wins on key collision (otlp.go:332-344).
+    * Native codegen expression: the merge runs once per ingested datapoint
+    * (the full-scan write path), and the HOF shape below is interpreted and
+    * breaks whole-stage codegen for the whole ingest projection. Pinned
+    * bit-identical by MergeAttributesExprSpec. */
+  def mergeAttributes(resourceAttrs: Column, dpAttrs: Column): Column =
+    graft.functions.MergeAttributesExpr.merge(resourceAttrs, dpAttrs)
+
+  /** Readable HOF reference shape of [[mergeAttributes]].
     * `map_concat` in Spark fails on duplicate keys under ANSI; emulate
     * last-wins by concatenating entry arrays datapoint-last and rebuilding via
     * map_from_entries? map_from_entries errors on dups too — so: drop resource
     * entries whose key the datapoint also has, then concat. */
-  def mergeAttributes(resourceAttrs: Column, dpAttrs: Column): Column = {
+  def mergeAttributesHof(resourceAttrs: Column, dpAttrs: Column): Column = {
     val keep = filter(
       map_entries(resourceAttrs),
       e => !map_contains_key(dpAttrs, e.getField("key")))
