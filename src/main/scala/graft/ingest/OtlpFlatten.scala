@@ -32,8 +32,14 @@ object OtlpFlatten {
 
   /** S3 — +Inf bucket-bound synthesis: OTLP carries N bounds and N+1 counts;
     * the last bucket's bound is +Inf (otlp.go:216-221). `bounds` has N doubles,
-    * `counts` N+1 longs → array<struct<le,count>> of N+1 entries. */
+    * `counts` N+1 longs → array<struct<le,count>> of N+1 entries. Native
+    * codegen expression (per-datapoint ingest hot path — same argument as
+    * [[mergeAttributes]]); pinned bit-identical by InfBucketExprSpec. */
   def withInfBucket(bounds: Column, counts: Column): Column =
+    graft.functions.InfBucketExpr.withInf(bounds, counts)
+
+  /** Readable HOF reference shape of [[withInfBucket]]. */
+  def withInfBucketHof(bounds: Column, counts: Column): Column =
     zip_with(
       concat(bounds, array(lit(Double.PositiveInfinity))),
       counts,
