@@ -176,9 +176,12 @@ object Dedup {
             col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       } else saltedBandPairs(banded, bucketCap))
       .dropDuplicates("id_a", "id_b")
+    // native agreement count — evaluated per candidate pair, the widest
+    // intermediate of the pipeline (ArrayEqCountExpr, pinned vs the HOF
+    // size(filter(zip_with(...))) shape by its spec)
     cand.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)).cast("double") / k)
+        graft.functions.ArrayEqCountExpr.eqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
