@@ -146,6 +146,45 @@ class StreamingTemporalitySpec extends SparkSpec {
     assert(out(1).delta_buckets == Seq(Bucket(0.5, 5), Bucket(1.0, 15), Bucket(2.0, 3)))
   }
 
+  test("streaming histogram fold == batch deltaGuarded/deltaBuckets twin") {
+    // cross-twin lock for the HISTOGRAM arm (the scalar twin test is below):
+    // the same cumulative snapshots through (a) the streaming per-series fold
+    // and (b) the batch window path (resetFlag on count + deltaGuarded +
+    // deltaBuckets) must emit identical deltas.
+    val s = spark
+    import s.implicits._
+    def hp(series: Long, tsMs: Long, c: Long, sm: Double, b1: Long, b2: Long) =
+      MetricPoint("ws", series, s"h$series", new Timestamp(tsMs), 3, 1, true,
+        None, Some(c), Some(sm), Seq(Bucket(1.0, b1), Bucket(5.0, b2)))
+    val pts = Seq(
+      hp(1, 1000, 10, 2.0, 3, 7), hp(1, 2000, 25, 5.0, 9, 20),
+      hp(1, 3000, 5, 1.0, 1, 4),  // count drop → reset, raw passthrough
+      hp(1, 4000, 8, 3.0, 2, 6),
+      hp(2, 1000, 0, 0.0, 0, 0),  // prev count/sum 0 → guarded passthrough
+      hp(2, 2000, 6, 4.0, 2, 5))
+    val streamed = runStreaming(pts.grouped(2).toSeq)
+      .map(p => (p.series_hash, p.ts_ms,
+        p.delta_count, p.delta_sum, p.delta_buckets))
+    val w = Temporality.seriesWindow(Seq(col("series_hash")), Seq(col("ts_ms")))
+    val reset = coalesce(Temporality.resetFlag(col("c"), w), lit(false))
+    val batch = pts.map(p => (p.series_hash, p.timestamp.getTime,
+        p.count.get, p.sum.get, p.buckets))
+      .toDF("series_hash", "ts_ms", "c", "s", "b")
+      .withColumn("b", col("b").cast("array<struct<le:double,count:bigint>>"))
+      .select(col("series_hash"), col("ts_ms"),
+        Temporality.deltaGuarded(col("c"), lag(col("c"), 1).over(w), reset)
+          .as("dc"),
+        Temporality.deltaGuarded(col("s"), lag(col("s"), 1).over(w), reset)
+          .as("ds"),
+        Temporality.deltaBuckets(col("b"), lag(col("b"), 1).over(w), reset)
+          .as("db"))
+      .as[(Long, Long, Long, Double, Seq[Bucket])]
+      .collect().toSeq
+      .map { case (sh, ts, dc, ds, db) => (sh, ts, Some(dc), Some(ds), db) }
+      .sortBy(t => (t._1, t._2))
+    assert(streamed === batch)
+  }
+
   test("ST4: streaming 1m rollup matches batch rollup after watermark close") {
     val s = spark
     import s.implicits._
