@@ -78,25 +78,29 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
 
-  /** The full stat battery as a three-stage projection: tokenize once,
-    * derive the counters once, then compose scores from the counters.
+  /** The full stat battery as a staged projection: tokenize once, derive all
+    * counters in ONE native pass ([[graft.functions.TokenStatsExpr]] — pinned
+    * bit-identical to the per-stat HOF shapes above by TokenStatsExprSpec),
+    * then compose scores from the counters.
     * Output columns: n_tokens, n_distinct, avg_tok_len, stop_cnt, quality,
     * lang_pred, subwords — appended to `df`'s columns (minus the internal
-    * token array). */
+    * token array and stats struct). */
   def withStats(df: DataFrame, text: Column, stopwords: Seq[String],
       langThreshold: Double = 0.06): DataFrame = {
-    val toks = col("__toks")
-    val staged = df
-      .withColumn("__toks", tokens(text))
+    val st = col("__tstats")
+    df.withColumn("__tstats",
+        graft.functions.TokenStatsExpr.stats(tokens(text), stopwords))
       .withColumns(Map(
-        "n_tokens" -> tokenCount(toks).cast("long"),
-        "n_distinct" -> distinctTokenCount(toks).cast("long"),
-        "avg_tok_len" -> avgTokenLen(text, toks),
-        "stop_cnt" -> stopwordCount(toks, stopwords).cast("long"),
-        "subwords" -> subwordCountEstimate(toks)))
+        "n_tokens" -> st.getField("n_tokens").cast("long"),
+        "n_distinct" -> st.getField("n_distinct").cast("long"),
+        "avg_tok_len" ->
+          ((length(text) - st.getField("n_tokens") + lit(1)).cast("double") /
+            st.getField("n_tokens")),
+        "stop_cnt" -> st.getField("stop_cnt").cast("long"),
+        "subwords" -> st.getField("subwords")))
       .withColumns(Map(
         "quality" -> qualityScore(col("n_tokens"), col("n_distinct"), col("stop_cnt")),
         "lang_pred" -> langIdPredict(col("n_tokens"), col("stop_cnt"), langThreshold)))
-    staged.drop("__toks")
+      .drop("__tstats")
   }
 }
