@@ -39,7 +39,12 @@ case class MergeAttributesExpr(left: Expression, right: Expression)
       s"merge_attributes needs two map<string,string>, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
 
-  override def dataType: DataType = right.dataType
+  // values can come from EITHER side, so nullability is the union
+  override def dataType: DataType = (left.dataType, right.dataType) match {
+    case (MapType(_, _, ln), MapType(_, _, rn)) =>
+      MapType(StringType, StringType, ln || rn)
+    case _ => right.dataType
+  }
   override def prettyName: String = "merge_attributes"
 
   override def nullSafeEval(resource: Any, dp: Any): Any =
