@@ -65,8 +65,14 @@ object TextAnalysis {
     * for exact dedup at any scale. */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))
 
-  /** Normalization: trim + lowercase + collapse runs of whitespace. */
+  /** Normalization: trim + lowercase + collapse runs of whitespace. Native
+    * expression (per-document fingerprint path — regexp_replace pays a regex
+    * walk per row); pinned bit-identical by NormalizeTextExprSpec. */
   def normalize(text: Column): Column =
+    graft.functions.NormalizeTextExpr.normalize(text)
+
+  /** Readable HOF/regex reference shape of [[normalize]]. */
+  def normalizeHof(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** BPE-ish subword count estimate: whitespace tokens plus an extra unit per
