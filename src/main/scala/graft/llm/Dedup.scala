@@ -136,8 +136,17 @@ object Dedup {
   }
 
   /** LSH banding: b bands of r rows each (k = b*r); band key = hash of the
-    * band's signature slice. Docs sharing any band key are candidates. */
+    * band's signature slice. Docs sharing any band key are candidates.
+    * Native expression ([[graft.functions.BandKeysExpr]]) — the HOF shape
+    * below rendered every slice to a joined string per band per row;
+    * candidate-set equality on the fixture is pinned by BandKeysExprSpec. */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    graft.functions.BandKeysExpr.keys(sig, bands, rows)
+
+  /** Readable HOF reference shape of [[bandKeys]] (string-hash keys — key
+    * VALUES differ from the native form; the candidate SET is what both
+    * derive identically, modulo 2^-64 hash collisions). */
+  def bandKeysHof(sig: Column, bands: Int, rows: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
       b => struct(

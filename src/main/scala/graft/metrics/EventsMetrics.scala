@@ -68,14 +68,13 @@ object EventsMetrics {
     * not required (the hash is internal identity only); determinism is.
     */
   def seriesHash(metricName: Column, workspaceId: Column, attributes: Column): Column =
+    // the sorted-entry rendering is the native LabelsKeyExpr (bit-identical
+    // to the HOF shape — same hash values), so the per-datapoint hot path
+    // pays one compiled helper call instead of four interpreted ops
     xxhash64(
       metricName,
       workspaceId,
-      array_join(
-        array_sort(transform(
-          map_entries(attributes),
-          e => concat(e.getField("key"), lit("="), e.getField("value")))),
-        ","))
+      graft.functions.LabelsKeyExpr.labelsKey(attributes))
 
   def withSeriesHash(df: DataFrame): DataFrame =
     df.withColumn(
