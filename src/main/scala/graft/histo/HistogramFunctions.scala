@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Spark bindings for the pure histogram math in [[HistogramMath]].
   *
-  * Scalar entry points are registered as Spark UDFs over
-  * `array<struct<le:double,count:bigint>>` columns. The UDFs wrap pure
-  * functions (easy to promote to a Catalyst `Expression` with codegen if
-  * BENCH ever shows UDF overhead on the hot path; at 100 TB the quantile is
-  * evaluated once per *group*, post-aggregation, so the row volume through the
-  * UDF is tiny compared to the scan).
+  * The public column functions bind through native Catalyst expressions
+  * ([[graft.functions.HistogramExprs]]) per the build's preference order
+  * (built-ins > native Expression > UDF); the Scala-UDF bindings below are
+  * kept as the readable reference shapes, pinned output-identical by
+  * HistogramExprsSpec. At 100 TB the quantiles run once per *group*,
+  * post-aggregation, so the binding layer — not loop codegen — was the
+  * only cost at stake.
   *
   * Errors (p out of range, empty/zero histogram) surface as SQL NULL rather
   * than exceptions — the relational analog of the reference's `(0, error)`
@@ -31,7 +32,7 @@ object HistogramFunctions {
     }
 
   def histogram_quantile(buckets: Column, p: Column): Column =
-    histogramQuantileUdf(buckets, p)
+    graft.functions.HistogramExprs.histogram_quantile(buckets, p)
 
   /** Multiple percentiles in one pass; NULL on error. */
   val histogramQuantilesUdf =
@@ -40,19 +41,21 @@ object HistogramFunctions {
     }
 
   def histogram_quantiles(buckets: Column, ps: Column): Column =
-    histogramQuantilesUdf(buckets, ps)
+    graft.functions.HistogramExprs.histogram_quantiles(buckets, ps)
 
   /** Delta→cumulative prefix sum over one bucket vector. */
   val bucketsToCumulativeUdf =
     udf { (rows: Seq[Row]) => HistogramMath.deltaToCumulative(rowsToBuckets(rows)) }
 
-  def buckets_to_cumulative(buckets: Column): Column = bucketsToCumulativeUdf(buckets)
+  def buckets_to_cumulative(buckets: Column): Column =
+    graft.functions.HistogramExprs.buckets_to_cumulative(buckets)
 
   /** Cumulative→delta adjacent difference over one bucket vector. */
   val bucketsToDeltaUdf =
     udf { (rows: Seq[Row]) => HistogramMath.cumulativeToDelta(rowsToBuckets(rows)) }
 
-  def buckets_to_delta(buckets: Column): Column = bucketsToDeltaUdf(buckets)
+  def buckets_to_delta(buckets: Column): Column =
+    graft.functions.HistogramExprs.buckets_to_delta(buckets)
 
   /** exp_histogram_quantile(scale, zero_count, pos, neg, p) → value or NULL. */
   val expQuantileUdf =
@@ -65,7 +68,7 @@ object HistogramFunctions {
 
   def exp_histogram_quantile(scale: Column, zeroCount: Column, pos: Column,
       neg: Column, p: Column): Column =
-    expQuantileUdf(scale, zeroCount, pos, neg, p)
+    graft.functions.HistogramExprs.exp_histogram_quantile(scale, zeroCount, pos, neg, p)
 
   /** Bucket merge as pure built-ins — the scale path. `explode` + `groupBy(le)`
     * + `sum(count)` is Catalyst-planned (partial aggregation map-side, codegen)
