@@ -20,11 +20,15 @@ object Scratch {
         .queryExecution.executedPlan.toString
       val pushed = plan.linesIterator
         .filter(_.contains("PushedFilters: [")).map(_.trim.take(160)).toSeq
-      // codegen'd operators print with a "*(n)" stage prefix in executedPlan
-      val codegen = plan.linesIterator.count(_.trim.matches(".*\\*\\(\\d+\\).*"))
+      // operators inside codegen stages print with a "*(n)" prefix; count
+      // operators (codegenOps) and distinct stage ids (codegenSpans) apart
+      val stageIds = plan.linesIterator.flatMap(l =>
+        "\\*\\((\\d+)\\)".r.findAllMatchIn(l).map(_.group(1))).toSet
+      val codegenOps = plan.linesIterator.count(_.trim.matches(".*\\*\\(\\d+\\).*"))
       val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
       val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
-      println(s"[scratch] $name: codegenSpans=$codegen bhj=$bhj smj=$smj")
+      println(s"[scratch] $name: codegenSpans=${stageIds.size} " +
+        s"codegenOps=$codegenOps bhj=$bhj smj=$smj")
       pushed.filterNot(_.contains("PushedFilters: []")).take(3)
         .foreach(p => println(s"[scratch]   $p"))
     }

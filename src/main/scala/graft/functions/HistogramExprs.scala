@@ -110,6 +110,9 @@ object HistogramExprs {
     override def prettyName: String = "histogram_quantiles"
     override def nullSafeEval(b: Any, ps: Any): Any = {
       val arr = ps.asInstanceOf[ArrayData]
+      // a null percentile entry is an error, like any out-of-range p — NULL
+      // result, never a silent 0.0 read off the unsafe array
+      if ((0 until arr.numElements()).exists(arr.isNullAt)) return null
       val psSeq = (0 until arr.numElements()).map(arr.getDouble(_))
       HistogramMath.percentiles(toBuckets(b.asInstanceOf[ArrayData]), psSeq)
         .toOption.map(vs => new GenericArrayData(vs.toArray[Any])).orNull

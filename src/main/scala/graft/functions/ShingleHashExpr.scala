@@ -52,7 +52,10 @@ case class ShingleHashExpr(child: Expression, n: Int)
     val th = new Array[Long](s)
     var i = 0
     while (i < s) {
-      th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      // xxhash64 of a null operand folds to the seed — mirror it for null
+      // elements instead of NPE-ing on getUTF8String
+      th(i) = if (arr.isNullAt(i)) Seed
+        else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
       i += 1
     }
     val len = math.max(s - (n - 1), 0)
@@ -85,7 +88,8 @@ case class ShingleHashExpr(child: Expression, n: Int)
          |int $s = $arr.numElements();
          |long[] $th = new long[$s];
          |for (int $i = 0; $i < $s; $i++) {
-         |  $th[$i] = $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
+         |  $th[$i] = $arr.isNullAt($i) ? ${Seed}L
+         |    : $xxh.hashUTF8String($arr.getUTF8String($i), ${Seed}L);
          |}
          |int $len = $s - ${n - 1}; if ($len < 0) $len = 0;
          |long[] $out = new long[$len];

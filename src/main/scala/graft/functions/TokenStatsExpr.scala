@@ -67,23 +67,36 @@ case class TokenStatsExpr(child: Expression, stopwords: Seq[String])
 
 object TokenStatsExpr {
 
-  /** Shared by eval and generated code. */
+  /** Shared by eval and generated code.
+    *
+    * Null elements mirror the HOF shapes exactly: `size` counts them
+    * (n_tokens), `array_distinct` keeps null as one distinct value
+    * (n_distinct), `filter(isin(...))` drops them (stop_cnt), and the
+    * subword fold's `greatest(1L, ceil(length(null)/4))` skips the null
+    * operand and contributes 1. */
   def compute(toks: ArrayData, stopSet: java.util.HashSet[UTF8String]): InternalRow = {
     val n = toks.numElements()
     val seen = new java.util.HashSet[UTF8String](n * 2)
+    var sawNull = false
     var stop = 0
     var subwords = 0L
     var i = 0
     while (i < n) {
-      val t = toks.getUTF8String(i)
-      seen.add(t)
-      if (stopSet.contains(t)) stop += 1
-      val chars = t.numChars()
-      val units = (chars + 3) / 4 // = ceil(chars/4) for non-negative chars
-      subwords += (if (units < 1) 1L else units.toLong)
+      if (toks.isNullAt(i)) {
+        sawNull = true
+        subwords += 1L
+      } else {
+        val t = toks.getUTF8String(i)
+        seen.add(t)
+        if (stopSet.contains(t)) stop += 1
+        val chars = t.numChars()
+        val units = (chars + 3) / 4 // = ceil(chars/4) for non-negative chars
+        subwords += (if (units < 1) 1L else units.toLong)
+      }
       i += 1
     }
-    new GenericInternalRow(Array[Any](n, seen.size(), stop, subwords))
+    val distinct = seen.size() + (if (sawNull) 1 else 0)
+    new GenericInternalRow(Array[Any](n, distinct, stop, subwords))
   }
 
   def stats(tokens: Column, stopwords: Seq[String]): Column =

@@ -38,4 +38,24 @@ class ShingleHashExprSpec extends SparkSpec {
     assert(rows(0).getSeq[Long](2).isEmpty)   // 2 tokens < n=3
     assert(rows(1).getSeq[Long](2).isEmpty)
   }
+
+  test("null token elements hash like xxhash64(null) — the seed passes through") {
+    // the HOF twin folds a null operand to the seed; the native loop must
+    // match instead of NPE-ing on getUTF8String (tokenizers never emit null,
+    // but the type check admits containsNull arrays)
+    val withNull = array(lit("alpha"), lit(null).cast("string"), lit("beta"))
+    val th = transform(withNull, t => xxhash64(t))
+    val w2Hof = zip_with( // the shifted-slice window chain for n = 2
+      slice(th, lit(1), greatest(size(th) - 1, lit(0))),
+      slice(th, lit(2), greatest(size(th) - 1, lit(0))),
+      (a, b) => xxhash64(a, b))
+    val rows = spark.range(1).select(
+        ShingleHashExpr.tokenHashes(withNull).as("native"),
+        th.as("hof"),
+        ShingleHashExpr.windows(withNull, 2).as("w2_native"),
+        w2Hof.as("w2_hof"))
+      .collect()(0)
+    assert(rows.getSeq[Long](0) === rows.getSeq[Long](1))
+    assert(rows.getSeq[Long](2) === rows.getSeq[Long](3))
+  }
 }

@@ -43,4 +43,25 @@ class TokenStatsExprSpec extends SparkSpec {
     val subw = r.getStruct(2)
     assert(subw.getLong(3) === 3L) // ceil(8/4) + ceil(2/4)->1
   }
+
+  test("null token elements mirror the HOF shapes") {
+    // tokenizers never emit nulls, but the type check admits containsNull
+    // arrays — pin the native struct to the HOF results on one
+    val toks = array(lit("the"), lit(null).cast("string"),
+      lit("abcdefgh"), lit(null).cast("string"), lit("the"))
+    val r = spark.range(1).select(
+        TokenStatsExpr.stats(toks, Stop).as("st"),
+        TextAnalysis.tokenCount(toks).as("h_n"),
+        TextAnalysis.distinctTokenCount(toks).as("h_d"),
+        TextAnalysis.stopwordCount(toks, Stop).as("h_s"),
+        TextAnalysis.subwordCountEstimate(toks).as("h_w"))
+      .collect()(0)
+    val st = r.getStruct(0)
+    assert(st.getInt(0) === r.getInt(1))   // size counts nulls: 5
+    assert(st.getInt(1) === r.getInt(2))   // distinct keeps one null: 3
+    assert(st.getInt(2) === r.getInt(3))   // isin(null) filtered out: 2
+    assert(st.getLong(3) === r.getLong(4)) // greatest skips null: 1+1+2+1+1 = 6
+    assert(st.getInt(0) === 5 && st.getInt(1) === 3 &&
+      st.getInt(2) === 2 && st.getLong(3) === 6L)
+  }
 }
