@@ -32,7 +32,29 @@ object Scratch {
       pushed.filterNot(_.contains("PushedFilters: []")).take(3)
         .foreach(p => println(s"[scratch]   $p"))
     }
-    if (args.headOption.contains("fscalars_ab")) {
+    if (args.headOption.contains("s3_ab")) {
+      // decompose q_s3_per_type: wire fixture stages vs conversion vs stats
+      import org.apache.spark.sql.DataFrame
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      val qs = graft.queries.IngestQueries
+      val wireFull = qs.getClass.getDeclaredMethods
+        .find(_.getName == "wire").get
+      wireFull.setAccessible(true)
+      def wire = wireFull.invoke(qs, spark, d).asInstanceOf[DataFrame]
+      for (_ <- 1 to 2) {
+        time("wire_all")(noop(wire))
+        time("wire_no_exemplars")(noop(wire.drop("exemplars")))
+        time("wire_exemplars_only")(noop(wire.select("event_id", "exemplars")))
+        time("converted")(noop(graft.ingest.OtlpFlatten.convertDatapoints(wire)))
+        time("q_s3_full")(noop(graft.SparkEntry.queries("q_s3_per_type")(spark, d)))
+        val q = graft.SparkEntry.queries("q_s3_per_type")(spark, d)
+        time("q_s3_no_sort")(noop(q.limit(200000)))
+        time("q_s3_no_buckets")(noop(q.drop("n_buckets", "bucket_total", "last_le_is_inf")))
+        time("q_s3_no_labels")(noop(q.drop("labels")))
+        time("q_s3_no_nex")(noop(q.drop("n_exemplars")))
+      }
+    } else if (args.headOption.contains("fscalars_ab")) {
       // decompose q_f_scalars: regex extraction vs substring arithmetic
       val ev = graft.metrics.EventsMetrics.fromEvents(spark, d)
       def noop(dfb: org.apache.spark.sql.DataFrame): Unit =
