@@ -32,7 +32,29 @@ object Scratch {
       pushed.filterNot(_.contains("PushedFilters: []")).take(3)
         .foreach(p => println(s"[scratch]   $p"))
     }
-    if (args.headOption.contains("s3_ab")) {
+    if (args.headOption.contains("st8_ab")) {
+      import graft.sink.{MetricsSink, RollupMaintenance}
+      import graft.metrics.{EventsMetrics, Rollup}
+      val NowMs = graft.queries.OracleDefs.NowMs
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_st8_ab"
+      val keys = Seq(col("workspace_id"), col("metric"))
+      for (_ <- 1 to 2) {
+        time("raw_write")(MetricsSink.write(EventsMetrics.fromEvents(spark, d),
+          base, MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite"))
+        time("refresh_1m")(RollupMaintenance.refreshTier(spark, base,
+          MetricsSink.Raw, MetricsSink.M1, col("ts_ms"), NowMs, keys)(
+          df => Rollup.rollup1m(df, keys, col("ts_ms"), col("value"), col("event_id"))))
+        time("refresh_5m")(RollupMaintenance.refreshTier(spark, base,
+          MetricsSink.M1, MetricsSink.M5, col("bucket_ms"), NowMs, keys)(
+          df => Rollup.rollup5m(df, keys)))
+        time("refresh_1h")(RollupMaintenance.refreshTier(spark, base,
+          MetricsSink.M5, MetricsSink.H1, col("bucket_ms"), NowMs, keys)(
+          df => Rollup.rollup1h(df, keys)))
+        time("readback")(MetricsSink.read(spark, base, MetricsSink.H1)
+          .filter(col("bucket_ms") >= NowMs - RollupMaintenance.freshnessMs("metrics_1m"))
+          .write.mode("overwrite").format("noop").save())
+      }
+    } else if (args.headOption.contains("s3_ab")) {
       // decompose q_s3_per_type: wire fixture stages vs conversion vs stats
       import org.apache.spark.sql.DataFrame
       def noop(dfb: DataFrame): Unit =

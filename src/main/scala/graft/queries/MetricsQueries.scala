@@ -29,29 +29,32 @@ object MetricsQueries {
     // A4 — cumulative→delta with counter-reset rule (temporality.go:43-113);
     // semantics pinned by the reference's own test sequences
     // (temporality_test.go:20-95): first point raw, reset → raw, else v−prev.
-    "q_a4_cum_to_delta" -> ((s, d) => {
-      Temporality.toDelta(EventsMetrics.fromEvents(s, d), seriesCols, orderCols)
-        .select(col("event_id"), round(col("delta"), 2).as("delta"))
-        .orderBy(col("event_id"))
-    }),
+    // Series-major output order (= the window's own sort), so the one range
+    // shuffle on the series key serves both the window clustering and the
+    // dump order — no second exchange, no sampling re-execution.
+    "q_a4_cum_to_delta" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      EventsMetrics.fromEvents(s, d), seriesCols, seriesCols ++ orderCols) { b =>
+      Temporality.toDelta(b, seriesCols, orderCols)
+    }.select(col("event_id"), round(col("delta"), 2).as("delta"))),
 
     // A5 — counter-reset detection counts per series (temporality.go:142-179)
-    "q_a5_reset_count" -> ((s, d) => {
-      Temporality.toDelta(EventsMetrics.fromEvents(s, d), seriesCols, orderCols)
+    "q_a5_reset_count" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      EventsMetrics.fromEvents(s, d), seriesCols) { b =>
+      // window AND the per-series count both cluster on the series key, so
+      // the single range exchange feeds window → agg → ordered dump
+      Temporality.toDelta(b, seriesCols, orderCols)
         .groupBy(col("workspace_id"), col("metric"), col("user_id"))
         .agg(sum(when(col("is_reset"), 1L).otherwise(0L)).as("resets"),
           count(lit(1)).as("points"))
-        .orderBy(col("workspace_id"), col("metric"), col("user_id"))
     }),
 
     // A6/W2 — delta→cumulative running reconstruction (temporality.go:181-236),
     // keyed per series (diverging from the reference's shared-accumulator bug
     // at handler.go:184-197 — documented in Temporality.toCumulative).
-    "q_a6_delta_to_cum" -> ((s, d) => {
-      Temporality.toCumulative(EventsMetrics.fromEvents(s, d), seriesCols, orderCols)
-        .select(col("event_id"), round(col("cum_value"), 2).as("cum_value"))
-        .orderBy(col("event_id"))
-    }),
+    "q_a6_delta_to_cum" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      EventsMetrics.fromEvents(s, d), seriesCols, seriesCols ++ orderCols) { b =>
+      Temporality.toCumulative(b, seriesCols, orderCols)
+    }.select(col("event_id"), round(col("cum_value"), 2).as("cum_value"))),
 
     // A4 histogram arm — cumulative→delta for count/sum/buckets per series
     // (temporality.go:87-94 guarded subtraction + :115-140 bucket alignment):
@@ -59,9 +62,10 @@ object MetricsQueries {
     // decreased) passes the raw snapshot through; buckets delta at matching
     // bounds. The fixture's pmod sequences hit every arm: first point, reset,
     // prev=0 passthrough, and the normal subtraction.
-    "q_a4_hist_deltas" -> ((s, d) => {
+    "q_a4_hist_deltas" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      EventsMetrics.fromEvents(s, d), seriesCols, seriesCols ++ orderCols) { b =>
       val w = Temporality.seriesWindow(seriesCols, orderCols)
-      val snap = EventsMetrics.fromEvents(s, d).select(
+      val snap = b.select(
         col("workspace_id"), col("metric"), col("user_id"),
         col("ts_ms"), col("event_id"),
         pmod(col("event_id"), lit(97L)).as("ccount"),
@@ -75,6 +79,7 @@ object MetricsQueries {
       val prevBuckets = lag(col("cbuckets"), 1).over(w)
       val reset = coalesce(Temporality.resetFlag(col("ccount"), w), lit(false))
       snap.select(
+          col("workspace_id"), col("metric"), col("user_id"), col("ts_ms"),
           col("event_id"),
           reset.as("is_reset"),
           Temporality.deltaGuarded(col("ccount"), prevCount, reset)
@@ -85,19 +90,19 @@ object MetricsQueries {
             Temporality.deltaBuckets(col("cbuckets"), prevBuckets, reset),
             lit(0L), (acc, b) => acc + b.getField("count"))
             .as("bucket_delta_total"))
-        .orderBy(col("event_id"))
-    }),
+    }.select(col("event_id"), col("is_reset"), col("count_delta"),
+      col("sum_delta"), col("bucket_delta_total"))),
 
     // J1/W1 — series-state lookup: previous point per series via lag
     // (temporality.go:11-23,51-61 as-of self-join semantics)
-    "q_j1_lag_lookup" -> ((s, d) => {
+    "q_j1_lag_lookup" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      EventsMetrics.fromEvents(s, d), seriesCols, seriesCols ++ orderCols) { b =>
       val w = Temporality.seriesWindow(seriesCols, orderCols)
-      EventsMetrics.fromEvents(s, d)
-        .select(col("event_id"),
-          coalesce(lag(col("value"), 1).over(w), lit(-1.0)).as("prev_value"),
-          coalesce(col("ts_ms") - lag(col("ts_ms"), 1).over(w), lit(-1L)).as("gap_ms"))
-        .orderBy(col("event_id"))
-    }),
+      b.select(col("workspace_id"), col("metric"), col("user_id"), col("ts_ms"),
+        col("event_id"),
+        coalesce(lag(col("value"), 1).over(w), lit(-1.0)).as("prev_value"),
+        coalesce(col("ts_ms") - lag(col("ts_ms"), 1).over(w), lit(-1L)).as("gap_ms"))
+    }.select(col("event_id"), col("prev_value"), col("gap_ms"))),
 
     // A1/W3/ST4 — 1m rollup (schema.sql:146-192): min/max/avg/anyLast/sum/count
     "q_a1_rollup_1m" -> ((s, d) => {
@@ -343,12 +348,13 @@ object MetricsQueries {
 
   def oracles: Map[String, String] = Map(
     "q_a4_cum_to_delta" -> s"""$EvtCte,
-      |x AS (SELECT event_id, value, lag(value) OVER ($SeriesPart) AS prev FROM evt)
+      |x AS (SELECT workspace_id, metric, user_id, ts_ms, event_id, value,
+      |             lag(value) OVER ($SeriesPart) AS prev FROM evt)
       |SELECT event_id,
       |       round(CASE WHEN prev IS NULL THEN value
       |                  WHEN value < prev THEN value
       |                  ELSE value - prev END, 2) AS delta
-      |FROM x ORDER BY event_id""".stripMargin,
+      |FROM x ORDER BY workspace_id, metric, user_id, ts_ms, event_id""".stripMargin,
 
     "q_a5_reset_count" -> s"""$EvtCte,
       |x AS (SELECT workspace_id, metric, user_id, value,
@@ -362,10 +368,10 @@ object MetricsQueries {
       |SELECT event_id,
       |       round(sum(value) OVER ($SeriesPart
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
-      |FROM evt ORDER BY event_id""".stripMargin,
+      |FROM evt ORDER BY workspace_id, metric, user_id, ts_ms, event_id""".stripMargin,
 
     "q_a4_hist_deltas" -> s"""$EvtCte,
-      |x AS (SELECT event_id,
+      |x AS (SELECT workspace_id, metric, user_id, ts_ms, event_id,
       |             event_id % 97 AS ccount, round(value * 10, 2) AS csum,
       |             lag(event_id % 97) OVER ($SeriesPart) AS pcount,
       |             lag(round(value * 10, 2)) OVER ($SeriesPart) AS psum,
@@ -383,13 +389,13 @@ object MetricsQueries {
       |                 THEN (event_id % 13) + (event_id % 29)
       |                 ELSE (event_id % 13 - pev % 13) + (event_id % 29 - pev % 29)
       |            END AS BIGINT) AS bucket_delta_total
-      |FROM x ORDER BY event_id""".stripMargin,
+      |FROM x ORDER BY workspace_id, metric, user_id, ts_ms, event_id""".stripMargin,
 
     "q_j1_lag_lookup" -> s"""$EvtCte
       |SELECT event_id,
       |       coalesce(lag(value) OVER ($SeriesPart), -1.0) AS prev_value,
       |       coalesce(ts_ms - lag(ts_ms) OVER ($SeriesPart), -1) AS gap_ms
-      |FROM evt ORDER BY event_id""".stripMargin,
+      |FROM evt ORDER BY workspace_id, metric, user_id, ts_ms, event_id""".stripMargin,
 
     "q_a1_rollup_1m" -> s"""$EvtCte
       |SELECT workspace_id, metric,

@@ -28,5 +28,17 @@ object RangeSort {
 
   def projectSorted(base: DataFrame, keys: Seq[Column])
       (heavy: DataFrame => DataFrame): DataFrame =
-    heavy(base.repartitionByRange(keys: _*)).sortWithinPartitions(keys: _*)
+    projectSorted(base, keys, keys)(heavy)
+
+  /** Variant with `partKeys` a strict PREFIX of `sortKeys` — the shape for
+    * window/aggregate pipelines: range-partition by the series/group keys
+    * only (the clustering the window or aggregation needs, so EnsureRequirements
+    * inserts no further exchange), compute, then sort within partitions by the
+    * full output order. Range partition on the prefix + within-partition sort
+    * on the whole key list is still a total order. When `heavy` ends in a
+    * window sorted on exactly `sortKeys`, the final sort is elided outright —
+    * the plan has ONE exchange and zero redundant passes. */
+  def projectSorted(base: DataFrame, partKeys: Seq[Column], sortKeys: Seq[Column])
+      (heavy: DataFrame => DataFrame): DataFrame =
+    heavy(base.repartitionByRange(partKeys: _*)).sortWithinPartitions(sortKeys: _*)
 }

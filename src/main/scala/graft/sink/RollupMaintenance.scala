@@ -76,8 +76,14 @@ object RollupMaintenance {
     // does not read from the directories it is replacing.
     val targetDir = new Path(s"$baseDir/${target.name}")
     val fs = targetDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one fs.exists on the single edge partition directory beats scheduling a
+    // scan job that would list-and-prune its way to zero files — on a cold
+    // object store that is a whole round of task launches saved per refresh
+    val edgeDir = new Path(targetDir,
+      s"${MetricsSink.PartitionCol}=${MetricsSink.fmt(target, startMs)}")
     val keep =
-      if (!fs.exists(targetDir) || partitionAligned(target, startMs)) None
+      if (!fs.exists(targetDir) || partitionAligned(target, startMs) ||
+        !fs.exists(edgeDir)) None
       else Some(MetricsSink.read(spark, baseDir, target)
         .filter(col(MetricsSink.PartitionCol) === MetricsSink.fmt(target, startMs))
         .filter(col("bucket_ms") < startMs)
