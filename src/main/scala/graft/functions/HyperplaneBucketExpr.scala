@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class HyperplaneBucketExpr(child: Expression, nBits: Int)
     extends UnaryExpression {
 
-  require(nBits > 0 && nBits <= 64, "nBits must be in [1, 64]")
+  // nBits = 0 is the degenerate single-bucket config (constant 0): LSH-top-k
+  // then equals brute force exactly, which gives the bucket-join plumbing an
+  // oracle-checkable path independent of float-sign sensitivity
+  require(nBits >= 0 && nBits <= 64, "nBits must be in [0, 64]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

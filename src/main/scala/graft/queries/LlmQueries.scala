@@ -130,6 +130,18 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // LSH with nBits = 0: one bucket holds everything, so the bucketed join +
+    // re-rank must reproduce brute-force top-k exactly regardless of float
+    // sign sensitivity — a full hash-match oracle row for the LSH plumbing
+    // (the 12-bit variant above keeps the honest recall<1 behavior).
+    "q_ann_lsh_all" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, nBits = 0)
+        .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
     // IVF ANN: deterministic coarse quantizer (corpus stride as centroids),
     // nprobe=3 cells per probe, exact re-rank. Cell assignment is
     // float-argmax-sensitive → rows-only; equivalence to brute force when
@@ -242,6 +254,19 @@ object LlmQueries {
         |              x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS subwords
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // identical SQL to q_ann_topk: a single LSH bucket IS brute force
+    "q_ann_lsh_all" ->
+      """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT pid, nid, list_cosine_similarity(pv, nv) AS score
+        |      FROM p CROSS JOIN c WHERE nid <> pid),
+        |r AS (SELECT pid, nid, score,
+        |             row_number() OVER (PARTITION BY pid ORDER BY score DESC, nid) AS rank
+        |      FROM s)
+        |SELECT pid, nid, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
 
     // identical SQL to q_ann_topk: probing all cells IS brute force
     "q_ann_ivf_all" ->
