@@ -30,9 +30,12 @@ case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
   require(bands > 0 && rows > 0, "bands and rows must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull rejected: signatures come from MinHashSignatureExpr
+    // (containsNull = false); getLong on a null slot reads garbage silently
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"band_keys needs array<bigint>, got ${other.simpleString}")
+      s"band_keys needs array<bigint> without null elements, " +
+        s"got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(

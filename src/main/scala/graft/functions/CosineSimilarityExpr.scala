@@ -41,6 +41,10 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val n = va.numElements()
       var i = 0
       while (i < n) {
+        // a null element poisons the HOF fold to NULL — mirror it rather
+        // than reading garbage off the unsafe array (embeddings decode from
+        // parquet lists, which type as containsNull = true)
+        if (va.isNullAt(i) || vb.isNullAt(i)) return null
         val x = va.getDouble(i)
         val y = vb.getDouble(i)
         dot += x * y
@@ -66,11 +70,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $va.numElements(); $i++) {
+         |    if ($va.isNullAt($i) || $vb.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = $va.getDouble($i);
          |    double $y = $vb.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -38,6 +38,10 @@ case class HyperplaneBucketExpr(child: Expression, nBits: Int)
     val n = arr.numElements()
     var d = 0
     while (d < n) {
+      // a null element nulls every plane's fold in the HOF shape, so every
+      // `proj >= 0` is null and every bit falls to the otherwise(0) arm —
+      // bucket 0. Mirror that instead of reading garbage.
+      if (arr.isNullAt(d)) return 0L
       val x = arr.getDouble(d)
       var j = 0
       while (j < nBits) {
@@ -64,15 +68,19 @@ case class HyperplaneBucketExpr(child: Expression, nBits: Int)
       val out = ctx.freshName("out")
       s"""
          |double[] $proj = new double[$nBits];
+         |boolean ${out}_nulled = false;
          |for (int $d = 0; $d < $arr.numElements(); $d++) {
+         |  if ($arr.isNullAt($d)) { ${out}_nulled = true; break; }
          |  double $x = $arr.getDouble($d);
          |  for (int $j = 0; $j < $nBits; $j++) {
          |    $proj[$j] += $x * java.lang.Math.sin((double) ($j * 997 + $d));
          |  }
          |}
          |long $out = 0L;
-         |for (int $j = 0; $j < $nBits; $j++) {
-         |  if ($proj[$j] >= 0) $out |= (1L << $j);
+         |if (!${out}_nulled) {
+         |  for (int $j = 0; $j < $nBits; $j++) {
+         |    if ($proj[$j] >= 0) $out |= (1L << $j);
+         |  }
          |}
          |${ev.value} = $out;
        """.stripMargin

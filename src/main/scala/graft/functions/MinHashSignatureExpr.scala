@@ -34,9 +34,13 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
   require(k > 0, "k must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull rejected: inputs are always hash arrays from
+    // ShingleHashExpr (containsNull = false), and getLong on a null slot
+    // would silently read garbage instead of failing
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"min_hash_signature needs array<bigint>, got ${other.simpleString}")
+      s"min_hash_signature needs array<bigint> without null elements, " +
+        s"got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "min_hash_signature"

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull rejected: token hashes come from ShingleHashExpr
+    // (containsNull = false); getLong on a null slot reads garbage silently
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"sim_hash64 needs array<bigint> token hashes, got ${other.simpleString}")
+      s"sim_hash64 needs array<bigint> token hashes without null elements, " +
+        s"got ${other.simpleString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "sim_hash64"

@@ -34,4 +34,14 @@ class CosineSimilarityExprSpec extends SparkSpec {
     assert(df(0).getDouble(0) === 1.0)
     assert(df(1).isNullAt(0))
   }
+
+  test("a null element poisons the score to NULL, like the HOF fold") {
+    val a = array(lit(1.0), lit(null).cast("double"), lit(3.0))
+    val b = array(lit(1.0), lit(2.0), lit(3.0))
+    val r = spark.range(1).select(
+        CosineSimilarityExpr.cosine(a, b).as("native"),
+        Similarity.cosineHof(a, b).as("hof"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }

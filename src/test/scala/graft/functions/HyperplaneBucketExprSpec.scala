@@ -30,4 +30,14 @@ class HyperplaneBucketExprSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(out === 0xFL) // proj 0.0 >= 0 for all 4 planes
   }
+
+  test("a null element nulls every plane's fold — bucket 0, like the HOF") {
+    val v = array(lit(1.0), lit(null).cast("double"))
+    val r = spark.range(1).select(
+        HyperplaneBucketExpr.bucket(v, 4).as("native"),
+        Similarity.lshBucketHof(v, 4).as("hof"))
+      .collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 0L)
+  }
 }
