@@ -100,13 +100,15 @@ object LlmQueries {
     // restates exactly; runs at scan speed (no shuffle, no UDF). Tokenizes
     // ONCE via the staged projection (r3 verdict: the per-stat re-split cost
     // ~12 evaluations of split() per row).
-    "q_text_stats" -> ((s, d) => {
-      TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
+    // RangeSort: the stats battery runs once post-shuffle instead of twice
+    // (a plain orderBy's boundary sampling re-executes it)
+    "q_text_stats" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      Tables.documents(s, d), Seq(col("doc_id"))) { b =>
+      TextAnalysis.withStats(b, col("text"), Stopwords)
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("avg_tok_len"), 6).as("avg_tok_len"),
           col("stop_cnt"), round(col("quality"), 6).as("quality"),
           col("lang_pred"), col("subwords"))
-        .orderBy(col("doc_id"))
     }),
 
     // Brute-force cosine top-k: 1-in-100 probes broadcast against the corpus,
