@@ -13,8 +13,9 @@ object Bench {
     // a throwaway 100-row file. Without this the first benchmarked query
     // absorbs ~2 s of one-time datasource setup.
     spark.read.parquet(s"$sfDir/region.parquet").collect()
-    spark.range(100)
-      .write.mode("overwrite")
+    spark.range(100).toDF("id")
+      .withColumn("p", org.apache.spark.sql.functions.expr("id % 2"))
+      .write.mode("overwrite").partitionBy("p")
       .parquet(s"${System.getProperty("java.io.tmpdir")}/graft_bench_warm")
 
     val results = SparkEntry.queries.map { case (name, fn) =>
