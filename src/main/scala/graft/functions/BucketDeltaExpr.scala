@@ -62,24 +62,42 @@ case class BucketDeltaExpr(left: Expression, right: Expression)
 
 object BucketDeltaExpr {
 
-  /** Shared by eval and generated code. */
+  /** Shared by eval and generated code.
+    *
+    * Null handling mirrors the HOF shape (never seen on the ingest path, but
+    * the type check admits nullable elements/fields): a null CURRENT element
+    * or null le/count projects through as nulls (`getField` on null → null,
+    * null arithmetic → null); a null PREV element or null prev-le matches
+    * nothing (`===` on null filters out); a matched prev with null count
+    * coalesces to 0. */
   def compute(buckets: ArrayData, prev: ArrayData): GenericArrayData = {
     val n = buckets.numElements()
     val m = prev.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val b = buckets.getStruct(i, 2)
-      val le = b.getDouble(0)
-      var pc = 0L
-      var j = 0
-      while (j < m) {
-        val p = prev.getStruct(j, 2)
-        if (p.getDouble(0) == le) pc = p.getLong(1) // last-wins on dup bounds
-        j += 1
+      if (buckets.isNullAt(i)) {
+        out(i) = new GenericInternalRow(Array[Any](null, null)): InternalRow
+      } else {
+        val b = buckets.getStruct(i, 2)
+        val leNull = b.isNullAt(0)
+        val le = if (leNull) 0.0 else b.getDouble(0)
+        var pc = 0L
+        if (!leNull) {
+          var j = 0
+          while (j < m) {
+            if (!prev.isNullAt(j)) {
+              val p = prev.getStruct(j, 2)
+              if (!p.isNullAt(0) && p.getDouble(0) == le) // last-wins on dups
+                pc = if (p.isNullAt(1)) 0L else p.getLong(1)
+            }
+            j += 1
+          }
+        }
+        val cnt: Any = if (b.isNullAt(1)) null else b.getLong(1) - pc
+        out(i) = new GenericInternalRow(
+          Array[Any](if (leNull) null else le, cnt)): InternalRow
       }
-      out(i) = new GenericInternalRow(
-        Array[Any](le, b.getLong(1) - pc): Array[Any]): InternalRow
       i += 1
     }
     new GenericArrayData(out)

@@ -53,4 +53,29 @@ class BucketDeltaExprSpec extends SparkSpec {
     assert(d(1).getDouble(0) === 2.0 && d(1).getLong(1) === 7L) // absent → raw
     assert(r.getSeq[org.apache.spark.sql.Row](2) === r.getSeq[org.apache.spark.sql.Row](3))
   }
+
+  test("null elements and null fields mirror the HOF shape") {
+    // null current element → struct(null, null); null prev element / null
+    // prev le matches nothing; matched prev with null count coalesces to 0;
+    // null current count → null delta
+    val buckets = expr(
+      """array(struct(1.0d as le, 10L as count),
+        |      cast(null as struct<le:double,count:bigint>),
+        |      struct(cast(null as double) as le, 5L as count),
+        |      struct(3.0d as le, cast(null as bigint) as count))""".stripMargin)
+    val prev = expr(
+      """array(struct(1.0d as le, cast(null as bigint) as count),
+        |      cast(null as struct<le:double,count:bigint>),
+        |      struct(cast(null as double) as le, 9L as count))""".stripMargin)
+    val r = spark.range(1).select(
+        Temporality.deltaBuckets(buckets, prev, lit(false)).as("d"),
+        Temporality.deltaBucketsHof(buckets, prev, lit(false)).as("h"))
+      .collect()(0)
+    val d = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(d === r.getSeq[org.apache.spark.sql.Row](1))
+    assert(d(0).getDouble(0) === 1.0 && d(0).getLong(1) === 10L) // null pc → 0
+    assert(d(1).isNullAt(0) && d(1).isNullAt(1))
+    assert(d(2).isNullAt(0) && d(2).getLong(1) === 5L)
+    assert(d(3).getDouble(0) === 3.0 && d(3).isNullAt(1))
+  }
 }
