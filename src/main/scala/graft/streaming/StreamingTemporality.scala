@@ -188,6 +188,39 @@ object StreamingTemporality extends Serializable {
         col("value_min"), col("value_max"), col("value_avg"),
         col("value_last"), col("value_sum"), col("samples_count"))
 
+  /** ST4 full-width — streaming twin of [[graft.metrics.Rollup.rollup1mFull]]
+    * over the streamed ingest schema: scalar stats plus sum(count)/sum(sum),
+    * the per-minute bucket concatenation (`flatten(collect_list)` — ClickHouse
+    * `groupArray`, schema.sql:163-171), and `any(attributes)`. The
+    * exp-histogram columns of the batch MV are absent here BY the reference's
+    * own semantics: ingest never copies exp payloads into the point stream
+    * (otlp.go:234-258), so a streamed point cannot carry them.
+    * Pinned batch ≡ streaming (shared fixture, bucket arrays compared sorted
+    * — collect order is row-arrival-dependent in both engines) by
+    * StreamingTemporalitySpec. */
+  def rollup1mFull(points: DataFrame, tsCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    points
+      .withWatermark(tsCol, lateness)
+      .groupBy(
+        window(col(tsCol), "1 minute").as("w"),
+        col("workspaceId"), col("metric"), col("series_hash"))
+      .agg(
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        avg(col("value")).as("value_avg"),
+        max_by(col("value"), col(tsCol)).as("value_last"),
+        sum(col("count")).as("count"),
+        sum(col("sum")).as("sum"),
+        flatten(collect_list(col("buckets"))).as("buckets"),
+        any_value(col("attributes"), lit(true)).as("attributes"),
+        count(lit(1)).as("samples_count"))
+      .select(unix_millis(col("w.start")).as("bucket_ms"),
+        col("workspaceId"), col("metric"), col("series_hash"),
+        col("value_min"), col("value_max"), col("value_avg"), col("value_last"),
+        col("count"), col("sum"), col("buckets"), col("attributes"),
+        col("samples_count"))
+
   /** ST1 + ST6 + S7 — wire a converted stream into a parquet sink with a
     * processing-time trigger and checkpoint: the flush loop of
     * processor.go:81-87 (ticker + batch-size) maps to micro-batch triggers;

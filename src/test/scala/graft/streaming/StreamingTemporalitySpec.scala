@@ -212,6 +212,60 @@ class StreamingTemporalitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST4 full-width: streaming rollup1mFull == batch rollup1mFull") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def hp(series: Long, tsMs: Long, c: Long, sm: Double, b1: Long, b2: Long) =
+      MetricPoint("ws", series, s"h$series", new Timestamp(tsMs), 3, 1, true,
+        None, Some(c), Some(sm), Seq(Bucket(1.0, b1), Bucket(5.0, b2)),
+        attributes = Map("m" -> s"h$series"))
+    val pts = Seq(
+      hp(1, 5000, 10, 2.0, 3, 7), hp(1, 20000, 25, 5.0, 9, 20), // minute 0
+      hp(1, 70000, 5, 1.0, 1, 4),                               // minute 1
+      hp(2, 10000, 6, 4.0, 2, 5))                               // minute 0
+    val mem = MemoryStream[MetricPoint]
+    val q = StreamingTemporality.rollup1mFull(
+        mem.toDS().toDF().withColumn("value", col("value").cast("double")),
+        tsCol = "timestamp", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("st_rollup_full")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(pts: _*)
+      q.processAllAvailable()
+      mem.addData(hp(1, 300000, 1, 1.0, 0, 0)) // advance watermark past 0-1
+      q.processAllAvailable()
+      s.table("st_rollup_full")
+    } finally q.stop() // the memory-sink table outlives the query
+
+    // batch twin over the identical rows; exp columns (absent from the point
+    // stream by otlp.go:234-258) are stubbed as literals and dropped from the
+    // comparison; collect order is arrival-dependent → compare arrays sorted
+    val emptyExp = "array<struct<index:int,count:bigint>>"
+    val batchIn = pts.toDS().toDF()
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("ts_ms", unix_millis(col("timestamp")))
+      .withColumn("exp_scale", lit(0))
+      .withColumn("exp_zero_count", lit(0L))
+      .withColumn("exp_zero_threshold", lit(0.0))
+      .withColumn("exp_positive_buckets", array().cast(emptyExp))
+      .withColumn("exp_negative_buckets", array().cast(emptyExp))
+    val cmp = Seq("series_hash", "bucket_ms", "value_min", "value_max",
+      "value_avg", "value_last", "count", "sum", "buckets_sorted",
+      "attributes", "samples_count")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("buckets_sorted",
+        array_sort(col("buckets").cast("array<struct<le:double,count:bigint>>")))
+      .withColumn("attributes", map_entries(col("attributes"))(0).getField("value"))
+      .selectExpr(cmp: _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = canon(graft.metrics.Rollup.rollup1mFull(batchIn,
+      Seq(col("workspaceId"), col("metric"), col("series_hash")),
+      col("ts_ms"), col("ts_ms")))
+    val streamed = canon(got)
+    assert(streamed === batch)
+  }
+
   test("ST1/ST6: checkpointed restart carries series state across queries") {
     val s = spark
     import s.implicits._
