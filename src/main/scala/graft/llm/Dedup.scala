@@ -60,8 +60,12 @@ object Dedup {
     // IDENTITY, and |A∩B|/|A∪B| is unchanged under the (injective modulo
     // 2^-64 collisions) hash — while the string form pays interpreted
     // concat_ws chains plus string exchange/sort in the self-join
-    val sh = docs.select(id.as("doc_id"), shingleHashesNative(text, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // emptiness pre-filter on the TOKEN count, not on `sh`: a filter on the
+    // projected column gets pushed below the projection, duplicating the
+    // whole shingle derivation into the scan filter. tokens ≥ n ⟺ the
+    // window array is non-empty, and split() alone is the cheap predicate.
+    val sh = docs.filter(size(TextAnalysis.tokens(text)) >= n)
+      .select(id.as("doc_id"), shingleHashesNative(text, n).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // shuffle_merge: a broadcast self-join would compute the shingle
@@ -165,9 +169,11 @@ object Dedup {
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       bucketCap: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
-    val sig = docs
+    // token-count pre-filter, not size(sh) > 0 — see jaccardPairs: a filter
+    // on the projected column pushes below the projection and doubles the
+    // shingle derivation in the scan
+    val sig = docs.filter(size(TextAnalysis.tokens(text)) >= shingleN)
       .select(id.as("doc_id"), shingleHashesNative(text, shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         graft.functions.MinHashSignatureExpr.signature(col("sh"), k).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
