@@ -219,7 +219,10 @@ object HistoQueries {
         leOf(col("l_quantity"), QtyBounds).as("le"))
       val cnt = base.groupBy(col("flag"), col("month"), col("le"))
         .agg(count(lit(1)).as("count"))
-      val months = base.select(col("flag"), col("month")).distinct()
+      // derive the month grid from the aggregated cnt, not from base — every
+      // (flag, month) of base survives into cnt, and this avoids a second
+      // full lineitem scan for a distinct over two columns
+      val months = cnt.select(col("flag"), col("month")).distinct()
       val firsts = cnt.groupBy(col("flag"), col("le")).agg(min(col("month")).as("fm"))
       val grid = months.join(firsts, Seq("flag")).filter(col("month") >= col("fm"))
         .select(col("flag"), col("month"), col("le"))
