@@ -32,7 +32,25 @@ object Scratch {
       pushed.filterNot(_.contains("PushedFilters: []")).take(3)
         .foreach(p => println(s"[scratch]   $p"))
     }
-    if (args.headOption.contains("st8_ab")) {
+    if (args.headOption.contains("a12_ab")) {
+      import graft.model.Tables
+      import org.apache.spark.sql.DataFrame
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      val li = Tables.lineitem(spark, d)
+      def idx = when(col("l_linestatus") === "O",
+          (length(bin(floor(col("l_extendedprice") * col("l_extendedprice")).cast("long"))) - 1).cast("int"))
+        .otherwise((length(bin(floor(col("l_extendedprice")).cast("long"))) - 1).cast("int"))
+      for (_ <- 1 to 2) {
+        time("scan")(noop(li.select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))))
+        time("scan_idx")(noop(li.select(col("l_returnflag"), col("l_linestatus"), idx.as("idx"))))
+        time("agg1")(noop(li.select(col("l_returnflag").as("flag"), col("l_linestatus").as("ls"),
+            when(col("l_linestatus") === "O", 1).otherwise(0).as("scale"), idx.as("idx"))
+          .groupBy(col("flag"), col("ls"), col("scale"), col("idx"))
+          .agg(count(lit(1)).as("count"))))
+        time("full")(noop(graft.SparkEntry.queries("q_a12_exp_merge")(spark, d)))
+      }
+    } else if (args.headOption.contains("st8_ab")) {
       import graft.sink.{MetricsSink, RollupMaintenance}
       import graft.metrics.{EventsMetrics, Rollup}
       val NowMs = graft.queries.OracleDefs.NowMs
