@@ -111,7 +111,7 @@ object MetricsQueries {
           col("ts_ms"), col("value"), col("event_id"))
         .select(col("workspace_id"), col("metric"), col("bucket_ms"),
           col("value_min"), col("value_max"),
-          round(col("value_avg"), 4).as("value_avg"),
+          OracleDefs.stableAvg4(col("value_avg")).as("value_avg"),
           col("value_last"),
           round(col("value_sum"), 2).as("value_sum"),
           col("samples_count"))
@@ -126,7 +126,7 @@ object MetricsQueries {
       Rollup.rollup5m(m1, keys)
         .select(col("workspace_id"), col("metric"), col("bucket_ms"),
           col("value_min"), col("value_max"),
-          round(col("value_avg"), 4).as("value_avg"),
+          OracleDefs.stableAvg4(col("value_avg")).as("value_avg"),
           col("value_last"),
           round(col("value_sum"), 2).as("value_sum"),
           col("samples_count"))
@@ -141,7 +141,7 @@ object MetricsQueries {
       Rollup.rollup1h(Rollup.rollup5m(m1, keys), keys)
         .select(col("workspace_id"), col("metric"), col("bucket_ms"),
           col("value_min"), col("value_max"),
-          round(col("value_avg"), 4).as("value_avg"),
+          OracleDefs.stableAvg4(col("value_avg")).as("value_avg"),
           col("value_last"),
           round(col("value_sum"), 2).as("value_sum"),
           col("samples_count"))
@@ -180,7 +180,7 @@ object MetricsQueries {
           col("ts_ms"), col("event_id"))
         .select(col("workspace_id"), col("metric"), col("bucket_ms"),
           col("value_min"), col("value_max"),
-          round(col("value_avg"), 4).as("value_avg"), col("value_last"),
+          OracleDefs.stableAvg4(col("value_avg")).as("value_avg"), col("value_last"),
           col("count"), round(col("sum"), 2).as("sum"),
           size(col("buckets")).as("n_bucket_entries"),
           aggregate(col("buckets"), lit(0L),
@@ -401,7 +401,7 @@ object MetricsQueries {
       |SELECT workspace_id, metric,
       |       (ts_ms // 60000) * 60000 AS bucket_ms,
       |       min(value) AS value_min, max(value) AS value_max,
-      |       round(avg(value), 4) AS value_avg,
+      |       round(avg(value) + 1e-9, 4) AS value_avg,
       |       arg_max(value, event_id) AS value_last,
       |       round(sum(value), 2) AS value_sum,
       |       count(*) AS samples_count
@@ -415,7 +415,7 @@ object MetricsQueries {
       |       FROM evt GROUP BY 1,2,3)
       |SELECT workspace_id, metric, (bucket_ms // 300000) * 300000 AS bucket_ms,
       |       min(vmin) AS value_min, max(vmax) AS value_max,
-      |       round(avg(vavg), 4) AS value_avg,
+      |       round(avg(vavg) + 1e-9, 4) AS value_avg,
       |       arg_max(vlast, lseq) AS value_last,
       |       round(sum(vsum), 2) AS value_sum,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
@@ -434,7 +434,7 @@ object MetricsQueries {
       |       FROM m1 GROUP BY 1,2,3)
       |SELECT workspace_id, metric, (bucket_ms // 3600000) * 3600000 AS bucket_ms,
       |       min(vmin) AS value_min, max(vmax) AS value_max,
-      |       round(avg(vavg), 4) AS value_avg,
+      |       round(avg(vavg) + 1e-9, 4) AS value_avg,
       |       arg_max(vlast, lseq) AS value_last,
       |       round(sum(vsum), 2) AS value_sum,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
@@ -443,7 +443,7 @@ object MetricsQueries {
     "q_a1_full_rollup" -> s"""$EvtCte
       |SELECT workspace_id, metric, (ts_ms // 60000) * 60000 AS bucket_ms,
       |       min(value) AS value_min, max(value) AS value_max,
-      |       round(avg(value), 4) AS value_avg,
+      |       round(avg(value) + 1e-9, 4) AS value_avg,
       |       arg_max(value, event_id) AS value_last,
       |       CAST(sum(user_id % 10 + 1) AS BIGINT) AS count,
       |       round(sum(round(value * 10, 2)), 2) AS sum,

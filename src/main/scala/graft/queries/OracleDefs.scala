@@ -34,4 +34,22 @@ object OracleDefs {
 
   /** Stopwords shared by the text-analysis queries. */
   val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Boundary-stable 4-dp rounding for AVERAGES, identical on both engines.
+    *
+    * `value` is exact cents, so every tier average is a rational k/(100·n·…)
+    * that can land EXACTLY on a `round(·, 4)` half boundary (x.xxxx5); the
+    * two engines then disagree by the last digit whenever their float
+    * summation ORDER differs by an ulp (seen at sf0.1: q_a2/q_a3/q_st8).
+    * Shifting the argument by 1e-9 — far above the ≤ few-ulp engine noise,
+    * far below the ≥ ~3e-6 spacing of the avg lattice — moves every boundary
+    * strictly off the lattice, making the rounding deterministic for BOTH
+    * engines. Sums need no shift: cent sums sit on the 0.01 lattice, half a
+    * cent from any 2-dp boundary. */
+  def stableAvg4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(
+      c + org.apache.spark.sql.functions.lit(1e-9), 4)
+
+  /** SQL twin of [[stableAvg4]] — wrap the avg expression. */
+  def stableAvg4Sql(expr: String): String = s"round($expr + 1e-9, 4)"
 }
