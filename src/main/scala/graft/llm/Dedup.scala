@@ -298,4 +298,51 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Dedup cluster resolution: connected components over an undirected
+    * near-dup pair list, labeling every member with its cluster's MINIMUM id
+    * (= the canonical survivor). Pairs alone are not deduplication — chains
+    * (A~B, B~C) must collapse to one survivor even when A and C never formed
+    * a candidate pair.
+    *
+    * DataFrame-only min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(cluster diameter) rounds. Near-dup clusters are star-or-chain shaped
+    * and tiny, so diameters are single-digit; each round is one keyed
+    * join + one hash aggregation (no windows, no driver-side graph), and
+    * `localCheckpoint` truncates the growing lineage. For adversarial graphs
+    * with long paths the O(log n)-round alternating large-star/small-star
+    * algorithm drops into the same join+agg shape — not needed for dedup
+    * workloads, noted for completeness.
+    *
+    * Deterministic (min is order-insensitive), so fully oracle-checkable —
+    * the DuckDB twin is a recursive-CTE reachability closure. */
+  def components(pairs: DataFrame, idA: Column, idB: Column,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+      .unionAll(pairs.select(idB.as("src"), idA.as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id"))
+        .agg(min(labels("label")).as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.label") =!= col("b.label")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"components did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
 }

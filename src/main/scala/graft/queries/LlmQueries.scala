@@ -96,6 +96,17 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup cluster resolution: connected components over the exact Jaccard
+    // pairs, every member labeled with its cluster's min id (the survivor).
+    // Deterministic min-label propagation → fully oracle-checkable via a
+    // DuckDB recursive-CTE reachability closure.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(docsNearDups(s, d), col("doc_id"),
+        col("text"), n = 3, threshold = 0.6)
+      Dedup.components(pairs, col("id_a"), col("id_b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text analysis battery: every stat is closed-form arithmetic the oracle
     // restates exactly; runs at scan speed (no shuffle, no UDF). Tokenizes
     // ONCE via the staged projection (r3 verdict: the per-stat re-split cost
@@ -240,6 +251,32 @@ object LlmQueries {
       |      JOIN sz sb ON sb.doc_id = id_b)
       |SELECT id_a, id_b, round(jac, 6) AS jaccard
       |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" -> s"""${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")},
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                i -> array_to_string(t[i:i+2], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+      |          FROM inv a JOIN inv b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |          FROM inter
+      |          JOIN sz sa ON sa.doc_id = id_a
+      |          JOIN sz sb ON sb.doc_id = id_b
+      |          WHERE n_int * 1.0 / (sa.n_sh + sb.n_sh - n_int) >= 0.6),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS component
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
