@@ -345,4 +345,14 @@ object Dedup {
     require(changed == 0, s"components did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
+
+  /** Apply cluster resolution: drop every non-survivor (component member
+    * whose id is not the cluster minimum) from `docs`. One broadcast-able
+    * anti-join — the drop list is |near-dup members|, tiny next to the
+    * corpus, so the corpus itself never shuffles. */
+  def dropNearDups(docs: DataFrame, id: Column, comps: DataFrame): DataFrame = {
+    val losers = comps.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__loser"))
+    docs.join(broadcast(losers), id === col("__loser"), "left_anti")
+  }
 }

@@ -107,6 +107,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end dedup application: corpus minus non-survivors (cluster
+    // members that are not their cluster's min id). Broadcast anti-join —
+    // the corpus never shuffles.
+    "q_dedup_apply" -> ((s, d) => {
+      val docs = docsNearDups(s, d)
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.6)
+      Dedup.dropNearDups(docs, col("doc_id"),
+          Dedup.components(pairs, col("id_a"), col("id_b")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text analysis battery: every stat is closed-form arithmetic the oracle
     // restates exactly; runs at scan speed (no shuffle, no UDF). Tokenizes
     // ONCE via the staged projection (r3 verdict: the per-stat re-split cost
@@ -120,6 +133,18 @@ object LlmQueries {
           round(col("avg_tok_len"), 6).as("avg_tok_len"),
           col("stop_cnt"), round(col("quality"), 6).as("quality"),
           col("lang_pred"), col("subwords"))
+    }),
+
+    // Sequence packing: greedy next-fit token-budget packs per shard (the
+    // sequential fold runs per shard via flatMapGroups; shards in parallel).
+    // Fully oracle-checked — DuckDB restates the fold as a linear recursion.
+    "q_pack_nextfit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tok"))
+      graft.llm.Packing.packNextFit(docs, col("doc_id"),
+          pmod(col("doc_id"), lit(8)), col("doc_id"), col("n_tok"),
+          maxTokens = 512L)
+        .orderBy(col("doc_id"))
     }),
 
     // Brute-force cosine top-k: 1-in-100 probes broadcast against the corpus,
@@ -218,6 +243,33 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
+  /** Shared CTE chain for the cluster oracles: near-dup fixture → shingles →
+    * exact Jaccard pairs → undirected edges → recursive reachability. */
+  private val ClusterCtes: String =
+    s"""${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")},
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                i -> array_to_string(t[i:i+2], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+      |          FROM inv a JOIN inv b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |          FROM inter
+      |          JOIN sz sa ON sa.doc_id = id_a
+      |          JOIN sz sb ON sb.doc_id = id_b
+      |          WHERE n_int * 1.0 / (sa.n_sh + sb.n_sh - n_int) >= 0.6),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // planted scaled duplicates: found with recall 1 (sign-preserving
     // scaling ⇒ same bucket) and cosine exactly 1 after 6-dp rounding
@@ -252,31 +304,16 @@ object LlmQueries {
       |SELECT id_a, id_b, round(jac, 6) AS jaccard
       |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_clusters" -> s"""${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")},
-      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
-      |sh AS (SELECT doc_id,
-      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
-      |                i -> array_to_string(t[i:i+2], ' '))) AS s
-      |       FROM tk WHERE len(t) >= 3),
-      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
-      |          FROM inv a JOIN inv b
-      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT id_a, id_b
-      |          FROM inter
-      |          JOIN sz sa ON sa.doc_id = id_a
-      |          JOIN sz sb ON sb.doc_id = id_b
-      |          WHERE n_int * 1.0 / (sa.n_sh + sb.n_sh - n_int) >= 0.6),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-      |reach AS (
-      |  SELECT src, dst FROM e
-      |  UNION
-      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+    "q_dedup_clusters" -> s"""$ClusterCtes
       |SELECT src AS doc_id, least(src, min(dst)) AS component
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_apply" -> s"""$ClusterCtes,
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+      |         FROM reach GROUP BY src)
+      |SELECT doc_id FROM d3
+      |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+      |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
@@ -331,6 +368,25 @@ object LlmQueries {
         |      FROM s)
         |SELECT pid, nid, round(score, 6) AS score, rank
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "q_pack_nextfit" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |         len(string_split(text, ' ')) AS sz,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, rn, doc_id, sz, CAST(sz AS BIGINT) AS acc,
+        |         CAST(0 AS BIGINT) AS pack_id
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.sz,
+        |         CASE WHEN r.acc + t.sz > 512 THEN CAST(t.sz AS BIGINT)
+        |              ELSE r.acc + t.sz END,
+        |         CASE WHEN r.acc + t.sz > 512 THEN r.pack_id + 1
+        |              ELSE r.pack_id END
+        |  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+        |SELECT shard, doc_id, pack_id FROM r ORDER BY doc_id""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id,
