@@ -331,15 +331,19 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id"))
         .agg(min(labels("label")).as("nbr_label"))
+      // carry the changed flag through the checkpoint: convergence is then a
+      // scan of the materialized round, not a second join against the old
+      // labels
       val next = labels.as("l")
         .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("n.nbr_label"), col("l.label")) < col("l.label"))
+            .as("changed"))
         .localCheckpoint(true)
-      changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.label") =!= col("b.label")).count()
-      labels = next
+      changed = next.filter(col("changed")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     require(changed == 0, s"components did not converge in $maxIter rounds")
