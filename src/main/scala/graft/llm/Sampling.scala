@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixtures.
+  *
+  * Capping a domain/source at k documents ("mixture weights") needs a sample
+  * that is (a) uniform-ish, (b) reproducible across runs AND engines, and
+  * (c) expressible as one window — no RNG state, no driver loop. The order
+  * key is a Knuth multiplicative hash (id × 2654435761 mod 2³²): pure integer
+  * arithmetic, so the oracle restates it verbatim, unlike `rand(seed)` (Spark
+  * RNG stream) or xxhash64 (not available in other engines). It scrambles
+  * sequential ids thoroughly enough for mixture capping; it is NOT a
+  * cryptographic or adversarial-proof permutation.
+  *
+  * 100 TB shape: one shuffle on the group key, per-group top-k via
+  * row_number — the same pattern as the ANN re-rank. Groups are domains
+  * (thousands), not documents, so the window partitions are coarse and the
+  * cap keeps each one's output bounded.
+  */
+object Sampling {
+
+  private val Knuth = 2654435761L
+  private val Mod32 = 4294967296L // 2^32
+
+  /** The engine-portable scramble key. */
+  def scrambleKey(id: Column): Column = pmod(id.cast("long") * Knuth, lit(Mod32))
+
+  /** Keep at most k rows per group, chosen by scrambled-id order
+    * (deterministic; ties impossible while `id` is unique mod 2³²/Knuth
+    * collisions, which the id tiebreak below absorbs). */
+  def topKPerGroup(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(group).orderBy(scrambleKey(id), id)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

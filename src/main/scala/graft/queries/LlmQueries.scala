@@ -147,6 +147,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixture capping: at most k docs per domain by deterministic
+    // scrambled-id order (engine-portable arithmetic — fully oracle-checked).
+    "q_sample_capped" -> ((s, d) => {
+      graft.llm.Sampling.topKPerGroup(
+          Tables.documents(s, d)
+            .select(pmod(col("doc_id"), lit(7)).as("domain"), col("doc_id")),
+          col("domain"), col("doc_id"), k = 20)
+        .orderBy(col("domain"), col("doc_id"))
+    }),
+
     // Brute-force cosine top-k: 1-in-100 probes broadcast against the corpus,
     // per-probe window top-5. The oracle-checkable ANN baseline.
     "q_ann_topk" -> ((s, d) => {
@@ -368,6 +378,16 @@ object LlmQueries {
         |      FROM s)
         |SELECT pid, nid, round(score, 6) AS score, rank
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "q_sample_capped" ->
+      """WITH t AS (SELECT doc_id % 7 AS domain, doc_id,
+        |                  (doc_id * 2654435761) % 4294967296 AS sk
+        |           FROM documents),
+        |r AS (SELECT domain, doc_id,
+        |             row_number() OVER (PARTITION BY domain ORDER BY sk, doc_id) AS rk
+        |      FROM t)
+        |SELECT domain, doc_id FROM r WHERE rk <= 20
+        |ORDER BY domain, doc_id""".stripMargin,
 
     "q_pack_nextfit" ->
       """WITH RECURSIVE t AS (
