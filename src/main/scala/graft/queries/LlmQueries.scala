@@ -147,6 +147,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end C4-style cleaning: quality + language filter, THEN near-dup
+    // cluster resolution over the survivors — the full
+    // filter → pair → cluster → drop pipeline in one query. Every stage is
+    // engine-portable arithmetic, so the whole composite is oracle-checked.
+    "q_clean_pipeline" -> ((s, d) => {
+      val stats = TextAnalysis.withStats(docsNearDups(s, d), col("text"), Stopwords)
+      val kept = stats
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en-like")
+      val pairs = Dedup.jaccardPairs(kept.select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), n = 3, threshold = 0.6)
+      Dedup.dropNearDups(kept, col("doc_id"),
+          Dedup.components(pairs, col("id_a"), col("id_b")))
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mixture capping: at most k docs per domain by deterministic
     // scrambled-id order (engine-portable arithmetic — fully oracle-checked).
     "q_sample_capped" -> ((s, d) => {
@@ -378,6 +394,44 @@ object LlmQueries {
         |      FROM s)
         |SELECT pid, nid, round(score, 6) AS score, rank
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "q_clean_pipeline" -> s"""${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")},
+      |st AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM d3),
+      |kept AS (SELECT doc_id, text,
+      |       (least(len(t) / 100.0, 1.0)
+      |        + least(len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) * 10.0, 1.0)
+      |        + len(list_distinct(t)) * 1.0 / len(t)) / 3.0 AS quality,
+      |       len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) AS sr
+      |       FROM st),
+      |k2 AS (SELECT doc_id, text, quality FROM kept
+      |       WHERE quality >= 0.5 AND sr >= 0.06),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM k2),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                i -> array_to_string(t[i:i+2], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+      |          FROM inv a JOIN inv b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |          FROM inter
+      |          JOIN sz sa ON sa.doc_id = id_a
+      |          JOIN sz sb ON sb.doc_id = id_b
+      |          WHERE n_int * 1.0 / (sa.n_sh + sb.n_sh - n_int) >= 0.6),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+      |         FROM reach GROUP BY src)
+      |SELECT doc_id, round(quality, 6) AS quality FROM k2
+      |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+      |ORDER BY doc_id""".stripMargin,
 
     "q_sample_capped" ->
       """WITH t AS (SELECT doc_id % 7 AS domain, doc_id,
