@@ -259,6 +259,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal resize: aspect-preserving fit into 224×224 — the metadata
+    // arithmetic is integer-exact, so the full op is oracle-checked.
+    "q_mm_resize" -> ((s, d) => {
+      Multimodal.resizeMeta(
+          Multimodal.asMedia(Tables.documents(s, d), col("doc_id"), col("text")),
+          targetW = 224, targetH = 224)
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal frame sampling: every 7th frame index per doc — pure
     // generator (explode of a sequence), no shuffle.
     "q_mm_frames" -> ((s, d) => {
@@ -470,6 +479,25 @@ object LlmQueries {
         |       CAST(strlen(text) % 480 AS BIGINT) AS height,
         |       CAST(strlen(text) % 24 + 1 AS BIGINT) AS n_frames
         |FROM documents WHERE strlen(text) % 640 > 300 ORDER BY doc_id""".stripMargin,
+
+    "q_mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(strlen(text) % 640 AS BIGINT) AS w,
+        |                  CAST(strlen(text) % 480 AS BIGINT) AS h,
+        |                  CAST(strlen(text) AS BIGINT) AS bl
+        |           FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CASE WHEN w <= 0 OR h <= 0 THEN NULL
+        |       WHEN w * 224 <= h * 224 THEN (w * 224) // h
+        |       ELSE 224 END AS new_width,
+        |  CASE WHEN w <= 0 OR h <= 0 THEN NULL
+        |       WHEN w * 224 <= h * 224 THEN 224
+        |       ELSE (h * 224) // w END AS new_height,
+        |  CASE WHEN w <= 0 OR h <= 0 THEN NULL
+        |       ELSE (bl * (CASE WHEN w * 224 <= h * 224 THEN (w * 224) // h ELSE 224 END)
+        |                * (CASE WHEN w * 224 <= h * 224 THEN 224 ELSE (h * 224) // w END))
+        |             // (w * h) END AS est_bytes
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id, CAST(unnest(generate_series(0, strlen(text) % 24, 7)) AS BIGINT) AS frame_idx
