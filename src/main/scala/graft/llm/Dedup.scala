@@ -341,8 +341,8 @@ object Dedup {
             .as("label"),
           (coalesce(col("n.nbr_label"), col("l.label")) < col("l.label"))
             .as("changed"))
-        .localCheckpoint(true)
-      changed = next.filter(col("changed")).count()
+        .localCheckpoint(false) // lazy: the count below materializes it —
+      changed = next.filter(col("changed")).count() // one job per round, not two
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
