@@ -30,12 +30,11 @@ case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
   require(bands > 0 && rows > 0, "bands and rows must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // containsNull rejected: signatures come from MinHashSignatureExpr
-    // (containsNull = false); getLong on a null slot reads garbage silently
-    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // containsNull accepted (parquet round-trips type nullable); null slots
+    // are SKIPPED in the band chain — never read as garbage
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"band_keys needs array<bigint> without null elements, " +
-        s"got ${other.simpleString}")
+      s"band_keys needs array<bigint>, got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -70,7 +69,7 @@ object BandKeysExpr {
       var i = b * rows
       val end = math.min(i + rows, n)
       while (i < end) {
-        h = XXH64.hashLong(sig.getLong(i), h)
+        if (!sig.isNullAt(i)) h = XXH64.hashLong(sig.getLong(i), h)
         i += 1
       }
       out(b) = new GenericInternalRow(Array[Any](b, h)): InternalRow

@@ -34,13 +34,13 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
   require(k > 0, "k must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // containsNull rejected: inputs are always hash arrays from
-    // ShingleHashExpr (containsNull = false), and getLong on a null slot
-    // would silently read garbage instead of failing
-    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // containsNull accepted: real producers (ShingleHashExpr) emit
+    // containsNull = false, but a parquet round-trip of the hashes comes
+    // back nullable — null elements are SKIPPED (no minimum candidate),
+    // never read as garbage
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"min_hash_signature needs array<bigint> without null elements, " +
-        s"got ${other.simpleString}")
+      s"min_hash_signature needs array<bigint>, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "min_hash_signature"
@@ -51,12 +51,14 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = arr.getLong(i)
-      var s = 0
-      while (s < k) {
-        val v = XXH64.hashLong(h, s.toLong)
-        if (v < sig(s)) sig(s) = v
-        s += 1
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var s = 0
+        while (s < k) {
+          val v = XXH64.hashLong(h, s.toLong)
+          if (v < sig(s)) sig(s) = v
+          s += 1
+        }
       }
       i += 1
     }
@@ -75,6 +77,7 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($arr.isNullAt($i)) continue;
          |  long $h = $arr.getLong($i);
          |  for (int $s = 0; $s < $k; $s++) {
          |    long $v = $xxh.hashLong($h, (long) $s);

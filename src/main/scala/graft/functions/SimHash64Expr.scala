@@ -19,12 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // containsNull rejected: token hashes come from ShingleHashExpr
-    // (containsNull = false); getLong on a null slot reads garbage silently
-    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // containsNull accepted (parquet round-trips type nullable); null
+    // elements are SKIPPED — no vote — never read as garbage
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"sim_hash64 needs array<bigint> token hashes without null elements, " +
-        s"got ${other.simpleString}")
+      s"sim_hash64 needs array<bigint> token hashes, got ${other.simpleString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "sim_hash64"
@@ -35,11 +34,13 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -62,6 +63,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
       s"""
          |int[] $votes = new int[64];
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($arr.isNullAt($i)) continue;
          |  long $h = $arr.getLong($i);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) != 0L) $votes[$b]++; else $votes[$b]--;

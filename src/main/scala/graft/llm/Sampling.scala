@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private val Knuth = 2654435761L
+  private val Mod31 = 2147483648L // 2^31
   private val Mod32 = 4294967296L // 2^32
 
-  /** The engine-portable scramble key. */
-  def scrambleKey(id: Column): Column = pmod(id.cast("long") * Knuth, lit(Mod32))
+  /** The engine-portable scramble key. The id is folded to 31 bits BEFORE
+    * the multiply so the product stays under 2^62 — int64 arithmetic then
+    * never overflows on EITHER engine (Spark would wrap silently, DuckDB
+    * would raise; both would break the cross-engine contract). Ids that
+    * collide mod 2^31 are separated by the caller's id tiebreak. */
+  def scrambleKey(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(Mod31)) * Knuth, lit(Mod32))
 
   /** Keep at most k rows per group, chosen by scrambled-id order
     * (deterministic; ties impossible while `id` is unique mod 2³²/Knuth

@@ -73,11 +73,12 @@ object CoreQueries {
     // the regex path benched ~3 s cold / +0.4 s warm at sf0.1 against ~0.9 s
     // for substr (r3 verdict task 4). Regex coverage (F1/F16) stays exercised
     // by q_p4_matchers' rlike matchers and the fingerprint normalize.
-    // RangeSort: a plain orderBy would run the per-row string battery twice
-    // (range-boundary sampling re-executes the scan-to-sort segment)
-    "q_f_scalars" -> ((s, d) => graft.query.RangeSort.projectSorted(
-      EventsMetrics.fromEvents(s, d), Seq(col("event_id"))) { b =>
-      b.select(
+    // plain orderBy on purpose: the DeferProjectPastSort rule pulls this
+    // projection above the sort, so the string battery runs once (the
+    // explicit RangeSort helper is for shapes the rule can't see — a filter
+    // or window between projection and sort)
+    "q_f_scalars" -> ((s, d) => {
+      EventsMetrics.fromEvents(s, d).select(
         col("event_id"),
         col("props").substr(lit(7), length(col("props")) - 7)
           .cast("long").as("k_val"),
@@ -85,6 +86,7 @@ object CoreQueries {
         length(col("props")).cast("long").as("props_len"),
         ascii(col("event_type")).cast("long").as("etype_ascii"),
         col("ts_ms"))
+        .orderBy(col("event_id"))
     }),
 
     // F3/F4 — time bucketing as ms-epoch floors (engine-portable twin of

@@ -25,15 +25,13 @@ object IngestQueries {
   private def wire(s: SparkSession, d: String): DataFrame =
     wireFrom(EventsMetrics.fromEvents(s, d))
 
+  // NOTE on the exemplar transform below: its per-element struct/map
+  // allocation dominates; the element-invariant subtrees (trace concat,
+  // timestamp_millis) DO re-evaluate per element in the interpreted lambda,
+  // but hoisting them into aliases does not help — CollapseProject inlines
+  // single-use aliases back into the lambda body (measured: no change).
   private def wireFrom(base: DataFrame): DataFrame =
-    base
-      // hoist the element-invariant exemplar fields out of the transform
-      // lambda: an interpreted lambda re-evaluates its body's outer-column
-      // subtrees per element, so concat/timestamp_millis would otherwise run
-      // n_exemplars× per row instead of once (the O(S²) recompute hazard)
-      .withColumn("__trace", concat(lit("trace-"), col("event_id").cast("string")))
-      .withColumn("__ts", timestamp_millis(col("ts_ms")))
-      .select(
+    base.select(
       col("event_id"), col("ts_ms"), col("service_name"),
       when(col("event_id") % 97 === 0, "bogus")
         .when(col("event_type") === "view", "gauge")
@@ -59,9 +57,9 @@ object IngestQueries {
       transform(sequence(lit(1), (col("user_id") % 13 + 1).cast("int")),
         i => struct(
           concat(lit("span-"), i.cast("string")).as("spanId"),
-          col("__trace").as("traceId"),
+          concat(lit("trace-"), col("event_id").cast("string")).as("traceId"),
           (col("value") + i).cast("double").as("value"),
-          col("__ts").as("timestamp"),
+          timestamp_millis(col("ts_ms")).as("timestamp"),
           map(lit("i"), i.cast("string"))
             .cast("map<string,string>").as("attributes")))
         .as("exemplars"))
@@ -95,9 +93,10 @@ object IngestQueries {
     // S4 — exemplar cap: first-N kept when enabled, typed-null when disabled
     // (processor.go:100-104); the disabled branch keeps the full exemplar
     // schema (Validation.scala round-2 schema-drift fix).
-    "q_s4_exemplars" -> ((s, d) => graft.query.RangeSort.projectSorted(
-      EventsMetrics.fromEvents(s, d), Seq(col("event_id"))) { base =>
-      wireFrom(base).select(
+    // plain orderBy on purpose: DeferProjectPastSort pulls the exemplar
+    // construction above the sort (pure projection chain — no filter)
+    "q_s4_exemplars" -> ((s, d) => {
+      wireFrom(EventsMetrics.fromEvents(s, d)).select(
         col("event_id"),
         size(Validation.capExemplars(col("exemplars"), enabled = true, max = 10))
           .as("n_capped"),
@@ -105,17 +104,18 @@ object IngestQueries {
           .as("disabled_is_null"),
         element_at(Validation.capExemplars(col("exemplars"), enabled = true), 1)
           .getField("spanId").as("first_span"))
+        .orderBy(col("event_id"))
     }),
 
     // S5 — attribute merge, datapoint wins on key collision (otlp.go:332-344);
     // rendered through the sorted labels key so map ordering can't leak in.
-    "q_s5_attr_merge" -> ((s, d) => graft.query.RangeSort.projectSorted(
-      EventsMetrics.fromEvents(s, d), Seq(col("event_id"))) { base =>
-      wireFrom(base).select(
+    "q_s5_attr_merge" -> ((s, d) => {
+      wireFrom(EventsMetrics.fromEvents(s, d)).select(
         col("event_id"),
         Promread.labelsKey(
           OtlpFlatten.mergeAttributes(col("resource_attrs"), col("dp_attrs")))
           .as("merged"))
+        .orderBy(col("event_id"))
     }))
 
   import OracleDefs.EvtCte

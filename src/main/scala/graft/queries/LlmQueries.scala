@@ -124,15 +124,15 @@ object LlmQueries {
     // restates exactly; runs at scan speed (no shuffle, no UDF). Tokenizes
     // ONCE via the staged projection (r3 verdict: the per-stat re-split cost
     // ~12 evaluations of split() per row).
-    // RangeSort: the stats battery runs once post-shuffle instead of twice
-    // (a plain orderBy's boundary sampling re-executes it)
-    "q_text_stats" -> ((s, d) => graft.query.RangeSort.projectSorted(
-      Tables.documents(s, d), Seq(col("doc_id"))) { b =>
-      TextAnalysis.withStats(b, col("text"), Stopwords)
+    // plain orderBy on purpose: DeferProjectPastSort pulls the stats battery
+    // above the sort, so it runs once (no explicit RangeSort needed)
+    "q_text_stats" -> ((s, d) => {
+      TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("avg_tok_len"), 6).as("avg_tok_len"),
           col("stop_cnt"), round(col("quality"), 6).as("quality"),
           col("lang_pred"), col("subwords"))
+        .orderBy(col("doc_id"))
     }),
 
     // Sequence packing: greedy next-fit token-budget packs per shard (the
@@ -153,8 +153,11 @@ object LlmQueries {
     // engine-portable arithmetic, so the whole composite is oracle-checked.
     "q_clean_pipeline" -> ((s, d) => {
       val stats = TextAnalysis.withStats(docsNearDups(s, d), col("text"), Stopwords)
+      // kept feeds two DAG branches (pair generation + the survivor output);
+      // checkpoint it so the stats battery and filter run once, not per branch
       val kept = stats
         .filter(col("quality") >= 0.5 && col("lang_pred") === "en-like")
+        .localCheckpoint(true)
       val pairs = Dedup.jaccardPairs(kept.select(col("doc_id"), col("text")),
         col("doc_id"), col("text"), n = 3, threshold = 0.6)
       Dedup.dropNearDups(kept, col("doc_id"),
@@ -444,7 +447,7 @@ object LlmQueries {
 
     "q_sample_capped" ->
       """WITH t AS (SELECT doc_id % 7 AS domain, doc_id,
-        |                  (doc_id * 2654435761) % 4294967296 AS sk
+        |                  ((doc_id % 2147483648) * 2654435761) % 4294967296 AS sk
         |           FROM documents),
         |r AS (SELECT domain, doc_id,
         |             row_number() OVER (PARTITION BY domain ORDER BY sk, doc_id) AS rk

@@ -401,7 +401,7 @@ object MetricsQueries {
       |SELECT workspace_id, metric,
       |       (ts_ms // 60000) * 60000 AS bucket_ms,
       |       min(value) AS value_min, max(value) AS value_max,
-      |       round(avg(value) + 1e-9, 4) AS value_avg,
+      |       ${OracleDefs.stableAvg4Sql("avg(value)")} AS value_avg,
       |       arg_max(value, event_id) AS value_last,
       |       round(sum(value), 2) AS value_sum,
       |       count(*) AS samples_count
@@ -415,7 +415,7 @@ object MetricsQueries {
       |       FROM evt GROUP BY 1,2,3)
       |SELECT workspace_id, metric, (bucket_ms // 300000) * 300000 AS bucket_ms,
       |       min(vmin) AS value_min, max(vmax) AS value_max,
-      |       round(avg(vavg) + 1e-9, 4) AS value_avg,
+      |       ${OracleDefs.stableAvg4Sql("avg(vavg)")} AS value_avg,
       |       arg_max(vlast, lseq) AS value_last,
       |       round(sum(vsum), 2) AS value_sum,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
@@ -434,7 +434,7 @@ object MetricsQueries {
       |       FROM m1 GROUP BY 1,2,3)
       |SELECT workspace_id, metric, (bucket_ms // 3600000) * 3600000 AS bucket_ms,
       |       min(vmin) AS value_min, max(vmax) AS value_max,
-      |       round(avg(vavg) + 1e-9, 4) AS value_avg,
+      |       ${OracleDefs.stableAvg4Sql("avg(vavg)")} AS value_avg,
       |       arg_max(vlast, lseq) AS value_last,
       |       round(sum(vsum), 2) AS value_sum,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
@@ -443,7 +443,7 @@ object MetricsQueries {
     "q_a1_full_rollup" -> s"""$EvtCte
       |SELECT workspace_id, metric, (ts_ms // 60000) * 60000 AS bucket_ms,
       |       min(value) AS value_min, max(value) AS value_max,
-      |       round(avg(value) + 1e-9, 4) AS value_avg,
+      |       ${OracleDefs.stableAvg4Sql("avg(value)")} AS value_avg,
       |       arg_max(value, event_id) AS value_last,
       |       CAST(sum(user_id % 10 + 1) AS BIGINT) AS count,
       |       round(sum(round(value * 10, 2)), 2) AS sum,

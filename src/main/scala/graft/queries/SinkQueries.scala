@@ -87,7 +87,7 @@ object SinkQueries {
       |m1 AS ($m1Sql)
       |SELECT workspace_id, metric, bucket_ms,
       |       vmin AS value_min, vmax AS value_max,
-      |       round(vavg + 1e-9, 4) AS value_avg, vlast AS value_last,
+      |       ${OracleDefs.stableAvg4Sql("vavg")} AS value_avg, vlast AS value_last,
       |       round(vsum, 2) AS value_sum, cnt AS samples_count
       |FROM m1 WHERE bucket_ms BETWEEN $RtStart AND $RtEnd
       |ORDER BY 1, 2, 3""".stripMargin,
@@ -106,7 +106,7 @@ object SinkQueries {
       |       FROM m1 GROUP BY 1,2,3)
       |SELECT workspace_id, metric, (bucket_ms // 3600000) * 3600000 AS bucket_ms,
       |       min(vmin) AS value_min, max(vmax) AS value_max,
-      |       round(avg(vavg) + 1e-9, 4) AS value_avg,
+      |       ${OracleDefs.stableAvg4Sql("avg(vavg)")} AS value_avg,
       |       arg_max(vlast, lseq) AS value_last,
       |       round(sum(vsum), 2) AS value_sum,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count

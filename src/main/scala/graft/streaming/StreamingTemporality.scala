@@ -169,8 +169,12 @@ object StreamingTemporality extends Serializable {
     * handoff point — streaming aggregation of a streaming aggregate is not a
     * thing Spark (or the reference's MV engine, which also reads the 1m TABLE)
     * does. */
-  def rollup1m(points: DataFrame, tsCol: String, lateness: String = "10 minutes")
-      : DataFrame =
+  /** `seqCol` orders anyLast within the bucket; it defaults to event time,
+    * which leaves value_last ARRIVAL-DEPENDENT on equal timestamps — exactly
+    * ClickHouse anyLast's contract (schema.sql:161). Pass a unique ingestion
+    * sequence for a deterministic pick (the batch twin uses event_id). */
+  def rollup1m(points: DataFrame, tsCol: String, lateness: String = "10 minutes",
+      seqCol: Option[String] = None): DataFrame =
     points
       .withWatermark(tsCol, lateness)
       .groupBy(
@@ -180,7 +184,7 @@ object StreamingTemporality extends Serializable {
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"),
         avg(col("value")).as("value_avg"),
-        max_by(col("value"), col(tsCol)).as("value_last"),
+        max_by(col("value"), col(seqCol.getOrElse(tsCol))).as("value_last"),
         sum(col("value")).as("value_sum"),
         count(lit(1)).as("samples_count"))
       .select(unix_millis(col("w.start")).as("bucket_ms"),
@@ -197,9 +201,11 @@ object StreamingTemporality extends Serializable {
     * (otlp.go:234-258), so a streamed point cannot carry them.
     * Pinned batch ≡ streaming (shared fixture, bucket arrays compared sorted
     * — collect order is row-arrival-dependent in both engines) by
-    * StreamingTemporalitySpec. */
+    * StreamingTemporalitySpec. `seqCol` as in [[rollup1m]]: default event
+    * time reproduces anyLast's arrival-dependence on ties; pass a unique
+    * sequence for the batch twin's deterministic pick. */
   def rollup1mFull(points: DataFrame, tsCol: String,
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes", seqCol: Option[String] = None): DataFrame =
     points
       .withWatermark(tsCol, lateness)
       .groupBy(
@@ -209,7 +215,7 @@ object StreamingTemporality extends Serializable {
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"),
         avg(col("value")).as("value_avg"),
-        max_by(col("value"), col(tsCol)).as("value_last"),
+        max_by(col("value"), col(seqCol.getOrElse(tsCol))).as("value_last"),
         sum(col("count")).as("count"),
         sum(col("sum")).as("sum"),
         flatten(collect_list(col("buckets"))).as("buckets"),

@@ -38,11 +38,9 @@ class MinHashSignatureExprSpec extends SparkSpec {
   }
 
   test("codegen path (DataFrame) matches the Scala model; null in → null out") {
-    // containsNull = false: the expression rejects nullable-element arrays
-    // (its real inputs are ShingleHashExpr outputs); array-level nulls are
-    // still allowed and tested here
-    val schema = StructType(Seq(
-      StructField("hs", ArrayType(LongType, containsNull = false))))
+    // containsNull = true (the parquet round-trip shape): null ELEMENTS are
+    // skipped by contract; a null ARRAY is null-out, tested below
+    val schema = StructType(Seq(StructField("hs", ArrayType(LongType))))
     import scala.jdk.CollectionConverters._
     val rows = (fixtures.map(Row(_)) :+ Row(null)).asJava
     val df = spark.createDataFrame(rows, schema)
