@@ -35,13 +35,26 @@ object Sampling {
     pmod(pmod(id.cast("long"), lit(Mod31)) * Knuth, lit(Mod32))
 
   /** Keep at most k rows per group, chosen by scrambled-id order
-    * (deterministic; ties impossible while `id` is unique mod 2³²/Knuth
-    * collisions, which the id tiebreak below absorbs). */
-  def topKPerGroup(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
+    * (deterministic; ties impossible while `id` is unique mod the fold,
+    * which the id tiebreak below absorbs).
+    *
+    * Two-phase so no task ever sorts a whole group: phase 1 takes the top-k
+    * of every (group, salt) cell — window partitions bounded at
+    * |group|/nSalts — phase 2 re-ranks the ≤ k·nSalts survivors per group.
+    * The global top-k is a subset of the per-salt top-ks (the order is a
+    * total order), so the result is IDENTICAL to a single whole-group
+    * window; only the plan changes. */
+  def topKPerGroup(df: DataFrame, group: Column, id: Column, k: Int,
+      nSalts: Int = 32): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = Window.partitionBy(group).orderBy(scrambleKey(id), id)
-    df.withColumn("__rk", row_number().over(w))
+    require(nSalts > 0, "nSalts must be positive")
+    val salt = pmod(id.cast("long"), lit(nSalts.toLong))
+    val w1 = Window.partitionBy(group, salt).orderBy(scrambleKey(id), id)
+    val w2 = Window.partitionBy(group).orderBy(scrambleKey(id), id)
+    df.withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= k)
+      .withColumn("__rk", row_number().over(w2))
       .filter(col("__rk") <= k)
-      .drop("__rk")
+      .drop("__rk1", "__rk")
   }
 }

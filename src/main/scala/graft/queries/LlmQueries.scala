@@ -138,6 +138,8 @@ object LlmQueries {
     // Sequence packing: greedy next-fit token-budget packs per shard (the
     // sequential fold runs per shard via flatMapGroups; shards in parallel).
     // Fully oracle-checked — DuckDB restates the fold as a linear recursion.
+    // Shard count scales with the corpus (8 here for the fixture; a 100 TB
+    // run picks enough shards that one shard fits one task).
     "q_pack_nextfit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n_tok"))
