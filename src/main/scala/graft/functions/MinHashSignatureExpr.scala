@@ -37,21 +37,27 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     // containsNull accepted: real producers (ShingleHashExpr) emit
     // containsNull = false, but a parquet round-trip of the hashes comes
     // back nullable — null elements are SKIPPED (no minimum candidate),
-    // never read as garbage
+    // never read as garbage; an array with NO contributing element (empty,
+    // or all-null) yields a NULL signature
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"min_hash_signature needs array<bigint>, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // nullable regardless of the child: a no-contribution input (empty or
+  // all-null array) yields a NULL signature
+  override def nullable: Boolean = true
   override def prettyName: String = "min_hash_signature"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val sig = Array.fill(k)(Long.MaxValue)
+    var any = false
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        any = true
         val h = arr.getLong(i)
         var s = 0
         while (s < k) {
@@ -62,12 +68,17 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
       }
       i += 1
     }
-    new GenericArrayData(sig)
+    // no contributing shingle → NULL signature, not the all-MaxValue
+    // sentinel: two degenerate documents must not become band-key-identical
+    // "near duplicates" of each other (null sigs drop out of the banding
+    // explode naturally)
+    if (!any) null else new GenericArrayData(sig)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val sig = ctx.freshName("sig")
+      val any = ctx.freshName("any")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val h = ctx.freshName("h")
@@ -76,15 +87,21 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
       s"""
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |boolean $any = false;
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
          |  if ($arr.isNullAt($i)) continue;
+         |  $any = true;
          |  long $h = $arr.getLong($i);
          |  for (int $s = 0; $s < $k; $s++) {
          |    long $v = $xxh.hashLong($h, (long) $s);
          |    if ($v < $sig[$s]) $sig[$s] = $v;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |if (!$any) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
        """.stripMargin
     })
 

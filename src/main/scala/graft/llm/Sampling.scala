@@ -27,10 +27,11 @@ object Sampling {
   private val Mod32 = 4294967296L // 2^32
 
   /** The engine-portable scramble key. The id is folded to 31 bits BEFORE
-    * the multiply so the product stays under 2^62 — int64 arithmetic then
-    * never overflows on EITHER engine (Spark would wrap silently, DuckDB
-    * would raise; both would break the cross-engine contract). Ids that
-    * collide mod 2^31 are separated by the caller's id tiebreak. */
+    * the multiply so the product maxes at (2^31−1)·2654435761 ≈ 5.7e18,
+    * under 2^63−1 ≈ 9.2e18 — int64 arithmetic then never overflows on
+    * EITHER engine (Spark would wrap silently, DuckDB would raise; both
+    * would break the cross-engine contract). Ids that collide mod 2^31 are
+    * separated by the caller's id tiebreak. */
   def scrambleKey(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(Mod31)) * Knuth, lit(Mod32))
 
@@ -48,7 +49,10 @@ object Sampling {
       nSalts: Int = 32): DataFrame = {
     require(k > 0, "k must be positive")
     require(nSalts > 0, "nSalts must be positive")
-    val salt = pmod(id.cast("long"), lit(nSalts.toLong))
+    // salt on the SCRAMBLED key, not the raw id: block- or stride-allocated
+    // ids can be wildly non-uniform mod nSalts, which would collapse a
+    // group back into one cell — the exact pathology the two phases remove
+    val salt = pmod(scrambleKey(id), lit(nSalts.toLong))
     val w1 = Window.partitionBy(group, salt).orderBy(scrambleKey(id), id)
     val w2 = Window.partitionBy(group).orderBy(scrambleKey(id), id)
     df.withColumn("__rk1", row_number().over(w1))

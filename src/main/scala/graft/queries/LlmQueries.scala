@@ -156,10 +156,12 @@ object LlmQueries {
     "q_clean_pipeline" -> ((s, d) => {
       val stats = TextAnalysis.withStats(docsNearDups(s, d), col("text"), Stopwords)
       // kept feeds two DAG branches (pair generation + the survivor output);
-      // checkpoint it so the stats battery and filter run once, not per branch
+      // persist it so the stats battery and filter run once, not per branch
+      // (persist, not localCheckpoint: lazy and lineage-preserving — the
+      // components loop's first action fills the cache)
       val kept = stats
         .filter(col("quality") >= 0.5 && col("lang_pred") === "en-like")
-        .localCheckpoint(true)
+        .persist()
       val pairs = Dedup.jaccardPairs(kept.select(col("doc_id"), col("text")),
         col("doc_id"), col("text"), n = 3, threshold = 0.6)
       Dedup.dropNearDups(kept, col("doc_id"),

@@ -58,4 +58,25 @@ class ShingleHashExprSpec extends SparkSpec {
     assert(rows.getSeq[Long](0) === rows.getSeq[Long](1))
     assert(rows.getSeq[Long](2) === rows.getSeq[Long](3))
   }
+
+  test("downstream null-skip: sig/band/simhash over nullable arrays equal the null-free twin") {
+    // the parquet round-trip shape: array<bigint> comes back containsNull —
+    // a null element must be skipped identically by all three consumers
+    val withNull = array(lit(11L), lit(null).cast("long"), lit(22L), lit(33L))
+    val noNull = array(lit(11L), lit(22L), lit(33L))
+    val r = spark.range(1).select(
+        MinHashSignatureExpr.signature(withNull, 8).as("sig_n"),
+        MinHashSignatureExpr.signature(noNull, 8).as("sig"),
+        SimHash64Expr.simHash64(withNull).as("sh_n"),
+        SimHash64Expr.simHash64(noNull).as("sh"),
+        BandKeysExpr.keys(withNull, 2, 2).as("bk_n"),
+        MinHashSignatureExpr.signature(
+          array(lit(null).cast("long"), lit(null).cast("long")), 8).as("all_null"))
+      .collect()(0)
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    assert(r.getLong(2) === r.getLong(3))
+    // band 0 chains 11,skip(null); band 1 chains 22,33 — no NPE, no garbage
+    assert(r.getSeq[org.apache.spark.sql.Row](4).length === 2)
+    assert(r.isNullAt(5)) // no contributing element → NULL signature
+  }
 }
