@@ -28,9 +28,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Safety gates: global sorts only (local sorts don't sample), deterministic
   * projections only, and every sort order must reference only `child`
-  * attributes (a sort on a computed alias cannot be deferred). The rewrite
-  * converges: the pulled-up projection leaves at most pruning-projects under
-  * the sort, which are trivial and don't re-trigger.
+  * attributes (a sort on a computed alias cannot be deferred).
+  *
+  * Injection point matters: this rewrite is the exact inverse of
+  * `CollapseProject`'s Project-Sort-Project case, so inside the operator
+  * optimization FIXPOINT batches the two rules ping-pong until the
+  * 100-iteration cap (and hard-fail under `spark.testing`). It is therefore
+  * injected via `injectPreCBORule` — a `Once` batch that runs AFTER the
+  * fixpoint has settled, where the plan arrives fully collapsed/pruned and
+  * the only later CollapseProject pass (the `RewriteSubquery` batch) cannot
+  * re-merge it: under the settled Sort sits either a non-Project child (the
+  * P-S-P case doesn't match) or a projection the fixpoint already deemed
+  * non-collapsible.
   */
 object DeferProjectPastSort extends Rule[LogicalPlan] {
 
@@ -55,5 +64,5 @@ object DeferProjectPastSort extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(_ => DeferProjectPastSort)
+    ext.injectPreCBORule(_ => DeferProjectPastSort)
 }
