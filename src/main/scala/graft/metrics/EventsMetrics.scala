@@ -60,6 +60,38 @@ object EventsMetrics {
         lit("svc"), col("service_name"),
         lit("user"), col("user_id").cast("string")))
 
+  /** Deterministic histogram-typed extension of the canonical view: every row
+    * gains the FULL OTLP datapoint payload — count/sum + explicit buckets
+    * (schema.sql:146-192's 1m MV inputs), exp-histogram fields
+    * (schema.sql:172-178), and an attribute map — as pure column arithmetic
+    * over (user_id, metric, value). Every payload reduces to closed-form
+    * scalars, so full-width rollup and read-path operators stay
+    * oracle-checkable: DuckDB restates each aggregate as modular sums.
+    * exp_zero_threshold is a per-metric exact binary fraction so `any()`
+    * over a (workspace, metric) group is deterministic. */
+  def withHistogram(df: DataFrame): DataFrame = {
+    val u = col("user_id")
+    df.select(
+      col("workspace_id"), col("metric"), col("ts_ms"), col("event_id"),
+      col("value"),
+      (u % 10 + 1).cast("long").as("count"),
+      round(col("value") * 10, 2).as("sum"),
+      array(
+        struct(lit(0.1).as("le"), (u % 3).cast("long").as("count")),
+        struct(lit(1.0).as("le"), (u % 5).cast("long").as("count")),
+        struct(lit(10.0).as("le"), (u % 7).cast("long").as("count")),
+        struct(lit(Double.PositiveInfinity).as("le"),
+          (u % 11).cast("long").as("count"))).as("buckets"),
+      (length(col("metric")) % 3).as("exp_scale"),
+      (u % 4).cast("long").as("exp_zero_count"),
+      ((length(col("metric")) % 3) * 0.5).as("exp_zero_threshold"),
+      array(struct(lit(1).as("index"), (u % 5).cast("long").as("count")))
+        .as("exp_positive_buckets"),
+      array(struct(lit(-1).as("index"), (u % 6).cast("long").as("count")))
+        .as("exp_negative_buckets"),
+      map(lit("m"), col("metric")).as("attributes"))
+  }
+
   /** Series identity hash — F9 (reference writer.go:105-116) with the
     * SURVEY-documented determinism fix: the reference iterates a Go map whose
     * key order is random, making the hash nondeterministic run-to-run

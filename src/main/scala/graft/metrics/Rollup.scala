@@ -82,6 +82,44 @@ object Rollup {
     * Scale note: identical single hash-agg shape as [[rollup1m]]; the bucket
     * concat makes rows wider, not the shuffle deeper — collect_list here is
     * bounded by samples/minute/series, not by table size. */
+  /** A2/A3 full-width — re-aggregate a FULL finer tier into `grainMs` buckets
+    * with the complete 5m/1h MV column set (schema.sql:249-283 for 5m,
+    * :340-374 for 1h): scalar stats (avg-of-avgs faithful, schema.sql:262,353),
+    * `sum(count)`/`sum(sum)`, the `groupArray(buckets.le/count)` concat
+    * (schema.sql:265-267,356-358 — reproduced as `flatten(collect_list)`,
+    * same (le,count)-struct representation as [[rollup1mFull]]), and
+    * `any(attributes)` (schema.sql:269,360).
+    *
+    * Exp-histogram fields are deliberately ABSENT: the reference's 5m/1h
+    * TABLES carry no exp columns (schema.sql:194-247,285-336 declare only
+    * `buckets Nested(le,count)` + `attributes`), so those fields exist at the
+    * 1m grain only — faithfully mirrored, input exp columns are dropped.
+    *
+    * Scale: one hash agg per tier over the already-small finer tier. The
+    * bucket concat grows per-ROW width (entries/row = bounds × snapshots in
+    * the coarse bucket — bounded by the series' scrape rate, never by table
+    * size; the reference stores the identical concat and merges at read). */
+  def rollupCoarserFull(finer: DataFrame, seriesCols: Seq[Column],
+      grainMs: Long): DataFrame =
+    finer.groupBy(seriesCols :+ bucketMs(col("bucket_ms"), grainMs).as("bucket_ms"): _*)
+      .agg(
+        min(col("value_min")).as("value_min"),
+        max(col("value_max")).as("value_max"),
+        avg(col("value_avg")).as("value_avg"),
+        max_by(col("value_last"), col("last_seq")).as("value_last"),
+        sum(col("count")).as("count"),
+        sum(col("sum")).as("sum"),
+        flatten(collect_list(col("buckets"))).as("buckets"),
+        any_value(col("attributes"), lit(true)).as("attributes"),
+        sum(col("samples_count")).as("samples_count"),
+        max(col("last_seq")).as("last_seq"))
+
+  def rollup5mFull(oneMinute: DataFrame, seriesCols: Seq[Column]): DataFrame =
+    rollupCoarserFull(oneMinute, seriesCols, 300000L)
+
+  def rollup1hFull(fiveMinute: DataFrame, seriesCols: Seq[Column]): DataFrame =
+    rollupCoarserFull(fiveMinute, seriesCols, 3600000L)
+
   def rollup1mFull(raw: DataFrame, seriesCols: Seq[Column], tsMs: Column,
       seq: Column): DataFrame =
     raw.groupBy(seriesCols :+ bucketMs(tsMs, 60000L).as("bucket_ms"): _*)

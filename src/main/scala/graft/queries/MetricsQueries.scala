@@ -25,6 +25,20 @@ object MetricsQueries {
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
 
+  /** Closed-form projection of a FULL rollup tier for the oracle: scalar
+    * stats + count/sum + bucket concat reduced to (size, count total), then
+    * `mid` (the 1m-only exp fields), then attrs + samples_count. */
+  private def fullRollupOut(mid: Seq[org.apache.spark.sql.Column]) =
+    Seq(col("workspace_id"), col("metric"), col("bucket_ms"),
+      col("value_min"), col("value_max"),
+      OracleDefs.stableAvg4(col("value_avg")).as("value_avg"), col("value_last"),
+      col("count"), round(col("sum"), 2).as("sum"),
+      size(col("buckets")).as("n_bucket_entries"),
+      aggregate(col("buckets"), lit(0L),
+        (acc, b) => acc + b.getField("count")).as("bucket_count_total")) ++
+      mid ++
+      Seq(Promread.labelsKey(col("attributes")).as("attrs"), col("samples_count"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A4 — cumulative→delta with counter-reset rule (temporality.go:43-113);
     // semantics pinned by the reference's own test sequences
@@ -150,48 +164,46 @@ object MetricsQueries {
 
     // A1 full-width — the COMPLETE 1m MV column set (schema.sql:146-192):
     // scalar stats + sum(count)/sum(sum) + the groupArray bucket concat +
-    // exp fields + any(attributes), over a deterministic histogram-typed
-    // fixture. Bucket/exp payloads are projected to closed-form scalars so
-    // the oracle can restate them (sizes + count totals).
+    // exp fields + any(attributes), over the deterministic histogram-typed
+    // fixture (EventsMetrics.withHistogram). Bucket/exp payloads are
+    // projected to closed-form scalars so the oracle can restate them
+    // (sizes + count totals).
     "q_a1_full_rollup" -> ((s, d) => {
-      val u = col("user_id")
-      val hist = EventsMetrics.fromEvents(s, d).select(
-        col("workspace_id"), col("metric"), col("ts_ms"), col("event_id"),
-        col("value"),
-        (u % 10 + 1).cast("long").as("count"),
-        round(col("value") * 10, 2).as("sum"),
-        array(
-          struct(lit(0.1).as("le"), (u % 3).cast("long").as("count")),
-          struct(lit(1.0).as("le"), (u % 5).cast("long").as("count")),
-          struct(lit(10.0).as("le"), (u % 7).cast("long").as("count")),
-          struct(lit(Double.PositiveInfinity).as("le"),
-            (u % 11).cast("long").as("count"))).as("buckets"),
-        (length(col("metric")) % 3).as("exp_scale"),
-        (u % 4).cast("long").as("exp_zero_count"),
-        // per-metric constant (exact binary fraction — no rounding hazard)
-        // so any_value is deterministic within the (workspace, metric) group
-        ((length(col("metric")) % 3) * 0.5).as("exp_zero_threshold"),
-        array(struct(lit(1).as("index"), (u % 5).cast("long").as("count")))
-          .as("exp_positive_buckets"),
-        array(struct(lit(-1).as("index"), (u % 6).cast("long").as("count")))
-          .as("exp_negative_buckets"),
-        map(lit("m"), col("metric")).as("attributes"))
+      val hist = EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d))
       Rollup.rollup1mFull(hist, Seq(col("workspace_id"), col("metric")),
           col("ts_ms"), col("event_id"))
-        .select(col("workspace_id"), col("metric"), col("bucket_ms"),
-          col("value_min"), col("value_max"),
-          OracleDefs.stableAvg4(col("value_avg")).as("value_avg"), col("value_last"),
-          col("count"), round(col("sum"), 2).as("sum"),
-          size(col("buckets")).as("n_bucket_entries"),
-          aggregate(col("buckets"), lit(0L),
-            (acc, b) => acc + b.getField("count")).as("bucket_count_total"),
-          col("exp_scale"), col("exp_zero_count"), col("exp_zero_threshold"),
-          size(col("exp_positive_buckets")).as("n_exp_entries"),
-          size(col("exp_negative_buckets")).as("n_exp_neg_entries"),
-          aggregate(col("exp_negative_buckets"), lit(0L),
-            (acc, b) => acc + b.getField("count")).as("exp_neg_count_total"),
-          Promread.labelsKey(col("attributes")).as("attrs"),
-          col("samples_count"))
+        .select(fullRollupOut(
+          Seq(col("exp_scale"), col("exp_zero_count"), col("exp_zero_threshold"),
+            size(col("exp_positive_buckets")).as("n_exp_entries"),
+            size(col("exp_negative_buckets")).as("n_exp_neg_entries"),
+            aggregate(col("exp_negative_buckets"), lit(0L),
+              (acc, b) => acc + b.getField("count")).as("exp_neg_count_total"))): _*)
+        .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+    }),
+
+    // A2 full-width — the COMPLETE 5m MV column set (schema.sql:249-283):
+    // the 1m full tier re-aggregated with sum(count)/sum(sum), the
+    // groupArray bucket concat, any(attributes) and sum(samples_count).
+    // Exp fields are dropped, faithful to the 5m table (schema.sql:194-247).
+    "q_a2_full_rollup" -> ((s, d) => {
+      val keys = Seq(col("workspace_id"), col("metric"))
+      val m1 = Rollup.rollup1mFull(
+        EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+        keys, col("ts_ms"), col("event_id"))
+      Rollup.rollup5mFull(m1, keys)
+        .select(fullRollupOut(Nil): _*)
+        .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+    }),
+
+    // A3 full-width — the COMPLETE 1h MV column set (schema.sql:340-374),
+    // full cascade 1m→5m→1h over the histogram fixture.
+    "q_a3_full_rollup" -> ((s, d) => {
+      val keys = Seq(col("workspace_id"), col("metric"))
+      val m1 = Rollup.rollup1mFull(
+        EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+        keys, col("ts_ms"), col("event_id"))
+      Rollup.rollup1hFull(Rollup.rollup5mFull(m1, keys), keys)
+        .select(fullRollupOut(Nil): _*)
         .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
     }),
 
@@ -346,6 +358,18 @@ object MetricsQueries {
         .orderBy(col("metric"), col("labels"))
     }))
 
+  /** DuckDB restatement of rollup1mFull over the withHistogram fixture, with
+    * the bucket/exp payloads already reduced to closed-form modular sums. */
+  private val M1FullSql =
+    """SELECT workspace_id, metric, (ts_ms // 60000) * 60000 AS bucket_ms,
+      |       min(value) vmin, max(value) vmax, avg(value) vavg,
+      |       arg_max(value, event_id) vlast,
+      |       sum(user_id % 10 + 1) cntc, sum(round(value * 10, 2)) sumc,
+      |       4 * count(*) nbe,
+      |       sum(user_id % 3 + user_id % 5 + user_id % 7 + user_id % 11) bct,
+      |       count(*) cnt, max(event_id) lseq
+      |       FROM evt GROUP BY 1,2,3""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_a4_cum_to_delta" -> s"""$EvtCte,
       |x AS (SELECT workspace_id, metric, user_id, ts_ms, event_id, value,
@@ -459,6 +483,39 @@ object MetricsQueries {
       |       'm=' || metric AS attrs,
       |       count(*) AS samples_count
       |FROM evt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_a2_full_rollup" -> s"""$EvtCte,
+      |m1 AS ($M1FullSql)
+      |SELECT workspace_id, metric, (bucket_ms // 300000) * 300000 AS bucket_ms,
+      |       min(vmin) AS value_min, max(vmax) AS value_max,
+      |       ${OracleDefs.stableAvg4Sql("avg(vavg)")} AS value_avg,
+      |       arg_max(vlast, lseq) AS value_last,
+      |       CAST(sum(cntc) AS BIGINT) AS count,
+      |       round(sum(sumc), 2) AS sum,
+      |       CAST(sum(nbe) AS INT) AS n_bucket_entries,
+      |       CAST(sum(bct) AS BIGINT) AS bucket_count_total,
+      |       'm=' || metric AS attrs,
+      |       CAST(sum(cnt) AS BIGINT) AS samples_count
+      |FROM m1 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    "q_a3_full_rollup" -> s"""$EvtCte,
+      |m1 AS ($M1FullSql),
+      |m5 AS (SELECT workspace_id, metric, (bucket_ms // 300000) * 300000 AS bucket_ms,
+      |       min(vmin) vmin, max(vmax) vmax, avg(vavg) vavg,
+      |       arg_max(vlast, lseq) vlast, sum(cntc) cntc, sum(sumc) sumc,
+      |       sum(nbe) nbe, sum(bct) bct, sum(cnt) cnt, max(lseq) lseq
+      |       FROM m1 GROUP BY 1,2,3)
+      |SELECT workspace_id, metric, (bucket_ms // 3600000) * 3600000 AS bucket_ms,
+      |       min(vmin) AS value_min, max(vmax) AS value_max,
+      |       ${OracleDefs.stableAvg4Sql("avg(vavg)")} AS value_avg,
+      |       arg_max(vlast, lseq) AS value_last,
+      |       CAST(sum(cntc) AS BIGINT) AS count,
+      |       round(sum(sumc), 2) AS sum,
+      |       CAST(sum(nbe) AS INT) AS n_bucket_entries,
+      |       CAST(sum(bct) AS BIGINT) AS bucket_count_total,
+      |       'm=' || metric AS attrs,
+      |       CAST(sum(cnt) AS BIGINT) AS samples_count
+      |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
 
     "q_f9_series_hash" -> s"""$EvtCte
       |SELECT count(DISTINCT (workspace_id, metric, user_id)) AS distinct_hashes,

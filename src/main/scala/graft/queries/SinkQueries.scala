@@ -33,6 +33,18 @@ object SinkQueries {
     OracleDefs.stableAvg4(col("value_avg")).as("value_avg"), col("value_last"),
     round(col("value_sum"), 2).as("value_sum"), col("samples_count"))
 
+  /** Closed-form projection of a stored FULL tier (bucket concat reduced to
+    * size + count total so DuckDB can restate it). */
+  private val fullOut = Seq(col("workspace_id"), col("metric"),
+    col("bucket_ms"), col("value_min"), col("value_max"),
+    OracleDefs.stableAvg4(col("value_avg")).as("value_avg"), col("value_last"),
+    col("count"), round(col("sum"), 2).as("sum"),
+    size(col("buckets")).as("n_bucket_entries"),
+    aggregate(col("buckets"), lit(0L),
+      (acc, b) => acc + b.getField("count")).as("bucket_count_total"),
+    Promread.labelsKey(col("attributes")).as("attrs"),
+    col("samples_count"))
+
   // q_sink_roundtrip's promread window: 2024-01-20 00:00 → 20:00 UTC.
   // Age vs pinned now (4d) and span (20h) route it to metrics_1m
   // (handler.go:304-321: age<15d ∧ span<24h).
@@ -57,21 +69,32 @@ object SinkQueries {
         .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
     }),
 
-    // ST8 — raw tier → incremental 1m/5m/1h cascade with the reference's
-    // freshness windows, read back from the written 1h tier. Only raw rows
-    // inside the 1m window (now − 1d) can reach 1h, exactly like the MV chain.
+    // ST8 — raw tier → incremental FULL-width 1m/5m/1h cascade with the
+    // reference's freshness windows, read back from the written 1h tier
+    // (count/sum/buckets/attributes land in storage, exp fields stop at 1m —
+    // schema.sql:194-247). Only raw rows inside the 1m window (now − 1d) can
+    // reach 1h, exactly like the MV chain. The scratch base is wiped first:
+    // the cascade's dynamic-partition overwrite is idempotent against its OWN
+    // schema but must not union against stale partitions of an older one.
     "q_st8_cascade" -> ((s, d) => {
       val base = scratch("q_st8")
+      wipe(s, base)
       val keys = Seq(col("workspace_id"), col("metric"))
-      MetricsSink.write(EventsMetrics.fromEvents(s, d), base, MetricsSink.Raw,
-        col("ts_ms"), keys, mode = "overwrite")
+      MetricsSink.write(EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+        base, MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
       RollupMaintenance.refreshCascade(s, base, NowMs, keys,
-        col("ts_ms"), col("value"), col("event_id"))
+        col("ts_ms"), col("event_id"))
       MetricsSink.read(s, base, MetricsSink.H1)
         .filter(col("bucket_ms") >= NowMs - RollupMaintenance.freshnessMs("metrics_1m"))
-        .select(rollupOut: _*)
+        .select(fullOut: _*)
         .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
     }))
+
+  private def wipe(s: SparkSession, base: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   import OracleDefs.EvtCte
 
@@ -96,19 +119,26 @@ object SinkQueries {
       |fresh AS (SELECT * FROM evt WHERE ts_ms >= ${NowMs - 86400000L}),
       |m1 AS (SELECT workspace_id, metric, (ts_ms // 60000) * 60000 AS bucket_ms,
       |       min(value) vmin, max(value) vmax, avg(value) vavg,
-      |       arg_max(value, event_id) vlast, sum(value) vsum, count(*) cnt,
-      |       max(event_id) lseq
+      |       arg_max(value, event_id) vlast,
+      |       sum(user_id % 10 + 1) cntc, sum(round(value * 10, 2)) sumc,
+      |       4 * count(*) nbe,
+      |       sum(user_id % 3 + user_id % 5 + user_id % 7 + user_id % 11) bct,
+      |       count(*) cnt, max(event_id) lseq
       |       FROM fresh GROUP BY 1,2,3),
       |m5 AS (SELECT workspace_id, metric, (bucket_ms // 300000) * 300000 AS bucket_ms,
       |       min(vmin) vmin, max(vmax) vmax, avg(vavg) vavg,
-      |       arg_max(vlast, lseq) vlast, sum(vsum) vsum,
-      |       CAST(sum(cnt) AS BIGINT) cnt, max(lseq) lseq
+      |       arg_max(vlast, lseq) vlast, sum(cntc) cntc, sum(sumc) sumc,
+      |       sum(nbe) nbe, sum(bct) bct, sum(cnt) cnt, max(lseq) lseq
       |       FROM m1 GROUP BY 1,2,3)
       |SELECT workspace_id, metric, (bucket_ms // 3600000) * 3600000 AS bucket_ms,
       |       min(vmin) AS value_min, max(vmax) AS value_max,
       |       ${OracleDefs.stableAvg4Sql("avg(vavg)")} AS value_avg,
       |       arg_max(vlast, lseq) AS value_last,
-      |       round(sum(vsum), 2) AS value_sum,
+      |       CAST(sum(cntc) AS BIGINT) AS count,
+      |       round(sum(sumc), 2) AS sum,
+      |       CAST(sum(nbe) AS INT) AS n_bucket_entries,
+      |       CAST(sum(bct) AS BIGINT) AS bucket_count_total,
+      |       'm=' || metric AS attrs,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
       |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin)
 }

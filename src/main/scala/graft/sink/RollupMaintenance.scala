@@ -103,18 +103,26 @@ object RollupMaintenance {
   }
 
   /** Run the full cascade raw→1m→5m→1h, mirroring the reference's MV chain
-    * (tier N+1 reads the tier-N TABLE, never raw — schema.sql:249,340). */
+    * (tier N+1 reads the tier-N TABLE, never raw — schema.sql:249,340).
+    *
+    * FULL-width: the raw tier must carry the complete datapoint column set
+    * (value + count/sum + buckets + exp fields + attributes — the reference's
+    * raw `metrics` table, schema.sql:1-61), and every stored tier then keeps
+    * the columns its reference table declares: 1m with exp fields
+    * (schema.sql:146-192), 5m/1h with buckets + attributes but no exp
+    * (schema.sql:194-247,285-336). A histogram-quantile read that P8-routes
+    * to ANY tier finds real stored buckets to merge. */
   def refreshCascade(spark: SparkSession, baseDir: String, nowMs: Long,
-      seriesCols: Seq[Column], tsMs: Column, value: Column, seq: Column): Unit = {
+      seriesCols: Seq[Column], tsMs: Column, seq: Column): Unit = {
     import graft.metrics.Rollup
     refreshTier(spark, baseDir, MetricsSink.Raw, MetricsSink.M1,
       tsMs, nowMs, seriesCols)(
-      df => Rollup.rollup1m(df, seriesCols, tsMs, value, seq))
+      df => Rollup.rollup1mFull(df, seriesCols, tsMs, seq))
     refreshTier(spark, baseDir, MetricsSink.M1, MetricsSink.M5,
       col("bucket_ms"), nowMs, seriesCols)(
-      df => Rollup.rollup5m(df, seriesCols))
+      df => Rollup.rollup5mFull(df, seriesCols))
     refreshTier(spark, baseDir, MetricsSink.M5, MetricsSink.H1,
       col("bucket_ms"), nowMs, seriesCols)(
-      df => Rollup.rollup1h(df, seriesCols))
+      df => Rollup.rollup1hFull(df, seriesCols))
   }
 }

@@ -15,9 +15,12 @@ class RollupMaintenanceSpec extends SparkSpec {
 
   private val keys = Seq(col("workspace_id"), col("metric"))
 
+  private def raw() =
+    EventsMetrics.withHistogram(EventsMetrics.fromEvents(spark, Sf))
+
   private def freshBase(): String = {
     val base = Files.createTempDirectory("graft_maint_spec").toString
-    MetricsSink.write(EventsMetrics.fromEvents(spark, Sf), base,
+    MetricsSink.write(raw(), base,
       MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
     base
   }
@@ -25,13 +28,14 @@ class RollupMaintenanceSpec extends SparkSpec {
   private def h1Rows(base: String): Array[String] =
     MetricsSink.read(spark, base, MetricsSink.H1)
       .select(col("workspace_id"), col("metric"), col("bucket_ms"),
-        round(col("value_sum"), 2).as("s"), col("samples_count"))
+        round(col("sum"), 2).as("s"), col("count"),
+        size(col("buckets")).as("nb"), col("samples_count"))
       .collect().map(_.toString).sorted
 
   private def directCascade(fromMs: Long): DataFrame = {
-    val fresh = EventsMetrics.fromEvents(spark, Sf).filter(col("ts_ms") >= fromMs)
-    Rollup.rollup1h(Rollup.rollup5m(
-      Rollup.rollup1m(fresh, keys, col("ts_ms"), col("value"), col("event_id")),
+    val fresh = raw().filter(col("ts_ms") >= fromMs)
+    Rollup.rollup1hFull(Rollup.rollup5mFull(
+      Rollup.rollup1mFull(fresh, keys, col("ts_ms"), col("event_id")),
       keys), keys)
   }
 
@@ -43,10 +47,11 @@ class RollupMaintenanceSpec extends SparkSpec {
   test("cascade equals the direct batch cascade over the 1m freshness window") {
     val base = freshBase()
     RollupMaintenance.refreshCascade(spark, base, NowA, keys,
-      col("ts_ms"), col("value"), col("event_id"))
+      col("ts_ms"), col("event_id"))
     val expected = directCascade(NowA - Day)
       .select(col("workspace_id"), col("metric"), col("bucket_ms"),
-        round(col("value_sum"), 2).as("s"), col("samples_count"))
+        round(col("sum"), 2).as("s"), col("count"),
+        size(col("buckets")).as("nb"), col("samples_count"))
       .collect().map(_.toString).sorted
     assert(h1Rows(base).sameElements(expected))
     assert(expected.nonEmpty)
@@ -55,10 +60,10 @@ class RollupMaintenanceSpec extends SparkSpec {
   test("refresh is idempotent: re-running converges to the same rows") {
     val base = freshBase()
     RollupMaintenance.refreshCascade(spark, base, NowA, keys,
-      col("ts_ms"), col("value"), col("event_id"))
+      col("ts_ms"), col("event_id"))
     val once = h1Rows(base)
     RollupMaintenance.refreshCascade(spark, base, NowA, keys,
-      col("ts_ms"), col("value"), col("event_id"))
+      col("ts_ms"), col("event_id"))
     assert(h1Rows(base).sameElements(once))
   }
 
@@ -69,7 +74,7 @@ class RollupMaintenanceSpec extends SparkSpec {
     // buckets pre-window inside a daily partition about to be rewritten.
     val base = freshBase()
     RollupMaintenance.refreshCascade(spark, base, NowA, keys,
-      col("ts_ms"), col("value"), col("event_id"))
+      col("ts_ms"), col("event_id"))
     val morning = MetricsSink.read(spark, base, MetricsSink.M1)
       .filter(col("bucket_ms") >= NowA - Day && col("bucket_ms") < NowA - Day / 2)
       .select(col("workspace_id"), col("metric"), col("bucket_ms"),
@@ -78,7 +83,7 @@ class RollupMaintenanceSpec extends SparkSpec {
     assert(morning.nonEmpty)
     val NowC = NowA + Day / 2 // edge NowC − 1d = NowA − 12h: mid-day on Jan 9
     RollupMaintenance.refreshCascade(spark, base, NowC, keys,
-      col("ts_ms"), col("value"), col("event_id"))
+      col("ts_ms"), col("event_id"))
     val after = MetricsSink.read(spark, base, MetricsSink.M1)
       .filter(col("bucket_ms") >= NowA - Day && col("bucket_ms") < NowA - Day / 2)
       .select(col("workspace_id"), col("metric"), col("bucket_ms"),
@@ -90,10 +95,10 @@ class RollupMaintenanceSpec extends SparkSpec {
   test("later refresh preserves pre-window buckets in the same monthly partition") {
     val base = freshBase()
     RollupMaintenance.refreshCascade(spark, base, NowA, keys,
-      col("ts_ms"), col("value"), col("event_id"))
+      col("ts_ms"), col("event_id"))
     val old = h1Rows(base)
     RollupMaintenance.refreshCascade(spark, base, NowB, keys,
-      col("ts_ms"), col("value"), col("event_id"))
+      col("ts_ms"), col("event_id"))
     val now = h1Rows(base).toSet
     // Jan-9/10 buckets (from NowA's window) must survive NowB's refresh even
     // though the 5m tier's fresh window no longer reaches them and both live
