@@ -88,7 +88,56 @@ object SinkQueries {
         .filter(col("bucket_ms") >= NowMs - RollupMaintenance.freshnessMs("metrics_1m"))
         .select(fullOut: _*)
         .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+    }),
+
+    // The read path's REAL histogram case at coarse resolution
+    // (handler.go:304-321 routing + :179-205 histogram rows +
+    // pkg/histogram/percentile.go:17-67,83-105): a promread window 20 days
+    // old with a 3-day span P8-routes to metrics_5m; the query then merges
+    // the STORED bucket concats across the window per series and computes
+    // p50/p90/p99 over the merged histogram. Exercises matchers against the
+    // stored attribute map, partition pruning on the monthly tier, and the
+    // quantile over buckets that went through parquet — end-to-end.
+    "q_read_path_5m_hist" -> ((s, d) => {
+      import Promread._
+      val base = scratch("q_rp5m")
+      wipe(s, base)
+      val keys = Seq(col("workspace_id"), col("metric"))
+      val m5 = Rollup.rollup5mFull(
+        Rollup.rollup1mFull(
+          EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+          keys, col("ts_ms"), col("event_id")),
+        keys)
+      MetricsSink.write(m5, base, MetricsSink.M5, col("bucket_ms"), keys,
+        mode = "overwrite")
+      val tier = MetricsSink.tiers
+        .find(_.name == Promread.selectTable(HStart, HEnd, NowMs)).get // metrics_5m
+      val pred = predicate(Seq(Matcher("m", RE, "^evt_(purchase|view)$")),
+        workspaceId = "ws-1", startMs = HStart, endMs = HEnd,
+        tsMsCol = col("bucket_ms"))
+      val rows = MetricsSink.read(s, base, tier)
+        .filter(MetricsSink.partitionFilter(tier, HStart, HEnd))
+        .filter(pred)
+      val ps = array(lit(50.0), lit(90.0), lit(99.0))
+      graft.histo.HistogramFunctions.mergeBuckets(
+          rows.select(col("workspace_id"), col("metric"), col("buckets")),
+          keys, col("buckets"))
+        .withColumn("qs",
+          graft.histo.HistogramFunctions.histogram_quantiles(col("buckets"), ps))
+        .select(col("workspace_id"), col("metric"),
+          aggregate(col("buckets"), lit(0L),
+            (acc, b) => acc + b.getField("count")).as("merged_total"),
+          round(element_at(col("qs"), 1), 6).as("p50"),
+          round(element_at(col("qs"), 2), 6).as("p90"),
+          round(element_at(col("qs"), 3), 6).as("p99"))
+        .orderBy(col("workspace_id"), col("metric"))
     }))
+
+  // q_read_path_5m_hist's promread window: 2024-01-04 → 2024-01-07 UTC.
+  // Age vs pinned now (20d) fails the 1m gate (≥15d), span (3d) passes the
+  // 5m gate (<7d) → metrics_5m (handler.go:304-321).
+  private val HStart = 1704326400000L
+  private val HEnd = HStart + 3 * 86400000L
 
   private def wipe(s: SparkSession, base: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(base)
@@ -140,5 +189,46 @@ object SinkQueries {
       |       CAST(sum(bct) AS BIGINT) AS bucket_count_total,
       |       'm=' || metric AS attrs,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
-      |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin)
+      |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    // The 5m-routed histogram read: rows whose 5m bucket falls in the window
+    // (bucket_ms BETWEEN start AND end — restated as the floor expression),
+    // merged per series into the four fixture bounds, then the reference
+    // percentile interpolation (percentile.go:17-67) in SQL.
+    "q_read_path_5m_hist" -> s"""$EvtCte,
+      |sel AS (SELECT * FROM evt
+      |        WHERE workspace_id = 'ws-1'
+      |          AND regexp_matches(metric, '^evt_(purchase|view)$$')
+      |          AND (ts_ms // 300000) * 300000 BETWEEN $HStart AND $HEnd),
+      |hist AS (
+      |  SELECT workspace_id, metric, CAST(0.1 AS DOUBLE) AS le,
+      |         CAST(sum(user_id % 3) AS BIGINT) AS cnt FROM sel GROUP BY 1,2
+      |  UNION ALL SELECT workspace_id, metric, CAST(1.0 AS DOUBLE),
+      |         CAST(sum(user_id % 5) AS BIGINT) FROM sel GROUP BY 1,2
+      |  UNION ALL SELECT workspace_id, metric, CAST(10.0 AS DOUBLE),
+      |         CAST(sum(user_id % 7) AS BIGINT) FROM sel GROUP BY 1,2
+      |  UNION ALL SELECT workspace_id, metric, CAST('inf' AS DOUBLE),
+      |         CAST(sum(user_id % 11) AS BIGINT) FROM sel GROUP BY 1,2),
+      |c AS (SELECT workspace_id, metric, le, cnt,
+      |             sum(cnt) OVER (PARTITION BY workspace_id, metric ORDER BY le) AS cum,
+      |             sum(cnt) OVER (PARTITION BY workspace_id, metric) AS total,
+      |             coalesce(lag(le) OVER (PARTITION BY workspace_id, metric ORDER BY le), 0.0) AS prev_le
+      |      FROM hist),
+      |ps AS (SELECT unnest([50.0, 90.0, 99.0]) AS p),
+      |hit AS (SELECT workspace_id, metric, p, le, cnt, cum, total, prev_le,
+      |               row_number() OVER (PARTITION BY workspace_id, metric, p ORDER BY le) AS rn
+      |        FROM c CROSS JOIN ps
+      |        WHERE cum >= total * (p / 100.0)),
+      |q AS (SELECT workspace_id, metric, p, total,
+      |             CASE WHEN cnt = 0 THEN le
+      |                  WHEN isinf(le) THEN prev_le
+      |                  ELSE prev_le + ((total * (p / 100.0) - (cum - cnt)) / cnt) * (le - prev_le)
+      |             END AS v
+      |      FROM hit WHERE rn = 1)
+      |SELECT workspace_id, metric,
+      |       CAST(max(total) AS BIGINT) AS merged_total,
+      |       round(max(CASE WHEN p = 50 THEN v END), 6) AS p50,
+      |       round(max(CASE WHEN p = 90 THEN v END), 6) AS p90,
+      |       round(max(CASE WHEN p = 99 THEN v END), 6) AS p99
+      |FROM q GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
 }
