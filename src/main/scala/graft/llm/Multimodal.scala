@@ -83,30 +83,40 @@ object Multimodal {
     media.select(col("doc_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
 
+  /** True 64-bit integer division (Catalyst `IntegralDivide`, SQL `div`) —
+    * NOT `floor(a / b)`, whose double division silently loses exactness once
+    * `a` leaves the 2^53 range. est_bytes multiplies byte_len by a pixel
+    * area, which a large video blob pushes past 2^53 — the cross-engine
+    * contract is DuckDB's exact `//`, so the Spark side must be integral all
+    * the way. */
+  private def longDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Resize shape: aspect-preserving fit of (width, height) into a target
     * box. The metadata arithmetic is the real, oracle-checkable part (pure
-    * INTEGER math — `floor(w·th/h)` comparisons and scalings, no floats to
-    * drift between engines); re-encoding the payload itself is stubbed like
-    * [[decodeStub]], with the output size estimated by area ratio. Degenerate
-    * dims (the synthetic meta's `byte_len % 640` can be 0) yield NULL resized
-    * dims rather than a division by zero. */
+    * 64-bit INTEGER math via [[longDiv]] — exact for ALL long inputs, no
+    * float rounding to drift between engines); re-encoding the payload
+    * itself is stubbed like [[decodeStub]], with the output size estimated
+    * by area ratio. Degenerate dims (the synthetic meta's `byte_len % 640`
+    * can be 0) yield NULL resized dims rather than a division by zero. */
   def resizeMeta(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val w = col("meta.width").cast("long")
     val h = col("meta.height").cast("long")
     // limiting side: w·th vs h·tw decides which target edge binds
-    // floor(a/b) == integer division for positives; the products stay far
-    // below 2^53 so the double division inside floor is exact
     val newW = when(w <= 0 || h <= 0, lit(null))
-      .when(w * targetH <= h * targetW, floor(w * targetH / h))
+      .when(w * targetH <= h * targetW, longDiv(w * targetH, h))
       .otherwise(lit(targetW.toLong))
     val newH = when(w <= 0 || h <= 0, lit(null))
       .when(w * targetH <= h * targetW, lit(targetH.toLong))
-      .otherwise(floor(h * targetW / w))
+      .otherwise(longDiv(h * targetW, w))
     media.select(col("doc_id"),
       w.as("width"), h.as("height"),
       newW.cast("long").as("new_width"), newH.cast("long").as("new_height"),
       when(w <= 0 || h <= 0, lit(null))
-        .otherwise(floor(col("meta.byte_len") * newW * newH / (w * h)))
+        .otherwise(longDiv(col("meta.byte_len") * newW * newH, w * h))
         .cast("long").as("est_bytes"))
   }
 }

@@ -149,4 +149,30 @@ class LlmSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().toSeq
     assert(viaStub == viaPartitions)
   }
+
+  test("resizeMeta est_bytes is exact 64-bit integer division beyond 2^53") {
+    import spark.implicits._
+    // ~16 TB video blobs at 641×480: byte_len · newW · newH ≈ 2^62 is far
+    // past the double-exact range, and these byte_lens sit where the product
+    // rounds across a multiple of w·h — floor(double /) lands one ABOVE the
+    // exact quotient, so the test fails on the pre-IntegralDivide code
+    val bls = Seq(17592186052982L, 17592186053311L, 17592186062926L)
+    val media = bls.zipWithIndex.map { case (bl, i) => (i.toLong, bl) }
+      .toDF("doc_id", "bl")
+      .select(col("doc_id"), lit(Array[Byte](1)).as("payload"),
+        struct(lit("video/fake").as("media_type"), col("bl").as("byte_len"),
+          lit(641).as("width"), lit(480).as("height"),
+          lit(1).as("n_frames")).as("meta"))
+    val out = Multimodal.resizeMeta(media, targetW = 224, targetH = 224)
+      .orderBy(col("doc_id")).collect()
+    out.zip(bls).foreach { case (r, bl) =>
+      assert((r.getLong(3), r.getLong(4)) == (224L, 167L)) // 641x480 → 224x167
+      val exact = (BigInt(bl) * 224 * 167 / (BigInt(641) * 480)).toLong
+      assert(r.getLong(5) == exact, s"byte_len=$bl")
+      // and the double path is genuinely wrong here, not coincidentally right
+      val viaDouble =
+        math.floor((bl.toDouble * 224 * 167) / (641.0 * 480)).toLong
+      assert(viaDouble == exact + 1, s"fixture no longer bites: byte_len=$bl")
+    }
+  }
 }
