@@ -299,11 +299,80 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Deterministic-projection SimHash twin: a 60-bit fingerprint whose bit i
+    * is bit (i mod 4) of hex digit i/4 of the token's md5 digest — a fixed
+    * projection with integer ±1 voting that a SQL oracle can restate verbatim
+    * (md5 + hex-digit arithmetic), unlike the xxhash64 production path.
+    * Mirrors what q_ann_lsh_all does for LSH: full hash-match coverage of the
+    * banding/voting plumbing while [[simHashPairs]] stays the fast
+    * (codegen'd, 64-bit) production fingerprint.
+    *
+    * Shape: explode (token × bit) → keyed vote aggregation (map-side combine
+    * collapses to |docs|×60 rows before the shuffle) → weight-sum pack. */
+  def simHashDetFingerprints(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // per fingerprint bit: 1-based md5 hex digit position + mask within it
+    val bitSpec = array((0 until 60).map(i =>
+      struct(lit(i).as("bit"), lit(i / 4 + 1).as("hp"),
+        lit(1L << (i % 4)).as("mask"))): _*)
+    val bitWeights = array((0 until 60).map(i => lit(1L << i)): _*)
+    docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), col("h"), explode(bitSpec).as("b"))
+      .select(col("doc_id"), col("b.bit").as("bit"),
+        (conv(col("h").substr(col("b.hp"), lit(1)), 16, 10).cast("long")
+          .bitwiseAND(col("b.mask")) =!= 0).as("is1"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(col("is1"), 1L).otherwise(-1L)).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, element_at(bitWeights, col("bit") + 1))
+        .otherwise(0L)).as("sh"))
+  }
+
+  /** [[simHashPairs]] over the deterministic md5 fingerprint: 4 chunks × 15
+    * bits, hamming ≤ 3 ⇒ some chunk equal (same pigeonhole guarantee). */
+  def simHashDetPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
+    val chunked = simHashDetFingerprints(docs, id, text)
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sh"), c * 15).bitwiseAND(0x7FFFL).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Labels after [[componentsBestEffort]]'s propagation loop: `labels` maps
+    * every node (`doc_id`) to the minimum id reachable within `rounds` hops
+    * (`component`); `converged` says whether the loop reached a fixpoint
+    * before `maxIter`. Non-converged labels are still well-defined — an
+    * over-segmentation of the true components (dedup keeps too much, never
+    * drops a non-duplicate) — so callers can proceed best-effort or fail. */
+  final case class ComponentsResult(labels: DataFrame, converged: Boolean,
+    rounds: Int)
+
+  /** Thrown by the strict [[components]] entry when label propagation has not
+    * reached a fixpoint within `maxIter` rounds (graph diameter too large). */
+  final class ComponentsNotConvergedException(maxIter: Int)
+    extends RuntimeException(
+      s"connected components did not converge in $maxIter label-propagation " +
+        "rounds; raise maxIter or use componentsBestEffort for partial labels")
+
   /** Dedup cluster resolution: connected components over an undirected
     * near-dup pair list, labeling every member with its cluster's MINIMUM id
     * (= the canonical survivor). Pairs alone are not deduplication — chains
     * (A~B, B~C) must collapse to one survivor even when A and C never formed
     * a candidate pair.
+    *
+    * EAGER: unlike most builders in this library this is not pure plan
+    * construction — it runs one Spark job per propagation round at call time
+    * (the per-round convergence count doubles as the checkpoint
+    * materializer). Call it where running jobs is acceptable, not inside
+    * lazy plan-assembly hot paths.
     *
     * DataFrame-only min-label propagation: each round every node takes the
     * min of its own label and its neighbors' labels; converges in
@@ -319,6 +388,16 @@ object Dedup {
     * the DuckDB twin is a recursive-CTE reachability closure. */
   def components(pairs: DataFrame, idA: Column, idB: Column,
       maxIter: Int = 25): DataFrame = {
+    val r = componentsBestEffort(pairs, idA, idB, maxIter)
+    if (!r.converged) throw new ComponentsNotConvergedException(maxIter)
+    r.labels
+  }
+
+  /** [[components]] without the convergence requirement: always returns the
+    * labels after at most `maxIter` rounds plus a `converged` flag, instead
+    * of throwing. Same eager-execution contract. */
+  def componentsBestEffort(pairs: DataFrame, idA: Column, idB: Column,
+      maxIter: Int = 25): ComponentsResult = {
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
       .unionAll(pairs.select(idB.as("src"), idA.as("dst")))
       .localCheckpoint(true)
@@ -346,8 +425,9 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    require(changed == 0, s"components did not converge in $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+    ComponentsResult(
+      labels.select(col("id").as("doc_id"), col("label").as("component")),
+      converged = changed == 0, rounds = iter)
   }
 
   /** Apply cluster resolution: drop every non-survivor (component member

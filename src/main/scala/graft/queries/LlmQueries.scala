@@ -16,7 +16,10 @@ import graft.model.Tables
   * Hash-based operators (MinHash/SimHash/LSH buckets) cannot be restated in
   * DuckDB (no xxhash64) — those register WITHOUT an oracle (driver rows-only
   * check) and are pinned instead by `LlmSpec` unit tests against the exact
-  * operators on the same fixture.
+  * operators on the same fixture. Each family additionally carries a fully
+  * oracle-checked twin that exercises the same plumbing under a restatable
+  * projection: q_ann_lsh_all / q_ann_ivf_all (bucketing ≡ brute force) and
+  * q_dedup_simhash_det (md5-projection simhash voting + banding).
   */
 object LlmQueries {
 
@@ -96,6 +99,17 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Deterministic-projection SimHash twin: md5-derived 60-bit fingerprint,
+    // integer voting, 15-bit-chunk banding — the full voting/banding plumbing
+    // under a projection DuckDB restates verbatim, so this one gets a full
+    // hash-match oracle row (the xxhash64 variant above stays the fast
+    // production path with its rows-only check + LlmSpec pin).
+    "q_dedup_simhash_det" -> ((s, d) => {
+      Dedup.simHashDetPairs(docsNearDups(s, d), col("doc_id"), col("text"), maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Dedup cluster resolution: connected components over the exact Jaccard
     // pairs, every member labeled with its cluster's min id (the survivor).
     // Deterministic min-label propagation → fully oracle-checkable via a
@@ -158,7 +172,10 @@ object LlmQueries {
       // kept feeds two DAG branches (pair generation + the survivor output);
       // persist it so the stats battery and filter run once, not per branch
       // (persist, not localCheckpoint: lazy and lineage-preserving — the
-      // components loop's first action fills the cache)
+      // components loop's first action fills the cache). The cache is
+      // released by the harness (CacheHygiene.releaseAll after each query
+      // materializes — pinned by CacheHygieneSpec), so it cannot outlive
+      // the query that created it.
       val kept = stats
         .filter(col("quality") >= 0.5 && col("lang_pred") === "en-like")
         .persist()
@@ -349,6 +366,32 @@ object LlmQueries {
     "q_dedup_clusters" -> s"""$ClusterCtes
       |SELECT src AS doc_id, least(src, min(dst)) AS component
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // restates simHashDetPairs verbatim: bit i of the 60-bit fingerprint is
+    // bit (i%4) of md5 hex digit i//4; ±1 vote per token; 4×15-bit banding
+    "q_dedup_simhash_det" -> s"""$NearDupCte,
+      |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d3),
+      |th AS (SELECT doc_id, md5(tok) AS h FROM tk),
+      |vote AS (SELECT doc_id, g.i AS bit,
+      |           sum(CASE WHEN ((strpos('0123456789abcdef',
+      |                             substr(h, (g.i // 4) + 1, 1)) - 1)
+      |                          & (CAST(1 AS BIGINT) << (g.i % 4))) <> 0
+      |               THEN 1 ELSE -1 END) AS v
+      |         FROM th CROSS JOIN generate_series(0, 59) AS g(i)
+      |         GROUP BY doc_id, g.i),
+      |fp AS (SELECT doc_id,
+      |              CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+      |                            ELSE 0 END) AS BIGINT) AS sh
+      |       FROM vote GROUP BY doc_id),
+      |ck AS (SELECT doc_id, sh, c.c AS chunk, (sh >> (c.c * 15)) & 32767 AS key
+      |       FROM fp CROSS JOIN generate_series(0, 3) AS c(c)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |                a.sh AS sa, b.sh AS sb
+      |         FROM ck a JOIN ck b
+      |           ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_apply" -> s"""$ClusterCtes,
       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component

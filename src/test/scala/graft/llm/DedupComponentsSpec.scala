@@ -31,4 +31,29 @@ class DedupComponentsSpec extends SparkSpec {
     val got = comp(Seq((7L, 6L), (6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
     assert(got === (1L to 7L).map(_ -> 1L).toMap)
   }
+
+  test("non-convergence is a typed result, not a bare require failure") {
+    val s = spark
+    import s.implicits._
+    // path 5-4-3-2-1 has diameter 4; one round cannot walk min=1 to node 5
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+
+    // best-effort: labels still usable (an over-segmentation — every label
+    // is a reachable id, so dedup built on them never drops a non-duplicate)
+    val r = Dedup.componentsBestEffort(pairs, col("id_a"), col("id_b"), maxIter = 1)
+    assert(!r.converged && r.rounds === 1)
+    val labels = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(labels.keySet === (1L to 5L).toSet)
+    assert(labels.forall { case (id, lbl) => lbl <= id }) // monotone progress
+
+    // strict entry: the typed exception, not IllegalArgumentException
+    val e = intercept[Dedup.ComponentsNotConvergedException] {
+      Dedup.components(pairs, col("id_a"), col("id_b"), maxIter = 1)
+    }
+    assert(e.getMessage.contains("1 label-propagation"))
+
+    // sanity: enough rounds converge and report the flag
+    val ok = Dedup.componentsBestEffort(pairs, col("id_a"), col("id_b"))
+    assert(ok.converged && ok.rounds <= 6)
+  }
 }

@@ -62,6 +62,51 @@ class LlmSpec extends SparkSpec {
       s"missing=${expected -- found} spurious=${found -- expected}")
   }
 
+  test("deterministic simhash fingerprint matches independent md5 bit math") {
+    // one doc per token set; expected fingerprint computed with
+    // java.security MD5 + the documented convention (bit i = bit i%4 of hex
+    // digit i/4, vote sign packs weight 2^i) — pins the Spark conv/substr
+    // pipeline against something that shares none of its code
+    val s = spark
+    import s.implicits._
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(text: String): Long = {
+      val toks = text.split(" ", -1)
+      (0 until 60).map { i =>
+        val votes = toks.map { t =>
+          val v = Integer.parseInt(md5hex(t).charAt(i / 4).toString, 16)
+          if ((v & (1 << (i % 4))) != 0) 1 else -1
+        }.sum
+        if (votes > 0) 1L << i else 0L
+      }.sum
+    }
+    val texts = Seq("alpha", "alpha beta gamma", "the quick brown fox fox")
+    val got = Dedup.simHashDetFingerprints(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === expected(t), s"fingerprint mismatch for '$t'")
+    }
+  }
+
+  test("deterministic simhash banding = exact hamming<=3 pairs") {
+    val fps = Dedup.simHashDetFingerprints(docsNearDups, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, sa) <- fps; (ib, sb) <- fps
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty, "fixture produced no hamming<=3 pairs at all")
+    val found = Dedup.simHashDetPairs(docsNearDups, col("doc_id"), col("text"), maxDist = 3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == expected,
+      s"missing=${expected -- found} spurious=${found -- expected}")
+  }
+
   test("MinHash est_jaccard within 0.25 of exact Jaccard on planted pairs") {
     val exact = Dedup.jaccardPairs(docsNearDups, col("doc_id"), col("text"),
         n = 3, threshold = 0.0)
