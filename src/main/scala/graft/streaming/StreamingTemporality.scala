@@ -227,6 +227,54 @@ object StreamingTemporality extends Serializable {
         col("count"), col("sum"), col("buckets"), col("attributes"),
         col("samples_count"))
 
+  /** ST4 + ST8 — the reference's continuous MV cascade (metrics_5m_mv
+    * re-aggregating the 1m tier, schema.sql:249-283) as ONE streaming query:
+    * two chained event-time window aggregations — Spark's
+    * multiple-stateful-operator support, the 5m tier re-grouping on
+    * `window_time` of the 1m window. Column set and faithful avg-of-avgs as
+    * [[graft.metrics.Rollup.rollup5mFull]]; `value_last` at 5m picks the
+    * LATEST 1m bucket's value_last (ordered by the 1m window's event time —
+    * the batch cascade orders by `last_seq`, which is monotone with the
+    * bucket, so the twins agree). The batch cascade through the STORED tiers
+    * ([[graft.sink.RollupMaintenance.refreshCascade]]) remains the primary
+    * ST8 path; this is the single-query continuous variant, pinned
+    * streaming ≡ batch-cascade by StreamingTemporalitySpec. */
+  def rollup5mFullStreaming(points: DataFrame, tsCol: String,
+      lateness: String = "10 minutes", seqCol: Option[String] = None): DataFrame =
+    points
+      .withWatermark(tsCol, lateness)
+      .groupBy(
+        window(col(tsCol), "1 minute").as("w"),
+        col("workspaceId"), col("metric"), col("series_hash"))
+      .agg(
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        avg(col("value")).as("value_avg"),
+        max_by(col("value"), col(seqCol.getOrElse(tsCol))).as("value_last"),
+        sum(col("count")).as("count"),
+        sum(col("sum")).as("sum"),
+        flatten(collect_list(col("buckets"))).as("buckets"),
+        any_value(col("attributes"), lit(true)).as("attributes"),
+        count(lit(1)).as("samples_count"))
+      .groupBy(
+        window(window_time(col("w")), "5 minutes").as("w5"),
+        col("workspaceId"), col("metric"), col("series_hash"))
+      .agg(
+        min(col("value_min")).as("value_min"),
+        max(col("value_max")).as("value_max"),
+        avg(col("value_avg")).as("value_avg"), // avg-of-avgs, schema.sql:262
+        max_by(col("value_last"), window_time(col("w"))).as("value_last"),
+        sum(col("count")).as("count"),
+        sum(col("sum")).as("sum"),
+        flatten(collect_list(col("buckets"))).as("buckets"),
+        any_value(col("attributes"), lit(true)).as("attributes"),
+        sum(col("samples_count")).as("samples_count"))
+      .select(unix_millis(col("w5.start")).as("bucket_ms"),
+        col("workspaceId"), col("metric"), col("series_hash"),
+        col("value_min"), col("value_max"), col("value_avg"), col("value_last"),
+        col("count"), col("sum"), col("buckets"), col("attributes"),
+        col("samples_count"))
+
   /** ST1 + ST6 + S7 — wire a converted stream into a parquet sink with a
     * processing-time trigger and checkpoint: the flush loop of
     * processor.go:81-87 (ticker + batch-size) maps to micro-batch triggers;
