@@ -16,8 +16,13 @@ object Scratch {
     }
 
     def audit(name: String): Unit = {
-      val plan = graft.SparkEntry.queries(name)(spark, d)
-        .queryExecution.executedPlan.toString
+      val qe = graft.SparkEntry.queries(name)(spark, d).queryExecution
+      // drive THIS QueryExecution to completion first: under AQE the
+      // pre-execution plan string is the initial plan (isFinalPlan=false,
+      // no WholeStageCodegen markers) — auditing it reports codegenSpans=0
+      // for plans that are in fact fully codegen'd
+      qe.toRdd.foreach(_ => ())
+      val plan = qe.executedPlan.toString
       val pushed = plan.linesIterator
         .filter(_.contains("PushedFilters: [")).map(_.trim.take(160)).toSeq
       // operators inside codegen stages print with a "*(n)" prefix; count
