@@ -98,46 +98,110 @@ object SinkQueries {
     // p50/p90/p99 over the merged histogram. Exercises matchers against the
     // stored attribute map, partition pruning on the monthly tier, and the
     // quantile over buckets that went through parquet — end-to-end.
-    "q_read_path_5m_hist" -> ((s, d) => {
+    "q_read_path_5m_hist" -> ((s, d) => storedHistRead(s, d, "q_rp5m", HStart, HEnd)),
+
+    // Same read path routed to the 1h tier: a 10-day span fails the 5m gate
+    // (span ≥ 7d, handler.go:304-321) regardless of age, so the quantile
+    // merges the STORED hourly bucket concats — the coarsest storage a real
+    // histogram query ever reads.
+    "q_read_path_1h_hist" -> ((s, d) => storedHistRead(s, d, "q_rp1h", HStart, GEnd)),
+
+    // The EXP-histogram read at the stored 1m tier — the ONLY tier carrying
+    // exp columns (the reference's 5m/1h tables drop them,
+    // schema.sql:194-247): write the full 1m MV, P8-route a 4-day-old
+    // 20-hour window to it, merge the stored exp bucket concats per series
+    // with the typed Aggregator, and walk negative→zero→positive for the
+    // percentile (percentile.go:159-225). Closes the loop q_st8_cascade
+    // leaves open: exp payloads surviving parquet and feeding a read.
+    "q_read_path_1m_exp" -> ((s, d) => {
       import Promread._
-      val base = scratch("q_rp5m")
+      val base = scratch("q_rp1m_exp")
       wipe(s, base)
       val keys = Seq(col("workspace_id"), col("metric"))
-      val m5 = Rollup.rollup5mFull(
-        Rollup.rollup1mFull(
-          EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
-          keys, col("ts_ms"), col("event_id")),
-        keys)
-      MetricsSink.write(m5, base, MetricsSink.M5, col("bucket_ms"), keys,
-        mode = "overwrite")
+      val m1f = Rollup.rollup1mFull(
+        EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+        keys, col("ts_ms"), col("event_id"))
       val tier = MetricsSink.tiers
-        .find(_.name == Promread.selectTable(HStart, HEnd, NowMs)).get // metrics_5m
+        .find(_.name == Promread.selectTable(RtStart, RtEnd, NowMs)).get // metrics_1m
+      MetricsSink.write(m1f, base, tier, col("bucket_ms"), keys,
+        mode = "overwrite")
       val pred = predicate(Seq(Matcher("m", RE, "^evt_(purchase|view)$")),
-        workspaceId = "ws-1", startMs = HStart, endMs = HEnd,
+        workspaceId = "ws-1", startMs = RtStart, endMs = RtEnd,
         tsMsCol = col("bucket_ms"))
       val rows = MetricsSink.read(s, base, tier)
-        .filter(MetricsSink.partitionFilter(tier, HStart, HEnd))
+        .filter(MetricsSink.partitionFilter(tier, RtStart, RtEnd))
         .filter(pred)
-      val ps = array(lit(50.0), lit(90.0), lit(99.0))
-      graft.histo.HistogramFunctions.mergeBuckets(
-          rows.select(col("workspace_id"), col("metric"), col("buckets")),
-          keys, col("buckets"))
-        .withColumn("qs",
-          graft.histo.HistogramFunctions.histogram_quantiles(col("buckets"), ps))
+      import graft.histo.HistogramFunctions
+      rows.groupBy(keys: _*)
+        .agg(HistogramFunctions.merge_exp_hist(col("exp_scale"),
+          col("exp_zero_count"), col("exp_zero_threshold"),
+          col("exp_positive_buckets"), col("exp_negative_buckets")).as("m"))
         .select(col("workspace_id"), col("metric"),
-          aggregate(col("buckets"), lit(0L),
-            (acc, b) => acc + b.getField("count")).as("merged_total"),
-          round(element_at(col("qs"), 1), 6).as("p50"),
-          round(element_at(col("qs"), 2), 6).as("p90"),
-          round(element_at(col("qs"), 3), 6).as("p99"))
+          col("m.scale").as("scale"),
+          col("m.zeroCount").as("zero_count"),
+          round(col("m.zeroThreshold"), 6).as("zero_threshold"),
+          round(HistogramFunctions.exp_histogram_quantile(col("m.scale"),
+            col("m.zeroCount"), col("m.positive"), col("m.negative"),
+            lit(50.0)), 6).as("p50"),
+          round(HistogramFunctions.exp_histogram_quantile(col("m.scale"),
+            col("m.zeroCount"), col("m.positive"), col("m.negative"),
+            lit(99.0)), 6).as("p99"))
         .orderBy(col("workspace_id"), col("metric"))
     }))
+
+  /** The promread histogram case against STORED coarse tiers: build the full
+    * cascade down to whatever tier P8 routes [startMs, endMs] to, write it as
+    * real partitioned parquet, read it back through partition filter +
+    * matcher predicate, merge the stored bucket concats per series, and run
+    * the reference percentile interpolation (handler.go:304-321 routing,
+    * :179-205 histogram rows, pkg/histogram/percentile.go:17-67). */
+  private def storedHistRead(s: SparkSession, d: String, tag: String,
+      startMs: Long, endMs: Long): DataFrame = {
+    import Promread._
+    val base = scratch(tag)
+    wipe(s, base)
+    val keys = Seq(col("workspace_id"), col("metric"))
+    val m1 = Rollup.rollup1mFull(
+      EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+      keys, col("ts_ms"), col("event_id"))
+    val tier = MetricsSink.tiers
+      .find(_.name == Promread.selectTable(startMs, endMs, NowMs)).get
+    val tiered = tier.name match {
+      case "metrics_5m" => Rollup.rollup5mFull(m1, keys)
+      case "metrics_1h" => Rollup.rollup1hFull(Rollup.rollup5mFull(m1, keys), keys)
+      case other => sys.error(s"storedHistRead expects a coarse tier, got $other")
+    }
+    MetricsSink.write(tiered, base, tier, col("bucket_ms"), keys,
+      mode = "overwrite")
+    val pred = predicate(Seq(Matcher("m", RE, "^evt_(purchase|view)$")),
+      workspaceId = "ws-1", startMs = startMs, endMs = endMs,
+      tsMsCol = col("bucket_ms"))
+    val rows = MetricsSink.read(s, base, tier)
+      .filter(MetricsSink.partitionFilter(tier, startMs, endMs))
+      .filter(pred)
+    val ps = array(lit(50.0), lit(90.0), lit(99.0))
+    graft.histo.HistogramFunctions.mergeBuckets(
+        rows.select(col("workspace_id"), col("metric"), col("buckets")),
+        keys, col("buckets"))
+      .withColumn("qs",
+        graft.histo.HistogramFunctions.histogram_quantiles(col("buckets"), ps))
+      .select(col("workspace_id"), col("metric"),
+        aggregate(col("buckets"), lit(0L),
+          (acc, b) => acc + b.getField("count")).as("merged_total"),
+        round(element_at(col("qs"), 1), 6).as("p50"),
+        round(element_at(col("qs"), 2), 6).as("p90"),
+        round(element_at(col("qs"), 3), 6).as("p99"))
+      .orderBy(col("workspace_id"), col("metric"))
+  }
 
   // q_read_path_5m_hist's promread window: 2024-01-04 → 2024-01-07 UTC.
   // Age vs pinned now (20d) fails the 1m gate (≥15d), span (3d) passes the
   // 5m gate (<7d) → metrics_5m (handler.go:304-321).
   private val HStart = 1704326400000L
   private val HEnd = HStart + 3 * 86400000L
+  // q_read_path_1h_hist's window: same start, 10-day span → span ≥ 7d fails
+  // the 5m gate → metrics_1h whatever the age.
+  private val GEnd = HStart + 10 * 86400000L
 
   private def wipe(s: SparkSession, base: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(base)
@@ -191,15 +255,48 @@ object SinkQueries {
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
       |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
 
-    // The 5m-routed histogram read: rows whose 5m bucket falls in the window
-    // (bucket_ms BETWEEN start AND end — restated as the floor expression),
-    // merged per series into the four fixture bounds, then the reference
-    // percentile interpolation (percentile.go:17-67) in SQL.
-    "q_read_path_5m_hist" -> s"""$EvtCte,
+    // The coarse-tier histogram reads: rows whose tier bucket falls in the
+    // window (bucket_ms BETWEEN start AND end — restated as the floor
+    // expression), merged per series into the four fixture bounds, then the
+    // reference percentile interpolation (percentile.go:17-67) in SQL.
+    "q_read_path_5m_hist" -> histReadSql(300000L, HEnd),
+    "q_read_path_1h_hist" -> histReadSql(3600000L, GEnd),
+
+    // Closed-form restatement of the stored-1m exp read: the fixture's exp
+    // payload is one negative bucket (-1, u%6), zero count u%4, one positive
+    // bucket (1, u%5) at scale len(metric)%3, so the negative→zero→positive
+    // walk (percentile.go:159-210) collapses to a three-region CASE on the
+    // modular sums, with bucket midpoints from base = 2^(2^-scale).
+    "q_read_path_1m_exp" -> s"""$EvtCte,
       |sel AS (SELECT * FROM evt
       |        WHERE workspace_id = 'ws-1'
       |          AND regexp_matches(metric, '^evt_(purchase|view)$$')
-      |          AND (ts_ms // 300000) * 300000 BETWEEN $HStart AND $HEnd),
+      |          AND (ts_ms // 60000) * 60000 BETWEEN $RtStart AND $RtEnd),
+      |agg AS (SELECT workspace_id, metric,
+      |               CAST(length(metric) % 3 AS INT) AS s,
+      |               CAST(sum(user_id % 6) AS BIGINT) AS n,
+      |               CAST(sum(user_id % 4) AS BIGINT) AS z,
+      |               CAST(sum(user_id % 5) AS BIGINT) AS pc
+      |        FROM sel GROUP BY 1, 2),
+      |b AS (SELECT *, pow(2, pow(2, -CAST(s AS DOUBLE))) AS base,
+      |             CAST(n + z + pc AS DOUBLE) AS total FROM agg),
+      |v AS (SELECT workspace_id, metric, s, z, ps.p,
+      |             CASE WHEN n >= total * (ps.p / 100.0)
+      |                    THEN -((pow(base, -1) + 1.0) / 2.0)
+      |                  WHEN n + z >= total * (ps.p / 100.0) THEN 0.0
+      |                  ELSE (pow(base, 1) + pow(base, 2)) / 2.0 END AS val
+      |      FROM b CROSS JOIN (SELECT unnest([50.0, 99.0]) AS p) ps)
+      |SELECT workspace_id, metric, s AS scale, z AS zero_count,
+      |       round(CAST(s AS DOUBLE) * 0.5, 6) AS zero_threshold,
+      |       round(max(CASE WHEN p = 50 THEN val END), 6) AS p50,
+      |       round(max(CASE WHEN p = 99 THEN val END), 6) AS p99
+      |FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2""".stripMargin)
+
+  private def histReadSql(grainMs: Long, endMs: Long): String = s"""$EvtCte,
+      |sel AS (SELECT * FROM evt
+      |        WHERE workspace_id = 'ws-1'
+      |          AND regexp_matches(metric, '^evt_(purchase|view)$$')
+      |          AND (ts_ms // $grainMs) * $grainMs BETWEEN $HStart AND $endMs),
       |hist AS (
       |  SELECT workspace_id, metric, CAST(0.1 AS DOUBLE) AS le,
       |         CAST(sum(user_id % 3) AS BIGINT) AS cnt FROM sel GROUP BY 1,2
@@ -230,5 +327,5 @@ object SinkQueries {
       |       round(max(CASE WHEN p = 50 THEN v END), 6) AS p50,
       |       round(max(CASE WHEN p = 90 THEN v END), 6) AS p90,
       |       round(max(CASE WHEN p = 99 THEN v END), 6) AS p99
-      |FROM q GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+      |FROM q GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 }
