@@ -43,6 +43,8 @@ case class GraftConfig(
     flushIntervalMs: Long = 10000L,
     maxFilesPerTrigger: Int = 16,
     stateTtlMs: Long = 8L * 24 * 3600 * 1000,
+    rollupEveryBatches: Int = 0,
+    retentionDrop: Boolean = false,
     nowMs: Option[Long] = None)
 
 object GraftApp {
@@ -68,7 +70,11 @@ object GraftApp {
       maxFilesPerTrigger =
         get("source.max_files_per_trigger").map(_.toInt).getOrElse(16),
       stateTtlMs = get("processor.state_ttl_ms").map(_.toLong)
-        .getOrElse(8L * 24 * 3600 * 1000))
+        .getOrElse(8L * 24 * 3600 * 1000),
+      rollupEveryBatches =
+        get("maintenance.rollup_every_batches").map(_.toInt).getOrElse(0),
+      retentionDrop =
+        get("maintenance.retention_drop").exists(_.toBoolean))
   }
 
   /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, one
@@ -165,15 +171,44 @@ object GraftApp {
       } else validated.select(rawColumns.map(col): _*)
     val writer = out.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         MetricsSink.write(batch, cfg.storageDir, MetricsSink.Raw,
           col("ts_ms"),
           Seq(col("workspace_id"), col("metric"), col("series_hash")))
-        ()
+        maintain(spark, cfg, batchId)
       }
     Option(trigger).fold(writer)(t => writer.trigger(t))
       .start()
   }
+
+  /** The raw storage row extended with the empty exp columns the reference's
+    * raw TABLE declares (schema.sql:1-61) but its ingest never fills
+    * (otlp.go:234-258 doesn't copy exp payloads off the wire) — the cascade's
+    * 1m tier then keeps the full reference shape over app-written storage. */
+  private val EmptyExpBuckets = "array<struct<index:int,count:bigint>>"
+  def withEmptyExp(raw: DataFrame): DataFrame = raw
+    .withColumn("exp_scale", lit(0))
+    .withColumn("exp_zero_count", lit(0L))
+    .withColumn("exp_zero_threshold", lit(0.0))
+    .withColumn("exp_positive_buckets", array().cast(EmptyExpBuckets))
+    .withColumn("exp_negative_buckets", array().cast(EmptyExpBuckets))
+
+  /** Storage maintenance tick — the reference's MV-on-insert + TTL merges
+    * (schema.sql:183/274/365 freshness, :63-73 TTL) as an explicit,
+    * config-gated step after every Nth micro-batch: refresh the 1m→5m→1h
+    * cascade over fresh partitions, then drop whole expired partition
+    * directories. Inside foreachBatch the refresh serializes with ingest
+    * writes, so a reader never sees a tier mid-rewrite from this app. */
+  def maintain(spark: SparkSession, cfg: GraftConfig, batchId: Long): Unit =
+    if (cfg.rollupEveryBatches > 0 && batchId % cfg.rollupEveryBatches == 0) {
+      val now = cfg.nowMs.getOrElse(System.currentTimeMillis())
+      graft.sink.RollupMaintenance.refreshCascade(spark, cfg.storageDir, now,
+        Seq(col("workspace_id"), col("metric"), col("series_hash")),
+        col("ts_ms"), col("ts_ms"), prepRaw = withEmptyExp)
+      if (cfg.retentionDrop)
+        MetricsSink.tiers.foreach(t =>
+          MetricsSink.dropExpiredPartitions(spark, cfg.storageDir, t, now))
+    }
 
   def main(args: Array[String]): Unit = {
     val cfg = load(args.headOption.getOrElse("graft.properties"))

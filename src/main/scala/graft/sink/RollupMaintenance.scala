@@ -111,13 +111,19 @@ object RollupMaintenance {
     * the columns its reference table declares: 1m with exp fields
     * (schema.sql:146-192), 5m/1h with buckets + attributes but no exp
     * (schema.sql:194-247,285-336). A histogram-quantile read that P8-routes
-    * to ANY tier finds real stored buckets to merge. */
+    * to ANY tier finds real stored buckets to merge.
+    *
+    * `prepRaw` adapts a raw table whose INGEST leaves exp payloads absent
+    * (the app's case — otlp.go:234-258 never copies them off the wire) by
+    * extending it with the empty exp columns the reference's raw table
+    * declares anyway; the stored tiers then keep the reference shape. */
   def refreshCascade(spark: SparkSession, baseDir: String, nowMs: Long,
-      seriesCols: Seq[Column], tsMs: Column, seq: Column): Unit = {
+      seriesCols: Seq[Column], tsMs: Column, seq: Column,
+      prepRaw: DataFrame => DataFrame = identity): Unit = {
     import graft.metrics.Rollup
     refreshTier(spark, baseDir, MetricsSink.Raw, MetricsSink.M1,
       tsMs, nowMs, seriesCols)(
-      df => Rollup.rollup1mFull(df, seriesCols, tsMs, seq))
+      df => Rollup.rollup1mFull(prepRaw(df), seriesCols, tsMs, seq))
     refreshTier(spark, baseDir, MetricsSink.M1, MetricsSink.M5,
       col("bucket_ms"), nowMs, seriesCols)(
       df => Rollup.rollup5mFull(df, seriesCols))

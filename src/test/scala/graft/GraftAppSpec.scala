@@ -161,4 +161,31 @@ class GraftAppSpec extends SparkSpec {
     assert(r.getDouble(2) === 42.0)
     assert(r.getString(3) === "trace-m3")
   }
+
+  test("maintenance tick: MV cascade + retention run inside the app (S10+ST8)") {
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base).copy(rollupEveryBatches = 1, retentionDrop = true)
+    // three minute-distinct points: deltas [100,50,50] -> three 1m buckets,
+    // one 5m bucket (23:55-00:00), one 1h bucket (23:00-00:00)
+    land(cfg.sourceDir, 1, exportRows(Seq(
+      ("m9", NowMs - 180000, 100.0), ("m9", NowMs - 120000, 150.0),
+      ("m9", NowMs - 60000, 200.0))))
+    runOnce(cfg)
+    val m1 = MetricsSink.read(spark, cfg.storageDir, MetricsSink.M1)
+    assert(m1.count() === 3)
+    // the stored 1m tier keeps the FULL reference shape, exp columns
+    // included (empty by ingest semantics, present by table schema)
+    assert(m1.columns.contains("exp_positive_buckets"))
+    assert(m1.select(sum(size(col("exp_positive_buckets")))).collect()(0).getLong(0) === 0L)
+    val h1 = MetricsSink.read(spark, cfg.storageDir, MetricsSink.H1)
+      .select(col("value_min"), col("value_max"), col("samples_count"))
+      .collect()
+    assert(h1.length === 1)
+    assert(h1(0).getDouble(0) === 50.0 && h1(0).getDouble(1) === 100.0 &&
+      h1(0).getLong(2) === 3L)
+    // retention ran and kept everything: every tier's data is younger than
+    // its window (raw keeps 3h; the fixture partition ends at NowMs)
+    assert(sinkRows(cfg).length === 3)
+  }
 }
