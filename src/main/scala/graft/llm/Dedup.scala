@@ -299,6 +299,65 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Deterministic MinHash twin — the last rows-only family's full-oracle
+    * plumbing pin (LSH/IVF have q_ann_*_all, SimHash has the md5 det twin):
+    * shingle values are the packed 60-bit md5 digits (Σ digit_p·2^(4p),
+    * the [[simHashDetFingerprints]] convention) reduced mod 2^31, the k
+    * signature components are universal-hash mins
+    * h_i(v) = ((2i+1)·v + (i·2654435761 mod M)) mod M with M = 2^31−1, and
+    * banding keys are the signature rows themselves — integer-only, so a
+    * SQL oracle restates signatures, banding, and est-Jaccard verbatim.
+    * [[minHashCandidates]] (codegen'd xxhash64 signatures + salt guard)
+    * stays the production path. */
+  def minHashDetSignatures(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int, k: Int): DataFrame = {
+    val M = 2147483647L
+    val packed = (0 until 15).map(p =>
+        conv(substring(col("h32"), p + 1, 1), 16, 10).cast("long") *
+          lit(1L << (4 * p)))
+      .reduce((a: Column, b: Column) => a + b)
+    val mins = (0 until k).map { i =>
+      min((col("v") * lit(2L * i + 1) + lit((i * 2654435761L) % M)) % M).as(s"s$i")
+    }
+    docs.filter(size(TextAnalysis.tokens(text)) >= shingleN)
+      .select(id.as("doc_id"), explode(shingles(text, shingleN)).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("h32"))
+      .select(col("doc_id"), (packed % lit(2147483648L)).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  def minHashDetCandidates(docs: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must split evenly into bands")
+    val rows = k / bands
+    val sig = minHashDetSignatures(docs, id, text, shingleN, k)
+    val banded = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws("_", (0 until rows).map(r =>
+              element_at(col("sig"), j * rows + r + 1).cast("string")): _*)
+              .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val agree = (0 until k).map(i =>
+        when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
+          1).otherwise(0))
+      .reduce((a: Column, b: Column) => a + b)
+    banded.as("a").hint("shuffle_merge")
+      .join(banded.as("b").hint("shuffle_merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Deterministic-projection SimHash twin: a 60-bit fingerprint whose bit i
     * is bit (i mod 4) of hex digit i/4 of the token's md5 digest — a fixed
     * projection with integer ±1 voting that a SQL oracle can restate verbatim

@@ -99,6 +99,18 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Deterministic MinHash twin: md5-packed shingle values, integer
+    // universal-hash signature mins, signature-row band keys — the full
+    // signature/banding/est-Jaccard plumbing under arithmetic DuckDB
+    // restates verbatim → full hash-match oracle row (the xxhash64 variant
+    // above stays the production path with its rows-only check + LlmSpec pin).
+    "q_dedup_minhash_det" -> ((s, d) => {
+      Dedup.minHashDetCandidates(docsNearDups(s, d), col("doc_id"), col("text"),
+          shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Deterministic-projection SimHash twin: md5-derived 60-bit fingerprint,
     // integer voting, 15-bit-chunk banding — the full voting/banding plumbing
     // under a projection DuckDB restates verbatim, so this one gets a full
@@ -366,6 +378,42 @@ object LlmQueries {
     "q_dedup_clusters" -> s"""$ClusterCtes
       |SELECT src AS doc_id, least(src, min(dst)) AS component
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // restates minHashDetCandidates verbatim: packed md5 digits mod 2^31 per
+    // shingle, 16 universal-hash mins, 4-row band keys, agreement/16
+    "q_dedup_minhash_det" -> s"""$NearDupCte,
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                i -> array_to_string(t[i:i+2], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 3),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |hv AS (SELECT doc_id,
+      |              list_sum(list_transform(generate_series(0, 14),
+      |                p -> (strpos('0123456789abcdef',
+      |                        substr(md5(shingle), p + 1, 1)) - 1)
+      |                     * (CAST(1 AS BIGINT) << (4 * p)))) % 2147483648
+      |                AS v
+      |       FROM inv),
+      |sig AS (SELECT doc_id, g.i AS i,
+      |               min((v * (2 * g.i + 1) + (g.i * 2654435761) % 2147483647)
+      |                   % 2147483647) AS s
+      |        FROM hv CROSS JOIN generate_series(0, 15) AS g(i)
+      |        GROUP BY 1, 2),
+      |band AS (SELECT doc_id, i // 4 AS band,
+      |                string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS key
+      |         FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM band a JOIN band b
+      |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.id_a, c.id_b,
+      |               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 16.0 AS e
+      |        FROM cand c
+      |        JOIN sig sa ON sa.doc_id = c.id_a
+      |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      |        GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(CAST(e AS DOUBLE), 6) AS est_jaccard
+      |FROM est WHERE e >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // restates simHashDetPairs verbatim: bit i of the 60-bit fingerprint is
     // bit (i%4) of md5 hex digit i//4; ±1 vote per token; 4×15-bit banding

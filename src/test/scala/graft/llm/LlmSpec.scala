@@ -62,6 +62,40 @@ class LlmSpec extends SparkSpec {
       s"missing=${expected -- found} spurious=${found -- expected}")
   }
 
+  test("deterministic minhash signature matches independent md5 hash math") {
+    // expected signatures computed with java.security MD5 + the documented
+    // convention (packed digit sum mod 2^31, universal-hash mins) — shares
+    // no code with the Spark conv/substr pipeline
+    val s = spark
+    import s.implicits._
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(text: String): Seq[Long] = {
+      val toks = text.split(" ", -1)
+      val sh = (0 to toks.length - 3)
+        .map(i => toks.slice(i, i + 3).mkString(" ")).distinct
+      val vs = sh.map { x =>
+        val h = md5hex(x)
+        (0 until 15).map(p =>
+          Integer.parseInt(h.charAt(p).toString, 16).toLong << (4 * p))
+          .sum % 2147483648L
+      }
+      (0 until 16).map { i =>
+        vs.map(v => (v * (2L * i + 1) + (i * 2654435761L) % 2147483647L)
+          % 2147483647L).min
+      }
+    }
+    val texts = Seq("a b c d e", "the quick brown fox jumps over the dog")
+    val got = Dedup.minHashDetSignatures(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), shingleN = 3, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === expected(t), s"signature mismatch for '$t'")
+    }
+  }
+
   test("deterministic simhash fingerprint matches independent md5 bit math") {
     // one doc per token set; expected fingerprint computed with
     // java.security MD5 + the documented convention (bit i = bit i%4 of hex
