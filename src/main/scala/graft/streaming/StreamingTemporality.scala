@@ -241,6 +241,24 @@ object StreamingTemporality extends Serializable {
     * streaming ≡ batch-cascade by StreamingTemporalitySpec. */
   def rollup5mFullStreaming(points: DataFrame, tsCol: String,
       lateness: String = "10 minutes", seqCol: Option[String] = None): DataFrame =
+    projectTier(coarserTier(
+      oneMinuteFullWindowed(points, tsCol, lateness, seqCol),
+      "w", "w5", "5 minutes"), "w5")
+
+  /** The full three-tier chain 1m→5m→1h as ONE streaming query (three
+    * chained stateful window aggregations) — the deepest MV-chain shape the
+    * reference runs (metrics_1h_mv reading the 5m tier, schema.sql:340-374).
+    * Same spec-pinned batch-equivalence contract as the 5m twin. */
+  def rollup1hFullStreaming(points: DataFrame, tsCol: String,
+      lateness: String = "10 minutes", seqCol: Option[String] = None): DataFrame =
+    projectTier(coarserTier(coarserTier(
+      oneMinuteFullWindowed(points, tsCol, lateness, seqCol),
+      "w", "w5", "5 minutes"), "w5", "w1h", "1 hour"), "w1h")
+
+  /** First cascade stage: full-width 1m windowed agg KEEPING the window
+    * column so a coarser tier can re-group on `window_time` of it. */
+  private def oneMinuteFullWindowed(points: DataFrame, tsCol: String,
+      lateness: String, seqCol: Option[String]): DataFrame =
     points
       .withWatermark(tsCol, lateness)
       .groupBy(
@@ -256,24 +274,34 @@ object StreamingTemporality extends Serializable {
         flatten(collect_list(col("buckets"))).as("buckets"),
         any_value(col("attributes"), lit(true)).as("attributes"),
         count(lit(1)).as("samples_count"))
+
+  /** One coarser cascade stage over a windowed finer tier: re-group on
+    * `window_time(finer window)`, re-aggregate with the reference MV's
+    * column semantics (faithful avg-of-avgs; value_last from the LATEST
+    * finer window — batch orders by last_seq, monotone with the window). */
+  private def coarserTier(finer: DataFrame, wCol: String, outCol: String,
+      duration: String): DataFrame =
+    finer
       .groupBy(
-        window(window_time(col("w")), "5 minutes").as("w5"),
+        window(window_time(col(wCol)), duration).as(outCol),
         col("workspaceId"), col("metric"), col("series_hash"))
       .agg(
         min(col("value_min")).as("value_min"),
         max(col("value_max")).as("value_max"),
         avg(col("value_avg")).as("value_avg"), // avg-of-avgs, schema.sql:262
-        max_by(col("value_last"), window_time(col("w"))).as("value_last"),
+        max_by(col("value_last"), window_time(col(wCol))).as("value_last"),
         sum(col("count")).as("count"),
         sum(col("sum")).as("sum"),
         flatten(collect_list(col("buckets"))).as("buckets"),
         any_value(col("attributes"), lit(true)).as("attributes"),
         sum(col("samples_count")).as("samples_count"))
-      .select(unix_millis(col("w5.start")).as("bucket_ms"),
-        col("workspaceId"), col("metric"), col("series_hash"),
-        col("value_min"), col("value_max"), col("value_avg"), col("value_last"),
-        col("count"), col("sum"), col("buckets"), col("attributes"),
-        col("samples_count"))
+
+  private def projectTier(tier: DataFrame, wCol: String): DataFrame =
+    tier.select(unix_millis(col(s"$wCol.start")).as("bucket_ms"),
+      col("workspaceId"), col("metric"), col("series_hash"),
+      col("value_min"), col("value_max"), col("value_avg"), col("value_last"),
+      col("count"), col("sum"), col("buckets"), col("attributes"),
+      col("samples_count"))
 
   /** ST1 + ST6 + S7 — wire a converted stream into a parquet sink with a
     * processing-time trigger and checkpoint: the flush loop of

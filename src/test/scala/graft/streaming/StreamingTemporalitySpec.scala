@@ -321,6 +321,60 @@ class StreamingTemporalitySpec extends SparkSpec {
     assert(canon(got) === batch)
   }
 
+  test("ST8 three-tier streaming chain: 1m->5m->1h == batch cascade") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def hp(series: Long, tsMs: Long, c: Long, sm: Double, b1: Long, b2: Long) =
+      MetricPoint("ws", series, s"h$series", new Timestamp(tsMs), 3, 1, true,
+        None, Some(c), Some(sm), Seq(Bucket(1.0, b1), Bucket(5.0, b2)),
+        attributes = Map("m" -> s"h$series"))
+    // hour 0 (minutes 2, 7, 40) and hour 1 (minute 70); two series in hour 0
+    val pts = Seq(
+      hp(1, 2 * 60000 + 5000, 10, 2.0, 3, 7), hp(1, 7 * 60000, 25, 5.0, 9, 20),
+      hp(1, 40 * 60000, 5, 1.0, 1, 4), hp(1, 70 * 60000, 12, 3.0, 2, 6),
+      hp(2, 2 * 60000, 6, 4.0, 2, 5))
+    val mem = MemoryStream[MetricPoint]
+    val q = StreamingTemporality.rollup1hFullStreaming(
+        mem.toDS().toDF().withColumn("value", col("value").cast("double")),
+        tsCol = "timestamp", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("st_cascade_1h")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(pts: _*)
+      q.processAllAvailable()
+      mem.addData(hp(1, 180 * 60000, 1, 1.0, 0, 0)) // hour 3: flush hours 0-1
+      q.processAllAvailable()
+      s.table("st_cascade_1h")
+    } finally q.stop()
+
+    val emptyExp = "array<struct<index:int,count:bigint>>"
+    val batchIn = pts.toDS().toDF()
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("ts_ms", unix_millis(col("timestamp")))
+      .withColumn("exp_scale", lit(0))
+      .withColumn("exp_zero_count", lit(0L))
+      .withColumn("exp_zero_threshold", lit(0.0))
+      .withColumn("exp_positive_buckets", array().cast(emptyExp))
+      .withColumn("exp_negative_buckets", array().cast(emptyExp))
+    val seriesCols = Seq(col("workspaceId"), col("metric"), col("series_hash"))
+    val cmp = Seq("series_hash", "bucket_ms", "value_min", "value_max",
+      "value_avg", "value_last", "count", "sum", "buckets_sorted",
+      "attributes", "samples_count")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("buckets_sorted",
+        array_sort(col("buckets").cast("array<struct<le:double,count:bigint>>")))
+      .withColumn("attributes", map_entries(col("attributes"))(0).getField("value"))
+      .selectExpr(cmp: _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = canon(graft.metrics.Rollup.rollup1hFull(
+      graft.metrics.Rollup.rollup5mFull(
+        graft.metrics.Rollup.rollup1mFull(batchIn, seriesCols,
+          col("ts_ms"), col("ts_ms")), seriesCols), seriesCols))
+    assert(canon(got) === batch)
+    assert(batch.length === 3) // (s1 hour0, s1 hour1, s2 hour0)
+  }
+
   test("ST1/ST6: checkpointed restart carries series state across queries") {
     val s = spark
     import s.implicits._
