@@ -329,7 +329,7 @@ object Dedup {
   }
 
   def minHashDetCandidates(docs: DataFrame, id: Column, text: Column,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must split evenly into bands")
     val rows = k / bands

@@ -18,8 +18,10 @@ import graft.model.Tables
   * check) and are pinned instead by `LlmSpec` unit tests against the exact
   * operators on the same fixture. Each family additionally carries a fully
   * oracle-checked twin that exercises the same plumbing under a restatable
-  * projection: q_ann_lsh_all / q_ann_ivf_all (bucketing ≡ brute force) and
-  * q_dedup_simhash_det (md5-projection simhash voting + banding).
+  * projection: q_ann_lsh_all / q_ann_ivf_all (bucketing ≡ brute force),
+  * q_dedup_simhash_det (md5-projection simhash voting + banding), and
+  * q_dedup_minhash_det (md5-packed shingle values + integer universal-hash
+  * signature mins + signature-row band keys).
   */
 object LlmQueries {
 
@@ -106,7 +108,7 @@ object LlmQueries {
     // above stays the production path with its rows-only check + LlmSpec pin).
     "q_dedup_minhash_det" -> ((s, d) => {
       Dedup.minHashDetCandidates(docsNearDups(s, d), col("doc_id"), col("text"),
-          shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+          shingleN = 3, k = 64, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -380,7 +382,7 @@ object LlmQueries {
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     // restates minHashDetCandidates verbatim: packed md5 digits mod 2^31 per
-    // shingle, 16 universal-hash mins, 4-row band keys, agreement/16
+    // shingle, 64 universal-hash mins, 16 bands x 4-row keys, agreement/64
     "q_dedup_minhash_det" -> s"""$NearDupCte,
       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
       |sh AS (SELECT doc_id,
@@ -398,7 +400,7 @@ object LlmQueries {
       |sig AS (SELECT doc_id, g.i AS i,
       |               min((v * (2 * g.i + 1) + (g.i * 2654435761) % 2147483647)
       |                   % 2147483647) AS s
-      |        FROM hv CROSS JOIN generate_series(0, 15) AS g(i)
+      |        FROM hv CROSS JOIN generate_series(0, 63) AS g(i)
       |        GROUP BY 1, 2),
       |band AS (SELECT doc_id, i // 4 AS band,
       |                string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS key
@@ -407,7 +409,7 @@ object LlmQueries {
       |         FROM band a JOIN band b
       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
       |est AS (SELECT c.id_a, c.id_b,
-      |               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 16.0 AS e
+      |               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0 AS e
       |        FROM cand c
       |        JOIN sig sa ON sa.doc_id = c.id_a
       |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i

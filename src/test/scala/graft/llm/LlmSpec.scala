@@ -81,7 +81,7 @@ class LlmSpec extends SparkSpec {
           Integer.parseInt(h.charAt(p).toString, 16).toLong << (4 * p))
           .sum % 2147483648L
       }
-      (0 until 16).map { i =>
+      (0 until 64).map { i =>
         vs.map(v => (v * (2L * i + 1) + (i * 2654435761L) % 2147483647L)
           % 2147483647L).min
       }
@@ -89,10 +89,25 @@ class LlmSpec extends SparkSpec {
     val texts = Seq("a b c d e", "the quick brown fox jumps over the dog")
     val got = Dedup.minHashDetSignatures(
         texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
-        col("doc_id"), col("text"), shingleN = 3, k = 16)
+        col("doc_id"), col("text"), shingleN = 3, k = 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
       assert(got(i.toLong) === expected(t), s"signature mismatch for '$t'")
+    }
+  }
+
+  test("det MinHash finds planted pairs and estimates within 0.25 of exact") {
+    val exact = Dedup.jaccardPairs(docsNearDups, col("doc_id"), col("text"),
+        n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val found = Dedup.minHashDetCandidates(docsNearDups, col("doc_id"), col("text"),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val missing = plantedPairs -- found.keySet
+    assert(missing.isEmpty, s"planted pairs missed by det MinHash: $missing")
+    found.foreach { case (pair, est) =>
+      val j = exact.getOrElse(pair, 0.0)
+      assert(math.abs(est - j) <= 0.25, s"pair $pair est=$est exact=$j")
     }
   }
 
