@@ -45,6 +45,7 @@ case class GraftConfig(
     stateTtlMs: Long = 8L * 24 * 3600 * 1000,
     rollupEveryBatches: Int = 0,
     retentionDrop: Boolean = false,
+    compactMaxFiles: Int = 0,
     nowMs: Option[Long] = None)
 
 object GraftApp {
@@ -74,7 +75,9 @@ object GraftApp {
       rollupEveryBatches =
         get("maintenance.rollup_every_batches").map(_.toInt).getOrElse(0),
       retentionDrop =
-        get("maintenance.retention_drop").exists(_.toBoolean))
+        get("maintenance.retention_drop").exists(_.toBoolean),
+      compactMaxFiles =
+        get("maintenance.compact_max_files").map(_.toInt).getOrElse(0))
   }
 
   /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, one
@@ -208,6 +211,12 @@ object GraftApp {
       if (cfg.retentionDrop)
         MetricsSink.tiers.foreach(t =>
           MetricsSink.dropExpiredPartitions(spark, cfg.storageDir, t, now))
+      // only raw accumulates append parts per trigger; the rollup tiers are
+      // rewritten wholesale by refreshTier's dynamic overwrite
+      if (cfg.compactMaxFiles > 0)
+        MetricsSink.compactPartitions(spark, cfg.storageDir, MetricsSink.Raw,
+          Seq(col("workspace_id"), col("metric"), col("series_hash")),
+          col("ts_ms"), maxFiles = cfg.compactMaxFiles)
     }
 
   def main(args: Array[String]): Unit = {

@@ -127,6 +127,55 @@ object MetricsSink {
     dropped.map(_._2).sorted
   }
 
+  /** Background-merge analog of the reference's storage engine (ClickHouse
+    * merges small inserted parts into large sorted ones; the MergeTree
+    * tables at schema.sql:63-73 rely on it): rewrite every partition of
+    * `tier` holding more than `maxFiles` parquet files into `targetFiles`
+    * range-sorted files. Micro-batch ingest appends at least one file per
+    * trigger, so without compaction a day's raw partition degrades into
+    * thousands of tiny unsorted-across-files parts; compaction restores the
+    * few-large-sorted-files layout the read path's clustering assumes (O4).
+    * Cost: one read + one write of ONLY the oversized partitions — never
+    * proportional to table history. Returns the partition values rewritten. */
+  def compactPartitions(spark: SparkSession, baseDir: String, tier: Tier,
+      sortKey: Seq[Column], tsMs: Column, maxFiles: Int = 8,
+      targetFiles: Int = 1): Seq[String] = {
+    val dir = new Path(s"$baseDir/${tier.name}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val oversized = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$PartitionCol="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix(s"$PartitionCol="))
+      .sorted
+    if (oversized.isEmpty) return Seq.empty
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try oversized.foreach { value =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      // localCheckpoint severs lineage from the very files the dynamic
+      // overwrite below replaces — without it the write would read its own
+      // target mid-rewrite
+      val rows = read(spark, baseDir, tier)
+        .filter(col(PartitionCol) === value)
+        .drop(PartitionCol)
+        .localCheckpoint(true)
+      rows.withColumn(PartitionCol, lit(value))
+        .repartitionByRange(targetFiles, sortKey: _*)
+        .sortWithinPartitions(sortKey :+ tsMs: _*)
+        .write.partitionBy(PartitionCol).mode("overwrite").parquet(dir.toString)
+      // release the checkpoint blocks now that the rewrite landed
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    oversized
+  }
+
   /** Exclusive end of a partition's time range (ms-epoch, UTC). None for a
     * malformed directory name — never delete what we can't parse. */
   private[sink] def partitionEndMs(tier: Tier, value: String): Option[Long] = {

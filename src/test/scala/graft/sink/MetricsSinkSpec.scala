@@ -108,4 +108,34 @@ class MetricsSinkSpec extends SparkSpec {
       .agg(max(col("nws"))).collect()(0).getLong(0)
     assert(perFile <= 3, s"a sorted file spans $perFile workspaces")
   }
+
+  test("compaction merges small append parts, preserves rows, is idempotent") {
+    val base = tmpBase()
+    val df = m1()
+    val key = Seq(col("workspace_id"), col("metric"))
+    // three micro-batch-style appends -> several small parts per partition
+    (1 to 3).foreach(_ =>
+      MetricsSink.write(df, base, MetricsSink.M1, col("bucket_ms"), key))
+    def filesPerPart: Map[String, Int] =
+      new java.io.File(s"$base/metrics_1m").listFiles
+        .filter(_.getName.startsWith(s"${MetricsSink.PartitionCol}="))
+        .map(p => p.getName -> p.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(filesPerPart.values.forall(_ >= 3), s"expected appends: $filesPerPart")
+    val cols = df.columns.toSeq
+    def rows() = MetricsSink.read(spark, base, MetricsSink.M1)
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    val before = rows()
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val rewritten = MetricsSink.compactPartitions(spark, base, MetricsSink.M1,
+      key, col("bucket_ms"), maxFiles = 2)
+    assert(rewritten.nonEmpty)
+    assert(filesPerPart.values.forall(_ === 1), s"not compacted: $filesPerPart")
+    assert(rows().sameElements(before)) // no row lost, duplicated, or changed
+    // second pass: nothing oversized remains
+    assert(MetricsSink.compactPartitions(spark, base, MetricsSink.M1,
+      key, col("bucket_ms"), maxFiles = 2).isEmpty)
+    // the rewrite released its own checkpoint blocks
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore).isEmpty)
+  }
 }
