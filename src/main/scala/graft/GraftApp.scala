@@ -197,27 +197,30 @@ object GraftApp {
     .withColumn("exp_negative_buckets", array().cast(EmptyExpBuckets))
 
   /** Storage maintenance tick — the reference's MV-on-insert + TTL merges
-    * (schema.sql:183/274/365 freshness, :63-73 TTL) as an explicit,
-    * config-gated step after every Nth micro-batch: refresh the 1m→5m→1h
-    * cascade over fresh partitions, then drop whole expired partition
-    * directories. Inside foreachBatch the refresh serializes with ingest
-    * writes, so a reader never sees a tier mid-rewrite from this app. */
-  def maintain(spark: SparkSession, cfg: GraftConfig, batchId: Long): Unit =
-    if (cfg.rollupEveryBatches > 0 && batchId % cfg.rollupEveryBatches == 0) {
-      val now = cfg.nowMs.getOrElse(System.currentTimeMillis())
+    * (schema.sql:183/274/365 freshness, :63-73 TTL) and background part
+    * merges as explicit, independently config-gated steps after each
+    * micro-batch: the 1m→5m→1h cascade refresh on its every-Nth-batch
+    * cadence (it reads and rewrites real data), retention partition-drop
+    * and raw-tier compaction every tick when enabled (both are a cheap
+    * directory listing when there is nothing to do). Inside foreachBatch
+    * each step serializes with ingest writes, so a reader never sees a
+    * tier mid-rewrite from this app. */
+  def maintain(spark: SparkSession, cfg: GraftConfig, batchId: Long): Unit = {
+    val now = cfg.nowMs.getOrElse(System.currentTimeMillis())
+    if (cfg.rollupEveryBatches > 0 && batchId % cfg.rollupEveryBatches == 0)
       graft.sink.RollupMaintenance.refreshCascade(spark, cfg.storageDir, now,
         Seq(col("workspace_id"), col("metric"), col("series_hash")),
         col("ts_ms"), col("ts_ms"), prepRaw = withEmptyExp)
-      if (cfg.retentionDrop)
-        MetricsSink.tiers.foreach(t =>
-          MetricsSink.dropExpiredPartitions(spark, cfg.storageDir, t, now))
-      // only raw accumulates append parts per trigger; the rollup tiers are
-      // rewritten wholesale by refreshTier's dynamic overwrite
-      if (cfg.compactMaxFiles > 0)
-        MetricsSink.compactPartitions(spark, cfg.storageDir, MetricsSink.Raw,
-          Seq(col("workspace_id"), col("metric"), col("series_hash")),
-          col("ts_ms"), maxFiles = cfg.compactMaxFiles)
-    }
+    if (cfg.retentionDrop)
+      MetricsSink.tiers.foreach(t =>
+        MetricsSink.dropExpiredPartitions(spark, cfg.storageDir, t, now))
+    // only raw accumulates append parts per trigger; the rollup tiers are
+    // rewritten wholesale by refreshTier's dynamic overwrite
+    if (cfg.compactMaxFiles > 0)
+      MetricsSink.compactPartitions(spark, cfg.storageDir, MetricsSink.Raw,
+        Seq(col("workspace_id"), col("metric"), col("series_hash")),
+        col("ts_ms"), maxFiles = cfg.compactMaxFiles)
+  }
 
   def main(args: Array[String]): Unit = {
     val cfg = load(args.headOption.getOrElse("graft.properties"))

@@ -188,4 +188,25 @@ class GraftAppSpec extends SparkSpec {
     // its window (raw keeps 3h; the fixture partition ends at NowMs)
     assert(sinkRows(cfg).length === 3)
   }
+
+  test("maintenance tick: in-app compaction collapses raw append parts") {
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base).copy(compactMaxFiles = 1)
+    // three separate app runs append at least three parts to the same
+    // daily raw partition; each run's maintain tick then compacts it
+    (1 to 3).foreach { n =>
+      land(cfg.sourceDir, n, exportRows(Seq((s"mc$n", NowMs - 1000L * n, n * 1.0))))
+      runOnce(cfg)
+    }
+    val parts = new java.io.File(s"${base}/store/metrics_raw").listFiles
+      .filter(_.getName.startsWith(s"${MetricsSink.PartitionCol}="))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val n = p.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"partition ${p.getName} holds $n parts after compaction")
+    }
+    // all three series' rows survived the rewrites
+    assert(sinkRows(cfg).map(_._1).toSet === Set("mc1", "mc2", "mc3"))
+  }
 }
