@@ -32,6 +32,29 @@ class DedupComponentsSpec extends SparkSpec {
     assert(got === (1L to 7L).map(_ -> 1L).toMap)
   }
 
+  test("random graphs: labels equal union-find ground truth (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 30
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // union-find with smaller-root-wins: find(i) IS the component min id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val truth = inGraph.map(i => i -> find(i.toInt).toLong).toMap
+      assert(comp(edges) === truth)
+    }
+  }
+
   test("non-convergence is a typed result, not a bare require failure") {
     val s = spark
     import s.implicits._
