@@ -136,13 +136,43 @@ object MetricsSink {
     * thousands of tiny unsorted-across-files parts; compaction restores the
     * few-large-sorted-files layout the read path's clustering assumes (O4).
     * Cost: one read + one write of ONLY the oversized partitions — never
-    * proportional to table history. Returns the partition values rewritten. */
+    * proportional to table history. Returns the partition values rewritten.
+    *
+    * Write-new-then-swap, like the reference's merges (new parts become
+    * durable before old parts are removed): each partition is compacted into
+    * a dot-prefixed sibling directory — invisible to readers — and only then
+    * swapped into place. A crash at any point leaves at least one durable
+    * full copy of the partition on disk, and a crash inside the two-rename
+    * swap window is healed by the recovery sweep on the next call. Reading
+    * from the live directory while writing to the sibling also needs no
+    * lineage checkpoint: source and destination never overlap.
+    *
+    * Concurrency contract: SINGLE WRITER per tier. The swap is not safe
+    * against a concurrent appender — rows landing in the partition between
+    * the compacting read and the swap are dropped with the old parts.
+    * In-app this holds by construction: [[graft.GraftApp.maintain]] runs
+    * inside foreachBatch, serialized with ingest writes. External callers
+    * must provide the same exclusion. */
   def compactPartitions(spark: SparkSession, baseDir: String, tier: Tier,
       sortKey: Seq[Column], tsMs: Column, maxFiles: Int = 8,
       targetFiles: Int = 1): Seq[String] = {
     val dir = new Path(s"$baseDir/${tier.name}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
+    // recovery sweep: a leftover .compact_<value> sibling means a prior call
+    // crashed. Partition dir still present → the swap never started; the
+    // sibling is stale (the partition may have new appends) — discard it.
+    // Partition dir gone → the crash hit between the two swap renames; the
+    // sibling IS the partition — finish the swap.
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(TmpPrefix))
+      .foreach { st =>
+        val partDir = new Path(dir,
+          s"$PartitionCol=${st.getPath.getName.stripPrefix(TmpPrefix)}")
+        if (fs.exists(partDir)) fs.delete(st.getPath, true)
+        else require(fs.rename(st.getPath, partDir),
+          s"compaction recovery rename failed: ${st.getPath} -> $partDir")
+      }
     val oversized = fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(s"$PartitionCol="))
@@ -150,30 +180,57 @@ object MetricsSink {
         .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
       .map(_.getPath.getName.stripPrefix(s"$PartitionCol="))
       .sorted
-    if (oversized.isEmpty) return Seq.empty
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try oversized.foreach { value =>
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      // localCheckpoint severs lineage from the very files the dynamic
-      // overwrite below replaces — without it the write would read its own
-      // target mid-rewrite
-      val rows = read(spark, baseDir, tier)
+    oversized.foreach { value =>
+      val partDir = new Path(dir, s"$PartitionCol=$value")
+      val tmpDir = new Path(dir, s"$TmpPrefix$value")
+      read(spark, baseDir, tier)
         .filter(col(PartitionCol) === value)
         .drop(PartitionCol)
-        .localCheckpoint(true)
-      rows.withColumn(PartitionCol, lit(value))
         .repartitionByRange(targetFiles, sortKey: _*)
         .sortWithinPartitions(sortKey :+ tsMs: _*)
-        .write.partitionBy(PartitionCol).mode("overwrite").parquet(dir.toString)
-      // release the checkpoint blocks now that the rewrite landed
-      (spark.sparkContext.getPersistentRDDs.keySet -- before).foreach(id =>
-        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      fs.delete(partDir, true)
+      require(fs.rename(tmpDir, partDir),
+        s"compaction swap rename failed: $tmpDir -> $partDir")
     }
     oversized
+  }
+
+  /** Sibling-directory prefix for in-flight compaction output. Dot-prefixed
+    * names are skipped by Spark's file listing, so readers never see a
+    * half-written compacted copy. */
+  private[sink] val TmpPrefix = ".compact_"
+
+  /** Start ms of the OLDEST surviving partition directory of `tier` — the
+    * lower bound of the tier's time coverage after retention partition-drops
+    * (rows inside a surviving partition are never individually deleted, so
+    * the directory's start bounds its data from below). None when the tier
+    * has no partitions yet. One directory listing, never a data read. */
+  def oldestPartitionStartMs(spark: SparkSession, baseDir: String,
+      tier: Tier): Option[Long] = {
+    val dir = new Path(s"$baseDir/${tier.name}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val starts = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$PartitionCol="))
+      .flatMap(n => partitionStartMs(tier, n.stripPrefix(s"$PartitionCol=")))
+    if (starts.isEmpty) None else Some(starts.min)
+  }
+
+  /** Inclusive start of a partition's time range (ms-epoch, UTC) — always a
+    * UTC-midnight (daily) or first-of-month-midnight (monthly) instant. */
+  private[sink] def partitionStartMs(tier: Tier, value: String): Option[Long] = {
+    import java.time.{LocalDate, YearMonth, ZoneOffset}
+    try {
+      val day =
+        if (tier.monthly)
+          YearMonth.parse(value, java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+            .atDay(1)
+        else LocalDate.parse(value)
+      Some(day.atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli)
+    } catch { case _: java.time.format.DateTimeParseException => None }
   }
 
   /** Exclusive end of a partition's time range (ms-epoch, UTC). None for a

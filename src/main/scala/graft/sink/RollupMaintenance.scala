@@ -56,7 +56,22 @@ object RollupMaintenance {
       source: MetricsSink.Tier, target: MetricsSink.Tier,
       sourceTsMs: Column, nowMs: Long, sortKey: Seq[Column])(
       rollup: DataFrame => DataFrame): Unit = {
-    val startMs = nowMs - freshnessMs(target.name)
+    // Source-coverage clamp: the freshness window can reach further back than
+    // the source tier is retained (raw keeps 3h, the 1m window is 1 day; the
+    // reference never hits this because its MVs are insert-triggered and
+    // never re-read raw). Recomputing a span the source no longer covers
+    // yields zero rows — and the rewrite below would replace previously
+    // stored target rows for that span with nothing. Clamping the window's
+    // lower edge to the oldest SURVIVING source partition keeps every target
+    // partition the source cannot regenerate out of the rewrite set entirely
+    // (daily targets: the clamped edge is partition-aligned, so older
+    // partitions never appear in the output and dynamic overwrite leaves
+    // them intact; monthly targets: the keep-scan below preserves the
+    // pre-edge rows of the edge partition).
+    val oldestSourceMs =
+      MetricsSink.oldestPartitionStartMs(spark, baseDir, source)
+    if (oldestSourceMs.isEmpty) return // no source data — nothing refreshable
+    val startMs = math.max(nowMs - freshnessMs(target.name), oldestSourceMs.get)
     val fresh = MetricsSink.read(spark, baseDir, source)
       .filter(MetricsSink.partitionFilterFrom(source, startMs))
       .filter(sourceTsMs >= startMs)

@@ -189,6 +189,41 @@ class GraftAppSpec extends SparkSpec {
     assert(sinkRows(cfg).length === 3)
   }
 
+  test("maintenance tick: raw retention drop never deletes stored 1m rollups") {
+    // pipeline.properties defaults pair rollup_every_batches with
+    // retention_drop: once retention drops yesterday's raw partition (3h TTL),
+    // the next cascade tick recomputes a 1-day window raw can no longer
+    // cover — the coverage clamp must keep yesterday's stored 1m rows intact.
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val H = 3600 * 1000L
+    val cfg = cfgFor(base).copy(rollupEveryBatches = 1, retentionDrop = true)
+    // run 1 @ Jan-24 00:00: aged but valid points land in Jan-23's raw
+    // partition and roll up; one bucket before the coming window edges
+    // (02:00, populates keep), one after (20:00, the span the bug deletes)
+    land(cfg.sourceDir, 1, exportRows(Seq(
+      ("ma", NowMs - 22 * H, 10.0), ("mb", NowMs - 4 * H, 20.0))))
+    runOnce(cfg)
+    // run 2 @ Jan-24 04:00: fresh point; cascade still sees Jan-23 raw, then
+    // the retention step drops it (partition end Jan-24 00:00 < now − 3h)
+    val cfg2 = cfg.copy(nowMs = Some(NowMs + 4 * H))
+    land(cfg.sourceDir, 2, exportRows(Seq(("mc", NowMs + 4 * H - 60000, 30.0))))
+    runOnce(cfg2)
+    assert(!new java.io.File(
+      s"${base}/store/metrics_raw/${MetricsSink.PartitionCol}=2024-01-23").exists,
+      "fixture must age out yesterday's raw partition")
+    // run 3 @ Jan-24 05:00: the tick whose 1-day window reaches into the
+    // dropped span — without the clamp it rewrites Jan-23's 1m partition as
+    // keep(<05:00) ∪ recompute(nothing) and deletes the 20:00 bucket
+    val cfg3 = cfg.copy(nowMs = Some(NowMs + 5 * H))
+    land(cfg.sourceDir, 3, exportRows(Seq(("md", NowMs + 5 * H - 60000, 40.0))))
+    runOnce(cfg3)
+    val m1Metrics = MetricsSink.read(spark, cfg.storageDir, MetricsSink.M1)
+      .select(col("metric")).collect().map(_.getString(0)).toSet
+    assert(m1Metrics === Set("ma", "mb", "mc", "md"),
+      s"stored 1m rollups lost after retention + refresh: $m1Metrics")
+  }
+
   test("maintenance tick: in-app compaction collapses raw append parts") {
     val base = Files.createTempDirectory("graft_app").toString
     new java.io.File(s"${base}/in").mkdirs()

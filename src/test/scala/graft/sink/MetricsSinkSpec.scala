@@ -138,4 +138,37 @@ class MetricsSinkSpec extends SparkSpec {
     // the rewrite released its own checkpoint blocks
     assert((spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore).isEmpty)
   }
+
+  test("compaction crash recovery: the sweep heals both halves of the swap window") {
+    val base = tmpBase()
+    val df = m1()
+    val key = Seq(col("workspace_id"), col("metric"))
+    MetricsSink.write(df, base, MetricsSink.M1, col("bucket_ms"), key,
+      mode = "overwrite")
+    val cols = df.columns.toSeq
+    def rows() = MetricsSink.read(spark, base, MetricsSink.M1)
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    val before = rows()
+    val tierDir = new java.io.File(s"$base/metrics_1m")
+    val parts = tierDir.listFiles.filter(
+      _.getName.startsWith(s"${MetricsSink.PartitionCol}=")).sortBy(_.getName)
+    assert(parts.length >= 2)
+    // crash BETWEEN the two swap renames: partition gone, sibling holds the
+    // compacted copy → the sweep must finish the swap
+    val lost = parts(0)
+    val lostValue = lost.getName.stripPrefix(s"${MetricsSink.PartitionCol}=")
+    assert(lost.renameTo(new java.io.File(tierDir, s".compact_$lostValue")))
+    // crash BEFORE the swap: partition intact, sibling is stale (pretend it
+    // predates newer appends) → the sweep must discard it
+    val staleValue = parts(1).getName.stripPrefix(s"${MetricsSink.PartitionCol}=")
+    val stale = new java.io.File(tierDir, s".compact_$staleValue")
+    stale.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stale, "part-stale.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    MetricsSink.compactPartitions(spark, base, MetricsSink.M1, key,
+      col("bucket_ms"), maxFiles = 1000) // sweep only: nothing is oversized
+    assert(!stale.exists, "stale sibling survived the sweep")
+    assert(tierDir.listFiles.forall(!_.getName.startsWith(".compact_")))
+    assert(rows().sameElements(before), "rows lost across crash recovery")
+  }
 }

@@ -92,6 +92,40 @@ class RollupMaintenanceSpec extends SparkSpec {
     assert(after.sameElements(morning), "same-day pre-window 1m rows were clobbered")
   }
 
+  test("retention-dropped source never deletes stored target rollups (coverage clamp)") {
+    // The 1m freshness window (1d) reaches further back than raw is retained
+    // (3h). Once retention drops yesterday's raw partition, a refresh whose
+    // window edge falls mid-yesterday must NOT rewrite yesterday's 1m
+    // partition as keep(< edge) ∪ recompute(nothing) — that silently deletes
+    // every stored bucket between the edge and midnight. The clamp pins the
+    // window to surviving source coverage instead.
+    val base = freshBase()
+    val Now1 = java.time.Instant.parse("2024-01-10T04:00:00Z").toEpochMilli
+    RollupMaintenance.refreshCascade(spark, base, Now1, keys,
+      col("ts_ms"), col("event_id"))
+    def m1Rows() = MetricsSink.read(spark, base, MetricsSink.M1)
+      .select(col("workspace_id"), col("metric"), col("bucket_ms"),
+        col("samples_count"))
+      .collect().map(_.toString).sorted
+    val before = m1Rows()
+    // buckets in yesterday's partition AFTER the next refresh's window edge —
+    // exactly the span the bug deletes
+    val edge = java.time.Instant.parse("2024-01-09T07:00:00Z").toEpochMilli
+    val midnight = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val exposed = MetricsSink.read(spark, base, MetricsSink.M1)
+      .filter(col("bucket_ms") >= edge && col("bucket_ms") < midnight).count()
+    assert(exposed > 0, "fixture must populate the raw-droppable span")
+    // raw's 3h retention drops the Jan-9 partition at Now2
+    val Now2 = java.time.Instant.parse("2024-01-10T07:00:00Z").toEpochMilli
+    val dropped = MetricsSink.dropExpiredPartitions(spark, base,
+      MetricsSink.Raw, Now2)
+    assert(dropped.contains("2024-01-09"))
+    RollupMaintenance.refreshCascade(spark, base, Now2, keys,
+      col("ts_ms"), col("event_id"))
+    assert(m1Rows().sameElements(before),
+      "1m rollups for the raw-dropped span were deleted")
+  }
+
   test("later refresh preserves pre-window buckets in the same monthly partition") {
     val base = freshBase()
     RollupMaintenance.refreshCascade(spark, base, NowA, keys,
