@@ -99,6 +99,30 @@ object Scratch {
         time("q_s3_no_labels")(noop(q.drop("labels")))
         time("q_s3_no_nex")(noop(q.drop("n_exemplars")))
       }
+    } else if (args.headOption.contains("s4_ab")) {
+      // decompose q_s4_exemplars: is the exemplar transform inlined N times?
+      import org.apache.spark.sql.DataFrame
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      val q = graft.SparkEntry.queries("q_s4_exemplars")(spark, d)
+      val plan = q.queryExecution.executedPlan.toString
+      println(s"[scratch] transform() in executedPlan: " +
+        "transform\\(".r.findAllIn(plan).size)
+      println(s"[scratch] lambdafunction in executedPlan: " +
+        "lambdafunction".r.findAllIn(plan).size)
+      plan.linesIterator.foreach(l => println(s"[scratch-plan] ${l.take(200)}"))
+      val wireFull = graft.queries.IngestQueries.getClass.getDeclaredMethods
+        .find(_.getName == "wire").get
+      wireFull.setAccessible(true)
+      def wire = wireFull.invoke(graft.queries.IngestQueries, spark, d)
+        .asInstanceOf[DataFrame]
+      for (_ <- 1 to 2) {
+        time("wire_exemplars_only")(noop(wire.select(col("event_id"), col("exemplars"))))
+        time("q_s4_full")(noop(q))
+        time("q_s4_one_use")(noop(wire.select(col("event_id"),
+          size(graft.ingest.Validation.capExemplars(col("exemplars"),
+            enabled = true, max = 10)).as("n_capped")).orderBy(col("event_id"))))
+      }
     } else if (args.headOption.contains("fscalars_ab")) {
       // decompose q_f_scalars: regex extraction vs substring arithmetic
       val ev = graft.metrics.EventsMetrics.fromEvents(spark, d)

@@ -93,18 +93,25 @@ object IngestQueries {
     // S4 — exemplar cap: first-N kept when enabled, typed-null when disabled
     // (processor.go:100-104); the disabled branch keeps the full exemplar
     // schema (Validation.scala round-2 schema-drift fix).
-    // plain orderBy on purpose: DeferProjectPastSort pulls the exemplar
-    // construction above the sort (pure projection chain — no filter)
-    "q_s4_exemplars" -> ((s, d) => {
-      wireFrom(EventsMetrics.fromEvents(s, d)).select(
-        col("event_id"),
-        size(Validation.capExemplars(col("exemplars"), enabled = true, max = 10))
-          .as("n_capped"),
-        Validation.capExemplars(col("exemplars"), enabled = false).isNull
-          .as("disabled_is_null"),
-        element_at(Validation.capExemplars(col("exemplars"), enabled = true), 1)
-          .getField("spanId").as("first_span"))
-        .orderBy(col("event_id"))
+    // RangeSort + a dedicated capped projection (r7 bench regression fix):
+    // a plain orderBy left the exemplar construction BELOW the range
+    // exchange — the boundary-sampling pass executed it a second time and
+    // the full struct array shuffled through the wire — and spelling the
+    // cap per consumer column re-ran the array-copying slice three times.
+    // Now the shuffle sees only the scan, the capped array is materialized
+    // once post-shuffle, and every check column reads from it.
+    "q_s4_exemplars" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      EventsMetrics.fromEvents(s, d), Seq(col("event_id"))) { base =>
+      wireFrom(base)
+        .select(col("event_id"),
+          Validation.capExemplars(col("exemplars"), enabled = true, max = 10)
+            .as("capped"))
+        .select(
+          col("event_id"),
+          size(col("capped")).as("n_capped"),
+          Validation.capExemplars(col("capped"), enabled = false).isNull
+            .as("disabled_is_null"),
+          element_at(col("capped"), 1).getField("spanId").as("first_span"))
     }),
 
     // S5 — attribute merge, datapoint wins on key collision (otlp.go:332-344);
