@@ -61,8 +61,11 @@ object DeferProjectPastSort extends Rule[LogicalPlan] {
 
 /** Registers the graft optimizer rules; enable with
   * `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. [[RollupRouting]] is
+  * inert until its `spark.graft.rollup.*` confs are set. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPreCBORule(_ => DeferProjectPastSort)
+    ext.injectPreCBORule(RollupRouting)
+  }
 }

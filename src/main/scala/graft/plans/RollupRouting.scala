@@ -1,0 +1,241 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+import graft.sink.MetricsSink
+
+/** SURVEY §4 v1 stretch — the materialized-view rewrite the reference does at
+  * the app level (`selectTable`, handler.go:304-321) as a Catalyst rule: an
+  * `Aggregate` that re-derives a rollup tier from `metrics_raw` is rewritten
+  * to a scan of the STORED tier, turning a full raw scan + hash aggregation
+  * into a pre-aggregated read. At 100 TB of raw this is the difference
+  * between touching a day of raw events and reading the few-GB 1m table.
+  *
+  * The rewrite fires only where it is provably EXACT:
+  *   - grouping = one `bucketMs(ts_ms, W)` expression (W ∈ 1m/5m/1h — the
+  *     stored grains) plus exactly the tier's series key columns
+  *     (`spark.graft.rollup.keys`, default workspace_id,metric,series_hash —
+  *     a coarser grouping would need re-aggregation, where avg is no longer
+  *     derivable from the stored columns);
+  *   - aggregates ⊆ { min(value), max(value), avg(value), count(1),
+  *     sum(count), sum(sum) } mapped to { value_min, value_max, value_avg,
+  *     samples_count, count, sum }. `avg(value)` routes ONLY to the 1m tier:
+  *     the coarser tiers store the reference's faithful avg-of-avgs
+  *     (schema.sql:262,353), which differs from avg-over-raw;
+  *   - filters on key columns pass through (they are tier grouping keys);
+  *     time bounds must be `ts_ms >= L` / `ts_ms < U` with L,U multiples of
+  *     W (an unaligned bound would slice a bucket) and U bounded by
+  *     `spark.graft.rollup.freshAsOfMs` — the caller's assertion of how far
+  *     the maintenance cascade has refreshed the stored tiers. No upper
+  *     bound → no freshness proof → no rewrite.
+  *
+  * Matching is alias-aware: by the time this rule runs (pre-CBO / post-hoc),
+  * `PullOutGroupingExpressions` has moved the bucket computation into a
+  * Project below the Aggregate — intermediate Project aliases are collected
+  * and substituted back before the pattern is inspected.
+  *
+  * Enabled per session by setting BOTH `spark.graft.rollup.baseDir` and
+  * `spark.graft.rollup.freshAsOfMs`; inert otherwise. Registered via
+  * [[GraftExtensions]] or `spark.experimental.extraOptimizations`.
+  */
+case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  private val grains: Map[Long, MetricsSink.Tier] = Map(
+    60000L -> MetricsSink.M1, 300000L -> MetricsSink.M5,
+    3600000L -> MetricsSink.H1)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val baseDir = session.conf.getOption("spark.graft.rollup.baseDir")
+    val freshMs = session.conf.getOption("spark.graft.rollup.freshAsOfMs")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (baseDir.isEmpty || freshMs.isEmpty) plan
+    else {
+      val keys = session.conf
+        .getOption("spark.graft.rollup.keys")
+        .getOrElse("workspace_id,metric,series_hash")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSet
+      plan.transformUp {
+        case agg: Aggregate =>
+          rewrite(agg, baseDir.get, freshMs.get, keys).getOrElse(agg)
+      }
+    }
+  }
+
+  /** The Aggregate's child must be metrics_raw under `baseDir`, seen through
+    * deterministic Projects (whose aliases are collected for substitution)
+    * and Filters (whose conjuncts are collected). */
+  private def stripToRaw(p: LogicalPlan, baseDir: String,
+      conds: Seq[Expression], defs: Map[ExprId, Expression])
+      : Option[(Seq[Expression], Map[ExprId, Expression])] = p match {
+    case f: Filter =>
+      stripToRaw(f.child, baseDir,
+        conds ++ splitConjunctivePredicates(f.condition), defs)
+    case pr: Project if pr.deterministic && pr.projectList.forall {
+      case _: AttributeReference => true
+      case _: Alias => true
+      case _ => false
+    } =>
+      val more = pr.projectList.collect {
+        case a: Alias => a.exprId -> a.child
+      }
+      stripToRaw(pr.child, baseDir, conds, defs ++ more)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.exists(rp =>
+        rp.toString.stripSuffix("/").endsWith("/metrics_raw") &&
+          rp.toString.contains(baseDir.stripSuffix("/"))) => Some((conds, defs))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => stripAlias(a.child)
+    case _ => e
+  }
+
+  /** Inline collected Project aliases (bounded fixpoint — defs can chain). */
+  private def substitute(e: Expression, defs: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 8) {
+      val next = cur.transformUp {
+        case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
+      }
+      if (next.semanticEquals(cur)) return cur
+      cur = next; i += 1
+    }
+    cur
+  }
+
+  /** `ts_ms - pmod(ts_ms, W)` for a stored grain W ([[graft.metrics.Rollup
+    * .bucketMs]]; casts folded away by the optimizer on the long column). */
+  private def bucketGrain(e: Expression): Option[Long] = e match {
+    case s: Subtract => s.right match {
+      case pm: Pmod => (pm.right, stripLongCast(s.left), stripLongCast(pm.left)) match {
+        case (Literal(w: Long, LongType), l: AttributeReference, r: AttributeReference)
+          if l.name == "ts_ms" && r.name == "ts_ms" && l.exprId == r.exprId &&
+            grains.contains(w) => Some(w)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def stripLongCast(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == LongType => stripLongCast(c.child)
+    case _ => e
+  }
+
+  private def colNamed(e: Expression, n: String): Boolean = e match {
+    case a: AttributeReference => a.name == n
+    case _ => false
+  }
+
+  /** Map one aggregate function to its stored tier column, or None. */
+  private def mapAgg(fn: AggregateFunction): Option[String] = fn match {
+    case m: Min if colNamed(m.child, "value") => Some("value_min")
+    case m: Max if colNamed(m.child, "value") => Some("value_max")
+    case a: Average if colNamed(a.child, "value") => Some("value_avg")
+    case c: Count if c.children.forall(_.foldable) => Some("samples_count")
+    case s: Sum if colNamed(s.child, "count") => Some("count")
+    case s: Sum if colNamed(s.child, "sum") => Some("sum")
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, baseDir: String, freshAsOfMs: Long,
+      keys: Set[String]): Option[LogicalPlan] = {
+    val (rawConds, defs) =
+      stripToRaw(agg.child, baseDir, Nil, Map.empty).getOrElse(return None)
+    def inline(e: Expression): Expression =
+      substitute(stripAlias(e), defs)
+
+    // grouping: exactly one stored-grain bucket + exactly the tier keys
+    val inlinedGroupings = agg.groupingExpressions.map(inline)
+    val grain = {
+      val gs = inlinedGroupings.flatMap(bucketGrain)
+      if (gs.length != 1) return None else gs.head
+    }
+    val groupKeyNames = inlinedGroupings.filter(bucketGrain(_).isEmpty).map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupKeyNames.toSet != keys ||
+      groupKeyNames.length != keys.size) return None
+    val tier = grains(grain)
+
+    // outputs: every aggregate expression must map onto a stored column
+    val mapped: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map { ne =>
+      inline(ne) match {
+        case e if bucketGrain(e).isDefined => ne -> "bucket_ms"
+        case a: AttributeReference if keys(a.name) => ne -> a.name
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          val col = mapAgg(ae.aggregateFunction.transformUp {
+            case x => substitute(x, defs)
+          }.asInstanceOf[AggregateFunction]).getOrElse(return None)
+          // avg-of-avgs ≠ avg-over-raw: value_avg is exact at 1m only
+          if (col == "value_avg" && tier != MetricsSink.M1) return None
+          ne -> col
+        case _ => return None
+      }
+    }
+
+    // filters: key predicates pass through; time bounds must be grain-aligned
+    // and prove freshness coverage via an upper bound
+    var upper = Option.empty[Long]
+    val rewrittenConds = rawConds.map(inline).map { c =>
+      if (c.references.nonEmpty && c.references.forall(a => keys(a.name))) c
+      else c match {
+        // the optimizer's inferred null guard on the range column; a stored
+        // bucket_ms derives from the same non-null ts_ms
+        case IsNotNull(a: AttributeReference) if a.name == "ts_ms" =>
+          IsNotNull(Marker)
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, LongType))
+          if a.name == "ts_ms" && v % grain == 0 =>
+          GreaterThanOrEqual(Marker, Literal(v, LongType))
+        case LessThan(a: AttributeReference, Literal(v: Long, LongType))
+          if a.name == "ts_ms" && v % grain == 0 =>
+          upper = Some(upper.fold(v)(math.min(_, v)))
+          LessThan(Marker, Literal(v, LongType))
+        case _ => return None
+      }
+    }
+    if (!upper.exists(_ <= freshAsOfMs)) return None
+
+    // the stored tier's analyzed relation, resolved fresh per rewrite (the
+    // maintenance cascade rewrites these directories between queries)
+    val tierPlan = session.read.parquet(s"$baseDir/${tier.name}")
+      .queryExecution.analyzed
+    val byName = tierPlan.output.map(a => a.name -> a).toMap
+    if (!(mapped.map(_._2).toSet + "bucket_ms").forall(byName.contains))
+      return None
+
+    // re-resolve markers and key references against the tier relation
+    val resolvedConds = rewrittenConds.map(_.transformUp {
+      case Marker => byName("bucket_ms")
+      case a: AttributeReference if keys(a.name) => byName(a.name)
+    })
+    val filtered = resolvedConds.reduceOption(And)
+      .map(Filter(_, tierPlan)).getOrElse(tierPlan)
+
+    // preserve the Aggregate's output attribute ids so parents are untouched
+    val projectList = mapped.map { case (ne, colName) =>
+      Alias(byName(colName), ne.name)(exprId = ne.exprId)
+    }
+    Some(Project(projectList, filtered))
+  }
+}
+
+/** Placeholder for the tier's bucket_ms attribute while the source-side
+  * condition tree is being rewritten; resolved before the plan is returned. */
+private[plans] case object Marker extends LeafExpression with Unevaluable {
+  override def dataType: org.apache.spark.sql.types.DataType = LongType
+  override def nullable: Boolean = true
+}

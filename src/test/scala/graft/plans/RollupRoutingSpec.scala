@@ -1,0 +1,126 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.metrics.{EventsMetrics, Rollup}
+import graft.sink.{MetricsSink, RollupMaintenance}
+
+/** SURVEY §4 v1 — the MV-routing rule must (a) fire: an Aggregate re-deriving
+  * a rollup from metrics_raw plans as a scan of the stored tier; (b) stay
+  * exact: rewritten results equal the unrewritten aggregation; (c) refuse
+  * every case it cannot prove (avg on coarse tiers, unaligned bounds, no
+  * freshness bound, foreign grouping). */
+class RollupRoutingSpec extends SparkSpec {
+
+  private val keys = Seq(col("workspace_id"), col("metric"))
+  private val NowA = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+  private val Day = 86400000L
+
+  private lazy val base: String = {
+    val b = Files.createTempDirectory("graft_routing").toString
+    MetricsSink.write(
+      EventsMetrics.withHistogram(EventsMetrics.fromEvents(spark, Sf)),
+      b, MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
+    RollupMaintenance.refreshCascade(spark, b, NowA, keys,
+      col("ts_ms"), col("event_id"))
+    b
+  }
+
+  /** Aggregate over raw in exactly the rollup shape the rule recognizes. */
+  private def q(grainMs: Long, withAvg: Boolean,
+      lo: Long = NowA - Day, hi: Long = NowA): DataFrame = {
+    val raw = spark.read.parquet(s"$base/metrics_raw")
+      .filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+      .groupBy(col("workspace_id"), col("metric"),
+        Rollup.bucketMs(col("ts_ms"), grainMs).as("bucket_ms"))
+    val aggs = Seq(
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      count(lit(1)).as("n"), sum(col("count")).as("c"),
+      sum(col("sum")).as("s")) ++
+      (if (withAvg) Seq(avg(col("value")).as("vavg")) else Nil)
+    raw.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Collect with float columns rounded: the stored tier's avg/sum were
+    * aggregated in a different partial-agg order than the direct query, so
+    * the last ulp can differ while both are correct. */
+  private def rows(df: DataFrame): Seq[String] = {
+    val rounded = df.columns.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType => round(col(c), 6).as(c)
+        case _ => col(c)
+      }
+    }
+    df.select(rounded: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RollupRouting(spark)
+    spark.conf.set("spark.graft.rollup.baseDir", base)
+    spark.conf.set("spark.graft.rollup.freshAsOfMs", NowA.toString)
+    spark.conf.set("spark.graft.rollup.keys", "workspace_id,metric")
+    try body
+    finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.rollup.baseDir")
+      spark.conf.unset("spark.graft.rollup.freshAsOfMs")
+      spark.conf.unset("spark.graft.rollup.keys")
+    }
+  }
+
+  private def scans(df: DataFrame, table: String): Boolean =
+    df.queryExecution.executedPlan.toString.contains(table)
+
+  test("1m aggregate over raw rewrites to a metrics_1m scan, exactly") {
+    val direct = rows(q(60000L, withAvg = true))
+    assert(direct.nonEmpty)
+    withRule {
+      val routed = q(60000L, withAvg = true)
+      assert(scans(routed, "metrics_1m"), "rewrite did not fire")
+      assert(!scans(routed, "metrics_raw"), "raw still scanned after rewrite")
+      assert(rows(routed) === direct)
+    }
+  }
+
+  test("1h aggregate without avg rewrites to metrics_1h, exactly") {
+    val direct = rows(q(3600000L, withAvg = false))
+    assert(direct.nonEmpty)
+    withRule {
+      val routed = q(3600000L, withAvg = false)
+      assert(scans(routed, "metrics_1h"), "rewrite did not fire")
+      assert(!scans(routed, "metrics_raw"))
+      assert(rows(routed) === direct)
+    }
+  }
+
+  test("refusals: every unprovable case keeps the raw scan") {
+    withRule {
+      // avg over a coarse tier would read avg-of-avgs — must refuse
+      assert(scans(q(3600000L, withAvg = true), "metrics_raw"))
+      // unaligned lower bound slices a bucket — must refuse
+      assert(scans(q(60000L, withAvg = false, lo = NowA - Day + 1), "metrics_raw"))
+      // upper bound beyond the freshness watermark — must refuse
+      assert(scans(q(60000L, withAvg = false, hi = NowA + 60000), "metrics_raw"))
+      // grouping coarser than the tier keys — must refuse
+      val coarse = spark.read.parquet(s"$base/metrics_raw")
+        .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+        .groupBy(col("metric"), Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+        .agg(min(col("value")).as("vmin"))
+      assert(scans(coarse, "metrics_raw"))
+      // non-rollup grain — must refuse
+      assert(scans(q(120000L, withAvg = false), "metrics_raw"))
+    }
+  }
+
+  test("rule is inert without its confs") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RollupRouting(spark)
+    try assert(scans(q(60000L, withAvg = false), "metrics_raw"))
+    finally spark.experimental.extraOptimizations = prev
+  }
+}
