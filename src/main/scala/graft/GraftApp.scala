@@ -46,6 +46,7 @@ case class GraftConfig(
     rollupEveryBatches: Int = 0,
     retentionDrop: Boolean = false,
     compactMaxFiles: Int = 0,
+    transportPort: Option[Int] = None,
     nowMs: Option[Long] = None)
 
 object GraftApp {
@@ -77,7 +78,8 @@ object GraftApp {
       retentionDrop =
         get("maintenance.retention_drop").exists(_.toBoolean),
       compactMaxFiles =
-        get("maintenance.compact_max_files").map(_.toInt).getOrElse(0))
+        get("maintenance.compact_max_files").map(_.toInt).getOrElse(0),
+      transportPort = get("transport.port").map(_.toInt))
   }
 
   /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, one
@@ -225,9 +227,21 @@ object GraftApp {
   def main(args: Array[String]): Unit = {
     val cfg = load(args.headOption.getOrElse("graft.properties"))
     val spark = Sessions.local()
+    // optional network shell: remote-read out + export-batch landing in
+    // (transport.port; 0 = ephemeral) — the reference's promread HTTP
+    // endpoint and the landing-zone analog of its OTLP receiver
+    val transport = cfg.transportPort.map { p =>
+      val srv = new graft.transport.RemoteReadServer(spark, cfg.storageDir,
+        cfg.sourceDir, cfg.workspaceId,
+        cfg.nowMs.getOrElse(System.currentTimeMillis()))
+      val bound = srv.start(p)
+      println(s"[graft] remote-read transport on 127.0.0.1:$bound")
+      srv
+    }
     val query = start(spark, cfg,
       Trigger.ProcessingTime(cfg.flushIntervalMs,
         java.util.concurrent.TimeUnit.MILLISECONDS))
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally transport.foreach(_.stop())
   }
 }
