@@ -19,15 +19,19 @@ import graft.sink.MetricsSink
   *
   * The rewrite fires only where it is provably EXACT:
   *   - grouping = one `bucketMs(ts_ms, W)` expression (W ∈ 1m/5m/1h — the
-  *     stored grains) plus exactly the tier's series key columns
-  *     (`spark.graft.rollup.keys`, default workspace_id,metric,series_hash —
-  *     a coarser grouping would need re-aggregation, where avg is no longer
-  *     derivable from the stored columns);
+  *     stored grains) plus a SUBSET of the tier's series key columns
+  *     (`spark.graft.rollup.keys`, default workspace_id,metric,series_hash).
+  *     Grouping on exactly the tier keys is a row-level rename of the tier;
+  *     a coarser grouping (e.g. per-metric dashboards) re-aggregates the
+  *     tier — min over value_min, max over value_max, sums over
+  *     count/sum/samples_count are all exact over any regrouping;
   *   - aggregates ⊆ { min(value), max(value), avg(value), count(1),
   *     sum(count), sum(sum) } mapped to { value_min, value_max, value_avg,
-  *     samples_count, count, sum }. `avg(value)` routes ONLY to the 1m tier:
-  *     the coarser tiers store the reference's faithful avg-of-avgs
-  *     (schema.sql:262,353), which differs from avg-over-raw;
+  *     samples_count, count, sum }. `avg(value)` routes ONLY to the 1m tier
+  *     at exact-key grouping: the coarser tiers store the reference's
+  *     faithful avg-of-avgs (schema.sql:262,353), which differs from
+  *     avg-over-raw, and regrouped averages are not derivable from the
+  *     stored columns at all (the full tiers keep no value_sum);
   *   - filters on key columns pass through (they are tier grouping keys);
   *     time bounds must be `ts_ms >= L` / `ts_ms < U` with L,U multiples of
   *     W (an unaligned bound would slice a bucket) and U bounded by
@@ -167,8 +171,10 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
       case a: AttributeReference => a.name
       case _ => return None
     }
-    if (groupKeyNames.toSet != keys ||
-      groupKeyNames.length != keys.size) return None
+    if (!groupKeyNames.toSet.subsetOf(keys) ||
+      groupKeyNames.distinct.length != groupKeyNames.length) return None
+    // exact-key grouping reads tier rows 1:1; a key subset re-aggregates them
+    val regroup = groupKeyNames.toSet != keys
     val tier = grains(grain)
 
     // outputs: every aggregate expression must map onto a stored column
@@ -180,8 +186,10 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
           val col = mapAgg(ae.aggregateFunction.transformUp {
             case x => substitute(x, defs)
           }.asInstanceOf[AggregateFunction]).getOrElse(return None)
-          // avg-of-avgs ≠ avg-over-raw: value_avg is exact at 1m only
-          if (col == "value_avg" && tier != MetricsSink.M1) return None
+          // avg-of-avgs ≠ avg-over-raw: value_avg is exact at 1m only, and
+          // regrouped averages are not derivable from stored columns at all
+          if (col == "value_avg" && (tier != MetricsSink.M1 || regroup))
+            return None
           ne -> col
         case _ => return None
       }
@@ -226,10 +234,33 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
       .map(Filter(_, tierPlan)).getOrElse(tierPlan)
 
     // preserve the Aggregate's output attribute ids so parents are untouched
-    val projectList = mapped.map { case (ne, colName) =>
-      Alias(byName(colName), ne.name)(exprId = ne.exprId)
+    if (!regroup) {
+      val projectList = mapped.map { case (ne, colName) =>
+        Alias(byName(colName), ne.name)(exprId = ne.exprId)
+      }
+      Some(Project(projectList, filtered))
+    } else {
+      // key-subset grouping: re-aggregate the tier — min over the stored
+      // mins, max over maxes, sums over count/sum/samples_count are exact
+      // over any regrouping of the tier's disjoint groups
+      val newGrouping: Seq[Expression] = inlinedGroupings.map { g =>
+        if (bucketGrain(g).isDefined) byName("bucket_ms")
+        else byName(g.asInstanceOf[AttributeReference].name)
+      }
+      val aggExprs: Seq[NamedExpression] = mapped.map {
+        case (ne, c) if c == "bucket_ms" || keys(c) =>
+          Alias(byName(c), ne.name)(exprId = ne.exprId)
+        case (ne, c) =>
+          val fn: AggregateFunction = c match {
+            case "value_min" => Min(byName(c))
+            case "value_max" => Max(byName(c))
+            case "samples_count" | "count" | "sum" => Sum(byName(c))
+            case other => return None // value_avg is refused above
+          }
+          Alias(fn.toAggregateExpression(), ne.name)(exprId = ne.exprId)
+      }
+      Some(Aggregate(newGrouping, aggExprs, filtered))
     }
-    Some(Project(projectList, filtered))
   }
 }
 

@@ -76,7 +76,10 @@ object PromProto {
     def key(field: Int, wire: Int): Unit = varint((field << 3) | wire)
     def int64(field: Int, v: Long): Unit =
       if (v != 0) { key(field, 0); varint(v) }
-    def double(field: Int, v: Double): Unit = if (v != 0.0) {
+    // raw-bits default test so -0.0 (bits != 0) round-trips; proto3 omits
+    // only the canonical +0.0 default
+    def double(field: Int, v: Double): Unit =
+      if (java.lang.Double.doubleToRawLongBits(v) != 0L) {
       key(field, 1)
       val bits = java.lang.Double.doubleToLongBits(v)
       var i = 0

@@ -98,6 +98,24 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("key-subset grouping re-aggregates the stored tier, exactly") {
+    // the per-metric dashboard shape: coarser than the tier's series keys,
+    // answered by re-aggregating the tier (min of mins, sums of sums)
+    def perMetric() = spark.read.parquet(s"$base/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("metric"), Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(lit(1)).as("n"), sum(col("count")).as("c"), sum(col("sum")).as("s"))
+    val direct = rows(perMetric())
+    assert(direct.nonEmpty)
+    withRule {
+      val routed = perMetric()
+      assert(scans(routed, "metrics_1m"), "regroup rewrite did not fire")
+      assert(!scans(routed, "metrics_raw"))
+      assert(rows(routed) === direct)
+    }
+  }
+
   test("refusals: every unprovable case keeps the raw scan") {
     withRule {
       // avg over a coarse tier would read avg-of-avgs — must refuse
@@ -106,12 +124,18 @@ class RollupRoutingSpec extends SparkSpec {
       assert(scans(q(60000L, withAvg = false, lo = NowA - Day + 1), "metrics_raw"))
       // upper bound beyond the freshness watermark — must refuse
       assert(scans(q(60000L, withAvg = false, hi = NowA + 60000), "metrics_raw"))
-      // grouping coarser than the tier keys — must refuse
-      val coarse = spark.read.parquet(s"$base/metrics_raw")
+      // regrouped average is not derivable from the stored columns — refuse
+      val coarseAvg = spark.read.parquet(s"$base/metrics_raw")
         .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
         .groupBy(col("metric"), Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+        .agg(avg(col("value")).as("vavg"))
+      assert(scans(coarseAvg, "metrics_raw"))
+      // grouping on a non-key column — refuse
+      val foreign = spark.read.parquet(s"$base/metrics_raw")
+        .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+        .groupBy(col("event_id"), Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
         .agg(min(col("value")).as("vmin"))
-      assert(scans(coarse, "metrics_raw"))
+      assert(scans(foreign, "metrics_raw"))
       // non-rollup grain — must refuse
       assert(scans(q(120000L, withAvg = false), "metrics_raw"))
     }

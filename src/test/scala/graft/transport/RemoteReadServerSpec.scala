@@ -61,6 +61,40 @@ class RemoteReadServerSpec extends SparkSpec {
     assert(PromProto.decodeReadResponse(PromProto.encodeReadResponse(resp)) === resp)
   }
 
+  test("wire codec fuzz: random messages round-trip, extremes included") {
+    val rnd = new scala.util.Random(4242)
+    def rs(): String = {
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => (rnd.nextInt(0xD7FF - 32) + 32).toChar).mkString
+    }
+    def rLong(): Long = rnd.nextInt(5) match {
+      case 0 => 0L
+      case 1 => Long.MaxValue
+      case 2 => Long.MinValue
+      case 3 => -rnd.nextLong().abs
+      case _ => rnd.nextLong()
+    }
+    def rDouble(): Double = rnd.nextInt(7) match {
+      case 0 => 0.0
+      case 1 => -0.0
+      case 2 => Double.PositiveInfinity
+      case 3 => Double.NegativeInfinity
+      case 4 => Double.MinPositiveValue
+      case _ => (rnd.nextDouble() - 0.5) * 1e12
+    }
+    for (_ <- 1 to 300) {
+      val req = Seq.fill(rnd.nextInt(4))(PromProto.Query(rLong(), rLong(),
+        Seq.fill(rnd.nextInt(4))(
+          PromProto.LabelMatcher(rnd.nextInt(4), rs(), rs()))))
+      assert(PromProto.decodeReadRequest(PromProto.encodeReadRequest(req)) === req)
+      val resp = Seq.fill(rnd.nextInt(3))(Seq.fill(rnd.nextInt(3))(
+        PromProto.TimeSeries(
+          Seq.fill(rnd.nextInt(4))((rs(), rs())),
+          Seq.fill(rnd.nextInt(5))((rDouble(), rLong())))))
+      assert(PromProto.decodeReadResponse(PromProto.encodeReadResponse(resp)) === resp)
+    }
+  }
+
   test("loopback remote read: raw-routed query over HTTP equals the direct read path") {
     val src = Files.createTempDirectory("graft_transport_src").toString
     withServer(src) { (_, port) =>
