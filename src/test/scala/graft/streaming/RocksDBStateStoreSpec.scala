@@ -120,6 +120,40 @@ class RocksDBStateStoreSpec extends SparkSpec {
     assert(default.length === 3) // (s1 hour0, s1 hour1, s2 hour0)
   }
 
+  test("20k-series cardinality soak: RocksDB carries every series' state across batches") {
+    // the honest scale risk the in-heap provider has at 100x cardinality:
+    // per-series conversion state for tens of thousands of live series.
+    // Three micro-batches over 20k distinct series; every series' second and
+    // third point must convert as a delta (proving its state was found in
+    // the store on every batch — one first-point raw per series, no resets).
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val n = 20000
+    def batch(i: Int): Seq[MetricPoint] =
+      (0 until n).map(k => mp(k.toLong, i * 1000L, i * 10.0 + k % 7))
+    withRocksDB {
+      val mem = MemoryStream[MetricPoint]
+      val q = StreamingTemporality.convertDelta(mem.toDS())
+        .writeStream.format("memory").queryName("rdb_card")
+        .outputMode("append").start()
+      try {
+        (1 to 3).foreach { i => mem.addData(batch(i): _*); q.processAllAvailable() }
+        val out = s.table("rdb_card")
+        assert(out.count() === 3L * n)
+        val agg = out.agg(
+          sum(col("delta")), sum(when(col("is_reset"), 1).otherwise(0)),
+          count_distinct(col("series_hash"))).collect()(0)
+        // per series: raw first point (10 + k%7) then two deltas of 10.0 —
+        // total sum = sum over k of (30 + k%7)
+        val expected = (0 until n).map(k => 30.0 + k % 7).sum
+        assert(agg.getDouble(0) === expected)
+        assert(agg.getLong(1) === 0L, "no series may reset")
+        assert(agg.getLong(2) === n.toLong)
+      } finally q.stop()
+    }
+  }
+
   test("checkpointed restart reloads RocksDB state across queries") {
     val s = spark
     import s.implicits._
