@@ -143,6 +143,32 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
     case _ => false
   }
 
+  /** p_date conjuncts for the tier scan from the ms time bounds. Partition
+    * values read back type-inferred: DateType for daily `yyyy-MM-dd` dirs,
+    * IntegerType for monthly `yyyyMM` — literals are built to match, so
+    * `PruneFileSourcePartitions` drops whole directories. An unexpected
+    * partition column type just skips pruning (the bucket_ms bounds remain
+    * correct without it). */
+  private def partitionBounds(byName: Map[String, Attribute],
+      tier: MetricsSink.Tier, lower: Option[Long],
+      upper: Option[Long]): Seq[Expression] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType}
+    def day(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    byName.get(MetricsSink.PartitionCol).toSeq.flatMap { pd =>
+      def lit(ms: Long): Option[Literal] = pd.dataType match {
+        case DateType if !tier.monthly =>
+          Some(Literal(day(ms).toEpochDay.toInt, DateType))
+        case IntegerType if tier.monthly =>
+          val d = day(ms); Some(Literal(d.getYear * 100 + d.getMonthValue))
+        case _ => None
+      }
+      lower.flatMap(l => lit(l).map(GreaterThanOrEqual(pd, _))) ++
+        // upper bound is exclusive on bucket_ms → inclusive on day(U − 1ms)
+        upper.flatMap(u => lit(u - 1).map(LessThanOrEqual(pd, _)))
+    }
+  }
+
   /** Map one aggregate function to its stored tier column, or None. */
   private def mapAgg(fn: AggregateFunction): Option[String] = fn match {
     case m: Min if colNamed(m.child, "value") => Some("value_min")
@@ -197,6 +223,7 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
 
     // filters: key predicates pass through; time bounds must be grain-aligned
     // and prove freshness coverage via an upper bound
+    var lower = Option.empty[Long]
     var upper = Option.empty[Long]
     val rewrittenConds = rawConds.map(inline).map { c =>
       if (c.references.nonEmpty && c.references.forall(a => keys(a.name))) c
@@ -207,6 +234,7 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
           IsNotNull(Marker)
         case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, LongType))
           if a.name == "ts_ms" && v % grain == 0 =>
+          lower = Some(lower.fold(v)(math.max(_, v)))
           GreaterThanOrEqual(Marker, Literal(v, LongType))
         case LessThan(a: AttributeReference, Literal(v: Long, LongType))
           if a.name == "ts_ms" && v % grain == 0 =>
@@ -230,7 +258,12 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
       case Marker => byName("bucket_ms")
       case a: AttributeReference if keys(a.name) => byName(a.name)
     })
-    val filtered = resolvedConds.reduceOption(And)
+    // derive PARTITION pruning from the time bounds: the p_date directory
+    // value is monotone in bucket_ms, so the bounds map onto a directory
+    // range and the routed scan prunes to it — without this, a one-day read
+    // of a 455-day 1h tier would still list and stat every partition
+    val pruneConds = partitionBounds(byName, tier, lower, upper)
+    val filtered = (resolvedConds ++ pruneConds).reduceOption(And)
       .map(Filter(_, tierPlan)).getOrElse(tierPlan)
 
     // preserve the Aggregate's output attribute ids so parents are untouched

@@ -83,6 +83,11 @@ class RollupRoutingSpec extends SparkSpec {
       val routed = q(60000L, withAvg = true)
       assert(scans(routed, "metrics_1m"), "rewrite did not fire")
       assert(!scans(routed, "metrics_raw"), "raw still scanned after rewrite")
+      // the time bounds must become directory pruning on the tier scan
+      val fileScan = routed.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(fileScan.matches(".*PartitionFilters: \\[.*p_date.*"),
+        s"no p_date partition pruning in: $fileScan")
       assert(rows(routed) === direct)
     }
   }
