@@ -44,6 +44,16 @@ import graft.sink.MetricsSink
   * Project below the Aggregate — intermediate Project aliases are collected
   * and substituted back before the pattern is inspected.
   *
+  * Retention note — "exact" means exact over the data the QUERY SPAN
+  * denotes, which is the stronger of the two answers once retention has
+  * run: the tiers retain far longer than raw (15d/63d/455d vs 3h), so for
+  * a span raw has already partition-dropped, the unrewritten raw scan
+  * silently aggregates nothing while the routed plan returns the stored
+  * history. That asymmetry is the point of resolution routing — the
+  * reference sends aged queries to the rollup tables precisely because raw
+  * has TTL'd out (handler.go:304-321) — and the freshness watermark bounds
+  * the other direction (the tier never lags the span's upper edge).
+  *
   * Enabled per session by setting BOTH `spark.graft.rollup.baseDir` and
   * `spark.graft.rollup.freshAsOfMs`; inert otherwise. Registered via
   * [[GraftExtensions]] or `spark.experimental.extraOptimizations`.
