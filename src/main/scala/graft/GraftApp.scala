@@ -233,7 +233,7 @@ object GraftApp {
     val transport = cfg.transportPort.map { p =>
       val srv = new graft.transport.RemoteReadServer(spark, cfg.storageDir,
         cfg.sourceDir, cfg.workspaceId,
-        cfg.nowMs.getOrElse(System.currentTimeMillis()))
+        () => cfg.nowMs.getOrElse(System.currentTimeMillis()))
       val bound = srv.start(p)
       println(s"[graft] remote-read transport on 127.0.0.1:$bound")
       srv

@@ -35,7 +35,12 @@ import graft.sink.MetricsSink
   * handler.go:137-174) and the LIMIT 100000 shape bounds it. One JDK
   * HttpServer, no extra dependencies. */
 class RemoteReadServer(spark: SparkSession, storageDir: String,
-    sourceDir: String, workspaceId: String, nowMs: Long) {
+    sourceDir: String, workspaceId: String, nowMs: () => Long) {
+
+  /** Pinned-clock convenience for tests and replays. */
+  def this(spark: SparkSession, storageDir: String, sourceDir: String,
+      workspaceId: String, nowMs: Long) =
+    this(spark, storageDir, sourceDir, workspaceId, () => nowMs)
 
   private var server: HttpServer = _
   private val uploads = new AtomicLong(0)
@@ -101,7 +106,9 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
     * (handler.go:179-205 sample arms; 304-321 routing). */
   def query(q: PromProto.Query): Seq[PromProto.TimeSeries] = {
     import Promread._
-    val tierName = selectTable(q.startMs, q.endMs, nowMs)
+    // per-request clock, like the reference handler: a frozen launch-time
+    // now would age every routing decision on a long-running server
+    val tierName = selectTable(q.startMs, q.endMs, nowMs())
     val tier = MetricsSink.tiers.find(_.name == tierName).get
     val (vCol, tsCol) =
       if (tier == MetricsSink.Raw) (col("value"), col("ts_ms"))
