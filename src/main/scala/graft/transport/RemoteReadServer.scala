@@ -22,13 +22,16 @@ import graft.sink.MetricsSink
   *     SAME `Promread` functions the oracle-checked read-path queries run —
   *     the transport adds codec and routing glue, never new semantics.
   *   - `POST /ingest` — the landing-zone analog of the reference's OTLP gRPC
-  *     receiver (internal/receiver/otlp.go:30-124): the body (a parquet file
-  *     of OTLP-export-shaped rows, [[graft.streaming.OtlpSource
-  *     .exportSchema]]) is landed atomically in the watched source dir and
-  *     the app's file stream picks it up as a micro-batch. gRPC itself stays
-  *     out of scope (no grpc runtime ships here, and SURVEY §2.1 S1 scopes
-  *     S1 to "transport, not query semantics") — this endpoint is the
-  *     transport stand-in with the same at-least-once hand-off.
+  *     receiver (internal/receiver/otlp.go:30-124). Two bodies accepted: a
+  *     parquet file of export-shaped rows ([[graft.streaming.OtlpSource
+  *     .exportSchema]]), or — with a JSON content type — a real collector's
+  *     OTLP/HTTP+JSON `ExportMetricsServiceRequest`, decoded through
+  *     [[graft.ingest.OtlpJson]] first. Either way the batch lands
+  *     atomically in the watched source dir and the app's file stream picks
+  *     it up as a micro-batch. gRPC itself stays out of scope (no grpc
+  *     runtime ships here, and SURVEY §2.1 S1 scopes S1 to "transport, not
+  *     query semantics") — these are the transport stand-ins with the same
+  *     at-least-once hand-off.
   *
   * Serving model: the response materializes on the driver (the reference
   * handler does the same — it builds the full ReadResponse in memory,
@@ -57,13 +60,14 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
     if (server != null) { server.stop(0); server = null }
   }
 
-  private def handler(f: Array[Byte] => (Int, Array[Byte], Map[String, String])): HttpHandler =
+  private def handler(f: (Array[Byte], String) => (Int, Array[Byte], Map[String, String])): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val (status, body, headers) = try {
           if (ex.getRequestMethod != "POST")
             (405, "POST only".getBytes("UTF-8"), Map.empty[String, String])
-          else f(ex.getRequestBody.readAllBytes())
+          else f(ex.getRequestBody.readAllBytes(),
+            Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse(""))
         } catch {
           case e: Exception =>
             (400, s"bad request: ${e.getMessage}".getBytes("UTF-8"),
@@ -76,7 +80,7 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
       }
     }
 
-  private def handleRead(body: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
+  private def handleRead(body: Array[Byte], contentType: String): (Int, Array[Byte], Map[String, String]) = {
     val queries = PromProto.decodeReadRequest(Snappy.uncompress(body))
     val results = queries.map(query)
     val resp = Snappy.compress(PromProto.encodeReadResponse(results))
@@ -85,14 +89,28 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
       "Content-Encoding" -> "snappy"))
   }
 
-  private def handleIngest(body: Array[Byte]): (Int, Array[Byte], Map[String, String]) = {
+  private def handleIngest(body: Array[Byte], contentType: String): (Int, Array[Byte], Map[String, String]) = {
     val n = uploads.incrementAndGet()
     val dir = new java.io.File(sourceDir)
     dir.mkdirs()
+    // parquet body: the batch is already export-shaped. JSON body: a real
+    // collector's OTLP/HTTP+JSON export — decode it to the export frame
+    // first, then land the parquet the file stream expects.
+    val parquetBytes =
+      if (contentType.toLowerCase.contains("json")) {
+        val out = java.nio.file.Files.createTempDirectory("otlp_json").toString
+        graft.ingest.OtlpJson.decode(
+          spark.createDataset(Seq(new String(body, "UTF-8")))(
+            org.apache.spark.sql.Encoders.STRING).toDF("value"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        val part = new java.io.File(out).listFiles
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.readAllBytes(part.toPath)
+      } else body
     // land atomically: a half-written file must never be visible to the
     // file-stream source (it lists completed files only by name)
     val tmp = java.io.File.createTempFile(s"upload_$n", ".tmp", dir)
-    java.nio.file.Files.write(tmp.toPath, body)
+    java.nio.file.Files.write(tmp.toPath, parquetBytes)
     val dst = new java.io.File(dir, s"upload_${System.nanoTime()}_$n.parquet")
     java.nio.file.Files.move(tmp.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

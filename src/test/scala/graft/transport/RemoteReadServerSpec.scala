@@ -30,11 +30,13 @@ class RemoteReadServerSpec extends SparkSpec {
     b
   }
 
-  private def post(port: Int, path: String, body: Array[Byte]): (Int, Array[Byte]) = {
+  private def post(port: Int, path: String, body: Array[Byte],
+      contentType: String = ""): (Int, Array[Byte]) = {
     val conn = new URI(s"http://127.0.0.1:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
+    if (contentType.nonEmpty) conn.setRequestProperty("Content-Type", contentType)
     conn.getOutputStream.write(body)
     val code = conn.getResponseCode
     val in = if (code < 400) conn.getInputStream else conn.getErrorStream
@@ -151,6 +153,34 @@ class RemoteReadServerSpec extends SparkSpec {
       assert(series.map(_.samples.length).sum === tierRows.count())
       // HTTP result == in-process query result, wire codec transparent
       assert(series === srv.query(req))
+    }
+  }
+
+  test("ingest endpoint decodes a collector's OTLP/HTTP+JSON export") {
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    withServer(src) { (_, port) =>
+      val json =
+        """{"resourceMetrics":[{"resource":{"attributes":[
+          |{"key":"service.name","value":{"stringValue":"svc-json"}}]},
+          |"scopeMetrics":[{"metrics":[{"name":"m_json","sum":{
+          |"aggregationTemporality":2,"isMonotonic":true,
+          |"dataPoints":[{"timeUnixNano":"1706054399000000000","asDouble":7.5}]
+          |}}]}]}]}""".stripMargin.replaceAll("\n", "")
+      val (code, name) = post(port, "/ingest", json.getBytes("UTF-8"),
+        contentType = "application/json")
+      assert(code === 200)
+      val landed = new java.io.File(src, new String(name, "UTF-8"))
+      assert(landed.exists)
+      val back = spark.read.schema(graft.streaming.OtlpSource.exportSchema)
+        .parquet(landed.getPath)
+        .select(element_at(col("resource_attrs"), "service.name"),
+          explode(col("datapoints")).as("dp"))
+        .select(col("dp.metric"), col("dp.kind"), col("dp.ts_ms"),
+          col("dp.value_double"))
+        .collect()
+      assert(back.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq ===
+        Seq(("m_json", "sum", 1706054399000L, 7.5)))
     }
   }
 
