@@ -33,11 +33,24 @@ object OtlpJson {
       StructField("intValue", StringType),
       StructField("doubleValue", DoubleType)))))))
 
+  /** proto3-JSON exemplar (otlp.go:298-330's input): `spanId`/`traceId` are
+    * hex STRINGS on the wire (pdata's `.String()` rendering — kept verbatim),
+    * value is the `asDouble`/`asInt` oneof, filtered attributes share the
+    * common attribute shape. */
+  private val exemplarJsonType = ArrayType(StructType(Seq(
+    StructField("filteredAttributes", attrType),
+    StructField("timeUnixNano", StringType),
+    StructField("asDouble", DoubleType),
+    StructField("asInt", StringType),
+    StructField("spanId", StringType),
+    StructField("traceId", StringType))))
+
   private def numberDp = StructType(Seq(
     StructField("timeUnixNano", StringType),
     StructField("asDouble", DoubleType),
     StructField("asInt", StringType),
-    StructField("attributes", attrType)))
+    StructField("attributes", attrType),
+    StructField("exemplars", exemplarJsonType)))
 
   private def histoDp = StructType(Seq(
     StructField("timeUnixNano", StringType),
@@ -45,13 +58,15 @@ object OtlpJson {
     StructField("sum", DoubleType),
     StructField("bucketCounts", ArrayType(StringType)),
     StructField("explicitBounds", ArrayType(DoubleType)),
-    StructField("attributes", attrType)))
+    StructField("attributes", attrType),
+    StructField("exemplars", exemplarJsonType)))
 
   private def countSumDp = StructType(Seq(
     StructField("timeUnixNano", StringType),
     StructField("count", StringType),
     StructField("sum", DoubleType),
-    StructField("attributes", attrType)))
+    StructField("attributes", attrType),
+    StructField("exemplars", exemplarJsonType)))
 
   /** ExportMetricsServiceRequest, the subset the reference reads. */
   val jsonSchema: StructType = StructType(Seq(
@@ -97,10 +112,28 @@ object OtlpJson {
 
   private val dpSchema = graft.streaming.OtlpSource.datapointType
 
+  /** Wire exemplars → engine exemplar structs (otlp.go:298-330): hex IDs
+    * verbatim, value from the int/double oneof (absent → 0.0, the reference's
+    * non-pointer float64 zero), ns timestamp → TimestampType, filtered
+    * attributes stringified like every other attribute list (F10). Absent
+    * array → typed NULL, matching `convertExemplars`' nil-on-empty. */
+  private def exemplarsCol(ex: Column): Column =
+    when(ex.isNull || size(ex) === 0,
+      lit(null).cast(ArrayType(graft.model.Schemas.exemplarType)))
+      .otherwise(transform(ex, e => struct(
+        e.getField("spanId").as("spanId"),
+        e.getField("traceId").as("traceId"),
+        coalesce(e.getField("asDouble"),
+          e.getField("asInt").cast(DoubleType), lit(0.0)).as("value"),
+        timestamp_millis(nsToMs(e.getField("timeUnixNano"))).as("timestamp"),
+        attrsToMap(e.getField("filteredAttributes")).as("attributes"))))
+
   /** One wire datapoint struct in [[dpSchema]]'s exact field order. */
   private def dp(metric: Column, kind: String, ts: Column, temp: Column,
       mono: Column, vInt: Column, vDouble: Column, count: Column,
-      sum: Column, bounds: Column, counts: Column, attrs: Column): Column =
+      sum: Column, bounds: Column, counts: Column, attrs: Column,
+      exemplars: Column = lit(null)
+        .cast(ArrayType(graft.model.Schemas.exemplarType))): Column =
     struct(
       metric.as("metric"), lit(kind).as("kind"), nsToMs(ts).as("ts_ms"),
       temp.cast("int").as("temporality_code"), mono.as("is_monotonic"),
@@ -108,8 +141,7 @@ object OtlpJson {
       count.cast("long").as("count"), sum.as("sum"),
       bounds.as("bounds"), counts.as("bucket_counts"),
       attrsToMap(attrs).as("dp_attrs"),
-      lit(null).cast(ArrayType(graft.model.Schemas.exemplarType))
-        .as("exemplars"))
+      exemplars.as("exemplars"))
 
   private def dps(arr: Column, build: Column => Column): Column =
     transform(coalesce(arr, array()), build)
@@ -129,7 +161,8 @@ object OtlpJson {
         p.getField("asInt"), p.getField("asDouble"),
         lit(null), lit(null).cast("double"),
         lit(null).cast(ArrayType(DoubleType)),
-        lit(null).cast(ArrayType(LongType)), p.getField("attributes"))),
+        lit(null).cast(ArrayType(LongType)), p.getField("attributes"),
+        exemplarsCol(p.getField("exemplars")))),
       dps(s.getField("dataPoints"), p => dp(name, "sum",
         p.getField("timeUnixNano"),
         coalesce(s.getField("aggregationTemporality"), lit(0)),
@@ -137,7 +170,8 @@ object OtlpJson {
         p.getField("asInt"), p.getField("asDouble"),
         lit(null), lit(null).cast("double"),
         lit(null).cast(ArrayType(DoubleType)),
-        lit(null).cast(ArrayType(LongType)), p.getField("attributes"))),
+        lit(null).cast(ArrayType(LongType)), p.getField("attributes"),
+        exemplarsCol(p.getField("exemplars")))),
       dps(h.getField("dataPoints"), p => dp(name, "histogram",
         p.getField("timeUnixNano"),
         coalesce(h.getField("aggregationTemporality"), lit(0)), lit(false),
@@ -146,14 +180,16 @@ object OtlpJson {
         p.getField("explicitBounds"),
         transform(coalesce(p.getField("bucketCounts"),
           array().cast(ArrayType(StringType))), c => c.cast("long")),
-        p.getField("attributes"))),
+        p.getField("attributes"),
+        exemplarsCol(p.getField("exemplars")))),
       dps(e.getField("dataPoints"), p => dp(name, "exponential_histogram",
         p.getField("timeUnixNano"),
         coalesce(e.getField("aggregationTemporality"), lit(0)), lit(false),
         lit(null), lit(null).cast("double"),
         p.getField("count"), p.getField("sum"),
         lit(null).cast(ArrayType(DoubleType)),
-        lit(null).cast(ArrayType(LongType)), p.getField("attributes"))),
+        lit(null).cast(ArrayType(LongType)), p.getField("attributes"),
+        exemplarsCol(p.getField("exemplars")))),
       dps(su.getField("dataPoints"), p => dp(name, "summary",
         p.getField("timeUnixNano"), lit(0), lit(false),
         lit(null), lit(null).cast("double"),

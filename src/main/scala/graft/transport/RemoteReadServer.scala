@@ -38,7 +38,9 @@ import graft.sink.MetricsSink
   * handler.go:137-174) and the LIMIT 100000 shape bounds it. One JDK
   * HttpServer, no extra dependencies. */
 class RemoteReadServer(spark: SparkSession, storageDir: String,
-    sourceDir: String, workspaceId: String, nowMs: () => Long) {
+    sourceDir: String, workspaceId: String, nowMs: () => Long,
+    maxBodyBytes: Int = RemoteReadServer.DefaultMaxBodyBytes,
+    maxResponseRows: Int = RemoteReadServer.DefaultMaxResponseRows) {
 
   /** Pinned-clock convenience for tests and replays. */
   def this(spark: SparkSession, storageDir: String, sourceDir: String,
@@ -60,15 +62,33 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
     if (server != null) { server.stop(0); server = null }
   }
 
+  /** Bounded body read — the reference caps receiver messages at 100 MiB
+    * (otlp.go:49-50). Checked while streaming, not from Content-Length: a
+    * lying or absent length header must not defeat the cap. */
+  private def readBody(in: java.io.InputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size > maxBodyBytes)
+        throw new RemoteReadServer.BodyTooLarge(maxBodyBytes)
+      n = in.read(chunk)
+    }
+    buf.toByteArray
+  }
+
   private def handler(f: (Array[Byte], String) => (Int, Array[Byte], Map[String, String])): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val (status, body, headers) = try {
           if (ex.getRequestMethod != "POST")
             (405, "POST only".getBytes("UTF-8"), Map.empty[String, String])
-          else f(ex.getRequestBody.readAllBytes(),
+          else f(readBody(ex.getRequestBody),
             Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse(""))
         } catch {
+          case e: RemoteReadServer.BodyTooLarge =>
+            (413, e.getMessage.getBytes("UTF-8"), Map.empty[String, String])
           case e: Exception =>
             (400, s"bad request: ${e.getMessage}".getBytes("UTF-8"),
               Map.empty[String, String])
@@ -82,7 +102,16 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
 
   private def handleRead(body: Array[Byte], contentType: String): (Int, Array[Byte], Map[String, String]) = {
     val queries = PromProto.decodeReadRequest(Snappy.uncompress(body))
-    val results = queries.map(query)
+    // per-request row budget: each query keeps the reference's LIMIT 100000
+    // shape, but a multi-query ReadRequest cannot materialize more than
+    // `maxResponseRows` samples in driver memory in total — later queries see
+    // a shrunken limit once earlier ones have spent the budget
+    var budget = maxResponseRows
+    val results = queries.map { q =>
+      val r = query(q, limit = math.min(100000, math.max(0, budget)))
+      budget -= r.iterator.map(_.samples.length).sum
+      r
+    }
     val resp = Snappy.compress(PromProto.encodeReadResponse(results))
     (200, resp, Map(
       "Content-Type" -> "application/x-protobuf",
@@ -98,18 +127,24 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
     // first, then land the parquet the file stream expects.
     val parquetBytes =
       if (contentType.toLowerCase.contains("json")) {
-        val out = java.nio.file.Files.createTempDirectory("otlp_json").toString
-        graft.ingest.OtlpJson.decode(
-          spark.createDataset(Seq(new String(body, "UTF-8")))(
-            org.apache.spark.sql.Encoders.STRING).toDF("value"))
-          .coalesce(1).write.mode("overwrite").parquet(out)
-        val part = new java.io.File(out).listFiles
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.readAllBytes(part.toPath)
+        val out = java.nio.file.Files.createTempDirectory("otlp_json")
+        try {
+          graft.ingest.OtlpJson.decode(
+            spark.createDataset(Seq(new String(body, "UTF-8")))(
+              org.apache.spark.sql.Encoders.STRING).toDF("value"))
+            .coalesce(1).write.mode("overwrite").parquet(out.toString)
+          val part = out.toFile.listFiles
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.readAllBytes(part.toPath)
+        } finally RemoteReadServer.deleteRecursively(out.toFile)
       } else body
     // land atomically: a half-written file must never be visible to the
-    // file-stream source (it lists completed files only by name)
-    val tmp = java.io.File.createTempFile(s"upload_$n", ".tmp", dir)
+    // file-stream source. The source's listing filters only dot/underscore-
+    // prefixed names, so the in-flight temp file MUST be dot-prefixed — a
+    // visible temp picked up mid-write (then renamed away) would poison the
+    // stream's offset log. ATOMIC_MOVE within the same directory then
+    // reveals the completed file in one step.
+    val tmp = java.io.File.createTempFile(s".upload_${n}_", ".tmp", dir)
     java.nio.file.Files.write(tmp.toPath, parquetBytes)
     val dst = new java.io.File(dir, s"upload_${System.nanoTime()}_$n.parquet")
     java.nio.file.Files.move(tmp.toPath, dst.toPath,
@@ -122,7 +157,7 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
     * rollup tiers expose `value_last` as the sample value and `bucket_ms` as
     * the timestamp — the stored-tier read battery's contract
     * (handler.go:179-205 sample arms; 304-321 routing). */
-  def query(q: PromProto.Query): Seq[PromProto.TimeSeries] = {
+  def query(q: PromProto.Query, limit: Int = 100000): Seq[PromProto.TimeSeries] = {
     import Promread._
     // per-request clock, like the reference handler: a frozen launch-time
     // now would age every routing decision on a long-running server
@@ -138,12 +173,36 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
       case 3 => NRE
       case t => throw new IllegalArgumentException(s"unknown matcher type $t")
     }, m.value))
-    val rows = MetricsSink.read(spark, storageDir, tier)
+    val scanned = MetricsSink.read(spark, storageDir, tier)
       .filter(predicate(matchers, workspaceId, q.startMs, q.endMs, tsMsCol = tsCol))
-      .withColumn("sample_value", sampleValue(vCol, col("count"), col("sum")))
-      .filter(col("sample_value").isNotNull)
       .withColumn("labels", labelsKey(col("attributes")))
-    val shaped = shape(rows, tsCol, Seq(col("labels")))
+    // A6 arm (handler.go:183-199): DELTA-temporality sums return cumulative-
+    // reconstructed samples — the same correctly-keyed running-sum primitive
+    // as q_a6_delta_to_cum, partitioned per series (metric, label set; the
+    // reference's shared accumulator across series is its documented bug —
+    // Temporality.toCumulative). Tables without type columns (events-derived
+    // fixtures) take the generic gauge/histogram shaping unchanged.
+    val hasTypes = Seq("metric_type", "temporality")
+      .forall(scanned.columns.contains)
+    val sampled =
+      if (!hasTypes)
+        scanned.withColumn("sample_value", sampleValue(vCol, col("count"), col("sum")))
+      else {
+        import graft.model.Schemas
+        val isDeltaSum =
+          col("metric_type") === lit(Schemas.MetricType.Sum) &&
+            col("temporality") === lit(Schemas.Temporality.Delta) &&
+            vCol.isNotNull
+        val w = graft.metrics.Temporality.seriesWindow(
+          Seq(col("metric"), col("labels")), Seq(tsCol))
+        scanned.withColumn("sample_value",
+          when(isDeltaSum,
+            graft.metrics.Temporality.cumulativeValue(
+              when(isDeltaSum, vCol), w))
+            .otherwise(sampleValue(vCol, col("count"), col("sum"))))
+      }
+    val rows = sampled.filter(col("sample_value").isNotNull)
+    val shaped = shape(rows, tsCol, Seq(col("labels")), limit)
       .select(col("metric"), col("labels"), col("attributes"),
         tsCol.as("ts_ms"), col("sample_value"))
       .collect()
@@ -164,5 +223,24 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
     bySeries.values.map { case (labels, samples) =>
       PromProto.TimeSeries(labels, samples.toSeq)
     }.toSeq
+  }
+}
+
+object RemoteReadServer {
+  /** Reference receiver message cap (otlp.go:49-50). */
+  val DefaultMaxBodyBytes: Int = 100 * 1024 * 1024
+
+  /** Driver-memory bound on one ReadRequest's total materialized samples —
+    * ten full-LIMIT queries. The reference has no such bound (its handler
+    * builds the whole response unbounded, handler.go:137-174); this caps the
+    * multi-query amplification of its per-query LIMIT 100000. */
+  val DefaultMaxResponseRows: Int = 1000000
+
+  private[transport] final class BodyTooLarge(max: Int)
+    extends RuntimeException(s"request body exceeds $max bytes")
+
+  private[transport] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }

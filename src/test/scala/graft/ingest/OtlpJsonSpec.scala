@@ -28,12 +28,20 @@ class OtlpJsonSpec extends SparkSpec {
        |    {"name":"requests_total","sum":{
        |      "aggregationTemporality":2,"isMonotonic":true,
        |      "dataPoints":[{"timeUnixNano":"$Ns","asInt":"123",
-       |        "attributes":[{"key":"status","value":{"stringValue":"200"}}]}]}},
+       |        "attributes":[{"key":"status","value":{"stringValue":"200"}}],
+       |        "exemplars":[
+       |          {"filteredAttributes":[{"key":"q","value":{"stringValue":"x"}}],
+       |           "timeUnixNano":"$Ns","asDouble":1.5,
+       |           "spanId":"0102030405060708",
+       |           "traceId":"0102030405060708090a0b0c0d0e0f10"},
+       |          {"timeUnixNano":"$Ns","asInt":"7"}]}]}},
        |    {"name":"latency_ms","histogram":{
        |      "aggregationTemporality":2,
        |      "dataPoints":[{"timeUnixNano":"$Ns","count":"6","sum":21.5,
        |        "bucketCounts":["1","2","3"],"explicitBounds":[5.0,50.0],
-       |        "attributes":[{"key":"endpoint","value":{"stringValue":"/api"}}]}]}},
+       |        "attributes":[{"key":"endpoint","value":{"stringValue":"/api"}}],
+       |        "exemplars":[{"timeUnixNano":"$Ns","asDouble":42.0,
+       |          "traceId":"ffee000000000000000000000000aabb"}]}]}},
        |    {"name":"resp_exp","exponentialHistogram":{
        |      "aggregationTemporality":2,
        |      "dataPoints":[{"timeUnixNano":"$Ns","count":"4","sum":8.0}]}},
@@ -84,6 +92,55 @@ class OtlpJsonSpec extends SparkSpec {
     assert(byMetric("resp_exp").getAs[Long]("count") === 4L)
     assert(byMetric("rt_summary").getAs[String]("kind") === "summary")
     assert(byMetric("rt_summary").getAs[Long]("count") === 9L)
+  }
+
+  test("exemplars decode: hex IDs verbatim, value oneof, ns timestamp, filtered attrs") {
+    val s = spark
+    import s.implicits._
+    val dps = OtlpSource.explodeExport(OtlpJson.decode(Seq(payload).toDF("value")))
+      .select(col("metric"), col("exemplars"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    // no exemplars on the wire → typed NULL (convertExemplars' nil-on-empty)
+    assert(dps("cpu_load") === null)
+    assert(dps("rt_summary") === null)
+    val sumEx = dps("requests_total")
+    assert(sumEx.length === 2)
+    // first: full exemplar — IDs kept as the wire's hex strings
+    assert(sumEx(0).getAs[String]("spanId") === "0102030405060708")
+    assert(sumEx(0).getAs[String]("traceId") === "0102030405060708090a0b0c0d0e0f10")
+    assert(sumEx(0).getAs[Double]("value") === 1.5)
+    assert(sumEx(0).getAs[java.sql.Timestamp]("timestamp").getTime === MsExpected)
+    assert(sumEx(0).getAs[Map[String, String]]("attributes") === Map("q" -> "x"))
+    // second: asInt arm widened, absent IDs null, no filtered attrs → empty map
+    assert(sumEx(1).getAs[Double]("value") === 7.0)
+    assert(sumEx(1).getAs[String]("spanId") === null)
+    assert(sumEx(1).getAs[Map[String, String]]("attributes") === Map.empty)
+    val histEx = dps("latency_ms")
+    assert(histEx.length === 1)
+    assert(histEx(0).getAs[Double]("value") === 42.0)
+    assert(histEx(0).getAs[String]("traceId") === "ffee000000000000000000000000aabb")
+  }
+
+  test("decoded exemplars flow through capExemplars and read back from a raw tier") {
+    val s = spark
+    import s.implicits._
+    import graft.sink.MetricsSink
+    val exploded = OtlpSource.explodeExport(OtlpJson.decode(Seq(payload).toDF("value")))
+    // the S4 cap (enabled, max 1) keeps the FIRST exemplar only
+    val capped = exploded.withColumn("exemplars",
+      Validation.capExemplars(col("exemplars"), enabled = true, max = 1))
+    val dir = java.nio.file.Files.createTempDirectory("otlp_json_ex").toString
+    MetricsSink.write(capped.withColumn("workspace_id", lit("ws-1")),
+      dir, MetricsSink.Raw, col("ts_ms"),
+      Seq(col("workspace_id"), col("metric")), mode = "overwrite")
+    val back = MetricsSink.read(spark, dir, MetricsSink.Raw)
+      .filter(col("metric") === "requests_total")
+      .select(explode(col("exemplars")).as("e"))
+      .select(col("e.spanId"), col("e.value")).collect()
+    // capped to one; the survivor is the first wire exemplar, intact
+    assert(back.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("0102030405060708", 1.5)))
   }
 
   test("decoded export flows through the standard per-type conversion") {

@@ -45,8 +45,12 @@ class RemoteReadServerSpec extends SparkSpec {
     (code, resp)
   }
 
-  private def withServer[T](sourceDir: String)(body: (RemoteReadServer, Int) => T): T = {
-    val srv = new RemoteReadServer(spark, store, sourceDir, "ws-1", NowA)
+  private def withServer[T](sourceDir: String,
+      maxBodyBytes: Int = RemoteReadServer.DefaultMaxBodyBytes,
+      maxResponseRows: Int = RemoteReadServer.DefaultMaxResponseRows)(
+      body: (RemoteReadServer, Int) => T): T = {
+    val srv = new RemoteReadServer(spark, store, sourceDir, "ws-1",
+      () => NowA, maxBodyBytes, maxResponseRows)
     val port = srv.start()
     try body(srv, port) finally srv.stop()
   }
@@ -181,6 +185,139 @@ class RemoteReadServerSpec extends SparkSpec {
       assert(back.map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getDouble(3))).toSeq ===
         Seq(("m_json", "sum", 1706054399000L, 7.5)))
+    }
+  }
+
+  test("delta-temporality sums read back cumulative-reconstructed (A6 arm)") {
+    import spark.implicits._
+    // app-shaped raw tier: typed columns present, three temporality cases
+    val b = Files.createTempDirectory("graft_transport_a6").toString
+    val df = Seq(
+      // delta monotonic sum, two series of the same metric — per-series
+      // keying is the point (the reference's shared accumulator is its bug)
+      ("m_d", "1", 1000L, 2, 2, Some(5.0), Option.empty[Long], Option.empty[Double]),
+      ("m_d", "1", 2000L, 2, 2, Some(3.0), None, None),
+      ("m_d", "1", 3000L, 2, 2, Some(2.0), None, None),
+      ("m_d", "2", 1000L, 2, 2, Some(10.0), None, None),
+      ("m_d", "2", 2000L, 2, 2, Some(1.0), None, None),
+      // cumulative sum: raw values pass through
+      ("m_c", "1", 1000L, 2, 1, Some(4.0), None, None),
+      ("m_c", "1", 2000L, 2, 1, Some(6.0), None, None),
+      // gauge: raw value
+      ("m_g", "1", 1000L, 1, 0, Some(7.0), None, None),
+      // histogram: sum/count average, untouched by the A6 arm
+      ("m_h", "1", 1000L, 3, 2, None, Some(4L), Some(8.0)))
+      .toDF("metric", "user", "ts_ms", "metric_type", "temporality",
+        "value", "count", "sum")
+      .withColumn("workspace_id", lit("ws-1"))
+      .withColumn("attributes", map(lit("user"), col("user")))
+      .drop("user")
+    MetricsSink.write(df, b, MetricsSink.Raw, col("ts_ms"),
+      Seq(col("workspace_id"), col("metric")), mode = "overwrite")
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    val srv = new RemoteReadServer(spark, b, src, "ws-1", NowA)
+    val port = srv.start()
+    try {
+      val req = PromProto.Query(0L, 0L, Seq(
+        PromProto.LabelMatcher(2, "__name__", "^m_.*$")))
+      val (code, body) = post(port, "/api/v1/read",
+        Snappy.compress(PromProto.encodeReadRequest(Seq(req))))
+      assert(code === 200)
+      val series = PromProto.decodeReadResponse(Snappy.uncompress(body)).head
+      val got = series.map { ts =>
+        val m = ts.labels.toMap
+        (m("__name__"), m("user"), ts.samples)
+      }.sortBy(t => (t._1, t._2))
+      assert(got === Seq(
+        ("m_c", "1", Seq((4.0, 1000L), (6.0, 2000L))),
+        ("m_d", "1", Seq((5.0, 1000L), (8.0, 2000L), (10.0, 3000L))),
+        ("m_d", "2", Seq((10.0, 1000L), (11.0, 2000L))),
+        ("m_g", "1", Seq((7.0, 1000L))),
+        ("m_h", "1", Seq((2.0, 1000L)))))
+      // the served delta-sum samples ARE the batch A6 primitive's output
+      // (q_a6_delta_to_cum shape) over the same rows, keyed per series
+      val expect = graft.metrics.Temporality.toCumulative(
+        df.filter(col("metric_type") === 2 && col("temporality") === 2 &&
+          col("value").isNotNull),
+        Seq(col("metric"), Promread.labelsKey(col("attributes"))),
+        Seq(col("ts_ms")))
+        .select(col("metric"), element_at(col("attributes"), "user"),
+          col("ts_ms"), col("cum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      val gotDelta = got.filter(_._1 == "m_d")
+        .flatMap { case (m, u, s) => s.map(p => (m, u, p._2, p._1)) }.sorted
+      assert(gotDelta === expect)
+    } finally srv.stop()
+  }
+
+  test("oversized request body is refused with 413, not buffered") {
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    withServer(src, maxBodyBytes = 4096) { (_, port) =>
+      val big = new Array[Byte](64 * 1024)
+      val (code, msg) = post(port, "/ingest", big)
+      assert(code === 413)
+      assert(new String(msg, "UTF-8").contains("4096"))
+      // nothing landed
+      assert(new java.io.File(src).listFiles.forall(_.getName.startsWith(".")))
+      // a read request over the cap is refused the same way
+      val (code2, _) = post(port, "/api/v1/read", big)
+      assert(code2 === 413)
+      // and an in-budget request on the same server still works
+      val req = PromProto.encodeReadRequest(Seq(PromProto.Query(0L, 0L, Seq(
+        PromProto.LabelMatcher(0, "__name__", "evt_purchase")))))
+      val (code3, _) = post(port, "/api/v1/read", Snappy.compress(req))
+      assert(code3 === 200)
+    }
+  }
+
+  test("multi-query ReadRequest respects the per-request row budget") {
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    val q = PromProto.Query(0L, 0L, Seq(
+      PromProto.LabelMatcher(2, "__name__", "^evt_.*$")))
+    val full = withServer(src) { (srv, _) => srv.query(q).map(_.samples.length).sum }
+    assert(full > 10)
+    withServer(src, maxResponseRows = full + full / 2) { (_, port) =>
+      // three identical queries: #1 full, #2 truncated to the remaining
+      // half-budget, #3 sees a zero limit → empty
+      val req = PromProto.encodeReadRequest(Seq(q, q, q))
+      val (code, body) = post(port, "/api/v1/read", Snappy.compress(req))
+      assert(code === 200)
+      val results = PromProto.decodeReadResponse(Snappy.uncompress(body))
+      assert(results.length === 3)
+      val counts = results.map(_.map(_.samples.length).sum)
+      assert(counts(0) === full)
+      assert(counts(1) === full / 2)
+      assert(counts(2) === 0)
+    }
+  }
+
+  test("ingest leaves no temp litter: hidden in-flight names, temp dirs removed") {
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def otlpTempDirs(): Set[String] = tmpRoot.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("otlp_json"))
+      .map(_.getName).toSet
+    val before = otlpTempDirs()
+    withServer(src) { (_, port) =>
+      val json =
+        """{"resourceMetrics":[{"resource":{"attributes":[]},
+          |"scopeMetrics":[{"metrics":[{"name":"m_t","gauge":{
+          |"dataPoints":[{"timeUnixNano":"1706054399000000000","asDouble":1.0}]
+          |}}]}]}]}""".stripMargin.replaceAll("\n", "")
+      for (_ <- 1 to 3) {
+        val (code, _) = post(port, "/ingest", json.getBytes("UTF-8"),
+          contentType = "application/json")
+        assert(code === 200)
+      }
+      // the decode-side temp dirs are deleted per request
+      assert(otlpTempDirs() === before)
+      // the source dir holds only completed (visible) uploads — any
+      // in-flight temp would be dot-prefixed, invisible to the stream source
+      val names = new java.io.File(src).listFiles.map(_.getName).toSeq
+      assert(names.count(_.endsWith(".parquet")) === 3)
+      assert(names.forall(n => n.startsWith(".") || n.endsWith(".parquet")))
     }
   }
 
