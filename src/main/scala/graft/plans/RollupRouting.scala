@@ -77,7 +77,12 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
         .split(',').map(_.trim).filter(_.nonEmpty).toSet
       plan.transformUp {
         case agg: Aggregate =>
-          rewrite(agg, baseDir.get, freshMs.get, keys).getOrElse(agg)
+          // an optimizer rule must never fail the query it declines to
+          // rewrite: any residual resolution surprise (tier dir vanishing
+          // between the exists-check and the scan, schema drift) degrades
+          // to "no rewrite", not AnalysisException
+          scala.util.Try(rewrite(agg, baseDir.get, freshMs.get, keys))
+            .toOption.flatten.getOrElse(agg)
       }
     }
   }
@@ -256,12 +261,21 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
     if (!upper.exists(_ <= freshAsOfMs)) return None
 
     // the stored tier's analyzed relation, resolved fresh per rewrite (the
-    // maintenance cascade rewrites these directories between queries)
-    val tierPlan = session.read.parquet(s"$baseDir/${tier.name}")
-      .queryExecution.analyzed
+    // maintenance cascade rewrites these directories between queries). A
+    // tier that is not materialized yet (missing/empty directory) or cannot
+    // be resolved is not an error — the raw-scan plan stands
+    val tierPlan = scala.util.Try(
+      session.read.parquet(s"$baseDir/${tier.name}").queryExecution.analyzed)
+      .getOrElse(return None)
     val byName = tierPlan.output.map(a => a.name -> a).toMap
     if (!(mapped.map(_._2).toSet + "bucket_ms").forall(byName.contains))
       return None
+    // every key column the conditions or grouping reference must exist in
+    // the tier schema — a configured rollup key absent from the stored table
+    // (custom spark.graft.rollup.keys) declines, never throws
+    val referencedKeys = groupKeyNames.toSet ++
+      rewrittenConds.flatMap(_.references.toSeq).map(_.name).filter(keys)
+    if (!referencedKeys.forall(byName.contains)) return None
 
     // re-resolve markers and key references against the tier relation
     val resolvedConds = rewrittenConds.map(_.transformUp {

@@ -140,12 +140,28 @@ object MetricsSink {
     *
     * Write-new-then-swap, like the reference's merges (new parts become
     * durable before old parts are removed): each partition is compacted into
-    * a dot-prefixed sibling directory — invisible to readers — and only then
-    * swapped into place. A crash at any point leaves at least one durable
-    * full copy of the partition on disk, and a crash inside the two-rename
-    * swap window is healed by the recovery sweep on the next call. Reading
-    * from the live directory while writing to the sibling also needs no
-    * lineage checkpoint: source and destination never overlap.
+    * a dot-prefixed sibling directory — invisible to readers — then swapped
+    * in with ATOMIC RENAMES ONLY on the critical path:
+    *
+    *   1. write `.compact_<v>`   (durable sibling, readers never see it)
+    *   2. rename `p_date=<v>` → `.trash_<v>`   (atomic)
+    *   3. rename `.compact_<v>` → `p_date=<v>` (atomic)
+    *   4. delete `.trash_<v>`    (recursive — safely non-atomic: once step 3
+    *      lands the trash is redundant, and a partial trash deletion can
+    *      never be confused with the live partition)
+    *
+    * The old protocol deleted the live partition recursively before the
+    * rename; a crash mid-delete left a PARTIAL partition dir alongside the
+    * complete sibling, which the sweep then misread as "swap never started"
+    * and kept the partial copy — silent data loss. Renaming the old
+    * partition aside first makes every crash state unambiguous: the sweep
+    * (run at the top of each call) can always tell a completed swap
+    * (partition + trash → drop trash) from an interrupted one (trash +
+    * sibling, no partition → finish the swap, then drop trash). A crash at
+    * any point leaves at least one durable full copy of the partition on
+    * disk. Reading from the live directory while writing to the sibling
+    * also needs no lineage checkpoint: source and destination never
+    * overlap.
     *
     * Concurrency contract: SINGLE WRITER per tier. The swap is not safe
     * against a concurrent appender — rows landing in the partition between
@@ -159,11 +175,35 @@ object MetricsSink {
     val dir = new Path(s"$baseDir/${tier.name}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
-    // recovery sweep: a leftover .compact_<value> sibling means a prior call
-    // crashed. Partition dir still present → the swap never started; the
-    // sibling is stale (the partition may have new appends) — discard it.
-    // Partition dir gone → the crash hit between the two swap renames; the
-    // sibling IS the partition — finish the swap.
+    // Recovery sweep — crash states are disambiguated by which of the three
+    // directories survive. Trash entries first (they pin where in the swap
+    // the crash hit), then orphan siblings.
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(TrashPrefix))
+      .foreach { st =>
+        val value = st.getPath.getName.stripPrefix(TrashPrefix)
+        val partDir = new Path(dir, s"$PartitionCol=$value")
+        val tmpDir = new Path(dir, s"$TmpPrefix$value")
+        if (fs.exists(partDir))
+          // crashed after step 3 (or mid step 4): swap complete, trash
+          // redundant — possibly already partially deleted; finish deleting
+          fs.delete(st.getPath, true)
+        else if (fs.exists(tmpDir)) {
+          // crashed between steps 2 and 3: the sibling is the complete
+          // compacted copy — finish the swap, then drop the trash
+          require(fs.rename(tmpDir, partDir),
+            s"compaction recovery rename failed: $tmpDir -> $partDir")
+          fs.delete(st.getPath, true)
+        } else
+          // no partition, no sibling: the trash IS the only copy (possible
+          // only if the durable sibling was lost externally) — restore it
+          require(fs.rename(st.getPath, partDir),
+            s"compaction trash restore failed: ${st.getPath} -> $partDir")
+      }
+    // Orphan siblings: partition present → crash before step 2, the sibling
+    // is stale (the partition may have new appends) — discard it. Partition
+    // absent (and no trash, handled above) → legacy delete-then-rename crash
+    // window; the sibling is the only complete copy — promote it.
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(TmpPrefix))
       .foreach { st =>
@@ -183,15 +223,18 @@ object MetricsSink {
     oversized.foreach { value =>
       val partDir = new Path(dir, s"$PartitionCol=$value")
       val tmpDir = new Path(dir, s"$TmpPrefix$value")
-      read(spark, baseDir, tier)
+      val trashDir = new Path(dir, s"$TrashPrefix$value")
+      read(spark, baseDir, tier)                               // step 1
         .filter(col(PartitionCol) === value)
         .drop(PartitionCol)
         .repartitionByRange(targetFiles, sortKey: _*)
         .sortWithinPartitions(sortKey :+ tsMs: _*)
         .write.mode("overwrite").parquet(tmpDir.toString)
-      fs.delete(partDir, true)
-      require(fs.rename(tmpDir, partDir),
+      require(fs.rename(partDir, trashDir),                    // step 2
+        s"compaction trash rename failed: $partDir -> $trashDir")
+      require(fs.rename(tmpDir, partDir),                      // step 3
         s"compaction swap rename failed: $tmpDir -> $partDir")
+      fs.delete(trashDir, true)                                // step 4
     }
     oversized
   }
@@ -200,6 +243,11 @@ object MetricsSink {
     * names are skipped by Spark's file listing, so readers never see a
     * half-written compacted copy. */
   private[sink] val TmpPrefix = ".compact_"
+
+  /** Prefix the old partition is renamed to (atomically) before the
+    * compacted sibling is renamed in — the non-atomic recursive delete then
+    * runs only on this redundant, invisible copy. */
+  private[sink] val TrashPrefix = ".trash_"
 
   /** Start ms of the OLDEST surviving partition directory of `tier` — the
     * lower bound of the tier's time coverage after retention partition-drops

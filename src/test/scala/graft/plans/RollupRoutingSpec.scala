@@ -146,6 +146,53 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("missing tier directory declines the rewrite instead of failing the query") {
+    // raw only, no cascade: the 1m tier was never materialized
+    val rawOnly = Files.createTempDirectory("graft_routing_raw").toString
+    MetricsSink.write(
+      EventsMetrics.withHistogram(EventsMetrics.fromEvents(spark, Sf)),
+      rawOnly, MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
+    def q1m() = spark.read.parquet(s"$rawOnly/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("workspace_id"), col("metric"),
+        Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+      .agg(min(col("value")).as("vmin"), count(lit(1)).as("n"))
+    val direct = rows(q1m())
+    assert(direct.nonEmpty)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RollupRouting(spark)
+    spark.conf.set("spark.graft.rollup.baseDir", rawOnly)
+    spark.conf.set("spark.graft.rollup.freshAsOfMs", NowA.toString)
+    try {
+      val routed = q1m()
+      // the query must still ANSWER (from raw) — a missing tier is a
+      // decline, not an AnalysisException out of the optimizer
+      assert(scans(routed, "metrics_raw"))
+      assert(rows(routed) === direct)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.rollup.baseDir")
+      spark.conf.unset("spark.graft.rollup.freshAsOfMs")
+    }
+  }
+
+  test("configured key absent from the tier schema declines, never throws") {
+    // event_id is a raw column and a configured rollup key here, but the
+    // stored tiers do not carry it — a filter referencing it used to throw
+    // NoSuchElementException inside the rule
+    withRule {
+      spark.conf.set("spark.graft.rollup.keys", "workspace_id,metric,event_id")
+      val filtered = spark.read.parquet(s"$base/metrics_raw")
+        .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA &&
+          col("event_id") > 0)
+        .groupBy(col("workspace_id"), col("metric"),
+          Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+        .agg(min(col("value")).as("vmin"))
+      assert(scans(filtered, "metrics_raw"), "must decline on unknown tier key")
+      assert(rows(filtered).nonEmpty)
+    }
+  }
+
   test("rule is inert without its confs") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RollupRouting(spark)

@@ -171,4 +171,60 @@ class MetricsSinkSpec extends SparkSpec {
     assert(tierDir.listFiles.forall(!_.getName.startsWith(".compact_")))
     assert(rows().sameElements(before), "rows lost across crash recovery")
   }
+
+  test("compaction crash recovery: trash-rename protocol heals every kill point") {
+    val base = tmpBase()
+    val df = m1()
+    val key = Seq(col("workspace_id"), col("metric"))
+    MetricsSink.write(df, base, MetricsSink.M1, col("bucket_ms"), key,
+      mode = "overwrite")
+    val cols = df.columns.toSeq
+    def rows() = MetricsSink.read(spark, base, MetricsSink.M1)
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    val before = rows()
+    val tierDir = new java.io.File(s"$base/metrics_1m")
+    val parts = tierDir.listFiles.filter(
+      _.getName.startsWith(s"${MetricsSink.PartitionCol}=")).sortBy(_.getName)
+    assert(parts.length >= 3)
+    def value(i: Int) =
+      parts(i).getName.stripPrefix(s"${MetricsSink.PartitionCol}=")
+
+    // state A — crash between steps 2 and 3: partition renamed to trash,
+    // complete sibling present. The OLD protocol's fatal twin of this state
+    // (partial partition + complete sibling) is impossible now; the sweep
+    // must finish the swap from the sibling.
+    val vA = value(0)
+    assert(parts(0).renameTo(new java.io.File(tierDir, s".trash_$vA")))
+    val sibA = new java.io.File(tierDir, s".compact_$vA")
+    sibA.mkdirs()
+    // the sibling's content is "the compacted copy": copy the trash's files
+    new java.io.File(tierDir, s".trash_$vA").listFiles
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(sibA, f.getName).toPath)
+      }
+
+    // state B — crash after step 3, mid trash delete: live partition AND a
+    // (possibly partial) trash. The sweep must drop the trash, keep the live.
+    val vB = value(1)
+    val trashB = new java.io.File(tierDir, s".trash_$vB")
+    trashB.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(trashB, "part-partial.parquet").toPath, Array[Byte](9))
+
+    // state C — trash is the ONLY surviving copy (sibling lost externally):
+    // the sweep must restore it rather than lose the partition.
+    val vC = value(2)
+    assert(parts(2).renameTo(new java.io.File(tierDir, s".trash_$vC")))
+
+    MetricsSink.compactPartitions(spark, base, MetricsSink.M1, key,
+      col("bucket_ms"), maxFiles = 1000) // sweep only
+    val names = tierDir.listFiles.map(_.getName).toSet
+    assert(!names.exists(_.startsWith(".trash_")), s"trash survived: $names")
+    assert(!names.exists(_.startsWith(".compact_")), s"sibling survived: $names")
+    assert(names.contains(s"${MetricsSink.PartitionCol}=$vA"))
+    assert(names.contains(s"${MetricsSink.PartitionCol}=$vB"))
+    assert(names.contains(s"${MetricsSink.PartitionCol}=$vC"))
+    assert(rows().sameElements(before), "rows lost across trash recovery")
+  }
 }
