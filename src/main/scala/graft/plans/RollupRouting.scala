@@ -27,7 +27,11 @@ import graft.sink.MetricsSink
   *     count/sum/samples_count are all exact over any regrouping;
   *   - aggregates ⊆ { min(value), max(value), avg(value), count(1),
   *     sum(count), sum(sum) } mapped to { value_min, value_max, value_avg,
-  *     samples_count, count, sum }. `avg(value)` routes ONLY to the 1m tier
+  *     samples_count, count, sum }; each call may sit inside an arbitrary
+  *     deterministic scalar wrapper (`round(avg(value), 4)`,
+  *     `max(value) - min(value)` — CollapseProject folds user projections
+  *     into the Aggregate before this rule runs, so wrapped calls are the
+  *     COMMON shape, not the exception). `avg(value)` routes ONLY to the 1m tier
   *     at exact-key grouping: the coarser tiers store the reference's
   *     faithful avg-of-avgs (schema.sql:262,353), which differs from
   *     avg-over-raw, and regrouped averages are not derivable from the
@@ -218,24 +222,6 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
     val regroup = groupKeyNames.toSet != keys
     val tier = grains(grain)
 
-    // outputs: every aggregate expression must map onto a stored column
-    val mapped: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map { ne =>
-      inline(ne) match {
-        case e if bucketGrain(e).isDefined => ne -> "bucket_ms"
-        case a: AttributeReference if keys(a.name) => ne -> a.name
-        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-          val col = mapAgg(ae.aggregateFunction.transformUp {
-            case x => substitute(x, defs)
-          }.asInstanceOf[AggregateFunction]).getOrElse(return None)
-          // avg-of-avgs ≠ avg-over-raw: value_avg is exact at 1m only, and
-          // regrouped averages are not derivable from stored columns at all
-          if (col == "value_avg" && (tier != MetricsSink.M1 || regroup))
-            return None
-          ne -> col
-        case _ => return None
-      }
-    }
-
     // filters: key predicates pass through; time bounds must be grain-aligned
     // and prove freshness coverage via an upper bound
     var lower = Option.empty[Long]
@@ -268,14 +254,58 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
       session.read.parquet(s"$baseDir/${tier.name}").queryExecution.analyzed)
       .getOrElse(return None)
     val byName = tierPlan.output.map(a => a.name -> a).toMap
-    if (!(mapped.map(_._2).toSet + "bucket_ms").forall(byName.contains))
-      return None
+    if (!byName.contains("bucket_ms")) return None
     // every key column the conditions or grouping reference must exist in
     // the tier schema — a configured rollup key absent from the stored table
     // (custom spark.graft.rollup.keys) declines, never throws
     val referencedKeys = groupKeyNames.toSet ++
       rewrittenConds.flatMap(_.references.toSeq).map(_.name).filter(keys)
     if (!referencedKeys.forall(byName.contains)) return None
+
+    /** Rewrite one Aggregate output against the tier. Aggregate CALLS may
+      * sit inside an arbitrary deterministic scalar expression (CollapseProject
+      * folds a user's `round(avg(value) + 1e-9, 4)` or unit arithmetic into
+      * the Aggregate before this rule runs) — each call is substituted with
+      * its stored column (or its exact re-aggregation when regrouping) and
+      * the surrounding scalars are preserved on top of the tier read. Any
+      * unmappable call, DISTINCT/FILTER modifier, or unknown column declines
+      * the whole rewrite. */
+    def mapOutput(ne: NamedExpression): Option[NamedExpression] = {
+      val inlined = inline(ne)
+      if (!inlined.deterministic) return None
+      var ok = true
+      val core = inlined.transformUp {
+        case e if bucketGrain(e).isDefined => byName("bucket_ms")
+        case ae: AggregateExpression =>
+          if (ae.isDistinct || ae.filter.nonEmpty) { ok = false; ae }
+          else {
+            val fn = ae.aggregateFunction.transformUp {
+              case x => substitute(x, defs)
+            }.asInstanceOf[AggregateFunction]
+            mapAgg(fn) match {
+              // avg-of-avgs ≠ avg-over-raw: value_avg is exact at 1m only,
+              // and regrouped averages are not derivable from the stored
+              // columns at all (the full tiers keep no value_sum)
+              case Some(c) if byName.contains(c) &&
+                  !(c == "value_avg" && (tier != MetricsSink.M1 || regroup)) =>
+                if (!regroup) byName(c)
+                else (c match {
+                  // min of mins, max of maxes, sums of count/sum/samples —
+                  // exact over any regrouping of the tier's disjoint groups
+                  case "value_min" => Min(byName(c))
+                  case "value_max" => Max(byName(c))
+                  case _ => Sum(byName(c))
+                }).toAggregateExpression()
+              case _ => ok = false; ae
+            }
+          }
+        case a: AttributeReference if keys(a.name) =>
+          byName.get(a.name).getOrElse { ok = false; a }
+      }
+      if (ok) Some(Alias(core, ne.name)(exprId = ne.exprId)) else None
+    }
+    val outputs: Seq[NamedExpression] = agg.aggregateExpressions
+      .map(ne => mapOutput(ne).getOrElse(return None))
 
     // re-resolve markers and key references against the tier relation
     val resolvedConds = rewrittenConds.map(_.transformUp {
@@ -292,31 +322,16 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
 
     // preserve the Aggregate's output attribute ids so parents are untouched
     if (!regroup) {
-      val projectList = mapped.map { case (ne, colName) =>
-        Alias(byName(colName), ne.name)(exprId = ne.exprId)
-      }
-      Some(Project(projectList, filtered))
+      // exact-key grouping reads tier rows 1:1 — a Project over the scan
+      Some(Project(outputs, filtered))
     } else {
-      // key-subset grouping: re-aggregate the tier — min over the stored
-      // mins, max over maxes, sums over count/sum/samples_count are exact
-      // over any regrouping of the tier's disjoint groups
+      // key-subset grouping: re-aggregate the tier (mapOutput already turned
+      // each call into its exact re-aggregation over the stored columns)
       val newGrouping: Seq[Expression] = inlinedGroupings.map { g =>
         if (bucketGrain(g).isDefined) byName("bucket_ms")
         else byName(g.asInstanceOf[AttributeReference].name)
       }
-      val aggExprs: Seq[NamedExpression] = mapped.map {
-        case (ne, c) if c == "bucket_ms" || keys(c) =>
-          Alias(byName(c), ne.name)(exprId = ne.exprId)
-        case (ne, c) =>
-          val fn: AggregateFunction = c match {
-            case "value_min" => Min(byName(c))
-            case "value_max" => Max(byName(c))
-            case "samples_count" | "count" | "sum" => Sum(byName(c))
-            case other => return None // value_avg is refused above
-          }
-          Alias(fn.toAggregateExpression(), ne.name)(exprId = ne.exprId)
-      }
-      Some(Aggregate(newGrouping, aggExprs, filtered))
+      Some(Aggregate(newGrouping, outputs, filtered))
     }
   }
 }

@@ -90,6 +90,56 @@ object SinkQueries {
         .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
     }),
 
+    // P8 as a PLAN rewrite — the MV-routing Catalyst rule (plans/
+    // RollupRouting, SURVEY §4 v1) under the oracle gate: the registered
+    // query aggregates the RAW tier in the 1m-rollup shape; with the
+    // spark.graft.rollup.* confs set, the optimizer must answer it from the
+    // STORED metrics_1m tier instead (required on the executed plan below —
+    // an unrouted run fails Verify rather than silently passing), and the
+    // DuckDB oracle recomputes the same answer from the events table, so a
+    // hash match proves the rewrite is invisible in the result. The routed
+    // rows are materialized while the confs are set and returned as a local
+    // relation so the session-wide rule can never leak into later queries.
+    "q_p8_route_mv" -> ((s, d) => {
+      val base = scratch("q_p8_mv")
+      wipe(s, base)
+      val keys = Seq(col("workspace_id"), col("metric"))
+      MetricsSink.write(EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+        base, MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
+      RollupMaintenance.refreshCascade(s, base, NowMs, keys,
+        col("ts_ms"), col("event_id"))
+      s.conf.set("spark.graft.rollup.baseDir", base)
+      s.conf.set("spark.graft.rollup.freshAsOfMs", NowMs.toString)
+      s.conf.set("spark.graft.rollup.keys", "workspace_id,metric")
+      try {
+        // one day up to the freshness watermark: aligned bounds, exactly the
+        // span a single cascade at NowMs has materialized in the 1m tier
+        val lo = NowMs - OracleDefs.DayMs
+        val routed = s.read.parquet(s"$base/metrics_raw")
+          .filter(col("ts_ms") >= lo && col("ts_ms") < NowMs)
+          .groupBy(col("workspace_id"), col("metric"),
+            Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+          .agg(min(col("value")).as("value_min"), max(col("value")).as("value_max"),
+            avg(col("value")).as("avg_raw"), count(lit(1)).as("samples_count"))
+          .select(col("workspace_id"), col("metric"), col("bucket_ms"),
+            col("value_min"), col("value_max"),
+            OracleDefs.stableAvg4(col("avg_raw")).as("value_avg"),
+            col("samples_count"))
+          .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+        val plan = routed.queryExecution.executedPlan.toString
+        require(plan.contains("metrics_1m"),
+          "MV routing did not fire — q_p8_route_mv would verify an unrouted plan")
+        require(!plan.contains("metrics_raw"),
+          "raw tier still scanned after MV routing")
+        s.createDataFrame(
+          java.util.Arrays.asList(routed.collect(): _*), routed.schema)
+      } finally {
+        s.conf.unset("spark.graft.rollup.baseDir")
+        s.conf.unset("spark.graft.rollup.freshAsOfMs")
+        s.conf.unset("spark.graft.rollup.keys")
+      }
+    }),
+
     // The read path's REAL histogram case at coarse resolution
     // (handler.go:304-321 routing + :179-205 histogram rows +
     // pkg/histogram/percentile.go:17-67,83-105): a promread window 20 days
@@ -254,6 +304,21 @@ object SinkQueries {
       |       'm=' || metric AS attrs,
       |       CAST(sum(cnt) AS BIGINT) AS samples_count
       |FROM m5 GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    // The routed plan reads STORED tier columns (value_min/value_max/
+    // value_avg/samples_count); the oracle recomputes them from the events
+    // table — a hash match proves the Catalyst rewrite returned exactly the
+    // raw-derived answer. stableAvg4 on both sides: the stored value_avg and
+    // DuckDB's avg(value) differ only in float summation order.
+    "q_p8_route_mv" -> s"""$EvtCte
+      |SELECT workspace_id, metric,
+      |       (ts_ms // 60000) * 60000 AS bucket_ms,
+      |       min(value) AS value_min, max(value) AS value_max,
+      |       ${OracleDefs.stableAvg4Sql("avg(value)")} AS value_avg,
+      |       count(*) AS samples_count
+      |FROM evt
+      |WHERE ts_ms >= ${NowMs - OracleDefs.DayMs} AND ts_ms < $NowMs
+      |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
 
     // The coarse-tier histogram reads: rows whose tier bucket falls in the
     // window (bucket_ms BETWEEN start AND end — restated as the floor

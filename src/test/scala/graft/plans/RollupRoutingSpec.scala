@@ -146,6 +146,48 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("aggregate calls inside scalar wrappers route and stay exact") {
+    // the shape real dashboards produce: CollapseProject folds the user's
+    // projection into the Aggregate, so the rule sees round(avg(value)+ε, 4)
+    // and max(value) − min(value), not bare calls
+    def wrapped() = spark.read.parquet(s"$base/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("workspace_id"), col("metric"),
+        Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+      .agg(round(avg(col("value")) + 1e-9, 4).as("avg4"),
+        (max(col("value")) - min(col("value"))).as("spread"),
+        (count(lit(1)) * 2).as("n2"))
+    val direct = rows(wrapped())
+    assert(direct.nonEmpty)
+    withRule {
+      val routed = wrapped()
+      assert(scans(routed, "metrics_1m"), "wrapped-aggregate rewrite did not fire")
+      assert(!scans(routed, "metrics_raw"))
+      assert(rows(routed) === direct)
+    }
+    // regrouped + wrapped: the re-aggregation lands inside the wrapper
+    def regroupWrapped() = spark.read.parquet(s"$base/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("metric"), Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+      .agg((max(col("value")) - min(col("value"))).as("spread"),
+        round(sum(col("sum")), 2).as("s2"))
+    val directRg = rows(regroupWrapped())
+    withRule {
+      val routed = regroupWrapped()
+      assert(scans(routed, "metrics_1m"), "regroup+wrapped rewrite did not fire")
+      assert(rows(routed) === directRg)
+    }
+    // a nondeterministic wrapper must decline
+    withRule {
+      val nd = spark.read.parquet(s"$base/metrics_raw")
+        .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+        .groupBy(col("workspace_id"), col("metric"),
+          Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+        .agg((min(col("value")) + rand()).as("vr"))
+      assert(scans(nd, "metrics_raw"), "nondeterministic wrapper must not route")
+    }
+  }
+
   test("missing tier directory declines the rewrite instead of failing the query") {
     // raw only, no cascade: the 1m tier was never materialized
     val rawOnly = Files.createTempDirectory("graft_routing_raw").toString
