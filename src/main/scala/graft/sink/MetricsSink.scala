@@ -175,9 +175,34 @@ object MetricsSink {
     val dir = new Path(s"$baseDir/${tier.name}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
-    // Recovery sweep — crash states are disambiguated by which of the three
-    // directories survive. Trash entries first (they pin where in the swap
-    // the crash hit), then orphan siblings.
+    recoverSwaps(fs, dir)
+    val oversized = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$PartitionCol="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix(s"$PartitionCol="))
+      .sorted
+    oversized.foreach { value =>
+      val tmpDir = new Path(dir, s"$TmpPrefix$value")
+      read(spark, baseDir, tier)                               // step 1
+        .filter(col(PartitionCol) === value)
+        .drop(PartitionCol)
+        .repartitionByRange(targetFiles, sortKey: _*)
+        .sortWithinPartitions(sortKey :+ tsMs: _*)
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      swapPartitionIn(fs, dir, value, tmpDir)                  // steps 2-4
+    }
+    oversized
+  }
+
+  /** The recovery sweep shared by every swap-protocol writer (compaction and
+    * tier refresh): crash states are disambiguated by which of the three
+    * directories survive. Trash entries first (they pin where in the swap
+    * the crash hit), then orphan siblings. Run it before mutating a tier —
+    * it is a no-op on a clean directory. */
+  private[sink] def recoverSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit = {
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(TrashPrefix))
       .foreach { st =>
@@ -192,13 +217,15 @@ object MetricsSink {
           // crashed between steps 2 and 3: the sibling is the complete
           // compacted copy — finish the swap, then drop the trash
           require(fs.rename(tmpDir, partDir),
-            s"compaction recovery rename failed: $tmpDir -> $partDir")
+            s"swap recovery rename failed: $tmpDir -> $partDir")
           fs.delete(st.getPath, true)
         } else
-          // no partition, no sibling: the trash IS the only copy (possible
-          // only if the durable sibling was lost externally) — restore it
+          // no partition, no sibling: the trash IS the only copy (a refresh
+          // crashed between its trash rename and staging rename, or the
+          // durable sibling was lost externally) — restore it; the writer
+          // re-runs and re-swaps
           require(fs.rename(st.getPath, partDir),
-            s"compaction trash restore failed: ${st.getPath} -> $partDir")
+            s"swap trash restore failed: ${st.getPath} -> $partDir")
       }
     // Orphan siblings: partition present → crash before step 2, the sibling
     // is stale (the partition may have new appends) — discard it. Partition
@@ -211,32 +238,27 @@ object MetricsSink {
           s"$PartitionCol=${st.getPath.getName.stripPrefix(TmpPrefix)}")
         if (fs.exists(partDir)) fs.delete(st.getPath, true)
         else require(fs.rename(st.getPath, partDir),
-          s"compaction recovery rename failed: ${st.getPath} -> $partDir")
+          s"swap recovery rename failed: ${st.getPath} -> $partDir")
       }
-    val oversized = fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$PartitionCol="))
-      .filter(st => fs.listStatus(st.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
-      .map(_.getPath.getName.stripPrefix(s"$PartitionCol="))
-      .sorted
-    oversized.foreach { value =>
-      val partDir = new Path(dir, s"$PartitionCol=$value")
-      val tmpDir = new Path(dir, s"$TmpPrefix$value")
-      val trashDir = new Path(dir, s"$TrashPrefix$value")
-      read(spark, baseDir, tier)                               // step 1
-        .filter(col(PartitionCol) === value)
-        .drop(PartitionCol)
-        .repartitionByRange(targetFiles, sortKey: _*)
-        .sortWithinPartitions(sortKey :+ tsMs: _*)
-        .write.mode("overwrite").parquet(tmpDir.toString)
+  }
+
+  /** Steps 2-4 of the swap protocol: atomically rename the live partition
+    * aside, rename the complete replacement in, then delete the redundant
+    * trash copy (the only non-atomic step, safely so — see
+    * [[compactPartitions]]'s protocol doc). `srcDir` must be a complete,
+    * durable copy of the partition. Handles a partition that does not exist
+    * yet (first write: no trash step). */
+  private[sink] def swapPartitionIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, value: String, srcDir: Path): Unit = {
+    val partDir = new Path(dir, s"$PartitionCol=$value")
+    val trashDir = new Path(dir, s"$TrashPrefix$value")
+    if (fs.exists(partDir))
       require(fs.rename(partDir, trashDir),                    // step 2
-        s"compaction trash rename failed: $partDir -> $trashDir")
-      require(fs.rename(tmpDir, partDir),                      // step 3
-        s"compaction swap rename failed: $tmpDir -> $partDir")
-      fs.delete(trashDir, true)                                // step 4
-    }
-    oversized
+        s"swap trash rename failed: $partDir -> $trashDir")
+    require(fs.rename(srcDir, partDir),                        // step 3
+      s"swap rename failed: $srcDir -> $partDir")
+    fs.delete(trashDir, true)                                  // step 4
+    ()
   }
 
   /** Sibling-directory prefix for in-flight compaction output. Dot-prefixed

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * 5m `>= now() − 63 DAY` (:365)).
   *
   * Spark-first: each refresh is one bounded scan → one hash aggregation →
-  * a dynamic-partition-overwrite Parquet write. The freshness filter lands on
-  * the partition column, so the scan prunes to the last N date directories —
-  * at 100 TB the job cost is proportional to the freshness window, never to
-  * table history.
+  * a staged Parquet write swapped in partition-by-partition with atomic
+  * renames (the same crash-safe protocol as compaction). The freshness
+  * filter lands on the partition column, so the scan prunes to the last N
+  * date directories — at 100 TB the job cost is proportional to the
+  * freshness window, never to table history.
   *
   * Divergence from the reference, deliberate: ClickHouse MVs append partial
   * aggregate rows per insert block (the same bucket appears once per block,
@@ -87,10 +88,13 @@ object RollupMaintenance {
     // mid-day edge leaves that morning's buckets pre-window, and the finer
     // source tier may already be TTL-dropped for them (raw keeps 3h) —
     // recomputing is impossible, losing them would silently shrink the table.
-    // localCheckpoint truncates lineage so the subsequent dynamic overwrite
-    // does not read from the directories it is replacing.
     val targetDir = new Path(s"$baseDir/${target.name}")
     val fs = targetDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal any prior crash before reading the tier (an interrupted swap may
+    // have a partition parked in trash), then clear a stale staging dir
+    if (fs.exists(targetDir)) MetricsSink.recoverSwaps(fs, targetDir)
+    val staging = new Path(targetDir, StagingName)
+    fs.delete(staging, true)
     // one fs.exists on the single edge partition directory beats scheduling a
     // scan job that would list-and-prune its way to zero files — on a cold
     // object store that is a whole round of task launches saved per refresh
@@ -102,20 +106,44 @@ object RollupMaintenance {
       else Some(MetricsSink.read(spark, baseDir, target)
         .filter(col(MetricsSink.PartitionCol) === MetricsSink.fmt(target, startMs))
         .filter(col("bucket_ms") < startMs)
-        .drop(MetricsSink.PartitionCol)
-        .localCheckpoint(true))
+        .drop(MetricsSink.PartitionCol))
 
+    // Write-new-then-swap, the same crash-safe protocol as compaction
+    // (MetricsSink.compactPartitions): the merged window lands in a
+    // dot-prefixed staging dir (invisible to readers; reading the live edge
+    // partition while writing staging never overlaps, so no lineage
+    // checkpoint is needed), then each touched partition swaps in with
+    // atomic renames only. Spark's dynamic partition overwrite was NOT
+    // crash-safe here: its commit deletes each touched partition before
+    // renaming staged files in, and a crash mid-commit destroys the edge
+    // partition's pre-window rows — which the source tier, already
+    // TTL-dropped for that span, can never regenerate. With the swap
+    // protocol every crash point leaves at least one durable full copy of
+    // each partition, and re-running the refresh converges
+    // (recoverSwaps above + idempotent recompute).
     val merged = keep.fold(recomputed)(_.unionByName(recomputed))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      MetricsSink.write(merged, baseDir, target, col("bucket_ms"), sortKey,
-        mode = "overwrite")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    MetricsSink.write(merged, s"$targetDir", StagingTier(target),
+      col("bucket_ms"), sortKey, mode = "overwrite")
+    val stagedParts = fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"${MetricsSink.PartitionCol}="))
+    stagedParts.foreach { st =>
+      val value = st.getPath.getName.stripPrefix(s"${MetricsSink.PartitionCol}=")
+      MetricsSink.swapPartitionIn(fs, targetDir, value, st.getPath)
     }
+    fs.delete(staging, true) // _SUCCESS and empty dirs
+    ()
   }
+
+  /** Dot-prefixed staging directory for in-flight refresh output — invisible
+    * to Spark's file listing, deleted as stale at the start of every refresh
+    * (single-writer contract, as for compaction). */
+  private[sink] val StagingName = ".refresh_staging"
+
+  /** The staging dir shaped as a Tier so [[MetricsSink.write]] lays it out
+    * identically (partitioned + range-clustered) to the live tier. */
+  private def StagingTier(target: MetricsSink.Tier): MetricsSink.Tier =
+    target.copy(name = StagingName)
 
   /** Run the full cascade raw→1m→5m→1h, mirroring the reference's MV chain
     * (tier N+1 reads the tier-N TABLE, never raw — schema.sql:249,340).

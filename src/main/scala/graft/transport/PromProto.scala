@@ -1,7 +1,5 @@
 package graft.transport
 
-import java.io.ByteArrayOutputStream
-
 /** Minimal protobuf wire codec for the Prometheus remote-read messages the
   * reference's endpoint speaks (pkg/promread/handler.go:65-107; message
   * shapes are the public prometheus/prompb definitions):
@@ -30,68 +28,9 @@ object PromProto {
   final case class TimeSeries(labels: Seq[(String, String)],
       samples: Seq[(Double, Long)])
 
-  // ---- varint / wire primitives -------------------------------------------
-
-  private final class Reader(buf: Array[Byte]) {
-    var pos = 0
-    def hasRemaining: Boolean = pos < buf.length
-    def readVarint(): Long = {
-      var shift = 0; var result = 0L
-      while (true) {
-        val b = buf(pos); pos += 1
-        result |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return result
-        shift += 7
-        require(shift < 64, "varint too long")
-      }
-      result
-    }
-    def readFixed64(): Long = {
-      var r = 0L
-      var i = 0
-      while (i < 8) { r |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
-      pos += 8; r
-    }
-    def readBytes(): Array[Byte] = {
-      val n = readVarint().toInt
-      val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
-      pos += n; out
-    }
-    def skip(wireType: Int): Unit = wireType match {
-      case 0 => readVarint(); ()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
-    }
-  }
-
-  private final class Writer {
-    val out = new ByteArrayOutputStream()
-    def varint(v: Long): Unit = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt)
-    }
-    def key(field: Int, wire: Int): Unit = varint((field << 3) | wire)
-    def int64(field: Int, v: Long): Unit =
-      if (v != 0) { key(field, 0); varint(v) }
-    // raw-bits default test so -0.0 (bits != 0) round-trips; proto3 omits
-    // only the canonical +0.0 default
-    def double(field: Int, v: Double): Unit =
-      if (java.lang.Double.doubleToRawLongBits(v) != 0L) {
-      key(field, 1)
-      val bits = java.lang.Double.doubleToLongBits(v)
-      var i = 0
-      while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
-    }
-    def bytes(field: Int, b: Array[Byte]): Unit = {
-      key(field, 2); varint(b.length); out.write(b)
-    }
-    def string(field: Int, s: String): Unit =
-      if (s.nonEmpty) bytes(field, s.getBytes("UTF-8"))
-    def result(): Array[Byte] = out.toByteArray
-  }
+  // Wire primitives live in [[ProtoWire]], shared with the OTLP codec.
+  private type Reader = ProtoReader
+  private type Writer = ProtoWriter
 
   // fixed64 double must be writable even when 0.0 is meaningful? Prometheus
   // proto3 omits zero-valued fields; decoders default them to 0 — symmetric.
