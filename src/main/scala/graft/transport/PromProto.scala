@@ -169,7 +169,7 @@ object PromProto {
           while (sr.hasRemaining) {
             val st = sr.readVarint()
             ((st >> 3).toInt, (st & 7).toInt) match {
-              case (1, 1) => value = java.lang.Double.longBitsToDouble(sr.readFixed64())
+              case (1, 1) => value = sr.readDouble()
               case (2, 0) => ts = sr.readVarint()
               case (_, w) => sr.skip(w)
             }

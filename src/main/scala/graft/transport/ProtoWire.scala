@@ -2,12 +2,13 @@ package graft.transport
 
 import java.io.ByteArrayOutputStream
 
-/** Protobuf wire primitives shared by the hand-rolled codecs ([[PromProto]]
-  * for the prometheus remote-read messages, [[OtlpProto]] for the OTLP
-  * export request). Three wire types cover every field either codec reads:
-  * varint (0), fixed64 (1), length-delimited (2); fixed32 (5) is skippable.
-  * Unknown fields skip by wire type so messages from real clients — which
-  * set fields these codecs don't model — decode fine. */
+/** Protobuf wire primitives for the hand-rolled [[PromProto]] codec (the
+  * prometheus remote-read messages — OTLP ingest is JSON, via
+  * [[graft.ingest.OtlpJson]], and needs no protobuf). Three wire types cover
+  * every field the codec reads: varint (0), fixed64 (1), length-delimited
+  * (2); fixed32 (5) is skippable. Unknown fields skip by wire type so
+  * messages from real clients — which set fields this codec doesn't model —
+  * decode fine. */
 private[transport] final class ProtoReader(buf: Array[Byte]) {
   var pos = 0
   def hasRemaining: Boolean = pos < buf.length
@@ -34,7 +35,6 @@ private[transport] final class ProtoReader(buf: Array[Byte]) {
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
     pos += n; out
   }
-  def readString(): String = new String(readBytes(), "UTF-8")
   def skip(wireType: Int): Unit = wireType match {
     case 0 => readVarint(); ()
     case 1 => pos += 8
@@ -54,13 +54,8 @@ private[transport] final class ProtoWriter {
   def key(field: Int, wire: Int): Unit = varint((field << 3) | wire)
   def int64(field: Int, v: Long): Unit =
     if (v != 0) { key(field, 0); varint(v) }
-  def bool(field: Int, v: Boolean): Unit = if (v) { key(field, 0); varint(1) }
   def fixed64(field: Int, v: Long): Unit = {
     key(field, 1)
-    var i = 0
-    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
-  }
-  def rawFixed64(v: Long): Unit = {
     var i = 0
     while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
