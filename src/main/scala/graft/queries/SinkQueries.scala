@@ -131,8 +131,10 @@ object SinkQueries {
           "MV routing did not fire — q_p8_route_mv would verify an unrouted plan")
         require(!plan.contains("metrics_raw"),
           "raw tier still scanned after MV routing")
-        s.createDataFrame(
-          java.util.Arrays.asList(routed.collect(): _*), routed.schema)
+        // the routed read is the measured phase; the write+cascade above is
+        // setup (BenchPhases folds this out of the builder time for BENCH)
+        val rows = graft.BenchPhases.timed("read")(routed.collect())
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), routed.schema)
       } finally {
         s.conf.unset("spark.graft.rollup.baseDir")
         s.conf.unset("spark.graft.rollup.freshAsOfMs")
