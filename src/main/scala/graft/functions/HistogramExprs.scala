@@ -34,6 +34,9 @@ object HistogramExprs {
     ArrayType(StructType(Seq(
       StructField("index", IntegerType), StructField("count", LongType))))
 
+  private[functions] def bucketArrayMatches(t: DataType): Boolean =
+    matches(t, BucketArray)
+
   private def matches(t: DataType, want: ArrayType): Boolean = t match {
     case ArrayType(s: StructType, _) =>
       val w = want.elementType.asInstanceOf[StructType]

@@ -70,15 +70,15 @@ object HistogramFunctions {
       neg: Column, p: Column): Column =
     graft.functions.HistogramExprs.exp_histogram_quantile(scale, zeroCount, pos, neg, p)
 
-  /** Bucket merge as pure built-ins — the scale path. `explode` + `groupBy(le)`
-    * + `sum(count)` is Catalyst-planned (partial aggregation map-side, codegen)
-    * and therefore preferred over a UDAF at 100 TB
+  /** Bucket merge as pure built-ins — the scale path when the merge IS the
+    * query. `explode` + `groupBy(le)` + `sum(count)` is Catalyst-planned
+    * (partial aggregation map-side, codegen)
     * (reference semantics: pkg/histogram/percentile.go:83-105).
     *
-    * Usage: `df.groupBy(keys).agg(merge_buckets_agg($"buckets"))` is NOT
-    * expressible as one built-in agg; instead call
-    * `mergeBuckets(df, keyCols, $"buckets")` which rewrites to
-    * explode → groupBy(keys :+ le) → sum → collect_list → array_sort.
+    * For the dashboard shape — the merge as ONE aggregate call alongside
+    * sums, feeding histogram_quantile in the same groupBy — use
+    * [[merge_buckets_agg]] instead; that single AggregateFunction node is
+    * also what the MV-routing rule can reroute onto a stored tier.
     */
   def mergeBuckets(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
       buckets: Column): org.apache.spark.sql.DataFrame = {
@@ -91,6 +91,11 @@ object HistogramFunctions {
       .groupBy(names.map(col): _*)
       .agg(array_sort(collect_list(struct(col("le"), col("count")))).as("buckets"))
   }
+
+  /** A9 as one aggregate call ([[graft.functions.MergeBucketsAgg]]) — merged,
+    * bound-sorted bucket vector per group; deterministic under any row order. */
+  def merge_buckets_agg(buckets: Column): Column =
+    graft.functions.MergeBucketsAgg.merge(buckets)
 
   /** Typed Aggregator merging exponential histograms — the one genuinely
     * stateful custom aggregation in the engine

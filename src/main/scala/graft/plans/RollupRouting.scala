@@ -26,8 +26,13 @@ import graft.sink.MetricsSink
   *     tier — min over value_min, max over value_max, sums over
   *     count/sum/samples_count are all exact over any regrouping;
   *   - aggregates ⊆ { min(value), max(value), avg(value), count(1),
-  *     sum(count), sum(sum) } mapped to { value_min, value_max, value_avg,
-  *     samples_count, count, sum }; each call may sit inside an arbitrary
+  *     sum(count), sum(sum), merge_buckets_agg(buckets) } mapped to
+  *     { value_min, value_max, value_avg, samples_count, count, sum,
+  *     merge of the stored bucket concat } — the last being the histogram
+  *     dashboard shape (README.md:161-170 is the reference's own
+  *     histogram_quantile-over-buckets read; the quantile itself is a scalar
+  *     wrapper over the merged vector and passes through like any other);
+  *     each call may sit inside an arbitrary
   *     deterministic scalar wrapper (`round(avg(value), 4)`,
   *     `max(value) - min(value)` — CollapseProject folds user projections
   *     into the Aggregate before this rule runs, so wrapped calls are the
@@ -196,6 +201,12 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
     case c: Count if c.children.forall(_.foldable) => Some("samples_count")
     case s: Sum if colNamed(s.child, "count") => Some("count")
     case s: Sum if colNamed(s.child, "sum") => Some("sum")
+    // histogram dashboards: the merged bucket vector over raw equals the
+    // merge of the tier's stored bucket CONCAT (the tier stores
+    // flatten(collect_list(buckets)) — the same (le,count) entry multiset),
+    // so the call re-aggregates the tier via the reagg path below
+    case b: graft.functions.MergeBucketsAgg if colNamed(b.child, "buckets") =>
+      Some("buckets")
     case _ => None
   }
 
@@ -220,6 +231,16 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
       groupKeyNames.distinct.length != groupKeyNames.length) return None
     // exact-key grouping reads tier rows 1:1; a key subset re-aggregates them
     val regroup = groupKeyNames.toSet != keys
+    // a bucket merge forces the re-aggregation path even at exact keys: the
+    // tier stores the UNMERGED entry concat, and merging it needs an
+    // Aggregate node (over singleton groups, so every other mapping — min,
+    // max, sums, even avg — stays exact; the tier's primary key IS the
+    // grouping, one stored row per group)
+    val needsBucketMerge = agg.aggregateExpressions.exists(_.exists {
+      case _: graft.functions.MergeBucketsAgg => true
+      case _ => false
+    })
+    val reagg = regroup || needsBucketMerge
     val tier = grains(grain)
 
     // filters: key predicates pass through; time bounds must be grain-aligned
@@ -288,12 +309,17 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
               // columns at all (the full tiers keep no value_sum)
               case Some(c) if byName.contains(c) &&
                   !(c == "value_avg" && (tier != MetricsSink.M1 || regroup)) =>
-                if (!regroup) byName(c)
+                if (!reagg) byName(c)
                 else (c match {
                   // min of mins, max of maxes, sums of count/sum/samples —
                   // exact over any regrouping of the tier's disjoint groups
                   case "value_min" => Min(byName(c))
                   case "value_max" => Max(byName(c))
+                  // reachable only via needsBucketMerge at exact keys
+                  // (regroup excludes value_avg above): singleton groups,
+                  // avg of one stored row = that row — exact
+                  case "value_avg" => Average(byName(c))
+                  case "buckets" => graft.functions.MergeBucketsAgg(byName(c))
                   case _ => Sum(byName(c))
                 }).toAggregateExpression()
               case _ => ok = false; ae
@@ -321,12 +347,13 @@ case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
       .map(Filter(_, tierPlan)).getOrElse(tierPlan)
 
     // preserve the Aggregate's output attribute ids so parents are untouched
-    if (!regroup) {
+    if (!reagg) {
       // exact-key grouping reads tier rows 1:1 — a Project over the scan
       Some(Project(outputs, filtered))
     } else {
-      // key-subset grouping: re-aggregate the tier (mapOutput already turned
-      // each call into its exact re-aggregation over the stored columns)
+      // key-subset grouping (or a bucket merge over the stored concat):
+      // re-aggregate the tier (mapOutput already turned each call into its
+      // exact re-aggregation over the stored columns)
       val newGrouping: Seq[Expression] = inlinedGroupings.map { g =>
         if (bucketGrain(g).isDefined) byName("bucket_ms")
         else byName(g.asInstanceOf[AttributeReference].name)

@@ -188,6 +188,92 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("histogram dashboard shape routes onto the stored bucket concat, exactly") {
+    import graft.histo.HistogramFunctions._
+    // the reference's characteristic read (README.md:161-170): quantiles over
+    // merged buckets per 5m window, alongside sum(count)/sum(sum) — at exact
+    // tier keys this forces the re-aggregation path (the tier stores the
+    // UNMERGED concat; singleton groups keep every other mapping exact)
+    def hist() = spark.read.parquet(s"$base/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("workspace_id"), col("metric"),
+        Rollup.bucketMs(col("ts_ms"), 300000L).as("bucket_ms"))
+      .agg(sum(col("count")).as("c"), round(sum(col("sum")), 2).as("s"),
+        merge_buckets_agg(col("buckets")).as("merged"),
+        round(histogram_quantile(merge_buckets_agg(col("buckets")), lit(95.0)), 6)
+          .as("p95"))
+    val direct = rows(hist())
+    assert(direct.nonEmpty)
+    withRule {
+      val routed = hist()
+      assert(scans(routed, "metrics_5m"), "histogram rewrite did not fire")
+      assert(!scans(routed, "metrics_raw"))
+      assert(routed.queryExecution.executedPlan.toString
+        .contains("merge_buckets_agg"), "bucket merge missing from routed plan")
+      assert(rows(routed) === direct)
+    }
+    // avg(value) alongside a bucket merge at the 1m tier: the forced
+    // re-aggregation averages singleton groups — still exact
+    def histAvg() = spark.read.parquet(s"$base/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("workspace_id"), col("metric"),
+        Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+      .agg(avg(col("value")).as("vavg"),
+        merge_buckets_agg(col("buckets")).as("merged"))
+    val directAvg = rows(histAvg())
+    withRule {
+      val routed = histAvg()
+      assert(scans(routed, "metrics_1m"), "1m histogram+avg rewrite did not fire")
+      assert(rows(routed) === directAvg)
+    }
+    // per-metric regrouping with a bucket merge: concats merge across the
+    // regrouped tier rows — same entry multiset, still exact
+    def histRegroup() = spark.read.parquet(s"$base/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("metric"), Rollup.bucketMs(col("ts_ms"), 3600000L).as("bucket_ms"))
+      .agg(merge_buckets_agg(col("buckets")).as("merged"),
+        sum(col("count")).as("c"))
+    val directRg = rows(histRegroup())
+    withRule {
+      val routed = histRegroup()
+      assert(scans(routed, "metrics_1h"), "regrouped histogram rewrite did not fire")
+      assert(rows(routed) === directRg)
+    }
+  }
+
+  test("bucket merge declines on a tier without a buckets column") {
+    import graft.histo.HistogramFunctions._
+    // a THIN 1m tier (scalar-only rollup1m) has no bucket concat to merge —
+    // the rule must keep the raw scan, not route to a column that isn't there
+    val thinBase = Files.createTempDirectory("graft_routing_thin").toString
+    val raw = EventsMetrics.withHistogram(EventsMetrics.fromEvents(spark, Sf))
+    MetricsSink.write(raw, thinBase, MetricsSink.Raw, col("ts_ms"), keys,
+      mode = "overwrite")
+    MetricsSink.write(
+      Rollup.rollup1m(raw, keys, col("ts_ms"), col("value"), col("event_id")),
+      thinBase, MetricsSink.M1, col("bucket_ms"), keys, mode = "overwrite")
+    def q1m() = spark.read.parquet(s"$thinBase/metrics_raw")
+      .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+      .groupBy(col("workspace_id"), col("metric"),
+        Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+      .agg(merge_buckets_agg(col("buckets")).as("merged"))
+    val direct = rows(q1m())
+    assert(direct.nonEmpty)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RollupRouting(spark)
+    spark.conf.set("spark.graft.rollup.baseDir", thinBase)
+    spark.conf.set("spark.graft.rollup.freshAsOfMs", NowA.toString)
+    try {
+      val routed = q1m()
+      assert(scans(routed, "metrics_raw"), "must decline on bucket-less tier")
+      assert(rows(routed) === direct)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.rollup.baseDir")
+      spark.conf.unset("spark.graft.rollup.freshAsOfMs")
+    }
+  }
+
   test("missing tier directory declines the rewrite instead of failing the query") {
     // raw only, no cascade: the 1m tier was never materialized
     val rawOnly = Files.createTempDirectory("graft_routing_raw").toString
