@@ -48,18 +48,27 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
     this(spark, storageDir, sourceDir, workspaceId, () => nowMs)
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
   private val uploads = new AtomicLong(0)
 
   def start(port: Int = 0): Int = synchronized {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/v1/read", handler(handleRead))
     server.createContext("/ingest", handler(handleIngest))
+    // a real executor, not the default: without one the JDK server handles
+    // requests on its single dispatcher thread, serializing all clients —
+    // the reference handler serves each request on its own goroutine
+    // (handler.go:65); Spark jobs from concurrent requests interleave fine
+    // on one session (RemoteReadServerSpec pins concurrent ≡ serial)
+    pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    if (pool != null) { pool.shutdown(); pool = null }
   }
 
   /** Bounded body read — the reference caps receiver messages at 100 MiB

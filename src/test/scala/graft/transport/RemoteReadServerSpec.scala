@@ -252,6 +252,91 @@ class RemoteReadServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent remote reads equal serial; mid-flight routing confs never leak") {
+    // r9 verdict item 3: the Go handler serves each request on its own
+    // goroutine (handler.go:65); our server shares one SparkSession across
+    // handler threads, and q_p8_route_mv-style routed queries toggle
+    // session-wide spark.graft.rollup.* confs. Pin that (a) N concurrent
+    // loopback reads return exactly the serial results, and (b) a routed
+    // aggregate toggling the confs mid-flight neither corrupts concurrent
+    // reads nor loses its own exactness.
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    val Day = 86400000L
+    withServer(src) { (_, port) =>
+      val reqs = Seq(
+        PromProto.Query(0L, 0L, Seq(
+          PromProto.LabelMatcher(2, "__name__", "^evt_(purchase|signup)$"))),
+        PromProto.Query(NowA - 20 * 3600 * 1000L, NowA, Seq(
+          PromProto.LabelMatcher(2, "__name__", "^evt_.*$"))),
+        PromProto.Query(NowA - 20 * 3600 * 1000L, NowA, Seq(
+          PromProto.LabelMatcher(1, "m", "evt_view"))))
+      def readOnce(q: PromProto.Query): Seq[PromProto.TimeSeries] = {
+        val (code, body) = post(port, "/api/v1/read",
+          Snappy.compress(PromProto.encodeReadRequest(Seq(q))))
+        assert(code === 200)
+        PromProto.decodeReadResponse(Snappy.uncompress(body)).head
+      }
+      val serial = reqs.map(readOnce)
+      assert(serial.forall(_.nonEmpty))
+
+      // the dashboard aggregate the routing rule rewrites, and its
+      // unrouted baseline
+      def dashboard() = spark.read.parquet(s"$store/metrics_raw")
+        .filter(col("ts_ms") >= NowA - Day && col("ts_ms") < NowA)
+        .groupBy(col("workspace_id"), col("metric"),
+          graft.metrics.Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+        .agg(min(col("value")).as("vmin"), count(lit(1)).as("n"))
+      val directAgg = dashboard().collect().map(_.toString).sorted.toSeq
+      assert(directAgg.nonEmpty)
+
+      val prev = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        prev :+ graft.plans.RollupRouting(spark)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
+      try {
+        val readers = (0 until 8).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit = try {
+              for (r <- 0 until 4) {
+                val k = (i + r) % reqs.length
+                assert(readOnce(reqs(k)) === serial(k),
+                  s"concurrent read $k diverged from serial")
+              }
+            } catch { case t: Throwable => errors.add(t) }
+          })
+        }
+        val toggler = pool.submit(new Runnable {
+          override def run(): Unit = try {
+            for (_ <- 1 to 6) {
+              spark.conf.set("spark.graft.rollup.baseDir", store)
+              spark.conf.set("spark.graft.rollup.freshAsOfMs", NowA.toString)
+              spark.conf.set("spark.graft.rollup.keys", "workspace_id,metric")
+              try {
+                val routed = dashboard()
+                assert(routed.queryExecution.executedPlan.toString
+                  .contains("metrics_1m"), "routing did not fire mid-soak")
+                assert(routed.collect().map(_.toString).sorted.toSeq === directAgg,
+                  "routed aggregate diverged under concurrency")
+              } finally {
+                spark.conf.unset("spark.graft.rollup.baseDir")
+                spark.conf.unset("spark.graft.rollup.freshAsOfMs")
+                spark.conf.unset("spark.graft.rollup.keys")
+              }
+            }
+          } catch { case t: Throwable => errors.add(t) }
+        })
+        (readers :+ toggler).foreach(
+          _.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      } finally {
+        pool.shutdownNow()
+        spark.experimental.extraOptimizations = prev
+      }
+      assert(errors.isEmpty,
+        s"concurrent failures (${errors.size}): ${Option(errors.peek()).getOrElse("")}")
+    }
+  }
+
   test("oversized request body is refused with 413, not buffered") {
     val src = Files.createTempDirectory("graft_transport_src").toString
     withServer(src, maxBodyBytes = 4096) { (_, port) =>
