@@ -162,6 +162,90 @@ object Scratch {
       stages.foreach { case (label, f) =>
         for (i <- 1 to 4) { System.gc(); time(s"$label#$i")(noop(f())) }
       }
+    } else if (args.headOption.contains("route_ab")) {
+      // routed-vs-unrouted A/B (r9 verdict optional item 7): quantify the
+      // MV-routing rule's win on the two oracle-gated dashboard shapes —
+      // the scalar 1m rollup aggregate (q_p8_route_mv) and the histogram
+      // 5m quantile (q_p8_route_mv_hist) — against the same scratch tiers.
+      // The testdata is SPARSE (well under one sample per series-minute), so
+      // at any SF the tier is barely smaller than raw and both paths sit on
+      // the local-mode scheduling floor. The rule's claim is about DENSITY —
+      // routed cost tracks the tier (series x buckets), unrouted tracks raw
+      // samples — so this sweeps density K: raw samples replicated K times
+      // with within-minute jitter (tiers stay the same size by construction,
+      // raw grows K-fold) and measures both paths per K.
+      import org.apache.spark.sql.DataFrame
+      import graft.sink.{MetricsSink, RollupMaintenance}
+      import graft.metrics.{EventsMetrics, Rollup}
+      import graft.histo.HistogramFunctions._
+      val NowMs = graft.queries.OracleDefs.NowMs
+      val DayMs = graft.queries.OracleDefs.DayMs
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_route_ab"
+      val keys = Seq(col("workspace_id"), col("metric"))
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      def setup(k: Int): Unit = time(s"[K=$k] setup: densify + write + cascade") {
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val m = EventsMetrics.withHistogram(EventsMetrics.fromEvents(spark, d))
+        val dense = if (k == 1) m
+          else m.withColumn("rep", explode(array((0 until k).map(lit(_)): _*)))
+            .withColumn("ts_ms", col("ts_ms") + col("rep"))
+            .withColumn("event_id", concat_ws("_", col("event_id"), col("rep")))
+            .drop("rep")
+        MetricsSink.write(dense, base, MetricsSink.Raw, col("ts_ms"), keys,
+          mode = "overwrite")
+        RollupMaintenance.refreshCascade(spark, base, NowMs, keys,
+          col("ts_ms"), col("event_id"))
+      }
+      def windowCounts(k: Int): Unit = {
+        val rawN = spark.read.parquet(s"$base/metrics_raw")
+          .filter(col("ts_ms") >= NowMs - DayMs && col("ts_ms") < NowMs).count()
+        val m1N = spark.read.parquet(s"$base/metrics_1m")
+          .filter(col("bucket_ms") >= NowMs - DayMs && col("bucket_ms") < NowMs).count()
+        val m5N = spark.read.parquet(s"$base/metrics_5m")
+          .filter(col("bucket_ms") >= NowMs - DayMs && col("bucket_ms") < NowMs).count()
+        println(s"[scratch] [K=$k] in-window rows: raw=$rawN 1m=$m1N 5m=$m5N")
+      }
+      def scalar1m() = spark.read.parquet(s"$base/metrics_raw")
+        .filter(col("ts_ms") >= NowMs - DayMs && col("ts_ms") < NowMs)
+        .groupBy(col("workspace_id"), col("metric"),
+          Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+        .agg(min(col("value")).as("value_min"), max(col("value")).as("value_max"),
+          avg(col("value")).as("value_avg"), count(lit(1)).as("samples_count"))
+      def hist5m() = spark.read.parquet(s"$base/metrics_raw")
+        .filter(col("ts_ms") >= NowMs - DayMs && col("ts_ms") < NowMs)
+        .groupBy(col("workspace_id"), col("metric"),
+          Rollup.bucketMs(col("ts_ms"), 300000L).as("bucket_ms"))
+        .agg(sum(col("count")).as("count"), sum(col("sum")).as("sum"),
+          round(histogram_quantile(merge_buckets_agg(col("buckets")), lit(95.0)), 6)
+            .as("p95"))
+      def routed[T](f: => T): T = {
+        val prev = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations =
+          prev :+ graft.plans.RollupRouting(spark)
+        spark.conf.set("spark.graft.rollup.baseDir", base)
+        spark.conf.set("spark.graft.rollup.freshAsOfMs", NowMs.toString)
+        spark.conf.set("spark.graft.rollup.keys", "workspace_id,metric")
+        try f finally {
+          spark.experimental.extraOptimizations = prev
+          spark.conf.unset("spark.graft.rollup.baseDir")
+          spark.conf.unset("spark.graft.rollup.freshAsOfMs")
+          spark.conf.unset("spark.graft.rollup.keys")
+        }
+      }
+      for (k <- Seq(1, 8, 32)) {
+        setup(k)
+        windowCounts(k)
+        for (i <- 1 to 3) {
+          System.gc()
+          time(s"[K=$k] scalar1m unrouted#$i")(noop(scalar1m()))
+          routed { time(s"[K=$k] scalar1m ROUTED#$i")(noop(scalar1m())) }
+          time(s"[K=$k] hist5m unrouted#$i")(noop(hist5m()))
+          routed { time(s"[K=$k] hist5m ROUTED#$i")(noop(hist5m())) }
+        }
+      }
     } else if (args.headOption.contains("fscalars_ab")) {
       // decompose q_f_scalars: regex extraction vs substring arithmetic
       val ev = graft.metrics.EventsMetrics.fromEvents(spark, d)
