@@ -27,7 +27,9 @@ import graft.streaming.{OtlpSource, StreamingTemporality}
   *   source.dir, storage.dir, checkpoint.dir,
   *   processor.workspace_id, processor.convert_to_delta,
   *   processor.enable_exemplars, processor.max_exemplars_per_metric,
-  *   processor.flush_interval_ms, source.max_files_per_trigger
+  *   processor.flush_interval_ms, source.max_files_per_trigger,
+  *   maintenance.rollup_every_batches, maintenance.retention_drop,
+  *   maintenance.compact_max_files, maintenance.publish_routing
   *
   * The typed state path carries attributes and exemplar payloads through
   * conversion, so both modes store full rows.
@@ -46,6 +48,7 @@ case class GraftConfig(
     rollupEveryBatches: Int = 0,
     retentionDrop: Boolean = false,
     compactMaxFiles: Int = 0,
+    publishRouting: Boolean = true,
     transportPort: Option[Int] = None,
     nowMs: Option[Long] = None)
 
@@ -79,6 +82,8 @@ object GraftApp {
         get("maintenance.retention_drop").exists(_.toBoolean),
       compactMaxFiles =
         get("maintenance.compact_max_files").map(_.toInt).getOrElse(0),
+      publishRouting =
+        get("maintenance.publish_routing").forall(_.toBoolean),
       transportPort = get("transport.port").map(_.toInt))
   }
 
@@ -209,10 +214,29 @@ object GraftApp {
     * tier mid-rewrite from this app. */
   def maintain(spark: SparkSession, cfg: GraftConfig, batchId: Long): Unit = {
     val now = cfg.nowMs.getOrElse(System.currentTimeMillis())
-    if (cfg.rollupEveryBatches > 0 && batchId % cfg.rollupEveryBatches == 0)
+    if (cfg.rollupEveryBatches > 0 && batchId % cfg.rollupEveryBatches == 0) {
       graft.sink.RollupMaintenance.refreshCascade(spark, cfg.storageDir, now,
         Seq(col("workspace_id"), col("metric"), col("series_hash")),
         col("ts_ms"), col("ts_ms"), prepRaw = withEmptyExp)
+      // Publish the freshness watermark the [[graft.plans.RollupRouting]]
+      // rule needs (it is registered in every graft session but inert until
+      // these confs exist): the cascade just recomputed every tier bucket
+      // below `now`, so ad-hoc dashboard aggregates over raw on this session
+      // now auto-route to the stored tiers — the Catalyst analog of the
+      // reference routing every aged read in its handler (handler.go:
+      // 304-321) without the caller opting in per query. Conf order matters
+      // on first publish: baseDir/keys before freshAsOfMs, so a query
+      // planned between the sets still sees an inert rule, never a
+      // watermark without a directory. Only `freshAsOfMs` advances on later
+      // ticks (monotone — a concurrent query sees either the old or new
+      // watermark, both exact assertions).
+      if (cfg.publishRouting) {
+        spark.conf.set("spark.graft.rollup.baseDir", cfg.storageDir)
+        spark.conf.set("spark.graft.rollup.keys",
+          "workspace_id,metric,series_hash")
+        spark.conf.set("spark.graft.rollup.freshAsOfMs", now.toString)
+      }
+    }
     if (cfg.retentionDrop)
       MetricsSink.tiers.foreach(t =>
         MetricsSink.dropExpiredPartitions(spark, cfg.storageDir, t, now))

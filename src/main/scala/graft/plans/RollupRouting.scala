@@ -66,6 +66,10 @@ import graft.sink.MetricsSink
   * Enabled per session by setting BOTH `spark.graft.rollup.baseDir` and
   * `spark.graft.rollup.freshAsOfMs`; inert otherwise. Registered via
   * [[GraftExtensions]] or `spark.experimental.extraOptimizations`.
+  * [[graft.GraftApp.maintain]] publishes these confs automatically after
+  * each successful cascade refresh (gated by `maintenance.publish_routing`),
+  * so on a running app's session dashboard aggregates route without any
+  * per-query setup.
   */
 case class RollupRouting(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {

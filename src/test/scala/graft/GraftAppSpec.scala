@@ -48,6 +48,10 @@ class GraftAppSpec extends SparkSpec {
   // stateTtlMs = 0: processing-time timeouts + AvailableNow would keep
   // scheduling timeout-evaluation batches and never drain; the TTL is for
   // the interval-triggered daemon (see StreamingTemporality.convertDelta).
+  // publishRouting off by default here: the session is shared across suites,
+  // and these fixtures' scratch storeDirs must not outlive their test as
+  // session-wide routing confs (the dedicated routed-dashboard test below
+  // opts in and unsets in a finally)
   private def cfgFor(base: String): GraftConfig = GraftConfig(
     sourceDir = s"$base/in",
     storageDir = s"$base/store",
@@ -55,6 +59,7 @@ class GraftAppSpec extends SparkSpec {
     workspaceId = "ws-app",
     convertToDelta = true,
     stateTtlMs = 0L,
+    publishRouting = false,
     nowMs = Some(NowMs))
 
   private def runOnce(cfg: GraftConfig): Unit = {
@@ -187,6 +192,67 @@ class GraftAppSpec extends SparkSpec {
     // retention ran and kept everything: every tier's data is younger than
     // its window (raw keeps 3h; the fixture partition ends at NowMs)
     assert(sinkRows(cfg).length === 3)
+  }
+
+  test("maintenance tick publishes the routing watermark: dashboard " +
+      "aggregates on the app session auto-route to the stored tier (P8+§4)") {
+    // negative first: publish_routing=false (cfgFor default here) must leave
+    // the session unrouted even with the cascade enabled
+    // start from a known-unrouted session regardless of what earlier suites
+    // did: the assertion below is "maintain did not publish", not "nothing
+    // else ever has"
+    spark.conf.unset("spark.graft.rollup.baseDir")
+    spark.conf.unset("spark.graft.rollup.freshAsOfMs")
+    spark.conf.unset("spark.graft.rollup.keys")
+    val b0 = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${b0}/in").mkdirs()
+    val off = cfgFor(b0).copy(rollupEveryBatches = 1)
+    land(off.sourceDir, 1, exportRows(Seq(("m0", NowMs - 60000, 5.0))))
+    runOnce(off)
+    assert(spark.conf.getOption("spark.graft.rollup.freshAsOfMs").isEmpty &&
+      spark.conf.getOption("spark.graft.rollup.baseDir").isEmpty,
+      "publish_routing=false must not publish routing confs")
+
+    val b1 = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${b1}/in").mkdirs()
+    val cfg = cfgFor(b1).copy(rollupEveryBatches = 1, publishRouting = true)
+    land(cfg.sourceDir, 1, exportRows(Seq(
+      ("m9", NowMs - 180000, 100.0), ("m9", NowMs - 120000, 150.0),
+      ("m9", NowMs - 60000, 200.0))))
+    try {
+      runOnce(cfg)
+      assert(spark.conf.getOption("spark.graft.rollup.baseDir")
+        .contains(cfg.storageDir))
+      assert(spark.conf.getOption("spark.graft.rollup.freshAsOfMs")
+        .contains(NowMs.toString))
+      assert(spark.conf.getOption("spark.graft.rollup.keys")
+        .contains("workspace_id,metric,series_hash"))
+      // a user's ad-hoc dashboard aggregate over raw — no per-query setup,
+      // no extraOptimizations: the session-registered rule + the published
+      // watermark must route it to the stored 1m tier
+      def dash = spark.read.parquet(s"${cfg.storageDir}/metrics_raw")
+        .filter(col("ts_ms") >= NowMs - 86400000L && col("ts_ms") < NowMs)
+        .groupBy(col("metric"),
+          graft.metrics.Rollup.bucketMs(col("ts_ms"), 60000L).as("bucket_ms"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          count(lit(1)).as("n"))
+      val plan = dash.queryExecution.executedPlan.toString
+      assert(plan.contains("metrics_1m"), s"dashboard did not route:\n$plan")
+      assert(!plan.contains("metrics_raw"), "raw still scanned after routing")
+      // deltas [100,50,50] in three minute buckets — routed values must be
+      // the exact per-bucket aggregates
+      val got = dash.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._2)
+      assert(got.toSeq === Seq(
+        ("m9", NowMs - 180000, 100.0, 100.0, 1L),
+        ("m9", NowMs - 120000, 50.0, 50.0, 1L),
+        ("m9", NowMs - 60000, 50.0, 50.0, 1L)))
+    } finally {
+      spark.conf.unset("spark.graft.rollup.baseDir")
+      spark.conf.unset("spark.graft.rollup.freshAsOfMs")
+      spark.conf.unset("spark.graft.rollup.keys")
+    }
   }
 
   test("maintenance tick: raw retention drop never deletes stored 1m rollups") {

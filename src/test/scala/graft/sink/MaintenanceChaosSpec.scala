@@ -33,9 +33,13 @@ class MaintenanceChaosSpec extends SparkSpec {
   private def raw() = EventsMetrics.withSeriesHash(
     EventsMetrics.withHistogram(EventsMetrics.fromEvents(spark, Sf)))
 
+  // publishRouting off: this spec runs maintain() dozens of times against
+  // throwaway chaos dirs on the shared session — publishing would leave
+  // session-wide routing confs pointing at a deleted scratch store
   private def cfg(base: String) = GraftConfig(
     sourceDir = "/unused", storageDir = base, checkpointDir = "/unused",
     rollupEveryBatches = 1, retentionDrop = true, compactMaxFiles = 2,
+    publishRouting = false,
     nowMs = Some(NowMs))
 
   private def newBase(tag: String): String =

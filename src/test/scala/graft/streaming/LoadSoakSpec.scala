@@ -45,6 +45,9 @@ class LoadSoakSpec extends SparkSpec {
       rollupEveryBatches = 1,
       retentionDrop = true,
       compactMaxFiles = 2,
+      // shared-session conf hygiene: the soak's scratch store must not
+      // outlive this test as the session's routing target
+      publishRouting = false,
       nowMs = Some(NowMs))
     val soak = LoadGen.generate(nBatches = 4, ticksPerBatch = 40, tickMs = 2000,
       endMs = NowMs - 1000, seed = 42, resetEvery = 50)
