@@ -29,7 +29,8 @@ import graft.streaming.{OtlpSource, StreamingTemporality}
   *   processor.enable_exemplars, processor.max_exemplars_per_metric,
   *   processor.flush_interval_ms, source.max_files_per_trigger,
   *   maintenance.rollup_every_batches, maintenance.retention_drop,
-  *   maintenance.compact_max_files, maintenance.publish_routing
+  *   maintenance.compact_max_files, maintenance.publish_routing,
+  *   maintenance.merge_tier_buckets
   *
   * The typed state path carries attributes and exemplar payloads through
   * conversion, so both modes store full rows.
@@ -49,6 +50,7 @@ case class GraftConfig(
     retentionDrop: Boolean = false,
     compactMaxFiles: Int = 0,
     publishRouting: Boolean = true,
+    mergeTierBuckets: Boolean = false,
     transportPort: Option[Int] = None,
     nowMs: Option[Long] = None)
 
@@ -84,6 +86,8 @@ object GraftApp {
         get("maintenance.compact_max_files").map(_.toInt).getOrElse(0),
       publishRouting =
         get("maintenance.publish_routing").forall(_.toBoolean),
+      mergeTierBuckets =
+        get("maintenance.merge_tier_buckets").exists(_.toBoolean),
       transportPort = get("transport.port").map(_.toInt))
   }
 
@@ -217,7 +221,8 @@ object GraftApp {
     if (cfg.rollupEveryBatches > 0 && batchId % cfg.rollupEveryBatches == 0) {
       graft.sink.RollupMaintenance.refreshCascade(spark, cfg.storageDir, now,
         Seq(col("workspace_id"), col("metric"), col("series_hash")),
-        col("ts_ms"), col("ts_ms"), prepRaw = withEmptyExp)
+        col("ts_ms"), col("ts_ms"), prepRaw = withEmptyExp,
+        mergeTierBuckets = cfg.mergeTierBuckets)
       // Publish the freshness watermark the [[graft.plans.RollupRouting]]
       // rule needs (it is registered in every graft session but inert until
       // these confs exist): the cascade just recomputed every tier bucket

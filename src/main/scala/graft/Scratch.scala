@@ -180,6 +180,10 @@ object Scratch {
       import graft.histo.HistogramFunctions._
       val NowMs = graft.queries.OracleDefs.NowMs
       val DayMs = graft.queries.OracleDefs.DayMs
+      // `route_ab merged` sweeps the same densities over tiers built with
+      // mergeTierBuckets=true (bound-summed storage) — the expectation is a
+      // FLAT routed-histogram row where the concat mode grows with K
+      val mergedTiers = args.lift(1).contains("merged")
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_route_ab"
       val keys = Seq(col("workspace_id"), col("metric"))
       def noop(dfb: DataFrame): Unit =
@@ -197,7 +201,7 @@ object Scratch {
         MetricsSink.write(dense, base, MetricsSink.Raw, col("ts_ms"), keys,
           mode = "overwrite")
         RollupMaintenance.refreshCascade(spark, base, NowMs, keys,
-          col("ts_ms"), col("event_id"))
+          col("ts_ms"), col("event_id"), mergeTierBuckets = mergedTiers)
       }
       def windowCounts(k: Int): Unit = {
         val rawN = spark.read.parquet(s"$base/metrics_raw")
@@ -206,7 +210,15 @@ object Scratch {
           .filter(col("bucket_ms") >= NowMs - DayMs && col("bucket_ms") < NowMs).count()
         val m5N = spark.read.parquet(s"$base/metrics_5m")
           .filter(col("bucket_ms") >= NowMs - DayMs && col("bucket_ms") < NowMs).count()
-        println(s"[scratch] [K=$k] in-window rows: raw=$rawN 1m=$m1N 5m=$m5N")
+        // tier BYTES are the merged-mode story: rows stay constant across K
+        // in both modes, but concat bytes grow with density
+        def bytes(dir: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(s"$base/$dir")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        }
+        println(s"[scratch] [K=$k] in-window rows: raw=$rawN 1m=$m1N 5m=$m5N " +
+          s"bytes: 1m=${bytes("metrics_1m")} 5m=${bytes("metrics_5m")}")
       }
       def scalar1m() = spark.read.parquet(s"$base/metrics_raw")
         .filter(col("ts_ms") >= NowMs - DayMs && col("ts_ms") < NowMs)

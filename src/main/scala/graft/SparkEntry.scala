@@ -25,5 +25,9 @@ object SparkEntry {
     * scans), not a production code path, and at ~20% of the r7 bench total
     * they distorted the performance signal the bench exists to give. */
   def verifyOnly: Set[String] = Set(
-    "q_dedup_minhash_det", "q_dedup_simhash_det", "q_ann_lsh_all", "q_ann_ivf_all")
+    "q_dedup_minhash_det", "q_dedup_simhash_det", "q_ann_lsh_all", "q_ann_ivf_all",
+    // storage-mode twin of q_p8_route_mv_hist (maintenance.merge_tier_buckets):
+    // same dashboard, same oracle — benching it would double-count the
+    // routed-hist setup without adding a distinct production path
+    "q_p8_route_mv_hist_merged")
 }

@@ -99,8 +99,29 @@ object Rollup {
     * bucket concat grows per-ROW width (entries/row = bounds × snapshots in
     * the coarse bucket — bounded by the series' scrape rate, never by table
     * size; the reference stores the identical concat and merges at read). */
+  /** The tier's stored bucket vector: the reference-faithful per-snapshot
+    * concat by default (`groupArray` — entries grow with raw DENSITY), or,
+    * when `merged` is set, the bound-summed vector via
+    * [[graft.functions.MergeBucketsAgg]] (entries bounded by the series'
+    * DISTINCT bounds, independent of samples per bucket).
+    *
+    * The merged form is an OPT-IN divergence from the reference MV schema
+    * (schema.sql:265-267 stores the concat) that every reader tolerates
+    * unchanged: all engine read paths — the stored-read queries, promread,
+    * and the [[graft.plans.RollupRouting]] histogram rewrite — merge the
+    * stored vector with `merge_buckets_agg` before any quantile, and merging
+    * an already-merged vector is the identity on the bound→count multiset
+    * (merge is associative+commutative and quantiles are split-invariant:
+    * property-pinned in HistogramMathPropSpec). What changes is SCALE:
+    * tier BYTES stop growing with raw density, which makes routed histogram
+    * dashboards density-independent like their scalar twins (SCALE.md
+    * round-10 density sweep measured the concat's growth). */
+  private def storedBuckets(buckets: Column, merged: Boolean): Column =
+    if (merged) graft.functions.MergeBucketsAgg.merge(buckets)
+    else flatten(collect_list(buckets))
+
   def rollupCoarserFull(finer: DataFrame, seriesCols: Seq[Column],
-      grainMs: Long): DataFrame =
+      grainMs: Long, mergeTierBuckets: Boolean = false): DataFrame =
     finer.groupBy(seriesCols :+ bucketMs(col("bucket_ms"), grainMs).as("bucket_ms"): _*)
       .agg(
         min(col("value_min")).as("value_min"),
@@ -109,19 +130,21 @@ object Rollup {
         max_by(col("value_last"), col("last_seq")).as("value_last"),
         sum(col("count")).as("count"),
         sum(col("sum")).as("sum"),
-        flatten(collect_list(col("buckets"))).as("buckets"),
+        storedBuckets(col("buckets"), mergeTierBuckets).as("buckets"),
         any_value(col("attributes"), lit(true)).as("attributes"),
         sum(col("samples_count")).as("samples_count"),
         max(col("last_seq")).as("last_seq"))
 
-  def rollup5mFull(oneMinute: DataFrame, seriesCols: Seq[Column]): DataFrame =
-    rollupCoarserFull(oneMinute, seriesCols, 300000L)
+  def rollup5mFull(oneMinute: DataFrame, seriesCols: Seq[Column],
+      mergeTierBuckets: Boolean = false): DataFrame =
+    rollupCoarserFull(oneMinute, seriesCols, 300000L, mergeTierBuckets)
 
-  def rollup1hFull(fiveMinute: DataFrame, seriesCols: Seq[Column]): DataFrame =
-    rollupCoarserFull(fiveMinute, seriesCols, 3600000L)
+  def rollup1hFull(fiveMinute: DataFrame, seriesCols: Seq[Column],
+      mergeTierBuckets: Boolean = false): DataFrame =
+    rollupCoarserFull(fiveMinute, seriesCols, 3600000L, mergeTierBuckets)
 
   def rollup1mFull(raw: DataFrame, seriesCols: Seq[Column], tsMs: Column,
-      seq: Column): DataFrame =
+      seq: Column, mergeTierBuckets: Boolean = false): DataFrame =
     raw.groupBy(seriesCols :+ bucketMs(tsMs, 60000L).as("bucket_ms"): _*)
       .agg(
         min(col("value")).as("value_min"),
@@ -130,7 +153,7 @@ object Rollup {
         max_by(col("value"), seq).as("value_last"),
         sum(col("count")).as("count"),
         sum(col("sum")).as("sum"),
-        flatten(collect_list(col("buckets"))).as("buckets"),
+        storedBuckets(col("buckets"), mergeTierBuckets).as("buckets"),
         any_value(col("exp_scale"), lit(true)).as("exp_scale"),
         sum(col("exp_zero_count")).as("exp_zero_count"),
         any_value(col("exp_zero_threshold"), lit(true)).as("exp_zero_threshold"),

@@ -51,6 +51,62 @@ object SinkQueries {
   private val RtStart = 1705708800000L
   private val RtEnd = RtStart + 20 * 3600L * 1000L
 
+  /** Shared body of the routed histogram dashboard queries: write raw,
+    * cascade into scratch tiers (concat or bound-merged storage per
+    * `mergeTierBuckets`), then run the histogram_quantile aggregate over RAW
+    * with the routing confs set — the plan must answer from the stored 5m
+    * tier, and the caller's oracle recomputes the answer from the events
+    * table. Both storage modes hash-match the SAME oracle. */
+  private def routedHistDashboard(s: SparkSession, d: String,
+      scratchName: String, mergeTierBuckets: Boolean): DataFrame = {
+    val base = scratch(scratchName)
+    wipe(s, base)
+    val keys = Seq(col("workspace_id"), col("metric"))
+    MetricsSink.write(EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
+      base, MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
+    RollupMaintenance.refreshCascade(s, base, NowMs, keys,
+      col("ts_ms"), col("event_id"), mergeTierBuckets = mergeTierBuckets)
+    if (mergeTierBuckets) {
+      // the merged mode must actually store bound-summed vectors: a row with
+      // a duplicate bound means the concat path leaked through
+      val dup = s.read.parquet(s"$base/metrics_5m")
+        .select(size(col("buckets")).as("n"),
+          size(array_distinct(col("buckets.le"))).as("nd"))
+        .filter(col("n") =!= col("nd")).count()
+      require(dup == 0, s"merged tier stored $dup rows with duplicate bounds")
+    }
+    s.conf.set("spark.graft.rollup.baseDir", base)
+    s.conf.set("spark.graft.rollup.freshAsOfMs", NowMs.toString)
+    s.conf.set("spark.graft.rollup.keys", "workspace_id,metric")
+    try {
+      import graft.histo.HistogramFunctions._
+      val lo = NowMs - OracleDefs.DayMs
+      def merged = merge_buckets_agg(col("buckets"))
+      val routed = s.read.parquet(s"$base/metrics_raw")
+        .filter(col("ts_ms") >= lo && col("ts_ms") < NowMs)
+        .groupBy(col("workspace_id"), col("metric"),
+          Rollup.bucketMs(col("ts_ms"), 300000L).as("bucket_ms"))
+        .agg(sum(col("count")).as("count"),
+          round(sum(col("sum")), 2).as("sum"),
+          round(histogram_quantile(merged, lit(50.0)), 6).as("p50"),
+          round(histogram_quantile(merged, lit(95.0)), 6).as("p95"))
+        .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
+      val plan = routed.queryExecution.executedPlan.toString
+      require(plan.contains("metrics_5m"),
+        "MV routing did not fire — the routed hist query would verify an unrouted plan")
+      require(!plan.contains("metrics_raw"),
+        "raw tier still scanned after MV routing")
+      require(plan.contains("merge_buckets_agg"),
+        "bucket merge missing from the routed plan")
+      val rows = graft.BenchPhases.timed("read")(routed.collect())
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), routed.schema)
+    } finally {
+      s.conf.unset("spark.graft.rollup.baseDir")
+      s.conf.unset("spark.graft.rollup.freshAsOfMs")
+      s.conf.unset("spark.graft.rollup.keys")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6+O4+F4 — write the 1m tier (daily partitions, range-clustered on the
     // storage sort key), then serve a promread window from it: P8 picks the
@@ -151,45 +207,21 @@ object SinkQueries {
     // DuckDB oracle recomputes count/sum/p50/p95 from the events table with
     // the reference's interpolation walk, so a hash match proves the routed
     // histogram answer equals the raw-derived one.
-    "q_p8_route_mv_hist" -> ((s, d) => {
-      val base = scratch("q_p8_mv_hist")
-      wipe(s, base)
-      val keys = Seq(col("workspace_id"), col("metric"))
-      MetricsSink.write(EventsMetrics.withHistogram(EventsMetrics.fromEvents(s, d)),
-        base, MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite")
-      RollupMaintenance.refreshCascade(s, base, NowMs, keys,
-        col("ts_ms"), col("event_id"))
-      s.conf.set("spark.graft.rollup.baseDir", base)
-      s.conf.set("spark.graft.rollup.freshAsOfMs", NowMs.toString)
-      s.conf.set("spark.graft.rollup.keys", "workspace_id,metric")
-      try {
-        import graft.histo.HistogramFunctions._
-        val lo = NowMs - OracleDefs.DayMs
-        def merged = merge_buckets_agg(col("buckets"))
-        val routed = s.read.parquet(s"$base/metrics_raw")
-          .filter(col("ts_ms") >= lo && col("ts_ms") < NowMs)
-          .groupBy(col("workspace_id"), col("metric"),
-            Rollup.bucketMs(col("ts_ms"), 300000L).as("bucket_ms"))
-          .agg(sum(col("count")).as("count"),
-            round(sum(col("sum")), 2).as("sum"),
-            round(histogram_quantile(merged, lit(50.0)), 6).as("p50"),
-            round(histogram_quantile(merged, lit(95.0)), 6).as("p95"))
-          .orderBy(col("workspace_id"), col("metric"), col("bucket_ms"))
-        val plan = routed.queryExecution.executedPlan.toString
-        require(plan.contains("metrics_5m"),
-          "MV routing did not fire — q_p8_route_mv_hist would verify an unrouted plan")
-        require(!plan.contains("metrics_raw"),
-          "raw tier still scanned after MV routing")
-        require(plan.contains("merge_buckets_agg"),
-          "bucket merge missing from the routed plan")
-        val rows = graft.BenchPhases.timed("read")(routed.collect())
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), routed.schema)
-      } finally {
-        s.conf.unset("spark.graft.rollup.baseDir")
-        s.conf.unset("spark.graft.rollup.freshAsOfMs")
-        s.conf.unset("spark.graft.rollup.keys")
-      }
-    }),
+    "q_p8_route_mv_hist" -> ((s, d) =>
+      routedHistDashboard(s, d, "q_p8_mv_hist", mergeTierBuckets = false)),
+
+    // The SAME routed histogram dashboard over tiers built with
+    // `maintenance.merge_tier_buckets=true` — the opt-in scale mode that
+    // stores bound-summed vectors instead of the reference's per-snapshot
+    // concat (Rollup.storedBuckets). The oracle is IDENTICAL to
+    // q_p8_route_mv_hist's raw recomputation: a hash match proves the
+    // divergent storage is invisible in every merged read — the
+    // split-invariance the property suite pins, here end-to-end through
+    // parquet, the cascade, and the Catalyst rewrite. The builder also
+    // asserts the stored vectors really are merged (no duplicate bounds
+    // per row), so the query can't silently pass on concat storage.
+    "q_p8_route_mv_hist_merged" -> ((s, d) =>
+      routedHistDashboard(s, d, "q_p8_mv_hist_mrg", mergeTierBuckets = true)),
 
     // The read path's REAL histogram case at coarse resolution
     // (handler.go:304-321 routing + :179-205 histogram rows +
@@ -310,6 +342,56 @@ object SinkQueries {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Raw recomputation of the routed histogram dashboard — shared
+    * verbatim by q_p8_route_mv_hist (concat tiers) and
+    * q_p8_route_mv_hist_merged (bound-summed tiers): both storage
+    * modes must hash-match the same raw-derived answer. */
+  private lazy val RoutedHistOracleSql: String = s"""${OracleDefs.EvtCte},
+      |sel AS (SELECT *, (ts_ms // 300000) * 300000 AS bucket_ms FROM evt
+      |        WHERE ts_ms >= ${NowMs - OracleDefs.DayMs} AND ts_ms < $NowMs),
+      |agg AS (SELECT workspace_id, metric, bucket_ms,
+      |               CAST(sum(user_id % 10 + 1) AS BIGINT) AS cntc,
+      |               sum(round(value * 10, 2)) AS sumc,
+      |               CAST(sum(user_id % 3) AS BIGINT) AS c1,
+      |               CAST(sum(user_id % 5) AS BIGINT) AS c2,
+      |               CAST(sum(user_id % 7) AS BIGINT) AS c3,
+      |               CAST(sum(user_id % 11) AS BIGINT) AS c4
+      |        FROM sel GROUP BY 1, 2, 3),
+      |hist AS (SELECT workspace_id, metric, bucket_ms,
+      |                CAST(0.1 AS DOUBLE) AS le, c1 AS cnt FROM agg
+      |  UNION ALL SELECT workspace_id, metric, bucket_ms,
+      |                CAST(1.0 AS DOUBLE), c2 FROM agg
+      |  UNION ALL SELECT workspace_id, metric, bucket_ms,
+      |                CAST(10.0 AS DOUBLE), c3 FROM agg
+      |  UNION ALL SELECT workspace_id, metric, bucket_ms,
+      |                CAST('inf' AS DOUBLE), c4 FROM agg),
+      |c AS (SELECT workspace_id, metric, bucket_ms, le, cnt,
+      |             sum(cnt) OVER (PARTITION BY workspace_id, metric, bucket_ms
+      |                            ORDER BY le) AS cum,
+      |             sum(cnt) OVER (PARTITION BY workspace_id, metric, bucket_ms) AS total,
+      |             coalesce(lag(le) OVER (PARTITION BY workspace_id, metric, bucket_ms
+      |                                    ORDER BY le), 0.0) AS prev_le
+      |      FROM hist),
+      |ps AS (SELECT unnest([50.0, 95.0]) AS p),
+      |hit AS (SELECT *, row_number() OVER (PARTITION BY workspace_id, metric,
+      |                                     bucket_ms, p ORDER BY le) AS rn
+      |        FROM c CROSS JOIN ps
+      |        WHERE total > 0 AND cum >= total * (p / 100.0)),
+      |q AS (SELECT workspace_id, metric, bucket_ms, p,
+      |             CASE WHEN cnt = 0 THEN le
+      |                  WHEN isinf(le) THEN prev_le
+      |                  ELSE prev_le + ((total * (p / 100.0) - (cum - cnt)) / cnt)
+      |                       * (le - prev_le)
+      |             END AS v
+      |      FROM hit WHERE rn = 1)
+      |SELECT a.workspace_id, a.metric, a.bucket_ms,
+      |       a.cntc AS count, round(a.sumc, 2) AS sum,
+      |       round(max(CASE WHEN q.p = 50 THEN q.v END), 6) AS p50,
+      |       round(max(CASE WHEN q.p = 95 THEN q.v END), 6) AS p95
+      |FROM agg a LEFT JOIN q ON q.workspace_id = a.workspace_id
+      |  AND q.metric = a.metric AND q.bucket_ms = a.bucket_ms
+      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3""".stripMargin
+
   import OracleDefs.EvtCte
 
   private val m1Sql =
@@ -378,51 +460,11 @@ object SinkQueries {
     // histogram shape returned exactly the raw-derived answer. Groups whose
     // four fixture bounds all sum to zero get NULL quantiles on both sides
     // (the reference errors on total=0; the engine surfaces that as NULL).
-    "q_p8_route_mv_hist" -> s"""$EvtCte,
-      |sel AS (SELECT *, (ts_ms // 300000) * 300000 AS bucket_ms FROM evt
-      |        WHERE ts_ms >= ${NowMs - OracleDefs.DayMs} AND ts_ms < $NowMs),
-      |agg AS (SELECT workspace_id, metric, bucket_ms,
-      |               CAST(sum(user_id % 10 + 1) AS BIGINT) AS cntc,
-      |               sum(round(value * 10, 2)) AS sumc,
-      |               CAST(sum(user_id % 3) AS BIGINT) AS c1,
-      |               CAST(sum(user_id % 5) AS BIGINT) AS c2,
-      |               CAST(sum(user_id % 7) AS BIGINT) AS c3,
-      |               CAST(sum(user_id % 11) AS BIGINT) AS c4
-      |        FROM sel GROUP BY 1, 2, 3),
-      |hist AS (SELECT workspace_id, metric, bucket_ms,
-      |                CAST(0.1 AS DOUBLE) AS le, c1 AS cnt FROM agg
-      |  UNION ALL SELECT workspace_id, metric, bucket_ms,
-      |                CAST(1.0 AS DOUBLE), c2 FROM agg
-      |  UNION ALL SELECT workspace_id, metric, bucket_ms,
-      |                CAST(10.0 AS DOUBLE), c3 FROM agg
-      |  UNION ALL SELECT workspace_id, metric, bucket_ms,
-      |                CAST('inf' AS DOUBLE), c4 FROM agg),
-      |c AS (SELECT workspace_id, metric, bucket_ms, le, cnt,
-      |             sum(cnt) OVER (PARTITION BY workspace_id, metric, bucket_ms
-      |                            ORDER BY le) AS cum,
-      |             sum(cnt) OVER (PARTITION BY workspace_id, metric, bucket_ms) AS total,
-      |             coalesce(lag(le) OVER (PARTITION BY workspace_id, metric, bucket_ms
-      |                                    ORDER BY le), 0.0) AS prev_le
-      |      FROM hist),
-      |ps AS (SELECT unnest([50.0, 95.0]) AS p),
-      |hit AS (SELECT *, row_number() OVER (PARTITION BY workspace_id, metric,
-      |                                     bucket_ms, p ORDER BY le) AS rn
-      |        FROM c CROSS JOIN ps
-      |        WHERE total > 0 AND cum >= total * (p / 100.0)),
-      |q AS (SELECT workspace_id, metric, bucket_ms, p,
-      |             CASE WHEN cnt = 0 THEN le
-      |                  WHEN isinf(le) THEN prev_le
-      |                  ELSE prev_le + ((total * (p / 100.0) - (cum - cnt)) / cnt)
-      |                       * (le - prev_le)
-      |             END AS v
-      |      FROM hit WHERE rn = 1)
-      |SELECT a.workspace_id, a.metric, a.bucket_ms,
-      |       a.cntc AS count, round(a.sumc, 2) AS sum,
-      |       round(max(CASE WHEN q.p = 50 THEN q.v END), 6) AS p50,
-      |       round(max(CASE WHEN q.p = 95 THEN q.v END), 6) AS p95
-      |FROM agg a LEFT JOIN q ON q.workspace_id = a.workspace_id
-      |  AND q.metric = a.metric AND q.bucket_ms = a.bucket_ms
-      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3""".stripMargin,
+    "q_p8_route_mv_hist" -> RoutedHistOracleSql,
+
+    // The merged-storage twin answers from bound-summed tier vectors but
+    // must produce the IDENTICAL raw-derived result — same oracle verbatim.
+    "q_p8_route_mv_hist_merged" -> RoutedHistOracleSql,
 
     // The coarse-tier histogram reads: rows whose tier bucket falls in the
     // window (bucket_ms BETWEEN start AND end — restated as the floor

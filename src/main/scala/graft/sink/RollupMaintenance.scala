@@ -162,16 +162,18 @@ object RollupMaintenance {
     * declares anyway; the stored tiers then keep the reference shape. */
   def refreshCascade(spark: SparkSession, baseDir: String, nowMs: Long,
       seriesCols: Seq[Column], tsMs: Column, seq: Column,
-      prepRaw: DataFrame => DataFrame = identity): Unit = {
+      prepRaw: DataFrame => DataFrame = identity,
+      mergeTierBuckets: Boolean = false): Unit = {
     import graft.metrics.Rollup
     refreshTier(spark, baseDir, MetricsSink.Raw, MetricsSink.M1,
       tsMs, nowMs, seriesCols)(
-      df => Rollup.rollup1mFull(prepRaw(df), seriesCols, tsMs, seq))
+      df => Rollup.rollup1mFull(prepRaw(df), seriesCols, tsMs, seq,
+        mergeTierBuckets))
     refreshTier(spark, baseDir, MetricsSink.M1, MetricsSink.M5,
       col("bucket_ms"), nowMs, seriesCols)(
-      df => Rollup.rollup5mFull(df, seriesCols))
+      df => Rollup.rollup5mFull(df, seriesCols, mergeTierBuckets))
     refreshTier(spark, baseDir, MetricsSink.M5, MetricsSink.H1,
       col("bucket_ms"), nowMs, seriesCols)(
-      df => Rollup.rollup1hFull(df, seriesCols))
+      df => Rollup.rollup1hFull(df, seriesCols, mergeTierBuckets))
   }
 }

@@ -80,4 +80,44 @@ class RollupSpec extends SparkSpec {
     assert(out.getDouble(6) === 0.25)     // any(exp_zero_threshold)
     assert(out.getInt(7) === 3)           // negative snapshots concatenated
   }
+
+  test("mergeTierBuckets stores bound-summed vectors, read-equivalent to the concat") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val df = Seq(
+      ("w", "a", 0L, 1.0, 1L, 10L, 5.0, Seq((0.1, 1L), (1.0, 2L)), 0, 0L, 0.25,
+        Seq((1, 1L)), Seq((-1, 7L)), Map("k" -> "v")),
+      ("w", "a", 1000L, 2.0, 2L, 20L, 6.0, Seq((0.1, 3L), (1.0, 4L)), 0, 1L, 0.25,
+        Seq((1, 2L)), Seq((-1, 8L)), Map("k" -> "v")))
+      .toDF("ws", "m", "ts_ms", "value", "seq", "count", "sum", "buckets",
+        "exp_scale", "exp_zero_count", "exp_zero_threshold",
+        "exp_positive_buckets", "exp_negative_buckets", "attributes")
+      .withColumn("buckets",
+        col("buckets").cast("array<struct<le:double,count:bigint>>"))
+      .withColumn("exp_positive_buckets",
+        col("exp_positive_buckets").cast("array<struct<index:int,count:bigint>>"))
+      .withColumn("exp_negative_buckets",
+        col("exp_negative_buckets").cast("array<struct<index:int,count:bigint>>"))
+    def vec(r: org.apache.spark.sql.Row): Seq[(Double, Long)] =
+      r.getSeq[org.apache.spark.sql.Row](0).map(b => (b.getDouble(0), b.getLong(1)))
+    // 1m merged: two snapshots' bounds summed, sorted — NOT four entries
+    val m1m = Rollup.rollup1mFull(df, keys, col("ts_ms"), col("seq"),
+      mergeTierBuckets = true)
+    assert(vec(m1m.select(col("buckets")).collect()(0)) ===
+      Seq((0.1, 4L), (1.0, 6L)))
+    // exp concats are untouched by the flag (1m-only columns, scale-aware
+    // merge stays a read-time concern)
+    assert(m1m.select(size(col("exp_positive_buckets"))).collect()(0).getInt(0) === 2)
+    // cascading merged 1m with the flag keeps the bound-summed form, and the
+    // bound→count multiset equals a read-time merge of the concat cascade —
+    // the split-invariance of HistogramMathPropSpec, here through the tiers
+    val m1c = Rollup.rollup1mFull(df, keys, col("ts_ms"), col("seq"))
+    val m5m = Rollup.rollup5mFull(m1m, keys, mergeTierBuckets = true)
+    val m5c = Rollup.rollup5mFull(m1c, keys)
+    assert(vec(m5m.select(col("buckets")).collect()(0)) ===
+      Seq((0.1, 4L), (1.0, 6L)))
+    val mergedOfConcat = vec(m5c.groupBy(keys: _*)
+      .agg(graft.functions.MergeBucketsAgg.merge(col("buckets")).as("buckets"))
+      .select(col("buckets")).collect()(0))
+    assert(mergedOfConcat === Seq((0.1, 4L), (1.0, 6L)))
+  }
 }
