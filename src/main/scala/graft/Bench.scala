@@ -38,15 +38,18 @@ object Bench {
       // continuity. Work a builder measures itself via BenchPhases (e.g.
       // q_p8_route_mv's eagerly-collected routed read) is folded from setup
       // into read.
-      case class Sample(total: Double, setup: Double, read: Double)
+      case class Sample(total: Double, setup: Double, read: Double,
+                        error: Option[String] = None)
       def once(): Sample = {
         BenchPhases.reset()
         val t0 = System.nanoTime()
         var df: org.apache.spark.sql.DataFrame = null
+        var err: Option[String] = None
         try df = fn(spark, sfDir)
         catch { case e: Throwable =>
           // a failed query must be loud — a swallowed error reads as "fast"
           System.err.println(s"[bench] $name FAILED (setup): ${e.getMessage}")
+          err = Some(s"setup: ${e.getClass.getSimpleName}")
         }
         val t1 = System.nanoTime()
         // noop-format write forces EVERY column expression (count() would let
@@ -55,6 +58,7 @@ object Bench {
         try if (df != null) df.write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          err = Some(s"exec: ${e.getClass.getSimpleName}")
         }
         val t2 = System.nanoTime()
         // release per-query persists/checkpoints so the next timing never
@@ -63,7 +67,8 @@ object Bench {
         val recordedRead = BenchPhases.drain().getOrElse("read", 0.0)
         Sample(total = (t2 - t0) / 1e9,
           setup = math.max((t1 - t0) / 1e9 - recordedRead, 0.0),
-          read = (t2 - t1) / 1e9 + recordedRead)
+          read = (t2 - t1) / 1e9 + recordedRead,
+          error = err)
       }
       // min-of-2: r5→r6 showed single-shot timings swing up to 6.7× on
       // byte-identical code (JIT/GC/page-cache noise in a shared JVM); the
@@ -79,16 +84,34 @@ object Bench {
         } else best2
       name -> best
     }
-    val qs = results.map { case (k, s) => s"\"" + k + "\":" + s.total }
-      .mkString("{", ",", "}")
-    // per-phase detail only where setup is material (the pipeline-shaped
-    // queries); plain queries have ~0 builder cost and would just add noise
-    val phases = results.filter(_._2.setup > 0.1)
+    // OUTPUT CONTRACT (r10 postmortem): the driver parses ONLY the final
+    // stdout line, from a ~2000-char tail window. So: (1) per-phase detail and
+    // failure detail go on EARLIER lines; (2) the final line is the compact
+    // headline object only, with timings rounded to ms so ~60 queries fit the
+    // window; (3) a failed builder is an explicit "ERROR" marker, never a ~0
+    // timing that reads as "fast".
+    def ms(d: Double): String = f"$d%.3f"
+    val (failed, ok) = results.partition(_._2.error.isDefined)
+    // earlier line 1: per-phase detail where setup is material (the
+    // pipeline-shaped queries); plain queries have ~0 builder cost
+    val phases = ok.filter(_._2.setup > 0.1)
       .map { case (k, s) =>
-        s"\"" + k + "\":{\"setup\":" + s.setup + ",\"read\":" + s.read + "}" }
+        s"\"" + k + "\":{\"setup\":" + ms(s.setup) + ",\"read\":" + ms(s.read) + "}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.total).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir"}""")
+    println(s"""{"metric":"phases","phases":$phases}""")
+    // earlier line 2: explicit failure detail (empty object when green)
+    val errs = failed.map { case (k, s) =>
+      s"\"" + k + "\":\"" + s.error.get.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"errors","errors":$errs}""")
+    // final line: the headline the driver parses — failed queries appear as
+    // the string "ERROR" so they can never masquerade as a fast timing
+    val qs = (ok.map { case (k, s) => s"\"" + k + "\":" + ms(s.total) } ++
+      failed.map { case (k, _) => s"\"" + k + "\":\"ERROR\"" })
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.map(_.total).sum else 0.0
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -33,15 +33,16 @@ object ScaleGen {
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
 
-    // events: ns-long ts (nanosAsLong read) re-emitted as a µs timestamp —
-    // the type the oracle's epoch_ms() expects; ms values identical (both
-    // floor). Same ts across replicas = N× per-bucket density, the regime
-    // that stresses collect_list bucket concat and per-series windows.
-    val ev = Tables.load(spark, src, "events")
+    // events: whatever encoding the source uses (Tables.events normalizes
+    // ns-long / NTZ / TIMESTAMP), re-emitted as a µs timestamp — the type the
+    // oracle's epoch_ms() expects. Same ts across replicas = N× per-bucket
+    // density, the regime that stresses collect_list bucket concat and
+    // per-series windows.
+    val ev = Tables.events(spark, src)
     write("events", replicate(ev, replicas) { (df, k) =>
       df.select(
         (col("event_id") + lit(k * 100000000L)).as("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("ts"),
         (col("user_id") + lit(k * 1000001L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }, parts = 8)

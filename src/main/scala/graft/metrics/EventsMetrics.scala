@@ -29,10 +29,14 @@ import graft.model.Tables
   */
 object EventsMetrics {
 
-  /** Millisecond epoch of the event timestamp. `events.ts` arrives at
-    * nanosecond precision; Spark truncates to µs on read (Tables.events) and
-    * both µs→ms and ns→ms floor identically, so this column is engine-stable. */
-  def tsMs(ts: Column): Column = unix_millis(ts)
+  /** Millisecond epoch of the event timestamp. Tables.events normalizes every
+    * testdata encoding (ns-as-long, TIMESTAMP_NTZ, TIMESTAMP) to a µs
+    * TimestampType, and µs→ms floors identically from any of them, so this
+    * column is engine-stable. The defensive cast keeps this total even on a
+    * raw NTZ column that bypassed Tables.events (unix_millis rejects NTZ;
+    * the session is UTC-pinned so the cast is value-preserving). */
+  def tsMs(ts: Column): Column =
+    unix_millis(ts.cast(org.apache.spark.sql.types.TimestampType))
 
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
     fromEventsDf(Tables.events(spark, sfDir))

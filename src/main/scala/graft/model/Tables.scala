@@ -23,26 +23,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.parquet carries nanosecond-precision timestamps, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL] — TimestampType is µs).
-    * The session must be BUILT with `spark.sql.legacy.parquet.nanosAsLong=
-    * true` (Verify/Bench/test sessions all are — see [[graft.Sessions]]);
-    * setting it here at read time would be a global side effect silently
-    * changing other reads in the same session. The ns column then arrives as
-    * long and is converted to a µs TimestampType `ts`. The µs truncation is
-    * deliberate and mirrored on the oracle side where sub-µs precision would
-    * leak into results (we only ever emit ts through date_trunc or
-    * unix_millis).
+  /** The driver has shipped events.parquet under three different `ts`
+    * encodings across rounds, so this loader normalizes ALL of them to a
+    * µs-precision session-zoned TimestampType `ts` — downstream code
+    * (EventsMetrics.tsMs → unix_millis, rollup bucketing, promread bounds)
+    * assumes exactly that type:
+    *
+    *   - ns-precision INT64 timestamp (rounds ≤9): Spark's reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) unless the session was BUILT with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` ([[graft.Sessions]] sets
+    *     it; setting it here at read time would be a global side effect). The
+    *     column then arrives as LongType ns and is floored to µs.
+    *   - µs TIMESTAMP_NTZ (`isAdjustedToUTC=false`, round 10+): arrives as
+    *     TimestampNTZType; cast to TimestampType. The session timezone is
+    *     pinned to UTC (Sessions.builder), so the cast is value-preserving and
+    *     matches DuckDB's naive-as-UTC read of the same file.
+    *   - µs TIMESTAMP (`isAdjustedToUTC=true`): already TimestampType.
+    *
+    * The µs floor on the ns path is deliberate and mirrored on the oracle side
+    * (we only ever emit ts through date_trunc or unix_millis).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(see graft.Sessions.builder) — events.parquet has ns timestamps")
     val df = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — extend Tables.events " +
+            "(expected ns-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
   }
 }
