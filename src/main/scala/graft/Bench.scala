@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def ms(d: Double): String = f"$d%.3f"
+
+  /** The single stdout line the driver parses, built in one place so
+    * BenchContractSpec can pin its worst-case length against the driver's
+    * ~2000-char tail window (the r10 failure mode: a long line starts before
+    * the captured tail begins and the driver reads half a JSON object).
+    */
+  def headline(ok: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
+    val qs = (ok.map { case (k, t) => s"\"" + k + "\":" + ms(t) } ++
+      failed.map { k => s"\"" + k + "\":\"ERROR\"" })
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -90,7 +105,6 @@ object Bench {
     // headline object only, with timings rounded to ms so ~60 queries fit the
     // window; (3) a failed builder is an explicit "ERROR" marker, never a ~0
     // timing that reads as "fast".
-    def ms(d: Double): String = f"$d%.3f"
     val (failed, ok) = results.partition(_._2.error.isDefined)
     // earlier line 1: per-phase detail where setup is material (the
     // pipeline-shaped queries); plain queries have ~0 builder cost
@@ -106,11 +120,8 @@ object Bench {
     println(s"""{"metric":"errors","errors":$errs}""")
     // final line: the headline the driver parses — failed queries appear as
     // the string "ERROR" so they can never masquerade as a fast timing
-    val qs = (ok.map { case (k, s) => s"\"" + k + "\":" + ms(s.total) } ++
-      failed.map { case (k, _) => s"\"" + k + "\":\"ERROR\"" })
-      .mkString("{", ",", "}")
-    val total = if (ok.nonEmpty) ok.values.map(_.total).sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(headline(ok.toSeq.map { case (k, s) => (k, s.total) },
+      failed.keys.toSeq, sfDir))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -18,8 +18,34 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeDateCol(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeDateCol(load(s, d, "lineitem"), "l_shipdate")
+
+  /** Date-valued columns get the same drift insurance as events.ts: the
+    * driver's testdata generator has already flipped one column's physical
+    * encoding between rounds (events.ts, round 10), and the TPC-H date
+    * columns have equally many plausible encodings — DATE, µs TIMESTAMP,
+    * µs TIMESTAMP_NTZ (pandas' default), or ISO string. All are normalized
+    * to session-zoned TimestampType, which every consumer (`date_format`
+    * bucketing, min/max) already handles; the session TZ is pinned UTC so
+    * each cast is value-preserving and matches DuckDB's read of the file.
+    * An encoding outside this set fails HERE with the column named, not
+    * downstream with a Catalyst type error.
+    */
+  private def normalizeDateCol(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+    df.schema(name).dataType match {
+      case TimestampType => df
+      case DateType | TimestampNTZType | StringType =>
+        df.withColumn(name, col(name).cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"$name has unsupported type $other — extend Tables.normalizeDateCol " +
+            "(expected DATE, TIMESTAMP, TIMESTAMP_NTZ, or an ISO-8601 string)")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

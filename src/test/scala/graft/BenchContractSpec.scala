@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-facing output/registration contracts that round 10 proved
+  * can break silently:
+  *
+  *   - the driver parses ONLY the final stdout line of Bench, captured from a
+  *     ~2000-char tail window — if the line is longer than the window, the
+  *     window starts mid-line and the driver reads half a JSON object
+  *     (BENCH_r10 "parsed": null);
+  *   - the driver's correctness gate runs exactly the oracleSql keys — an
+  *     oracle entry without a query builder silently contributes nothing, and
+  *     a verifyOnly name that drifts from the registry silently un-skips.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  // Headroom under the 2000-char window: the line must fit even when some
+  // preceding stderr/stdout noise shares the captured tail.
+  private val LineBudget = 1900
+
+  test("worst-case headline line fits the driver's tail window") {
+    val benched = SparkEntry.queries.keys.toSeq
+      .filterNot(SparkEntry.verifyOnly)
+    // worst plausible case: every query at a 4-digit-seconds timing
+    val line = Bench.headline(benched.map(_ -> 9999.999), Nil,
+      "/root/testdata/sf0.1")
+    assert(line.length <= LineBudget,
+      s"headline is ${line.length} chars for ${benched.size} benched queries " +
+        s"— over the $LineBudget budget; shorten names or precision")
+    // and the all-failed shape ("ERROR" markers are longer than timings)
+    val worst = Bench.headline(Nil, benched, "/root/testdata/sf0.1")
+    assert(worst.length <= LineBudget)
+  }
+
+  test("headline is a single line of valid shape") {
+    val line = Bench.headline(Seq("q_x" -> 1.0), Seq("q_y"), "sf")
+    assert(!line.contains("\n"))
+    assert(line.startsWith("""{"metric":"total","value":1.000"""))
+    assert(line.contains(""""q_y":"ERROR""""))
+    assert(line.contains(""""failed":1"""))
+  }
+
+  test("every oracle key has a query builder") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys without builders: $missing")
+  }
+
+  test("every verifyOnly name is a registered query") {
+    val stale = SparkEntry.verifyOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"verifyOnly names not in queries: $stale")
+  }
+
+  test("every non-verifyOnly query has an oracle or is a documented rows-only twin") {
+    // rows-only-by-design: production LSH/sketch paths whose banding DuckDB
+    // cannot restate — each has a _det/_all full-oracle twin in verifyOnly
+    val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf")
+    val unproven = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(unproven.isEmpty,
+      s"queries with neither an oracle nor a rows-only justification: $unproven")
+  }
+}

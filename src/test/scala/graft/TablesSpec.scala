@@ -87,6 +87,47 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("lineitem loader normalizes all four l_shipdate encodings identically") {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+    val days = Seq("1994-01-01", "1994-01-31", "1996-12-15", "1998-08-02")
+    def writeLineitem(encode: String): String = {
+      import spark.implicits._
+      val dir = Files.createTempDirectory(s"graft_li_$encode").toString
+      val base = days.zipWithIndex.toDF("d", "l_orderkey")
+        .select(col("l_orderkey").cast("long"), col("d"),
+          lit(1.0).as("l_quantity"), lit("N").as("l_returnflag"))
+      val withDate = encode match {
+        case "date"   => base.withColumn("l_shipdate", col("d").cast(DateType))
+        case "ts"     => base.withColumn("l_shipdate", col("d").cast(TimestampType))
+        case "ts_ntz" => base.withColumn("l_shipdate", col("d").cast(TimestampNTZType))
+        case "string" => base.withColumn("l_shipdate", col("d"))
+      }
+      withDate.drop("d")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val byEncoding = Seq("date", "ts", "ts_ntz", "string").map { enc =>
+      val dir = writeLineitem(enc)
+      val loaded = Tables.lineitem(spark, dir)
+      assert(loaded.schema("l_shipdate").dataType == TimestampType,
+        s"encoding $enc: Tables.lineitem must yield TimestampType")
+      // pin through the actual consumer shape: date_format month bucketing
+      val months = loaded
+        .select(col("l_orderkey"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      enc -> months
+    }.toMap
+    val expected = days.zipWithIndex
+      .map { case (d, id) => id.toLong -> d.substring(0, 7) }.toMap
+    byEncoding.foreach { case (enc, months) =>
+      assert(months == expected, s"encoding $enc: month bucketing mismatch")
+    }
+    // string fixtures must actually read back as strings for the guard to cover
+    val raw = spark.read.parquet(s"${writeLineitem("string")}/lineitem.parquet")
+    assert(raw.schema("l_shipdate").dataType == StringType)
+  }
+
   test("driver testdata loads and yields positive ts_ms range") {
     // whatever encoding the CURRENT driver testdata uses, the loader must
     // accept it — this is the first test to fail on a fresh regeneration
