@@ -1,0 +1,81 @@
+package graft.llm
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Streaming ingest-boundary dedup: exact duplicates (by normalized-text
+  * fingerprint) are dropped within the watermark horizon, state is evicted
+  * past it (re-admission is the documented bounded-state trade-off), and the
+  * surviving set agrees with the batch [[Dedup.exact]] on the same rows.
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  private def doc(id: Long, tsSec: Long, text: String): StreamDoc =
+    StreamDoc(id, new Timestamp(tsSec * 1000L), text)
+
+  private def runStream(batches: Seq[Seq[StreamDoc]]): Seq[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = StreamingDedup.dedupExact(mem.toDS().toDF(), "ts", "10 seconds")
+      .writeStream.format("memory").queryName("sd_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      s.table("sd_out").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    } finally {
+      q.stop()
+      s.sql("DROP TABLE IF EXISTS sd_out")
+    }
+  }
+
+  test("intra-batch and cross-batch duplicates within the horizon are dropped") {
+    val out = runStream(Seq(
+      Seq(doc(1, 100, "alpha beta"), doc(2, 100, "alpha  BETA "), // normalize-equal
+        doc(3, 101, "gamma")),
+      Seq(doc(4, 102, "alpha beta"), // cross-batch dup, inside horizon
+        doc(5, 103, "delta"))))
+    assert(out == Seq(1L -> "alpha beta", 3L -> "gamma", 5L -> "delta"))
+  }
+
+  test("fingerprint state is evicted past the watermark horizon (re-admission)") {
+    val out = runStream(Seq(
+      Seq(doc(1, 100, "alpha beta")),
+      // advance event time far past 100s + 10s horizon → fp state evicted
+      Seq(doc(2, 200, "unrelated")),
+      // same text again, long after expiry: re-admitted BY DESIGN — the
+      // bounded-state trade-off the batch compaction stage cleans up
+      Seq(doc(3, 210, "alpha beta"))))
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("surviving set agrees with batch Dedup.exact when all rows share the horizon") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      doc(10, 100, "one two three"), doc(11, 100, "one  two   three"),
+      doc(12, 101, "four"), doc(13, 102, "four"), doc(14, 103, "five"))
+    val streamed = runStream(Seq(docs.take(2), docs.drop(2))).map(_._1).toSet
+    val batch = Dedup.exactSurvivors(docs.toDF(), col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("state is keyed by fp: the emitted schema carries the fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val df = StreamingDedup.dedupExact(mem.toDS().toDF(), "ts", "10 seconds")
+    assert(df.schema.fieldNames.contains("fp"))
+    assert(df.schema("fp").dataType.typeName == "long")
+  }
+}
