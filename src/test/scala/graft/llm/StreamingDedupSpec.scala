@@ -69,6 +69,34 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("RocksDB state store: identical surviving set (provider is a capacity knob)") {
+    // same requirement RocksDBStateStoreSpec pins for the metrics paths: at
+    // crawl-scale fingerprint cardinality the dedup state runs off-heap, and
+    // flipping the provider must never change which documents survive
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    // the watermark only advances AFTER a batch completes, so the eviction
+    // probe (doc 7) needs its own batch following the one that moves event
+    // time past gamma's horizon
+    val batches = Seq(
+      Seq(doc(1, 100, "alpha beta"), doc(2, 100, "alpha  BETA "), doc(3, 101, "gamma")),
+      Seq(doc(4, 102, "alpha beta"), doc(5, 103, "delta")),
+      Seq(doc(6, 200, "epsilon")),
+      Seq(doc(7, 210, "gamma"))) // post-eviction re-admit
+    val onHeap = runStream(batches)
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider, rocks)
+    val onRocks =
+      try runStream(batches)
+      finally prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    assert(onRocks == onHeap)
+    assert(onHeap.map(_._1) == Seq(1L, 3L, 5L, 6L, 7L))
+  }
+
   test("state is keyed by fp: the emitted schema carries the fingerprint") {
     val s = spark
     import s.implicits._
