@@ -71,8 +71,8 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    df.schema("ts").dataType match {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, TimestampNTZType, TimestampType}
+    val withTs = df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
@@ -83,5 +83,21 @@ object Tables {
           s"events.ts has unsupported type $other — extend Tables.events " +
             "(expected ns-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
+    // numeric width insurance, same rationale as the ts branches: a
+    // regenerated file shipping value as FLOAT or the ids as INT32 must not
+    // ripple a type change into every consumer (typed Dataset encoders and
+    // union-by-name against scratch tiers are exact-type-sensitive even
+    // where Column arithmetic is not). Disallowed types still fail loudly.
+    Seq("event_id" -> LongType, "user_id" -> LongType, "value" -> DoubleType)
+      .foldLeft(withTs) { case (acc, (name, want)) =>
+        acc.schema(name).dataType match {
+          case t if t == want => acc
+          case IntegerType | LongType | FloatType | DoubleType =>
+            acc.withColumn(name, col(name).cast(want))
+          case other =>
+            throw new IllegalStateException(
+              s"events.$name has unsupported type $other — extend Tables.events")
+        }
+      }
   }
 }

@@ -87,6 +87,28 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("events loader widens narrow numeric encodings (int32 ids, float value)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_events_narrow").toString
+    micros.zipWithIndex.toDF("us", "event_id")
+      .select(
+        col("event_id").cast("int"),
+        timestamp_micros(col("us")).as("ts"),
+        (col("event_id") % 3).cast("int").as("user_id"),
+        lit("t0").as("event_type"),
+        (col("event_id") * 1.5).cast("float").as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables.events(spark, dir)
+    assert(loaded.schema("event_id").dataType == LongType)
+    assert(loaded.schema("user_id").dataType == LongType)
+    assert(loaded.schema("value").dataType == DoubleType)
+    // and the canonical current-encoding load is untouched by the fold
+    val std = Tables.events(spark, writeFixture("ts_ntz"))
+    assert(std.schema("value").dataType == DoubleType)
+  }
+
   test("lineitem loader normalizes all four l_shipdate encodings identically") {
     import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
     val days = Seq("1994-01-01", "1994-01-31", "1996-12-15", "1998-08-02")
