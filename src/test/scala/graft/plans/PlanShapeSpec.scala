@@ -77,6 +77,37 @@ class PlanShapeSpec extends SparkSpec {
       s"projection outside codegen: ${unstarred.mkString("; ")}")
   }
 
+  test("date-range predicate prunes the sink's partition directories") {
+    import graft.sink.MetricsSink
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val day = 86400000L
+    // three UTC days of rows; the read wants only the middle one
+    val rows = (0 until 3).flatMap(d => (0 until 10).map(i =>
+      (d * day + i * 3600000L, s"ws-$d", i.toDouble)))
+      .toDF("ts_ms", "workspace_id", "value")
+    MetricsSink.write(rows, base, MetricsSink.Raw, col("ts_ms"),
+      Seq(col("workspace_id")), mode = "overwrite")
+    val pruned = MetricsSink.read(spark, base, MetricsSink.Raw)
+      .filter(MetricsSink.partitionFilter(MetricsSink.Raw, day, 2 * day - 1))
+    val plan = executedPlan(pruned)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*p_date[^\\]]*\\].*"),
+      s"p_date predicate did not become a partition filter:\n$plan")
+    // and the pruning is real, not just planned: the executed scan touches
+    // exactly the middle day's files (inputFiles would NOT show this — it
+    // reports the relation's full file set, pre-pruning)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail(s"no file scan in plan:\n$plan"))
+    val day2Files = new java.io.File(s"$base/metrics_raw/p_date=1970-01-02")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(day2Files > 0)
+    assert(scan.metrics("numFiles").value == day2Files,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"the pruned partition holds $day2Files")
+  }
+
   test("rollup aggregation is partial (map-side combine before the exchange)") {
     val df = EventsMetrics.fromEvents(spark, Sf)
       .groupBy(col("workspace_id"), col("metric"))
