@@ -46,8 +46,36 @@ object Tables {
             "(expected DATE, TIMESTAMP, TIMESTAMP_NTZ, or an ISO-8601 string)")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    widenNumerics(load(s, d, "documents"), "doc_id" -> "long", "n_chars" -> "long")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    widenNumerics(load(s, d, "embeddings"), "vec_id" -> "long")
+
+  /** Numeric width insurance shared by the loaders: a regenerated file
+    * shipping an id as INT32 or a measure as FLOAT must not ripple a schema
+    * change into consumers (typed encoders and union-by-name against scratch
+    * tables are exact-type-sensitive even where Column arithmetic is not).
+    * Only lossless-or-documented widenings are accepted; anything else fails
+    * at the loader with the column named.
+    */
+  private def widenNumerics(df: DataFrame, wanted: (String, String)*): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    wanted.foldLeft(df) { case (acc, (name, want)) =>
+      val wantType = want match {
+        case "long" => LongType
+        case "double" => DoubleType
+      }
+      (acc.schema(name).dataType, wantType) match {
+        case (t, w) if t == w => acc
+        case (IntegerType, LongType) |
+             (IntegerType | LongType | FloatType, DoubleType) =>
+          acc.withColumn(name, col(name).cast(wantType))
+        case (other, _) =>
+          throw new IllegalStateException(
+            s"$name has unsupported type $other — extend Tables.widenNumerics")
+      }
+    }
+  }
 
   /** The driver has shipped events.parquet under three different `ts`
     * encodings across rounds, so this loader normalizes ALL of them to a
@@ -71,7 +99,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val withTs = df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -83,21 +111,9 @@ object Tables {
           s"events.ts has unsupported type $other — extend Tables.events " +
             "(expected ns-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
-    // numeric width insurance, same rationale as the ts branches: a
-    // regenerated file shipping value as FLOAT or the ids as INT32 must not
-    // ripple a type change into every consumer (typed Dataset encoders and
-    // union-by-name against scratch tiers are exact-type-sensitive even
-    // where Column arithmetic is not). Disallowed types still fail loudly.
-    Seq("event_id" -> LongType, "user_id" -> LongType, "value" -> DoubleType)
-      .foldLeft(withTs) { case (acc, (name, want)) =>
-        acc.schema(name).dataType match {
-          case t if t == want => acc
-          case IntegerType | LongType | FloatType | DoubleType =>
-            acc.withColumn(name, col(name).cast(want))
-          case other =>
-            throw new IllegalStateException(
-              s"events.$name has unsupported type $other — extend Tables.events")
-        }
-      }
+    // numeric width insurance, same rationale as the ts branches (see
+    // widenNumerics)
+    widenNumerics(withTs,
+      "event_id" -> "long", "user_id" -> "long", "value" -> "double")
   }
 }

@@ -109,6 +109,27 @@ class TablesSpec extends SparkSpec {
     assert(std.schema("value").dataType == DoubleType)
   }
 
+  test("documents/embeddings loaders widen int32 ids; lossy narrows refuse") {
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_docs_narrow").toString
+    Seq((1, "a b", "en", "web", 3), (2, "c", "en", "web", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id").cast("int"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+
+    // a float-encoded id is NOT a widening — the loader must refuse, not
+    // silently round
+    Seq((1.5f, "x")).toDF("vec_id", "junk")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Tables.embeddings(spark, dir))
+    assert(e.getMessage.contains("vec_id"))
+  }
+
   test("lineitem loader normalizes all four l_shipdate encodings identically") {
     import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
     val days = Seq("1994-01-01", "1994-01-31", "1996-12-15", "1998-08-02")
