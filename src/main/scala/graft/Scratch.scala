@@ -258,6 +258,32 @@ object Scratch {
           routed { time(s"[K=$k] hist5m ROUTED#$i")(noop(hist5m())) }
         }
       }
+    } else if (args.headOption.contains("codec_ab")) {
+      // storage codec A/B: the reference stores every column ZSTD(1)
+      // (schema.sql:4-63); Spark's parquet default is snappy. Measure the
+      // write-time and byte cost of matching the reference on the raw tier.
+      import graft.sink.MetricsSink
+      val ev = graft.metrics.EventsMetrics.withHistogram(
+        graft.metrics.EventsMetrics.fromEvents(spark, d))
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      for (codec <- Seq("snappy", "zstd", "snappy", "zstd")) {
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_codec_$codec"
+        time(s"write[$codec]")(MetricsSink.write(ev, base, MetricsSink.Raw,
+          col("ts_ms"), Seq(col("workspace_id"), col("metric")),
+          mode = "overwrite"))
+        println(f"[scratch] bytes[$codec]: ${dirBytes(s"$base/metrics_raw") / 1e6}%.1f MB")
+        time(s"read[$codec]")(
+          spark.read.parquet(s"$base/metrics_raw")
+            .groupBy(col("workspace_id")).agg(sum(col("value")))
+            .write.mode("overwrite").format("noop").save())
+      }
+      spark.conf.unset("spark.sql.parquet.compression.codec")
     } else if (args.headOption.contains("fscalars_ab")) {
       // decompose q_f_scalars: regex extraction vs substring arithmetic
       val ev = graft.metrics.EventsMetrics.fromEvents(spark, d)

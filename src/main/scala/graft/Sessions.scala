@@ -22,6 +22,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage codec matches the reference's ZSTD-everywhere posture
+      // (schema.sql:4-63). Measured on the raw tier at sf0.1 (Scratch
+      // codec_ab, warm): 36% fewer bytes than snappy (1.6 vs 2.5 MB), read
+      // parity, ~0.2 s/5 write CPU — at 100 TB that is a third less tier
+      // I/O and storage for a marginal ingest cost.
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized by the SPARK_GRAFT_CPUS contract (driver default 4). */
