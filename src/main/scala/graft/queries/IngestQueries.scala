@@ -123,6 +123,23 @@ object IngestQueries {
           OtlpFlatten.mergeAttributes(col("resource_attrs"), col("dp_attrs")))
           .as("merged"))
         .orderBy(col("event_id"))
+    }),
+
+    // Document-source round-trip: documents re-encoded line-per-row JSON
+    // (to_json), re-ingested through DocumentSource.jsonl's explicit-schema
+    // parse, quarantine split applied. The oracle reads the original parquet
+    // table — a hash match proves the JSONL ingest path is lossless (any
+    // mis-parsed or quarantined row would be absent from the clean side and
+    // fail rows_match).
+    "q_src_jsonl" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_src_jsonl"
+      graft.model.Tables.documents(s, d)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      val (clean, _) = graft.sources.DocumentSource.quarantine(
+        graft.sources.DocumentSource.jsonl(s, dir))
+      clean.orderBy(col("doc_id"))
     }))
 
   import OracleDefs.EvtCte
@@ -148,6 +165,10 @@ object IngestQueries {
       |  FROM evt)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_src_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_s3_per_type" -> s"""$WireCte
       |SELECT event_id, kind,
       |  CASE kind WHEN 'gauge' THEN 1 WHEN 'sum' THEN 2 WHEN 'histogram' THEN 3

@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** JSONL/CSV document ingestion: explicit schema (no inference pass), one
+  * parse per line, malformed rows quarantined as raw lines instead of
+  * killing the job or vanishing.
+  */
+class DocumentSourceSpec extends SparkSpec {
+
+  private def writeLines(name: String, lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory(s"graft_src_$name")
+    Files.write(dir.resolve("part-0.txt"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("jsonl: clean rows parse to the pinned schema, bad lines quarantine") {
+    val path = writeLines("jsonl", Seq(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "n_chars": 10}""",
+      """{"doc_id": 2, "text": "gamma", "lang": "de", "source": "book", "n_chars": 5}""",
+      """{"doc_id": 3 "text": missing-comma}""", // malformed JSON
+      """not json at all""",
+      """{}""")) // parses but carries no document
+    val (clean, bad) = DocumentSource.quarantine(
+      DocumentSource.jsonl(spark, path))
+    assert(clean.schema == DocumentSource.schema)
+    val rows = clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "alpha beta", "en"), (2L, "gamma", "de")))
+    val raws = bad.collect().map(_.getString(0)).toSet
+    assert(raws.size == 3)
+    assert(raws.contains("not json at all"))
+    assert(raws.contains("{}"))
+  }
+
+  test("jsonl: a partially null row is clean data, not corruption") {
+    // null lang is a missing FIELD, not a malformed LINE — it must pass
+    val path = writeLines("jsonl_null", Seq(
+      """{"doc_id": 7, "text": "t", "source": "web", "n_chars": 1}"""))
+    val (clean, bad) = DocumentSource.quarantine(
+      DocumentSource.jsonl(spark, path))
+    assert(bad.isEmpty)
+    val r = clean.head()
+    assert(r.getLong(0) == 7L && r.isNullAt(2))
+  }
+
+  test("csv and tsv: same contract through from_csv") {
+    val path = writeLines("csv", Seq(
+      "1,alpha beta,en,web,10",
+      "oops,this is not,a,valid,row,too,many,fields",
+      "2,gamma,de,book,5"))
+    val (clean, bad) = DocumentSource.quarantine(
+      DocumentSource.csv(spark, path))
+    assert(clean.count() == 2 && bad.count() == 1)
+
+    val tsv = writeLines("tsv", Seq("3\tdelta\ten\tweb\t5"))
+    val (tClean, tBad) = DocumentSource.quarantine(
+      DocumentSource.csv(spark, tsv, sep = "\t"))
+    assert(tBad.isEmpty)
+    assert(tClean.head().getString(1) == "delta")
+  }
+
+  test("parsed output feeds the dedup/text operators unchanged") {
+    import org.apache.spark.sql.functions.col
+    val path = writeLines("feed", Seq(
+      """{"doc_id": 1, "text": "one two one", "lang": "en", "source": "w", "n_chars": 11}""",
+      """{"doc_id": 2, "text": "one  two ONE", "lang": "en", "source": "w", "n_chars": 12}"""))
+    val (clean, _) = DocumentSource.quarantine(DocumentSource.jsonl(spark, path))
+    val survivors = graft.llm.Dedup.exactSurvivors(clean, col("doc_id"), col("text"))
+    assert(survivors.count() == 1) // normalize-equal texts collapse
+  }
+}
