@@ -56,6 +56,22 @@ object DocumentSource {
   def jsonl(spark: SparkSession, path: String): DataFrame =
     parsed(spark.read.text(path), from_json(col("value"), schema))
 
+  /** Streaming twin of [[jsonl]]: tail a landing directory of JSONL files as
+    * they arrive (crawl output dropped by fetchers). Same parse, same
+    * quarantine contract — [[quarantine]] works unchanged on the result, and
+    * the clean side composes directly with
+    * [[graft.llm.StreamingDedup.dedupExact]] for ingest-boundary dedup once
+    * an event-time column is stamped (crawl records carry their fetch time;
+    * the caller maps it to a timestamp column). `maxFilesPerTrigger` bounds
+    * micro-batch size so one large drop cannot stall the trigger cadence. */
+  def jsonlStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parsed(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(path),
+      from_json(col("value"), schema))
+
   /** Comma-separated with no header row; `sep` for TSV exports. */
   def csv(spark: SparkSession, path: String, sep: String = ","): DataFrame =
     parsed(spark.read.text(path),

@@ -63,6 +63,42 @@ class DocumentSourceSpec extends SparkSpec {
     assert(tClean.head().getString(1) == "delta")
   }
 
+  test("streaming jsonl: files landing across micro-batches parse, quarantine, and dedup") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val landing = Files.createTempDirectory("graft_src_stream")
+    def drop(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("graft_drop", ".tmp")
+      Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+      Files.move(tmp, landing.resolve(name)) // atomic land, like a fetcher
+    }
+    drop("b1.jsonl", Seq(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "w", "n_chars": 10}""",
+      """garbage line"""))
+    val (clean, _) = DocumentSource.quarantine(
+      DocumentSource.jsonlStream(spark, landing.toString))
+    // stamp an event time and push through the streaming dedup stage — the
+    // full ingest-boundary composition this source exists for
+    val deduped = graft.llm.StreamingDedup.dedupExact(
+      clean.withColumn("ts", timestamp_millis(col("doc_id") * 1000 + lit(100000L))),
+      "ts", "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("src_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop("b2.jsonl", Seq(
+        """{"doc_id": 2, "text": "alpha  BETA ", "lang": "en", "source": "w", "n_chars": 12}""",
+        """{"doc_id": 3, "text": "gamma", "lang": "de", "source": "b", "n_chars": 5}"""))
+      q.processAllAvailable()
+      val out = spark.table("src_stream_out").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      // doc 2 is a cross-file normalize-equal duplicate of doc 1 → dropped
+      assert(out == Seq(1L, 3L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS src_stream_out")
+    }
+  }
+
   test("parsed output feeds the dedup/text operators unchanged") {
     import org.apache.spark.sql.functions.col
     val path = writeLines("feed", Seq(
