@@ -63,6 +63,24 @@ class DocumentSourceSpec extends SparkSpec {
     assert(tClean.head().getString(1) == "delta")
   }
 
+  test("schema evolution and adversarial lines: extra fields parse, junk quarantines") {
+    val path = writeLines("evolve", Seq(
+      // newer dump with fields our schema doesn't know — must parse clean
+      """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "w", "n_chars": 5, "fetched_at": "2026-08-14", "score": 0.9}""",
+      // unicode + embedded escaped quotes survive the round
+      """{"doc_id": 2, "text": "café \"quoted\" 中文", "lang": "fr", "source": "w", "n_chars": 12}""",
+      // wrong TYPE on a required key is corruption, not a silent null doc
+      """{"doc_id": "not-a-number", "text": "t", "lang": "en", "source": "w", "n_chars": 1}""",
+      // a very long junk line must quarantine, not break the line reader
+      "x" * 100000))
+    val (clean, bad) = DocumentSource.quarantine(
+      DocumentSource.jsonl(spark, path))
+    val rows = clean.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(1).getString(1) == "café \"quoted\" 中文")
+    assert(bad.count() == 2)
+  }
+
   test("streaming jsonl: files landing across micro-batches parse, quarantine, and dedup") {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     val landing = Files.createTempDirectory("graft_src_stream")
