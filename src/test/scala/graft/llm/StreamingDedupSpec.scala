@@ -97,6 +97,36 @@ class StreamingDedupSpec extends SparkSpec {
     assert(onHeap.map(_._1) == Seq(1L, 3L, 5L, 6L, 7L))
   }
 
+  test("property: random batches, duplicates, and whitespace variants match batch dedup") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    // 120 docs over 40 base texts: ~3 duplicates per text, some as
+    // whitespace/case variants that only normalize-equality can see
+    val texts = (0 until 40).map(i => s"base text number $i with words")
+    val docs = (0 until 120).map { id =>
+      val t = texts(rnd.nextInt(texts.size))
+      val variant = rnd.nextInt(3) match {
+        case 0 => t
+        case 1 => t.toUpperCase + "  "
+        case 2 => "  " + t.replace(" ", "   ")
+      }
+      doc(id.toLong, 100 + id / 20, variant) // 20 docs per second of event time
+    }
+    // random time-ordered micro-batch splits (ts horizon 10s covers all 6s)
+    val cuts = Seq(25, 40, 77, 98, 120)
+    val batches = cuts.zip(0 +: cuts.dropRight(1)).map { case (hi, lo) =>
+      docs.slice(lo, hi)
+    }
+    val streamed = runStream(batches).map(_._1).toSet
+    val s = spark
+    import s.implicits._
+    val batch = Dedup.exactSurvivors(docs.toDF(), col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    // arrival order == id order here, so first-arrival == min-id survivors
+    assert(streamed == batch)
+    assert(streamed.size < docs.size) // the fixture actually deduped
+  }
+
   test("state is keyed by fp: the emitted schema carries the fingerprint") {
     val s = spark
     import s.implicits._
