@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions.col
+
+/** The config-driven documents pipeline end-to-end: landing files →
+  * parse → streaming dedup → corpus + quarantine sinks, with dedup state
+  * surviving a checkpointed restart (the same exactly-once bar GraftAppSpec
+  * holds the metrics pipeline to).
+  */
+class DocumentsAppSpec extends SparkSpec {
+
+  private def writeConfig(dir: Path, src: Path, store: Path, ckpt: Path): String = {
+    val f = dir.resolve("docs.properties")
+    Files.writeString(f,
+      s"""source.dir=$src
+         |storage.dir=$store
+         |checkpoint.dir=$ckpt
+         |dedup.horizon=1 hour
+         |""".stripMargin)
+    f.toString
+  }
+
+  private def drop(src: Path, name: String, lines: Seq[String]): Unit = {
+    val tmp = Files.createTempFile("graft_docs_drop", ".tmp")
+    Files.writeString(tmp, lines.mkString("\n"))
+    Files.move(tmp, src.resolve(name))
+  }
+
+  test("end-to-end: parse, dedup across batches and restarts, quarantine junk") {
+    val root = Files.createTempDirectory("graft_docs_app")
+    val src = Files.createDirectory(root.resolve("landing"))
+    val store = root.resolve("store")
+    val ckpt = root.resolve("ckpt")
+    val cfg = DocumentsApp.load(writeConfig(root, src, store, ckpt))
+    assert(cfg.horizon == "1 hour")
+
+    drop(src, "b1.jsonl", Seq(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "w", "n_chars": 10}""",
+      """{"doc_id": 2, "text": "alpha  BETA ", "lang": "en", "source": "w", "n_chars": 12}""",
+      """this is junk""",
+      """this is junk""")) // identical junk collapses in-horizon
+    val q1 = DocumentsApp.start(spark, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+
+    val corpus1 = spark.read.parquet(s"$store/corpus")
+    assert(corpus1.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val quarantine1 = spark.read.parquet(s"$store/quarantine")
+    assert(quarantine1.select("raw").collect().map(_.getString(0)).toSeq ==
+      Seq("this is junk"))
+
+    // RESTART the query from the checkpoint, then land a cross-restart
+    // duplicate plus one new doc: state must survive the restart
+    drop(src, "b2.jsonl", Seq(
+      """{"doc_id": 3, "text": "ALPHA beta", "lang": "en", "source": "w", "n_chars": 10}""",
+      """{"doc_id": 4, "text": "gamma", "lang": "de", "source": "b", "n_chars": 5}"""))
+    val q2 = DocumentsApp.start(spark, cfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val corpus2 = spark.read.parquet(s"$store/corpus")
+    assert(corpus2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L),
+      "doc 3 is a normalize-equal duplicate of doc 1 across the restart")
+    // outputs stay partitioned by ingest date
+    assert(corpus2.columns.contains("p_date"))
+    assert(spark.read.parquet(s"$store/corpus").filter(col("p_date").isNull).isEmpty)
+  }
+}
