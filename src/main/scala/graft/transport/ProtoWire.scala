@@ -30,15 +30,24 @@ private[transport] final class ProtoReader(buf: Array[Byte]) {
     pos += 8; r
   }
   def readDouble(): Double = java.lang.Double.longBitsToDouble(readFixed64())
+  // Truncation is an ERROR, not padding: copyOfRange would silently
+  // zero-fill past the end, turning a cut-off message into a "valid" empty
+  // one — a corrupt export must surface as INVALID_ARGUMENT, not an ack.
   def readBytes(): Array[Byte] = {
     val n = readVarint().toInt
+    require(n >= 0 && n <= buf.length - pos,
+      s"truncated length-delimited field: $n bytes declared, ${buf.length - pos} remain")
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
     pos += n; out
   }
   def skip(wireType: Int): Unit = wireType match {
     case 0 => readVarint(); ()
     case 1 => pos += 8
-    case 2 => pos += readVarint().toInt
+    case 2 =>
+      val n = readVarint().toInt
+      require(n >= 0 && n <= buf.length - pos,
+        s"truncated skipped field: $n bytes declared, ${buf.length - pos} remain")
+      pos += n
     case 5 => pos += 4
     case w => throw new IllegalArgumentException(s"unsupported wire type $w")
   }

@@ -1,0 +1,276 @@
+package graft.transport
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.transport.OtlpProto.{Datapoint, Exemplar, ResourceRow}
+import graft.transport.GrpcOtlpReceiver.{grpcFrame, ExportPath}
+
+/** The gRPC OTLP receiver over a real loopback HTTP/2 connection
+  * (otlp.go:42-90): wire codec round-trips, proto-decode ≡ JSON-decode
+  * parity on an equivalent batch, the unary Export call end-to-end into the
+  * landing zone, and every error arm of the reference's contract. */
+class GrpcOtlpReceiverSpec extends SparkSpec {
+
+  private val T0 = 1704067200123L // 2024-01-01T00:00:00.123Z, ms
+
+  private def fixture: Seq[ResourceRow] = Seq(
+    ResourceRow(
+      Map("service.name" -> "checkout", "int.attr" -> "42",
+        "dbl.attr" -> "1.5", "flag" -> "true"),
+      Seq(
+        Datapoint("req_gauge", "gauge", T0, 0, isMonotonic = false,
+          valueInt = Some(7L), valueDouble = None, count = None, sum = None,
+          bounds = None, bucketCounts = None, dpAttrs = Map("host" -> "a"),
+          exemplars = None),
+        Datapoint("req_total", "sum", T0 + 1000, 2, isMonotonic = true,
+          valueInt = None, valueDouble = Some(12.5), count = None, sum = None,
+          bounds = None, bucketCounts = None, dpAttrs = Map("host" -> "a"),
+          exemplars = Some(Seq(Exemplar(
+            Some("0102030405060708"), Some("0102030405060708090a0b0c0d0e0f10"),
+            3.25, T0 + 877, Map("k" -> "v"))))),
+        Datapoint("lat_hist", "histogram", T0 + 2000, 1, isMonotonic = false,
+          valueInt = None, valueDouble = None, count = Some(10L), sum = Some(55.5),
+          bounds = Some(Seq(0.1, 1.0)), bucketCounts = Some(Seq(4L, 3L, 3L)),
+          dpAttrs = Map.empty, exemplars = None),
+        Datapoint("exp_hist", "exponential_histogram", T0 + 3000, 2,
+          isMonotonic = false, valueInt = None, valueDouble = None,
+          count = Some(6L), sum = Some(9.75), bounds = None, bucketCounts = None,
+          dpAttrs = Map("h" -> "b"), exemplars = None),
+        Datapoint("summ", "summary", T0 + 4000, 0, isMonotonic = false,
+          valueInt = None, valueDouble = None, count = Some(3L), sum = Some(4.5),
+          bounds = None, bucketCounts = None, dpAttrs = Map.empty,
+          exemplars = None))),
+    // +Inf-only histogram: one bucket, no bounds — and an empty resource
+    ResourceRow(Map.empty, Seq(
+      Datapoint("plus_inf_only", "histogram", T0 + 5000, 2,
+        isMonotonic = false, valueInt = None, valueDouble = None,
+        count = Some(2L), sum = None, bounds = None,
+        bucketCounts = Some(Seq(2L)), dpAttrs = Map.empty, exemplars = None))))
+
+  /** The same logical batch in OTLP's proto3-JSON wire form (what
+    * [[graft.ingest.OtlpJson]] pins). */
+  private def fixtureJson: String = {
+    def ns(ms: Long) = s""""${ms}000000""""
+    s"""{"resourceMetrics":[
+      {"resource":{"attributes":[
+         {"key":"service.name","value":{"stringValue":"checkout"}},
+         {"key":"int.attr","value":{"intValue":"42"}},
+         {"key":"dbl.attr","value":{"doubleValue":1.5}},
+         {"key":"flag","value":{"boolValue":true}}]},
+       "scopeMetrics":[{"metrics":[
+         {"name":"req_gauge","gauge":{"dataPoints":[
+           {"timeUnixNano":${ns(T0)},"asInt":"7",
+            "attributes":[{"key":"host","value":{"stringValue":"a"}}]}]}},
+         {"name":"req_total","sum":{"aggregationTemporality":2,"isMonotonic":true,
+           "dataPoints":[{"timeUnixNano":${ns(T0 + 1000)},"asDouble":12.5,
+            "attributes":[{"key":"host","value":{"stringValue":"a"}}],
+            "exemplars":[{"timeUnixNano":${ns(T0 + 877)},"asDouble":3.25,
+              "spanId":"0102030405060708",
+              "traceId":"0102030405060708090a0b0c0d0e0f10",
+              "filteredAttributes":[{"key":"k","value":{"stringValue":"v"}}]}]}]}},
+         {"name":"lat_hist","histogram":{"aggregationTemporality":1,
+           "dataPoints":[{"timeUnixNano":${ns(T0 + 2000)},"count":"10","sum":55.5,
+            "bucketCounts":["4","3","3"],"explicitBounds":[0.1,1.0]}]}},
+         {"name":"exp_hist","exponentialHistogram":{"aggregationTemporality":2,
+           "dataPoints":[{"timeUnixNano":${ns(T0 + 3000)},"count":"6","sum":9.75,
+            "attributes":[{"key":"h","value":{"stringValue":"b"}}]}]}},
+         {"name":"summ","summary":{"dataPoints":[
+           {"timeUnixNano":${ns(T0 + 4000)},"count":"3","sum":4.5}]}}]}]},
+      {"scopeMetrics":[{"metrics":[
+         {"name":"plus_inf_only","histogram":{"aggregationTemporality":2,
+           "dataPoints":[{"timeUnixNano":${ns(T0 + 5000)},"count":"2",
+            "bucketCounts":["2"]}]}}]}]}]}"""
+  }
+
+  private def withReceiver[T](maxMessageBytes: Int = GrpcOtlpReceiver.DefaultMaxMessageBytes)(
+      body: (String, Int) => T): T = {
+    val sourceDir = Files.createTempDirectory("grpc_src").toString
+    val srv = new GrpcOtlpReceiver(spark, sourceDir, maxMessageBytes)
+    val port = srv.start()
+    try body(sourceDir, port) finally srv.stop()
+  }
+
+  private def landedFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.getName.endsWith(".parquet"))
+
+  test("protobuf codec round-trips the export model") {
+    val decoded = OtlpProto.decodeExportRequest(
+      OtlpProto.encodeExportRequest(fixture))
+    assert(decoded === fixture)
+  }
+
+  test("unknown fields and unpacked repeated encodings decode fine") {
+    // top-level unknown field appended after the known content
+    val w = new ProtoWriter
+    w.out.write(OtlpProto.encodeExportRequest(fixture))
+    w.bytes(9, Array[Byte](1, 2, 3))
+    w.int64(10, 77)
+    assert(OtlpProto.decodeExportRequest(w.result()) === fixture)
+
+    // a HistogramDataPoint with bounds/counts one-per-key (wire type 1) —
+    // proto2-era encoding, still legal — must equal the packed form
+    def histDp(packed: Boolean): Array[Byte] = {
+      val dp = new ProtoWriter
+      dp.fixed64(3, (T0 + 2000) * 1000000L)
+      dp.fixed64(4, 10L)
+      if (packed) {
+        val counts = new ProtoWriter
+        Seq(4L, 3L, 3L).foreach { c =>
+          var i = 0
+          while (i < 8) { counts.out.write(((c >>> (8 * i)) & 0xff).toInt); i += 1 }
+        }
+        dp.bytes(6, counts.result())
+        val bounds = new ProtoWriter
+        Seq(0.1, 1.0).foreach { b =>
+          val v = java.lang.Double.doubleToLongBits(b)
+          var i = 0
+          while (i < 8) { bounds.out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+        }
+        dp.bytes(7, bounds.result())
+      } else {
+        Seq(4L, 3L, 3L).foreach(c => dp.fixed64(6, c))
+        Seq(0.1, 1.0).foreach(b =>
+          dp.fixed64(7, java.lang.Double.doubleToLongBits(b)))
+      }
+      val hist = new ProtoWriter
+      hist.bytes(1, dp.result())
+      hist.int64(2, 1)
+      val m = new ProtoWriter
+      m.string(1, "lat_hist")
+      m.bytes(9, hist.result())
+      val sm = new ProtoWriter
+      sm.bytes(2, m.result())
+      val rm = new ProtoWriter
+      rm.bytes(2, sm.result())
+      val req = new ProtoWriter
+      req.bytes(1, rm.result())
+      req.result()
+    }
+    val a = OtlpProto.decodeExportRequest(histDp(packed = true))
+    val b = OtlpProto.decodeExportRequest(histDp(packed = false))
+    assert(a === b)
+    assert(a.head.datapoints.head.bounds === Some(Seq(0.1, 1.0)))
+    assert(a.head.datapoints.head.bucketCounts === Some(Seq(4L, 3L, 3L)))
+  }
+
+  test("proto decode matches the JSON decode on an equivalent batch") {
+    import org.apache.spark.sql.Encoders
+    val fromJson = graft.ingest.OtlpJson.decode(
+      spark.createDataset(Seq(fixtureJson.replaceAll("\n\\s*", "")))(
+        Encoders.STRING).toDF("value")).collect().toSeq
+    val fromProto = OtlpProto.toDataFrame(spark,
+      OtlpProto.decodeExportRequest(OtlpProto.encodeExportRequest(fixture)))
+      .collect().toSeq
+    assert(fromProto.map(_.toString) === fromJson.map(_.toString))
+  }
+
+  test("unary Export lands the batch and acks with grpc-status 0") {
+    withReceiver() { (sourceDir, port) =>
+      val resp = GrpcTestClient.call(port, ExportPath,
+        grpcFrame(OtlpProto.encodeExportRequest(fixture)))
+      assert(resp.httpStatus === 200)
+      assert(resp.grpcStatus === 0)
+      // empty ExportMetricsServiceResponse: one 5-byte zero frame
+      assert(resp.body.toSeq === grpcFrame(OtlpProto.emptyResponse).toSeq)
+
+      val files = landedFiles(sourceDir)
+      assert(files.size === 1)
+      val landed = spark.read
+        .schema(graft.streaming.OtlpSource.exportSchema)
+        .parquet(sourceDir)
+      val expected = OtlpProto.toDataFrame(spark, fixture)
+      assert(landed.collect().map(_.toString).sorted.toSeq ===
+        expected.collect().map(_.toString).sorted.toSeq)
+
+      // and the landed frame flows through the shared ingest chain
+      val flat = graft.ingest.OtlpFlatten.convertDatapoints(
+        graft.streaming.OtlpSource.explodeExport(landed))
+      assert(flat.count() === 6)
+    }
+  }
+
+  test("an export with zero datapoints acks without landing anything") {
+    withReceiver() { (sourceDir, port) =>
+      val resp = GrpcTestClient.call(port, ExportPath,
+        grpcFrame(OtlpProto.encodeExportRequest(
+          Seq(ResourceRow(Map("service.name" -> "idle"), Seq.empty)))))
+      assert(resp.grpcStatus === 0)
+      assert(landedFiles(sourceDir).isEmpty)
+    }
+  }
+
+  test("a multi-megabyte export streams through flow control windows") {
+    withReceiver() { (sourceDir, port) =>
+      val big = "x" * (1024 * 1024)
+      val rows = Seq(ResourceRow(Map("service.name" -> "bulk"),
+        (0 until 3).map(i =>
+          Datapoint(s"m$i", "gauge", T0 + i, 0, isMonotonic = false,
+            valueInt = None, valueDouble = Some(i.toDouble), count = None,
+            sum = None, bounds = None, bucketCounts = None,
+            dpAttrs = Map("payload" -> (big + i)), exemplars = None))))
+      val body = grpcFrame(OtlpProto.encodeExportRequest(rows))
+      assert(body.length > 3 * 1024 * 1024) // >48 DATA frames at 64 KiB window
+      val resp = GrpcTestClient.call(port, ExportPath, body)
+      assert(resp.grpcStatus === 0)
+      val landed = spark.read
+        .schema(graft.streaming.OtlpSource.exportSchema)
+        .parquet(sourceDir)
+      assert(landed.selectExpr("explode(datapoints) as dp")
+        .selectExpr("length(dp.dp_attrs['payload'])")
+        .collect().map(_.getInt(0)).toSeq === Seq.fill(3)(1024 * 1024 + 1))
+    }
+  }
+
+  test("error arms: unknown method, truncated frame, oversize, compression") {
+    withReceiver(maxMessageBytes = 1024) { (sourceDir, port) =>
+      // unknown method → UNIMPLEMENTED(12), the grpc routing contract
+      val unk = GrpcTestClient.call(port, "/no.such.Service/Call",
+        grpcFrame(Array.emptyByteArray))
+      assert(unk.grpcStatus === 12)
+
+      // truncated frame (declared length > body) → INVALID_ARGUMENT(3)
+      val bad = GrpcTestClient.call(port, ExportPath,
+        Array[Byte](0, 0, 0, 0, 99, 1, 2))
+      assert(bad.grpcStatus === 3)
+
+      // body over the message cap → RESOURCE_EXHAUSTED(8), failed mid-stream
+      val over = GrpcTestClient.call(port, ExportPath,
+        grpcFrame(new Array[Byte](10 * 1024)))
+      assert(over.grpcStatus === 8)
+
+      // compressed flag without a negotiated codec → INTERNAL(13), grpc-go's
+      // contract for this corruption
+      val comp = GrpcTestClient.call(port, ExportPath,
+        Array[Byte](1, 0, 0, 0, 0))
+      assert(comp.grpcStatus === 13)
+
+      // grpc-encoding announcing gzip → UNIMPLEMENTED(12) + accept hint
+      val gz = GrpcTestClient.call(port, ExportPath,
+        grpcFrame(Array.emptyByteArray),
+        extraHeaders = Seq("grpc-encoding" -> "gzip"))
+      assert(gz.grpcStatus === 12)
+      assert(gz.trailers.get("grpc-accept-encoding").contains("identity"))
+
+      // a non-gRPC content type is rejected at the HTTP layer: 415, no
+      // grpc-status
+      val notGrpc = GrpcTestClient.call(port, ExportPath,
+        "plain text".getBytes("UTF-8"), contentType = "text/plain")
+      assert(notGrpc.httpStatus === 415)
+      assert(notGrpc.grpcStatus === -1)
+
+      assert(landedFiles(sourceDir).isEmpty)
+    }
+  }
+
+  test("malformed protobuf inside a well-formed frame → INVALID_ARGUMENT") {
+    withReceiver() { (sourceDir, port) =>
+      // field 1, wire 2, declared length far past the end of the message
+      val junk = Array[Byte](0x0a, 0x7f, 1, 2, 3)
+      val resp = GrpcTestClient.call(port, ExportPath, grpcFrame(junk))
+      assert(resp.grpcStatus === 3)
+      assert(landedFiles(sourceDir).isEmpty)
+    }
+  }
+}

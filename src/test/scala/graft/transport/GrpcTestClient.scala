@@ -1,0 +1,121 @@
+package graft.transport
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2._
+
+/** Spec-side gRPC client over Netty's HTTP/2 codec — the loopback peer for
+  * [[GrpcOtlpReceiver]], playing the role RemoteReadServerSpec's HTTP POST
+  * helper plays for the JSON/parquet endpoints. It is a REAL h2c client
+  * (preface, SETTINGS, HPACK, flow control all from Netty's independent
+  * client codec paths), so the server is exercised through the actual
+  * protocol, not a hand-shaken mock. */
+object GrpcTestClient {
+
+  final case class GrpcResponse(httpStatus: Int, grpcStatus: Int,
+      grpcMessage: String, body: Array[Byte], trailers: Map[String, String])
+
+  /** One unary call: open a stream, send HEADERS + chunked DATA, collect the
+    * response until the end-stream frame. `chunkSize` below the 16 KiB frame
+    * ceiling splits large bodies across many DATA frames, exercising the
+    * server's window replenishment. */
+  def call(port: Int, path: String, body: Array[Byte],
+      contentType: String = "application/grpc",
+      extraHeaders: Seq[(String, String)] = Nil,
+      chunkSize: Int = 16384): GrpcResponse = {
+    val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+    try {
+      val done = new CountDownLatch(1)
+      val bodyOut = new java.io.ByteArrayOutputStream()
+      @volatile var httpStatus = -1
+      @volatile var grpcStatus = -1
+      @volatile var grpcMessage = ""
+      @volatile var trailers = Map.empty[String, String]
+
+      val b = new Bootstrap()
+        .group(group)
+        .channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[SocketChannel] {
+          override def initChannel(ch: SocketChannel): Unit = {
+            ch.pipeline().addLast(
+              Http2FrameCodecBuilder.forClient().build(),
+              // no server-initiated streams expected; drop any
+              new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+          }
+        })
+      val channel = b.connect("127.0.0.1", port).sync().channel()
+      try {
+        val streamBootstrap = new Http2StreamChannelBootstrap(channel)
+        streamBootstrap.handler(new ChannelInboundHandlerAdapter {
+          private def header(hs: Http2Headers, name: String): Option[String] =
+            Option(hs.get(name)).map(_.toString)
+          override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+            msg match {
+              case h: Http2HeadersFrame =>
+                val hs = h.headers()
+                header(hs, ":status").foreach(s => httpStatus = s.toInt)
+                header(hs, "grpc-status").foreach(s => grpcStatus = s.toInt)
+                header(hs, "grpc-message").foreach(m => grpcMessage = m)
+                if (h.isEndStream) {
+                  trailers = {
+                    val it = hs.iterator()
+                    var m = Map.empty[String, String]
+                    while (it.hasNext) {
+                      val e = it.next()
+                      m += (e.getKey.toString -> e.getValue.toString)
+                    }
+                    m
+                  }
+                  done.countDown()
+                }
+              case d: Http2DataFrame =>
+                try {
+                  val chunk = new Array[Byte](d.content().readableBytes())
+                  d.content().readBytes(chunk)
+                  bodyOut.write(chunk)
+                  val n = d.initialFlowControlledBytes()
+                  if (n > 0) ctx.writeAndFlush(
+                    new DefaultHttp2WindowUpdateFrame(n).stream(d.stream()))
+                  if (d.isEndStream) done.countDown()
+                } finally d.release()
+              case _: Http2ResetFrame => done.countDown()
+              case other => io.netty.util.ReferenceCountUtil.release(other)
+            }
+        })
+        val stream = streamBootstrap.open().sync().getNow
+
+        val hs = new DefaultHttp2Headers()
+          .method("POST").scheme("http").path(path).authority(s"127.0.0.1:$port")
+        hs.set("content-type", contentType)
+        hs.set("te", "trailers")
+        extraHeaders.foreach { case (k, v) => hs.set(k, v) }
+        if (body.isEmpty) {
+          stream.writeAndFlush(new DefaultHttp2HeadersFrame(hs, true))
+        } else {
+          stream.write(new DefaultHttp2HeadersFrame(hs))
+          var pos = 0
+          while (pos < body.length) {
+            val n = math.min(chunkSize, body.length - pos)
+            val last = pos + n == body.length
+            stream.write(new DefaultHttp2DataFrame(
+              Unpooled.wrappedBuffer(body, pos, n), last))
+            pos += n
+          }
+          stream.flush()
+        }
+        require(done.await(60, TimeUnit.SECONDS), "grpc call timed out")
+        GrpcResponse(httpStatus, grpcStatus, grpcMessage,
+          bodyOut.toByteArray, trailers)
+      } finally channel.close().sync()
+    } finally {
+      group.shutdownGracefully(0, 500, TimeUnit.MILLISECONDS)
+      ()
+    }
+  }
+}
