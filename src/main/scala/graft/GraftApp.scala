@@ -52,6 +52,7 @@ case class GraftConfig(
     publishRouting: Boolean = true,
     mergeTierBuckets: Boolean = false,
     transportPort: Option[Int] = None,
+    grpcPort: Option[Int] = None,
     nowMs: Option[Long] = None)
 
 object GraftApp {
@@ -88,7 +89,8 @@ object GraftApp {
         get("maintenance.publish_routing").forall(_.toBoolean),
       mergeTierBuckets =
         get("maintenance.merge_tier_buckets").exists(_.toBoolean),
-      transportPort = get("transport.port").map(_.toInt))
+      transportPort = get("transport.port").map(_.toInt),
+      grpcPort = get("transport.grpc_port").map(_.toInt))
   }
 
   /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, one
@@ -267,10 +269,22 @@ object GraftApp {
       println(s"[graft] remote-read transport on 127.0.0.1:$bound")
       srv
     }
+    // optional gRPC OTLP receiver (transport.grpc_port; 0 = ephemeral) —
+    // the reference's native ingest transport (otlp.go:42-68); batches land
+    // in the same watched source dir the file stream consumes
+    val grpc = cfg.grpcPort.map { p =>
+      val srv = new graft.transport.GrpcOtlpReceiver(spark, cfg.sourceDir)
+      val bound = srv.start(p)
+      println(s"[graft] grpc otlp receiver on 127.0.0.1:$bound")
+      srv
+    }
     val query = start(spark, cfg,
       Trigger.ProcessingTime(cfg.flushIntervalMs,
         java.util.concurrent.TimeUnit.MILLISECONDS))
     try query.awaitTermination()
-    finally transport.foreach(_.stop())
+    finally {
+      transport.foreach(_.stop())
+      grpc.foreach(_.stop())
+    }
   }
 }

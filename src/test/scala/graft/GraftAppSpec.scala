@@ -310,4 +310,32 @@ class GraftAppSpec extends SparkSpec {
     // all three series' rows survived the rewrites
     assert(sinkRows(cfg).map(_._1).toSet === Set("mc1", "mc2", "mc3"))
   }
+
+  test("gRPC export enters the app pipeline: wire ingest lands as deltas") {
+    import graft.transport.{GrpcOtlpReceiver, GrpcTestClient, OtlpProto}
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"${base}/in").mkdirs()
+    val cfg = cfgFor(base)
+    // the reference's native transport feeding the same watched dir the
+    // file stream consumes: a cumulative monotonic sum over real h2c gRPC
+    val srv = new GrpcOtlpReceiver(spark, cfg.sourceDir)
+    val port = srv.start()
+    try {
+      val dps = Seq(100.0, 150.0, 200.0).zipWithIndex.map { case (v, i) =>
+        OtlpProto.Datapoint("m_grpc", "sum", NowMs - 3000 + 1000L * i,
+          temporalityCode = 1, isMonotonic = true,
+          valueInt = None, valueDouble = Some(v), count = None, sum = None,
+          bounds = None, bucketCounts = None,
+          dpAttrs = Map("k" -> "v"), exemplars = None)
+      }
+      val resp = GrpcTestClient.call(port, GrpcOtlpReceiver.ExportPath,
+        GrpcOtlpReceiver.grpcFrame(OtlpProto.encodeExportRequest(Seq(
+          OtlpProto.ResourceRow(Map("service.name" -> "svc-grpc"), dps)))))
+      assert(resp.grpcStatus === 0)
+    } finally srv.stop()
+    runOnce(cfg)
+    assert(sinkRows(cfg).toSeq === Seq(
+      ("m_grpc", NowMs - 3000, 100.0), ("m_grpc", NowMs - 2000, 50.0),
+      ("m_grpc", NowMs - 1000, 50.0)))
+  }
 }
