@@ -223,6 +223,42 @@ class GrpcOtlpReceiverSpec extends SparkSpec {
     }
   }
 
+  test("concurrent exports — multiplexed streams and parallel connections — land exactly once") {
+    withReceiver() { (sourceDir, port) =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      // payloads large enough that DATA frames from concurrent streams
+      // interleave on the shared connection — the per-stream state in the
+      // server's ConnectionHandler is what's under test
+      val payload = "y" * (256 * 1024)
+      def reqFor(tag: String): Array[Byte] =
+        grpcFrame(OtlpProto.encodeExportRequest(Seq(
+          ResourceRow(Map("service.name" -> tag), Seq(
+            Datapoint(s"m_$tag", "gauge", T0, 0, isMonotonic = false,
+              valueInt = None, valueDouble = Some(1.0), count = None,
+              sum = None, bounds = None, bucketCounts = None,
+              dpAttrs = Map("p" -> payload), exemplars = None))))))
+      val shared = GrpcTestClient.connect(port)
+      try {
+        val calls =
+          (0 until 4).map(i => Future(shared.call(ExportPath, reqFor(s"mux$i")))) ++
+          (0 until 4).map(i => Future(
+            GrpcTestClient.call(port, ExportPath, reqFor(s"conn$i"))))
+        val all = Await.result(Future.sequence(calls), 120.seconds)
+        assert(all.map(_.grpcStatus) === Seq.fill(8)(0))
+      } finally shared.close()
+      assert(landedFiles(sourceDir).size === 8)
+      val landed = spark.read
+        .schema(graft.streaming.OtlpSource.exportSchema)
+        .parquet(sourceDir)
+      val metrics = landed.selectExpr("explode(datapoints) as dp")
+        .selectExpr("dp.metric").collect().map(_.getString(0)).sorted.toSeq
+      assert(metrics ===
+        ((0 until 4).map(i => s"m_conn$i") ++ (0 until 4).map(i => s"m_mux$i")))
+    }
+  }
+
   test("error arms: unknown method, truncated frame, oversize, compression") {
     withReceiver(maxMessageBytes = 1024) { (sourceDir, port) =>
       // unknown method → UNIMPLEMENTED(12), the grpc routing contract
