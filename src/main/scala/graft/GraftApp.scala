@@ -53,6 +53,8 @@ case class GraftConfig(
     mergeTierBuckets: Boolean = false,
     transportPort: Option[Int] = None,
     grpcPort: Option[Int] = None,
+    sourceClean: String = "off",
+    sourceArchiveDir: Option[String] = None,
     nowMs: Option[Long] = None)
 
 object GraftApp {
@@ -90,7 +92,9 @@ object GraftApp {
       mergeTierBuckets =
         get("maintenance.merge_tier_buckets").exists(_.toBoolean),
       transportPort = get("transport.port").map(_.toInt),
-      grpcPort = get("transport.grpc_port").map(_.toInt))
+      grpcPort = get("transport.grpc_port").map(_.toInt),
+      sourceClean = get("source.clean").getOrElse("off"),
+      sourceArchiveDir = get("source.archive_dir"))
   }
 
   /** The stateless ingest chain S2→S3→P1→P2→P3→S4→F9, export rows in, one
@@ -173,7 +177,8 @@ object GraftApp {
       trigger: Trigger = null): StreamingQuery = {
     val nowCol = cfg.nowMs.map(n => lit(n))
       .getOrElse(unix_millis(current_timestamp()))
-    val exports = OtlpSource.fileStream(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
+    val exports = OtlpSource.fileStream(spark, cfg.sourceDir,
+      cfg.maxFilesPerTrigger, cfg.sourceClean, cfg.sourceArchiveDir)
     val validated = convert(exports, cfg, nowCol)
     val out: DataFrame =
       if (cfg.convertToDelta) {

@@ -50,13 +50,31 @@ object OtlpSource {
 
   /** The streaming source: new parquet files under `dir` become micro-batch
     * input. `maxFilesPerTrigger` bounds batch size — the analog of the
-    * reference's batch_size flush threshold (processor.go:81-87). */
+    * reference's batch_size flush threshold (processor.go:81-87).
+    *
+    * `cleanSource` is the landing zone's LIFECYCLE, which the reference never
+    * needs (its receiver hands rows straight to the writer) but a file
+    * landing zone at scale cannot skip: collectors keep dropping export
+    * batches forever, and consumed files left in place mean an
+    * ever-growing directory LISTING cost on every trigger — the file
+    * source re-lists the zone each batch, so at 100 TB/day of exports the
+    * un-cleaned zone, not the data volume, becomes the bottleneck.
+    * "delete" drops consumed files, "archive" moves them under
+    * `archiveDir` (audit trail kept, listing kept small), "off" preserves
+    * the historical default. Cleaning is exactly-once-safe either way: the
+    * checkpoint tracks consumed files, so a restart never re-reads an
+    * archived or deleted batch. */
   def fileStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 16,
+      cleanSource: String = "off",
+      archiveDir: Option[String] = None): DataFrame = {
+    val base = spark.readStream
       .schema(exportSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", cleanSource)
+    archiveDir.foldLeft(base)((b, d) => b.option("sourceArchiveDir", d))
       .parquet(dir)
+  }
 
   /** S2 applied to an export frame: one row per datapoint, wire columns at
     * the top level, resource attrs carried alongside. */

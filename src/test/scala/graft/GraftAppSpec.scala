@@ -311,6 +311,55 @@ class GraftAppSpec extends SparkSpec {
     assert(sinkRows(cfg).map(_._1).toSet === Set("mc1", "mc2", "mc3"))
   }
 
+  /** Bounded wait for the file source's async cleaner (it runs on a
+    * background thread after batch commit). */
+  private def eventually(timeoutMs: Long = 15000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    cond
+  }
+
+  test("landing-zone lifecycle: consumed source files delete or archive (source.clean)") {
+    // delete mode: the zone's listing stays bounded as collectors keep
+    // dropping batches — consumed files go away, data stays complete
+    val base = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"$base/in").mkdirs()
+    val cfg = cfgFor(base).copy(sourceClean = "delete", convertToDelta = false)
+    land(cfg.sourceDir, 1, exportRows(Seq(("md", NowMs - 2000, 1.0))))
+    runOnce(cfg)
+    land(cfg.sourceDir, 2, exportRows(Seq(("md", NowMs - 1000, 2.0))))
+    runOnce(cfg)
+    assert(eventually() {
+      !new java.io.File(cfg.sourceDir, "batch_1.parquet").exists()
+    }, "consumed batch_1.parquet still in the landing zone")
+    assert(sinkRows(cfg).toSeq === Seq(
+      ("md", NowMs - 2000, 1.0), ("md", NowMs - 1000, 2.0)))
+
+    // archive mode: consumed files move under the archive dir instead —
+    // audit trail kept, listing still bounded
+    val base2 = Files.createTempDirectory("graft_app").toString
+    new java.io.File(s"$base2/in").mkdirs()
+    val cfg2 = cfgFor(base2).copy(sourceClean = "archive",
+      sourceArchiveDir = Some(s"$base2/archive"), convertToDelta = false)
+    land(cfg2.sourceDir, 1, exportRows(Seq(("ma", NowMs - 2000, 3.0))))
+    runOnce(cfg2)
+    land(cfg2.sourceDir, 2, exportRows(Seq(("ma", NowMs - 1000, 4.0))))
+    runOnce(cfg2)
+    def archived: Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$base2/archive")).map(_.getName)
+    }
+    assert(eventually() { archived.contains("batch_1.parquet") },
+      s"batch_1.parquet not archived; archive holds: $archived")
+    assert(eventually() {
+      !new java.io.File(cfg2.sourceDir, "batch_1.parquet").exists()
+    })
+    assert(sinkRows(cfg2).toSeq === Seq(
+      ("ma", NowMs - 2000, 3.0), ("ma", NowMs - 1000, 4.0)))
+  }
+
   test("gRPC export enters the app pipeline: wire ingest lands as deltas") {
     import graft.transport.{GrpcOtlpReceiver, GrpcTestClient, OtlpProto}
     val base = Files.createTempDirectory("graft_app").toString
