@@ -318,6 +318,108 @@ object Scratch {
             s"joins=${cnt("Join")}")
           for (i <- 1 to 4) { System.gc(); time(s"$n#$i")(noop(q)) }
         }
+    } else if (args.headOption.contains("scans_ab")) {
+      // sweep: which queries scan the SAME parquet path more than once in
+      // their executed tree? Duplicate fact scans are invisible at sf0.1
+      // but are a multiplier on 100 TB I/O (q_j2 was 6x before r11).
+      //
+      // r11 adjudication of the remaining hits (all benign):
+      //  - q_dedup_* / q_ann_*: the 2x floor is the planted-duplicate UNION
+      //    fixture (docsNearDups/embScaledDups) — two branches with
+      //    different pushed filters, legitimately two pruned scans;
+      //    q_ann_ivf's 3x = corpus + probe stride + centroid stride.
+      //  - q_dedup_embed 4x: the oracle query's id_b = id_a + 200000
+      //    predicate enters the join keys, so the two sides shuffle on
+      //    DIFFERENT expressions and exchange reuse structurally cannot
+      //    apply; each evaluation carries its own pushed filter. A plain
+      //    self-join in this session DOES reuse (see reuse_ab).
+      //  - q_u1_union_all: two branches with different predicates — the
+      //    pushed-filter union shape, cheaper than scan-once-filter-twice.
+      // Library-level duplicates found and fixed this round: q_j2's cnt
+      // (6x -> 1x, persist) and jaccardPairs' shingle derivation
+      // (2 evaluations / 4 scans -> 1 evaluation, persist).
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def treePaths(p: SparkPlan): Seq[String] = {
+        val self = p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+          case a: AdaptiveSparkPlanExec => treePaths(a.executedPlan)
+          case q: QueryStageExec => treePaths(q.plan)
+          case _: ReusedExchangeExec => Seq.empty
+          case _ => Seq.empty
+        }
+        self ++ p.children.flatMap(treePaths)
+      }
+      val benched = graft.SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(graft.SparkEntry.verifyOnly)
+      benched.foreach { name =>
+        try {
+          val qe = graft.SparkEntry.queries(name)(spark, d).queryExecution
+          qe.toRdd.foreach(_ => ())
+          val dup = treePaths(qe.executedPlan)
+            .groupBy(identity).view.mapValues(_.size)
+            .filter { case (p, n) => n > 1 && !p.contains("/scratch") }
+          if (dup.nonEmpty)
+            println(s"[scratch] $name RESCANS: " + dup.map { case (p, n) =>
+              s"${p.split('/').takeRight(1).mkString}x$n" }.mkString(", "))
+        } catch { case e: Exception =>
+          println(s"[scratch] $name probe failed: ${e.getClass.getSimpleName}")
+        } finally graft.CacheHygiene.releaseAll(spark)
+      }
+      println("[scratch] scans_ab sweep complete")
+    } else if (args.headOption.contains("reuse_ab")) {
+      // control: does a plain self-join reuse its exchange in this session?
+      val t = spark.range(100000).select(col("id"),
+        (col("id") % 7).as("b"), (col("id") * 2).as("v"))
+      val j = t.as("x").hint("shuffle_merge")
+        .join(t.as("y").hint("shuffle_merge"),
+          col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      val qe1 = j.queryExecution
+      qe1.toRdd.foreach(_ => ())
+      println(s"[scratch] plain self-join reused=" +
+        "ReusedExchange".r.findAllIn(qe1.executedPlan.toString).size)
+      // subject: q_dedup_embed's executed exchanges
+      val qe = graft.SparkEntry.queries("q_dedup_embed")(spark, d).queryExecution
+      qe.toRdd.foreach(_ => ())
+      val plan = qe.executedPlan.toString
+      println(s"[scratch] q_dedup_embed reused=" +
+        "ReusedExchange".r.findAllIn(plan).size)
+      plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan"))
+        .take(20).foreach(l => println("[scratch] " + l.trim.take(150)))
+      graft.CacheHygiene.releaseAll(spark)
+    } else if (args.headOption.contains("j2_ab")) {
+      // does q_j2's triple reference to `cnt` (months/firsts/filled) collapse
+      // to one lineitem scan via exchange reuse, or re-scan per branch?
+      val qe = graft.SparkEntry.queries("q_j2_bucket_deltas")(spark, d)
+        .queryExecution
+      qe.toRdd.foreach(_ => ())
+      val plan = qe.executedPlan.toString
+      def cnt(p: String) = p.r.findAllIn(plan).size
+      println(s"[scratch] q_j2 fileScans=${cnt("FileScan")} " +
+        s"reusedExchanges=${cnt("ReusedExchange")} " +
+        s"exchanges=${cnt("Exchange")} aqeReads=${cnt("AQEShuffleRead")} " +
+        s"memScans=${cnt("InMemoryTableScan")}")
+      // the true fact-scan count: walk the executed TREE — a cached
+      // relation's interior plan prints in toString but is not a child
+      // node, so textual FileScan counts over-report once persist is in play
+      def treeScans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match {
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            treeScans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            treeScans(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            0 // reuse: its child executed elsewhere
+          case _ => 0
+        }
+        self + p.children.map(treeScans).sum
+      }
+      println(s"[scratch] q_j2 treeFileScans=${treeScans(qe.executedPlan)}")
+      graft.CacheHygiene.releaseAll(spark)
     } else if (args.nonEmpty) {
       // time the named queries (forcing full execution, Bench-style)
       args.foreach { name =>

@@ -64,8 +64,17 @@ object Dedup {
     // projected column gets pushed below the projection, duplicating the
     // whole shingle derivation into the scan filter. tokens ≥ n ⟺ the
     // window array is non-empty, and split() alone is the cheap predicate.
+    // PERSISTED: sh feeds both the inverted index and the sizes lookup, and
+    // those are separate DAG branches — un-cached, the shingle derivation
+    // (the expensive stage) evaluates twice and the docs table scans 4× (2×
+    // per evaluation through a union-shaped input; measured via Scratch
+    // scans_ab, r11). Exchange reuse only dedups the self-join's two sides,
+    // not the sizes branch. The cache is hashes-only (~8 B/shingle),
+    // MEMORY_AND_DISK so it spills instead of evicting at scale; callers
+    // release it via CacheHygiene.releaseAll (Verify/Bench already do).
     val sh = docs.filter(size(TextAnalysis.tokens(text)) >= n)
       .select(id.as("doc_id"), shingleHashesNative(text, n).as("sh"))
+      .persist()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // shuffle_merge: a broadcast self-join would compute the shingle

@@ -217,11 +217,18 @@ object HistoQueries {
         col("l_returnflag").as("flag"),
         date_format(col("l_shipdate"), "yyyy-MM").as("month"),
         leOf(col("l_quantity"), QtyBounds).as("le"))
+      // PERSISTED: cnt feeds three DAG branches (months, firsts, the grid
+      // fill join), and Catalyst re-expands an un-cached subtree per branch —
+      // measured at sf0.1 as SIX lineitem FileScans with zero exchange
+      // reuse (Scratch j2_ab). The aggregate is tiny (flags × months ×
+      // bounds), so caching it collapses the fact-table I/O to one scan —
+      // the difference between 1× and 6× of 100 TB. Verify/Bench release it
+      // via CacheHygiene.releaseAll.
       val cnt = base.groupBy(col("flag"), col("month"), col("le"))
         .agg(count(lit(1)).as("count"))
+        .persist()
       // derive the month grid from the aggregated cnt, not from base — every
-      // (flag, month) of base survives into cnt, and this avoids a second
-      // full lineitem scan for a distinct over two columns
+      // (flag, month) of base survives into cnt
       val months = cnt.select(col("flag"), col("month")).distinct()
       val firsts = cnt.groupBy(col("flag"), col("le")).agg(min(col("month")).as("fm"))
       val grid = months.join(firsts, Seq("flag")).filter(col("month") >= col("fm"))
