@@ -338,30 +338,12 @@ object Scratch {
       // Library-level duplicates found and fixed this round: q_j2's cnt
       // (6x -> 1x, persist) and jaccardPairs' shingle derivation
       // (2 evaluations / 4 scans -> 1 evaluation, persist).
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-      def treePaths(p: SparkPlan): Seq[String] = {
-        val self = p match {
-          case f: FileSourceScanExec =>
-            f.relation.location.rootPaths.map(_.toString)
-          case a: AdaptiveSparkPlanExec => treePaths(a.executedPlan)
-          case q: QueryStageExec => treePaths(q.plan)
-          case _: ReusedExchangeExec => Seq.empty
-          case _ => Seq.empty
-        }
-        self ++ p.children.flatMap(treePaths)
-      }
       val benched = graft.SparkEntry.queries.keys.toSeq.sorted
         .filterNot(graft.SparkEntry.verifyOnly)
       benched.foreach { name =>
         try {
-          val qe = graft.SparkEntry.queries(name)(spark, d).queryExecution
-          qe.toRdd.foreach(_ => ())
-          val dup = treePaths(qe.executedPlan)
-            .groupBy(identity).view.mapValues(_.size)
-            .filter { case (p, n) => n > 1 && !p.contains("/scratch") }
+          val dup = graft.plans.PlanAudit.overBudgetScans(
+            graft.SparkEntry.queries(name)(spark, d))
           if (dup.nonEmpty)
             println(s"[scratch] $name RESCANS: " + dup.map { case (p, n) =>
               s"${p.split('/').takeRight(1).mkString}x$n" }.mkString(", "))
@@ -392,33 +374,20 @@ object Scratch {
       graft.CacheHygiene.releaseAll(spark)
     } else if (args.headOption.contains("j2_ab")) {
       // does q_j2's triple reference to `cnt` (months/firsts/filled) collapse
-      // to one lineitem scan via exchange reuse, or re-scan per branch?
+      // to one lineitem scan, or re-scan per branch? (tree walk via
+      // PlanAudit — textual FileScan counts over-report once persist is in
+      // play: a cached relation's interior plan prints but never executes)
       val qe = graft.SparkEntry.queries("q_j2_bucket_deltas")(spark, d)
         .queryExecution
       qe.toRdd.foreach(_ => ())
       val plan = qe.executedPlan.toString
       def cnt(p: String) = p.r.findAllIn(plan).size
-      println(s"[scratch] q_j2 fileScans=${cnt("FileScan")} " +
+      println(s"[scratch] q_j2 fileScans(text)=${cnt("FileScan")} " +
         s"reusedExchanges=${cnt("ReusedExchange")} " +
         s"exchanges=${cnt("Exchange")} aqeReads=${cnt("AQEShuffleRead")} " +
         s"memScans=${cnt("InMemoryTableScan")}")
-      // the true fact-scan count: walk the executed TREE — a cached
-      // relation's interior plan prints in toString but is not a child
-      // node, so textual FileScan counts over-report once persist is in play
-      def treeScans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-        val self = p match {
-          case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            treeScans(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            treeScans(q.plan)
-          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-            0 // reuse: its child executed elsewhere
-          case _ => 0
-        }
-        self + p.children.map(treeScans).sum
-      }
-      println(s"[scratch] q_j2 treeFileScans=${treeScans(qe.executedPlan)}")
+      println(s"[scratch] q_j2 treeFileScans=" +
+        graft.plans.PlanAudit.scannedPaths(qe.executedPlan).size)
       graft.CacheHygiene.releaseAll(spark)
     } else if (args.nonEmpty) {
       // time the named queries (forcing full execution, Bench-style)

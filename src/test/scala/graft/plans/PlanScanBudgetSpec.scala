@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Physical scan budgets for every benched query: no executed plan may scan
+  * a source path more times than its documented budget. Duplicate fact
+  * scans cost nothing at spec scale and multiply full-table I/O at 100 TB —
+  * q_j2 silently re-expanded its month-grid aggregate into SIX lineitem
+  * scans and jaccardPairs evaluated its shingle stage twice before the r11
+  * audit (Scratch scans_ab) caught them. This spec pins the audit so a
+  * future refactor cannot regress a 1× query back to N×.
+  *
+  * Budget = 1 unless the query's INPUT is legitimately multi-scan:
+  * planted-duplicate union fixtures read the table once per branch with
+  * different pushed filters (cheaper than scan-once-filter-twice), and
+  * q_dedup_embed's oracle predicate rewrites the self-join keys so the two
+  * sides shuffle on different expressions (exchange reuse structurally
+  * cannot apply; each side carries its own pushed filter). */
+class PlanScanBudgetSpec extends SparkSpec {
+
+  // query → max allowed physical scans of any single path
+  private val budgets: Map[String, Int] = Map(
+    // two-branch planted-duplicate fixtures (docsNearDups / DupCte twin)
+    "q_dedup_exact" -> 2,
+    "q_dedup_jaccard" -> 2,
+    "q_dedup_minhash" -> 2,
+    "q_dedup_simhash" -> 2,
+    "q_dedup_apply" -> 2,
+    "q_dedup_clusters" -> 2,
+    // probe stride + corpus (+ centroid stride for IVF)
+    "q_ann_topk" -> 2,
+    "q_ann_lsh" -> 2,
+    "q_ann_ivf" -> 3,
+    // union fixture × key-rewritten self-join sides (see scaladoc)
+    "q_dedup_embed" -> 4,
+    // UNION ALL over two differently-filtered branches
+    "q_u1_union_all" -> 2)
+
+  private val benched: Seq[String] =
+    graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(graft.SparkEntry.verifyOnly)
+
+  test("no benched query exceeds its physical scan budget") {
+    val over = benched.flatMap { name =>
+      try {
+        val budget = budgets.getOrElse(name, 1)
+        val dup = PlanAudit.overBudgetScans(
+          graft.SparkEntry.queries(name)(spark, Sf), budget)
+        if (dup.isEmpty) None
+        else Some(s"$name exceeds budget $budget: " + dup.map {
+          case (p, n) => s"${p.split('/').last}x$n"
+        }.mkString(", "))
+      } finally graft.CacheHygiene.releaseAll(spark)
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}
