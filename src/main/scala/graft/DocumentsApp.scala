@@ -39,14 +39,17 @@ import graft.sources.DocumentSource
   *
   * Config keys (java properties):
   *   source.dir, storage.dir, checkpoint.dir,
-  *   dedup.horizon (default "1 hour"), source.max_files_per_trigger
+  *   dedup.horizon (default "1 hour"), source.max_files_per_trigger,
+  *   source.clean (off|delete|archive), source.archive_dir
   */
 case class DocumentsConfig(
     sourceDir: String,
     storageDir: String,
     checkpointDir: String,
     horizon: String = "1 hour",
-    maxFilesPerTrigger: Int = 16)
+    maxFilesPerTrigger: Int = 16,
+    sourceClean: String = "off",
+    sourceArchiveDir: Option[String] = None)
 
 object DocumentsApp {
 
@@ -63,13 +66,15 @@ object DocumentsApp {
       checkpointDir = req("checkpoint.dir"),
       horizon = get("dedup.horizon").getOrElse("1 hour"),
       maxFilesPerTrigger =
-        get("source.max_files_per_trigger").map(_.toInt).getOrElse(16))
+        get("source.max_files_per_trigger").map(_.toInt).getOrElse(16),
+      sourceClean = get("source.clean").getOrElse("off"),
+      sourceArchiveDir = get("source.archive_dir"))
   }
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {
     val parsed = DocumentSource.jsonlStream(spark, cfg.sourceDir,
-        cfg.maxFilesPerTrigger)
+        cfg.maxFilesPerTrigger, cfg.sourceClean, cfg.sourceArchiveDir)
       .withColumn("ingested_at", current_timestamp())
       // date partition for both outputs (UTC session — same convention as
       // the metrics sink's daily partitions)

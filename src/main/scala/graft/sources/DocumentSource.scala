@@ -63,14 +63,26 @@ object DocumentSource {
     * [[graft.llm.StreamingDedup.dedupExact]] for ingest-boundary dedup once
     * an event-time column is stamped (crawl records carry their fetch time;
     * the caller maps it to a timestamp column). `maxFilesPerTrigger` bounds
-    * micro-batch size so one large drop cannot stall the trigger cadence. */
+    * micro-batch size so one large drop cannot stall the trigger cadence.
+    *
+    * `cleanSource` is the crawl landing zone's lifecycle (same rationale as
+    * [[graft.streaming.OtlpSource.fileStream]]): fetchers drop files
+    * forever, the source re-lists the zone every trigger, and at sustained
+    * crawl volume the un-cleaned listing — not the data — becomes the
+    * bottleneck. "delete" drops consumed drops, "archive" moves them under
+    * `archiveDir`; the checkpoint keeps exactly-once either way. */
   def jsonlStream(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 16): DataFrame =
+      maxFilesPerTrigger: Int = 16,
+      cleanSource: String = "off",
+      archiveDir: Option[String] = None): DataFrame = {
+    val base = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", cleanSource)
     parsed(
-      spark.readStream
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      archiveDir.foldLeft(base)((b, d) => b.option("sourceArchiveDir", d))
         .text(path),
       from_json(col("value"), schema))
+  }
 
   /** Comma-separated with no header row; `sep` for TSV exports. */
   def csv(spark: SparkSession, path: String, sep: String = ","): DataFrame =

@@ -66,4 +66,35 @@ class DocumentsAppSpec extends SparkSpec {
     assert(corpus2.columns.contains("p_date"))
     assert(spark.read.parquet(s"$store/corpus").filter(col("p_date").isNull).isEmpty)
   }
+
+  test("landing lifecycle: consumed crawl drops delete (source.clean)") {
+    val root = Files.createTempDirectory("graft_docs_app")
+    val src = Files.createDirectory(root.resolve("landing"))
+    val f = root.resolve("docs.properties")
+    Files.writeString(f,
+      s"""source.dir=$src
+         |storage.dir=${root.resolve("store")}
+         |checkpoint.dir=${root.resolve("ckpt")}
+         |source.clean=delete
+         |""".stripMargin)
+    val cfg = DocumentsApp.load(f.toString)
+    assert(cfg.sourceClean == "delete")
+
+    drop(src, "b1.jsonl", Seq(
+      """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "w", "n_chars": 5}"""))
+    val q1 = DocumentsApp.start(spark, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    drop(src, "b2.jsonl", Seq(
+      """{"doc_id": 2, "text": "beta", "lang": "en", "source": "w", "n_chars": 4}"""))
+    val q2 = DocumentsApp.start(spark, cfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val deadline = System.currentTimeMillis() + 15000
+    while (Files.exists(src.resolve("b1.jsonl")) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!Files.exists(src.resolve("b1.jsonl")),
+      "consumed b1.jsonl still in the landing zone")
+    assert(spark.read.parquet(s"${root.resolve("store")}/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
 }
