@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
 
 /** Training-data-pipeline operator queries over `documents`/`embeddings`:
@@ -146,6 +146,28 @@ object LlmQueries {
           Dedup.components(pairs, col("id_a"), col("id_b")))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: the eval-leakage pass. The "benchmark" is a
+    // deterministic stride of the corpus projected to a 120-char prefix —
+    // partial containment, the case a verbatim-match pass misses. 5-gram
+    // overlap >= 2 flags a doc; the clean twin is the anti-joined corpus a
+    // training run consumes. Hashed shingles join against the broadcast
+    // benchmark set; the string-shingled DuckDB restatement is exact under
+    // the same injective-hash argument as q_dedup_jaccard.
+    "q_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.contaminationHits(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 17 === 3), substring(col("text"), 1, 120),
+          n = 5, minHits = 2)
+        .orderBy(col("doc_id"))
+    }),
+    "q_decontam_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.clean(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 17 === 3), substring(col("text"), 1, 120),
+          n = 5, minHits = 2)
+        .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("sum_chars"))
     }),
 
     // Text analysis battery: every stat is closed-form arithmetic the oracle
@@ -449,6 +471,43 @@ object LlmQueries {
       |SELECT doc_id FROM d3
       |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
       |ORDER BY doc_id""".stripMargin,
+
+    "q_decontam" -> """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |                i -> array_to_string(t[i:i+4], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 5),
+      |btk AS (SELECT string_split(substring(text, 1, 120), ' ') AS t
+      |        FROM documents WHERE doc_id % 17 = 3),
+      |bsh AS (SELECT DISTINCT unnest(
+      |          list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |            i -> array_to_string(t[i:i+4], ' ')))) AS shingle
+      |        FROM btk WHERE len(t) >= 5),
+      |hits AS (SELECT doc_id, count(*) AS hits
+      |         FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) dd
+      |         JOIN bsh USING (shingle) GROUP BY 1)
+      |SELECT doc_id, hits FROM hits WHERE hits >= 2 ORDER BY doc_id""".stripMargin,
+
+    "q_decontam_apply" -> """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |                i -> array_to_string(t[i:i+4], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 5),
+      |btk AS (SELECT string_split(substring(text, 1, 120), ' ') AS t
+      |        FROM documents WHERE doc_id % 17 = 3),
+      |bsh AS (SELECT DISTINCT unnest(
+      |          list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |            i -> array_to_string(t[i:i+4], ' ')))) AS shingle
+      |        FROM btk WHERE len(t) >= 5),
+      |hits AS (SELECT doc_id, count(*) AS hits
+      |         FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) dd
+      |         JOIN bsh USING (shingle) GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_clean,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= 2)""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -34,7 +34,13 @@ class PlanScanBudgetSpec extends SparkSpec {
     // union fixture × key-rewritten self-join sides (see scaladoc)
     "q_dedup_embed" -> 4,
     // UNION ALL over two differently-filtered branches
-    "q_u1_union_all" -> 2)
+    "q_u1_union_all" -> 2,
+    // corpus scan + benchmark stride scan (same table, pruned filter)
+    "q_decontam" -> 2,
+    // + the anti-join's second corpus pass: derive the flagged set (narrow
+    // projection), then re-read the corpus to subtract it — the standard
+    // filter-by-derived-set shape
+    "q_decontam_apply" -> 3)
 
   private val benched: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sorted
