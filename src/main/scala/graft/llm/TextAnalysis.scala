@@ -75,6 +75,28 @@ object TextAnalysis {
   def normalizeHof(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** PII redaction patterns — the RE2-compatible subset (no lookaround, no
+    * backreferences) so the exact same pattern strings run under Spark's
+    * Java regex AND the DuckDB/RE2 oracle. Order of application matters:
+    * emails first (their local parts contain digits a phone pattern would
+    * eat), then IPv4 (dotted digits), then phones (digit runs with
+    * separators). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII scrub — the training-data pipeline's redaction pass: emails, IPv4
+    * addresses, and phone-like digit runs each collapse to a typed
+    * placeholder. Pure codegen'd `regexp_replace` chain: scan-speed, no
+    * shuffle, no UDF; a swap to native-library NER is a drop-in replacement
+    * of this Column. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** BPE-ish subword count estimate: whitespace tokens plus an extra unit per
     * 4 chars of long tokens — a deterministic stand-in for a real tokenizer's
     * token count (the usual ~4 chars/token heuristic). */

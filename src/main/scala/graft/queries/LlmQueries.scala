@@ -170,6 +170,24 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // PII redaction over a deterministically planted stride (the synthetic
+    // corpus carries no PII): every 13th doc gains an id-bearing email, an
+    // IPv4, and a phone; the scrub must collapse each to its placeholder.
+    // The pattern strings are the RE2-compatible subset, shared VERBATIM
+    // with the DuckDB oracle — same regex, two engines, equal output.
+    "q_redact_pii" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10.0.0.7 or call +1 555 0100 now"))
+            .as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text analysis battery: every stat is closed-form arithmetic the oracle
     // restates exactly; runs at scan speed (no shuffle, no UDF). Tokenizes
     // ONCE via the staged projection (r3 verdict: the per-stat re-split cost
@@ -508,6 +526,18 @@ object LlmQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= 2)""".stripMargin,
+
+    "q_redact_pii" -> """WITH planted AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |         '@mail.example.com or 10.0.0.7 or call +1 555 0100 now' AS text
+      |  FROM documents WHERE doc_id % 13 = 0)
+      |SELECT doc_id,
+      |       regexp_replace(regexp_replace(regexp_replace(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |         '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+      |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
