@@ -13,8 +13,10 @@ import graft.sources.DocumentSource
 /** Config-driven documents-ingest pipeline — the LLM-corpus twin of
   * [[GraftApp]]'s metrics pipeline. One streaming query: JSONL landing dir →
   * explicit-schema parse → ingest-boundary exact dedup (watermark-bounded
-  * state) → clean rows appended to the corpus, malformed lines appended to a
-  * quarantine table, both from the same micro-batch.
+  * state) → optional benchmark decontamination (n-gram overlap against a
+  * static eval set, flagged docs to their own audit table) → clean rows
+  * appended to the corpus, malformed lines appended to a quarantine table,
+  * all from the same micro-batch.
   *
   * Design notes, 100 TB posture:
   *
@@ -40,7 +42,9 @@ import graft.sources.DocumentSource
   * Config keys (java properties):
   *   source.dir, storage.dir, checkpoint.dir,
   *   dedup.horizon (default "1 hour"), source.max_files_per_trigger,
-  *   source.clean (off|delete|archive), source.archive_dir
+  *   source.clean (off|delete|archive), source.archive_dir,
+  *   decontam.bench_dir (JSONL benchmark set; unset = pass off),
+  *   decontam.ngram (default 8), decontam.min_hits (default 2)
   */
 case class DocumentsConfig(
     sourceDir: String,
@@ -49,7 +53,10 @@ case class DocumentsConfig(
     horizon: String = "1 hour",
     maxFilesPerTrigger: Int = 16,
     sourceClean: String = "off",
-    sourceArchiveDir: Option[String] = None)
+    sourceArchiveDir: Option[String] = None,
+    decontamBenchDir: Option[String] = None,
+    decontamN: Int = 8,
+    decontamMinHits: Int = 2)
 
 object DocumentsApp {
 
@@ -68,11 +75,27 @@ object DocumentsApp {
       maxFilesPerTrigger =
         get("source.max_files_per_trigger").map(_.toInt).getOrElse(16),
       sourceClean = get("source.clean").getOrElse("off"),
-      sourceArchiveDir = get("source.archive_dir"))
+      sourceArchiveDir = get("source.archive_dir"),
+      decontamBenchDir = get("decontam.bench_dir"),
+      decontamN = get("decontam.ngram").map(_.toInt).getOrElse(8),
+      decontamMinHits = get("decontam.min_hits").map(_.toInt).getOrElse(2))
   }
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {
+    // Ingest-boundary decontamination (decontam.bench_dir): the benchmark
+    // set is static for the app's lifetime, so its distinct hashed shingle
+    // set is derived ONCE here and persisted — each micro-batch pays only
+    // the broadcast semi-join, never the benchmark re-derivation. Malformed
+    // benchmark lines are ignored (quarantine is an ingest concern; a
+    // benchmark file is an operator-provided input).
+    val benchShingles = cfg.decontamBenchDir.map { bd =>
+      val (benchClean, _) = DocumentSource.quarantine(
+        DocumentSource.jsonl(spark, bd))
+      graft.llm.Decontamination
+        .benchmarkShingles(benchClean, col("text"), cfg.decontamN)
+        .persist()
+    }
     val parsed = DocumentSource.jsonlStream(spark, cfg.sourceDir,
         cfg.maxFilesPerTrigger, cfg.sourceClean, cfg.sourceArchiveDir)
       .withColumn("ingested_at", current_timestamp())
@@ -94,11 +117,31 @@ object DocumentsApp {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          b.filter(col(DocumentSource.CorruptCol).isNull)
+          val clean = b.filter(col(DocumentSource.CorruptCol).isNull)
             .drop(DocumentSource.CorruptCol)
-            .write.mode("append")
+          // eval-leakage split: flagged docs land in their own audit table
+          // (same per-batch atomicity as quarantine), never in the corpus
+          val (kept, contaminated) = benchShingles match {
+            case Some(bs) =>
+              val hits = graft.llm.Decontamination.hitsAgainst(clean,
+                  col("doc_id"), col("text"), bs,
+                  cfg.decontamN, cfg.decontamMinHits)
+                .select(col("doc_id").as("contaminated_id"), col("hits"))
+              (clean.join(broadcast(hits),
+                clean("doc_id") === col("contaminated_id"), "left_anti"),
+                Some(clean.join(broadcast(hits),
+                  clean("doc_id") === col("contaminated_id"))
+                  .drop("contaminated_id")))
+            case None => (clean, None)
+          }
+          kept.write.mode("append")
             .partitionBy("p_date")
             .parquet(s"${cfg.storageDir}/corpus")
+          contaminated.foreach { c =>
+            if (!c.isEmpty)
+              c.write.mode("append").partitionBy("p_date")
+                .parquet(s"${cfg.storageDir}/contaminated")
+          }
           val bad = b.filter(col(DocumentSource.CorruptCol).isNotNull)
             .select(col(DocumentSource.CorruptCol).as("raw"),
               col("ingested_at"), col("p_date"))

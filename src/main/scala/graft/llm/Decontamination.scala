@@ -23,15 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** The benchmark's distinct hashed shingle set — compute ONCE per
+    * benchmark (it is static for a pipeline's lifetime) and feed the
+    * `*Against` variants; a long-running ingest app persists it rather than
+    * re-deriving per micro-batch. */
+  def benchmarkShingles(bench: DataFrame, benchText: Column, n: Int): DataFrame =
+    bench
+      .filter(size(TextAnalysis.tokens(benchText)) >= n)
+      .select(explode(Dedup.shingleHashesNative(benchText, n)).as("shingle"))
+      .distinct()
+
   /** Distinct-shingle overlap counts per corpus document, contaminated rows
     * only (`hits >= minHits`). Documents shorter than n tokens carry no
     * n-gram and cannot be flagged. */
   def contaminationHits(docs: DataFrame, id: Column, text: Column,
-      bench: DataFrame, benchText: Column, n: Int, minHits: Int): DataFrame = {
-    val benchShingles = bench
-      .filter(size(TextAnalysis.tokens(benchText)) >= n)
-      .select(explode(Dedup.shingleHashesNative(benchText, n)).as("shingle"))
-      .distinct()
+      bench: DataFrame, benchText: Column, n: Int, minHits: Int): DataFrame =
+    hitsAgainst(docs, id, text, benchmarkShingles(bench, benchText, n), n, minHits)
+
+  /** [[contaminationHits]] against a precomputed [[benchmarkShingles]] set. */
+  def hitsAgainst(docs: DataFrame, id: Column, text: Column,
+      benchShingles: DataFrame, n: Int, minHits: Int): DataFrame = {
     val docShingles = docs
       .filter(size(TextAnalysis.tokens(text)) >= n)
       .select(id.as("doc_id"), explode(Dedup.shingleHashesNative(text, n)).as("shingle"))

@@ -67,6 +67,44 @@ class DocumentsAppSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/corpus").filter(col("p_date").isNull).isEmpty)
   }
 
+  test("ingest-boundary decontamination routes leaked docs to the audit table") {
+    val root = Files.createTempDirectory("graft_docs_app")
+    val src = Files.createDirectory(root.resolve("landing"))
+    val bench = root.resolve("bench.jsonl")
+    Files.writeString(bench,
+      """{"doc_id": 900, "text": "the quick brown fox jumps over the lazy dog", "lang": "en", "source": "eval", "n_chars": 43}""")
+    val f = root.resolve("docs.properties")
+    Files.writeString(f,
+      s"""source.dir=$src
+         |storage.dir=${root.resolve("store")}
+         |checkpoint.dir=${root.resolve("ckpt")}
+         |decontam.bench_dir=$bench
+         |decontam.ngram=5
+         |decontam.min_hits=2
+         |""".stripMargin)
+    val cfg = DocumentsApp.load(f.toString)
+    assert(cfg.decontamN == 5 && cfg.decontamMinHits == 2)
+
+    drop(src, "b1.jsonl", Seq(
+      // leaked: wholly contains a benchmark span (>= 2 shared 5-grams)
+      """{"doc_id": 1, "text": "intro the quick brown fox jumps over the lazy dog outro", "lang": "en", "source": "w", "n_chars": 56}""",
+      // clean: unrelated text
+      """{"doc_id": 2, "text": "completely different words entirely unrelated content here now", "lang": "en", "source": "w", "n_chars": 62}"""))
+    val q = DocumentsApp.start(spark, cfg)
+    try q.processAllAvailable() finally q.stop()
+    try {
+      val corpus = spark.read.parquet(s"${root.resolve("store")}/corpus")
+      assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+      val flagged = spark.read.parquet(s"${root.resolve("store")}/contaminated")
+      val rows = flagged.select("doc_id", "hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.map(_._1) == Seq(1L))
+      assert(rows.head._2 >= 2L, s"flagged with ${rows.head._2} hits")
+      // audit table keeps the document itself for review
+      assert(flagged.columns.contains("text"))
+    } finally CacheHygiene.releaseAll(spark)
+  }
+
   test("landing lifecycle: consumed crawl drops delete (source.clean)") {
     val root = Files.createTempDirectory("graft_docs_app")
     val src = Files.createDirectory(root.resolve("landing"))
