@@ -35,6 +35,36 @@ object Sampling {
   def scrambleKey(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(Mod31)) * Knuth, lit(Mod32))
 
+  /** Weighted mixture resample — the domain-reweighting pass of a training
+    * mix: group g keeps floor(weights(g) × total) rows, chosen by the same
+    * scrambled-id order as [[topKPerGroup]]; groups absent from `weights`
+    * (or rounding to a zero quota) are dropped — the weights map IS the
+    * mixture spec. Single pass: the quota table rides along as a literal
+    * map column, so there is one scan and one group-keyed shuffle no matter
+    * how many distinct quotas the mix has. The phase-1 salt-cell bound uses
+    * the LARGEST quota (a superset for smaller-quota groups — correct, just
+    * looser); phase 2 applies each group's own cap. */
+  def mixture(df: DataFrame, group: Column, id: Column,
+      weights: Map[String, Double], total: Long,
+      nSalts: Int = 32): DataFrame = {
+    require(total > 0, "total must be positive")
+    val caps: Map[String, Long] = weights.view
+      .mapValues(w => math.floor(w * total).toLong)
+      .filter(_._2 > 0).toMap
+    require(caps.nonEmpty, "every weight rounded to a zero quota")
+    val maxCap = caps.values.max
+    val capCol = coalesce(element_at(typedLit(caps), group), lit(0L))
+    val salt = pmod(scrambleKey(id), lit(nSalts.toLong))
+    val w1 = Window.partitionBy(group, salt).orderBy(scrambleKey(id), id)
+    val w2 = Window.partitionBy(group).orderBy(scrambleKey(id), id)
+    df.filter(capCol > 0)
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= maxCap)
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= capCol)
+      .drop("__rk1", "__rk")
+  }
+
   /** Keep at most k rows per group, chosen by scrambled-id order
     * (deterministic; ties impossible while `id` is unique mod the fold,
     * which the id tiebreak below absorbs).

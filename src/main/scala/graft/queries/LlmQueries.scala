@@ -251,6 +251,17 @@ object LlmQueries {
         .orderBy(col("domain"), col("doc_id"))
     }),
 
+    // Weighted mixture resample: three sources at 50/30/20% of a 40-doc
+    // budget (caps 20/12/8), same engine-portable scramble order as the
+    // capped sample; unlisted sources drop — the weights map is the mix.
+    "q_sample_mixture" -> ((s, d) => {
+      graft.llm.Sampling.mixture(
+          Tables.documents(s, d).select(col("source"), col("doc_id")),
+          col("source"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), total = 40)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Brute-force cosine top-k: 1-in-100 probes broadcast against the corpus,
     // per-probe window top-5. The oracle-checkable ANN baseline.
     "q_ann_topk" -> ((s, d) => {
@@ -640,6 +651,18 @@ object LlmQueries {
         |      FROM t)
         |SELECT domain, doc_id FROM r WHERE rk <= 20
         |ORDER BY domain, doc_id""".stripMargin,
+
+    "q_sample_mixture" ->
+      """WITH t AS (SELECT source, doc_id,
+        |                  ((doc_id % 2147483648) * 2654435761) % 4294967296 AS sk
+        |           FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rk
+        |      FROM t)
+        |SELECT source, doc_id FROM r
+        |WHERE rk <= CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12
+        |                        WHEN 'src2' THEN 8 END
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q_pack_nextfit" ->
       """WITH RECURSIVE t AS (
