@@ -59,13 +59,15 @@ object DeferProjectPastSort extends Rule[LogicalPlan] {
   }
 }
 
-/** Registers the graft optimizer rules; enable with
-  * `.withExtensions(new GraftExtensions)` or
+/** Registers the graft optimizer rules AND the SQL spellings of the native
+  * expression family ([[graft.functions.GraftFunctionRegistry]]); enable
+  * with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. [[RollupRouting]] is
   * inert until its `spark.graft.rollup.*` confs are set. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPreCBORule(_ => DeferProjectPastSort)
     ext.injectPreCBORule(RollupRouting)
+    graft.functions.GraftFunctionRegistry.register(ext)
   }
 }
