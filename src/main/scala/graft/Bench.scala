@@ -9,11 +9,19 @@ object Bench {
     * the captured tail begins and the driver reads half a JSON object).
     */
   def headline(ok: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
-    val qs = (ok.map { case (k, t) => s"\"" + k + "\":" + ms(t) } ++
+    // centisecond precision on the ONE driver-parsed line: ~70 queries at
+    // millisecond width broke the 1900-char budget in r11; 10 ms resolution
+    // is ample for round-over-round comparison (phases keep 3 decimals on
+    // their own line)
+    def cs(d: Double): String = f"$d%.2f"
+    val qs = (ok.map { case (k, t) => s"\"" + k + "\":" + cs(t) } ++
       failed.map { k => s"\"" + k + "\":\"ERROR\"" })
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+    // sf as basename: the directory prefix is constant and the line budget
+    // is the scarce resource
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${cs(total)},"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -145,6 +145,67 @@ object Similarity {
       .select(col("pid"), col("nid"), col("score"), col("rank"))
   }
 
+  /** Lloyd refinement of an IVF centroid table — the "learned k-means
+    * quantizer" the [[ivfTopK]] scaladoc promises as a drop-in: `iters`
+    * rounds of (assign every corpus vector to its max-cosine centroid, the
+    * SAME broadcast argmax shape as ivfTopK's assignment) → (new centroid =
+    * per-cell mean). Because cosine is scale-invariant, the unnormalized
+    * mean assigns identically to the spherical-k-means unit centroid, so
+    * each round is a spherical Lloyd step and the mean assigned cosine is
+    * monotone non-decreasing (pinned in LlmSpec). Ties break to the lowest
+    * cell id; empty cells keep their previous centroid; output keeps the
+    * (vec_id, embedding) centroid-table shape so ivfTopK consumes it
+    * unchanged.
+    *
+    * 100 TB shape: assignment never shuffles the corpus (broadcast argmax
+    * with map-side combine); the recompute shuffles only (cell, dim)
+    * partial averages — k·dim rows. Each round's centroid table is
+    * `localCheckpoint`ed: it is k rows, and feeding a lazy plan back into
+    * the next round would re-expand the whole history once per reference
+    * (the [[Dedup.components]] lesson). */
+  def kmeansCentroids(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    var cent = init.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    for (_ <- 1 to iters) {
+      val c = cent.select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+      val assigned = corpus
+        .select(col("vec_id").as("nid"),
+          col("embedding").cast("array<double>").as("nvec"))
+        .crossJoin(broadcast(c))
+        .withColumn("csim", cosine(col("nvec"), col("cvec")))
+        .groupBy(col("nid"))
+        .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+          any_value(col("nvec")).as("nvec"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("nvec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("emb_new"))
+        .select(col("cell").as("vec_id"), col("emb_new"))
+      cent = cent.join(means, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("emb_new"), col("embedding")).as("embedding"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Mean assigned cosine — the spherical-k-means objective, exposed so the
+    * monotone-improvement property is assertable. */
+  def assignmentObjective(corpus: DataFrame, centroids: DataFrame): Double = {
+    val c = centroids.select(col("vec_id").as("cell"),
+      col("embedding").cast("array<double>").as("cvec"))
+    corpus.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nvec"))
+      .crossJoin(broadcast(c))
+      .withColumn("csim", cosine(col("nvec"), col("cvec")))
+      .groupBy(col("nid")).agg(max(col("csim")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
+  }
+
   /** Embedding-cosine near-dup pairs — the embedding-space twin of
     * [[graft.llm.Dedup.minHashCandidates]]: LSH bucket as candidate key,
     * exact cosine inside the bucket, keep pairs ≥ threshold. Positive

@@ -308,6 +308,22 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // IVF with the LEARNED quantizer: two spherical-Lloyd rounds refine the
+    // stride centroids (Similarity.kmeansCentroids), then the identical
+    // probe path. Float-mean jitter can flip exact assignment ties between
+    // engines → rows-only here; the monotone objective, cell-count contract,
+    // and drop-in plumbing are pinned in LlmSpec.
+    "q_ann_ivf_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = graft.llm.Similarity.kmeansCentroids(emb,
+        emb.filter(col("vec_id") % 101 === 0), iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), cent,
+          k = 5, nprobe = 3)
+        .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
     // IVF probing ALL cells: every corpus row meets every probe exactly once
     // (each row lives in exactly one cell), so the result is brute-force
     // cosine top-k regardless of float-argmax assignment — which gives the

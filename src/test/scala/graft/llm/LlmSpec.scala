@@ -222,6 +222,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("k-means refinement improves the IVF objective monotonically") {
+    val emb = Tables.embeddings(spark, Sf)
+    val init = emb.filter(col("vec_id") % 101 === 0)
+    // spherical Lloyd steps: each round's mean assigned cosine must not
+    // regress (float jitter tolerance only), and the refined table keeps the
+    // centroid-table contract ivfTopK consumes
+    val obj0 = Similarity.assignmentObjective(emb, init)
+    val c1 = Similarity.kmeansCentroids(emb, init, iters = 1)
+    val obj1 = Similarity.assignmentObjective(emb, c1)
+    val c3 = Similarity.kmeansCentroids(emb, init, iters = 3)
+    val obj3 = Similarity.assignmentObjective(emb, c3)
+    assert(obj1 >= obj0 - 1e-9, s"iter1 $obj1 < init $obj0")
+    assert(obj3 >= obj1 - 1e-9, s"iter3 $obj3 < iter1 $obj1")
+    assert(c3.count() === init.count())
+    // refined centroids drop into the same IVF read path
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val ivf = Similarity.ivfTopK(emb, probes, c3, k = 5, nprobe = 3)
+    assert(ivf.count() > 0)
+    graft.CacheHygiene.releaseAll(spark)
+  }
+
   test("embedding near-dup finds every planted scaled duplicate with cos=1") {
     val dups = graft.queries.LlmQueries.embScaledDups(spark, Sf)
     val planted = Tables.embeddings(spark, Sf).filter(col("vec_id") % 9 === 0)

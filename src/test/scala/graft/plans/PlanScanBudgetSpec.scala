@@ -31,6 +31,7 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_ann_topk" -> 2,
     "q_ann_lsh" -> 2,
     "q_ann_ivf" -> 3,
+    "q_ann_ivf_kmeans" -> 3,
     // union fixture × key-rewritten self-join sides (see scaladoc)
     "q_dedup_embed" -> 4,
     // UNION ALL over two differently-filtered branches
