@@ -70,14 +70,35 @@ object MetricsSink {
       case Some(n) => parted.repartitionByRange(n, keyed: _*)
       case None => parted.repartitionByRange(keyed: _*)
     }
-    ranged
+    withSkipIndexes(ranged
       .sortWithinPartitions(keyed :+ tsMs: _*)
-      .write
+      .write)
       .partitionBy(PartitionCol)
       .mode(mode)
       .parquet(dir)
     dir
   }
+
+  /** The reference's skip indexes (schema.sql:65-67, declared on every
+    * tier): bloom_filter(0.01) on metric and the set(1000) membership index
+    * on serviceName map to parquet bloom filters (parquet's default fpp is
+    * the same 0.01); idx_series_hash minmax is free — the tier sort makes
+    * per-row-group min/max stats tight. The read side consults blooms
+    * during row-group pruning automatically under filter pushdown, so an
+    * equality probe on a metric name skips row groups the min/max range
+    * alone cannot exclude. Parquet only MATERIALIZES the bloom when a chunk
+    * abandons dictionary encoding (the dictionary filters exactly while it
+    * fits — low-NDV chunks pay nothing), so the index appears precisely in
+    * the high-cardinality regime it exists for; both arms are spec-pinned.
+    * Applied by EVERY tier writer (ingest append and compaction rewrite) so
+    * compacted parts keep their indexes. */
+  private def withSkipIndexes(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    w.option("parquet.bloom.filter.enabled#metric", "true")
+      .option("parquet.bloom.filter.expected.ndv#metric", "10000")
+      .option("parquet.bloom.filter.enabled#service_name", "true")
+      .option("parquet.bloom.filter.expected.ndv#service_name", "1000")
 
   /** S8 read-back: the partition column comes back as a scan column and any
     * predicate on it prunes directories before a single row is read. */
@@ -185,12 +206,13 @@ object MetricsSink {
       .sorted
     oversized.foreach { value =>
       val tmpDir = new Path(dir, s"$TmpPrefix$value")
-      read(spark, baseDir, tier)                               // step 1
+      val compacted = read(spark, baseDir, tier)               // step 1
         .filter(col(PartitionCol) === value)
         .drop(PartitionCol)
         .repartitionByRange(targetFiles, sortKey: _*)
         .sortWithinPartitions(sortKey :+ tsMs: _*)
-        .write.mode("overwrite").parquet(tmpDir.toString)
+      withSkipIndexes(compacted.write.mode("overwrite"))
+        .parquet(tmpDir.toString)
       swapPartitionIn(fs, dir, value, tmpDir)                  // steps 2-4
     }
     oversized

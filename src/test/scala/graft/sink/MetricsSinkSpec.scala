@@ -48,6 +48,70 @@ class MetricsSinkSpec extends SparkSpec {
     assert(parts(MetricsSink.H1).forall(_.matches("p_date=\\d{6}")))
   }
 
+  test("skip indexes: tier writers emit metric bloom filters, compaction keeps them") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def bloomOn(file: java.io.File, column: String): Boolean = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(file.toURI), spark.sparkContext.hadoopConfiguration))
+      try {
+        val rg = reader.getRowGroups.get(0)
+        val c = rg.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(fail(s"no column $column in ${file.getName}"))
+        reader.getBloomFilterDataReader(rg).readBloomFilter(c) != null
+      } finally reader.close()
+    }
+    def parquetFiles(base: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$base/${MetricsSink.M1.name}"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    // low-NDV metric (the m1 fixture): every chunk stays fully
+    // dictionary-encoded, and parquet correctly SKIPS the bloom — the
+    // dictionary already filters row groups exactly, so the index would be
+    // pure overhead. The bloom materializes exactly when it is needed: on
+    // dictionary overflow (high-NDV), below.
+    val lowBase = tmpBase()
+    MetricsSink.write(m1(), lowBase, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id"), col("metric")), mode = "overwrite")
+    val lowFiles = parquetFiles(lowBase)
+    assert(lowFiles.nonEmpty)
+    lowFiles.foreach(f =>
+      assert(!bloomOn(f, "metric"), s"bloom on dict-encoded chunk in $f"))
+
+    // high-NDV metric: ~60k distinct ~40-byte names overflow the 1 MiB
+    // dictionary page, the chunk falls back to plain encoding, and the
+    // declared bloom appears; the undeclared column never carries one
+    val s = spark
+    import s.implicits._
+    val hi = (0 until 60000).map(i =>
+      ("ws-1", f"metric_name_with_padding_$i%032d", 1706140800000L + i))
+      .toDF("workspace_id", "metric", "bucket_ms")
+    val hiBase = tmpBase()
+    MetricsSink.write(hi, hiBase, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id"), col("metric")), mode = "overwrite",
+      rangeSlices = Some(1))
+    val hiFiles = parquetFiles(hiBase)
+    assert(hiFiles.nonEmpty)
+    hiFiles.foreach(f => assert(bloomOn(f, "metric"), s"no metric bloom in $f"))
+    hiFiles.foreach(f => assert(!bloomOn(f, "bucket_ms"), s"stray bloom in $f"))
+
+    // compaction is a tier writer too: the rewritten part keeps the index
+    MetricsSink.write(hi, hiBase, MetricsSink.M1, col("bucket_ms"),
+      Seq(col("workspace_id"), col("metric")), rangeSlices = Some(1))
+    MetricsSink.compactPartitions(spark, hiBase, MetricsSink.M1,
+      Seq(col("workspace_id"), col("metric")), col("bucket_ms"), maxFiles = 1)
+    val after = parquetFiles(hiBase)
+    assert(after.nonEmpty)
+    after.foreach(f =>
+      assert(bloomOn(f, "metric"), s"compaction dropped bloom in $f"))
+  }
+
   test("partition filter prunes files before reading") {
     val base = tmpBase()
     MetricsSink.write(m1(), base, MetricsSink.M1, col("bucket_ms"),
