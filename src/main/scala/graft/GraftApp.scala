@@ -286,6 +286,15 @@ object GraftApp {
     val query = start(spark, cfg,
       Trigger.ProcessingTime(cfg.flushIntervalMs,
         java.util.concurrent.TimeUnit.MILLISECONDS))
+    // live ops status on GET /status: stream liveness + the last
+    // micro-batch's full progress JSON (rows/sec, state store sizes, sink
+    // commit durations — Spark's own progress object, passed through)
+    transport.foreach { srv =>
+      srv.statusJson = () => {
+        val progress = Option(query.lastProgress).map(_.json).getOrElse("null")
+        s"""{"active":${query.isActive},"lastProgress":$progress}"""
+      }
+    }
     try query.awaitTermination()
     finally {
       transport.foreach(_.stop())

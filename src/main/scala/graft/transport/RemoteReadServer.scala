@@ -50,11 +50,36 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
   private val uploads = new AtomicLong(0)
+  private val startedAtMs = System.currentTimeMillis()
+
+  /** Ops status payload provider — the app swaps in a closure over its
+    * running StreamingQuery once the stream starts (GraftApp.main), so
+    * `GET /status` reports live micro-batch progress without the transport
+    * knowing anything about streaming. Must return a JSON object. */
+  @volatile var statusJson: () => String = () => "{}"
 
   def start(port: Int = 0): Int = synchronized {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/v1/read", handler(handleRead))
     server.createContext("/ingest", handler(handleIngest))
+    server.createContext("/status", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (status, body) =
+          if (ex.getRequestMethod != "GET") (405, "GET only".getBytes("UTF-8"))
+          else try {
+            val app = statusJson()
+            (200, (s"""{"uptime_ms":${System.currentTimeMillis() - startedAtMs},""" +
+              s""""ingest_uploads":${uploads.get()},"app":$app}""").getBytes("UTF-8"))
+          } catch {
+            case e: Exception =>
+              (500, s"status provider failed: ${e.getMessage}".getBytes("UTF-8"))
+          }
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
     // a real executor, not the default: without one the JDK server handles
     // requests on its single dispatcher thread, serializing all clients —
     // the reference handler serves each request on its own goroutine

@@ -55,6 +55,39 @@ class RemoteReadServerSpec extends SparkSpec {
     try body(srv, port) finally srv.stop()
   }
 
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = new String(in.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("GET /status reports uptime and the wired app payload") {
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    withServer(src) { (srv, port) =>
+      val (code, body) = get(port, "/status")
+      assert(code === 200)
+      assert(body.contains("\"uptime_ms\":"))
+      assert(body.contains("\"app\":{}"))
+      // the app wires its streaming progress in after the stream starts
+      srv.statusJson = () => """{"active":true,"lastProgress":null}"""
+      val (_, body2) = get(port, "/status")
+      assert(body2.contains("\"app\":{\"active\":true"))
+      // a throwing provider is a 500, never a hung socket
+      srv.statusJson = () => throw new IllegalStateException("boom")
+      val (code3, _) = get(port, "/status")
+      assert(code3 === 500)
+      // write endpoints stay POST-only; status stays GET-only
+      val (codePost, _) = post(port, "/status", Array[Byte](1))
+      assert(codePost === 405)
+      val (codeGet, _) = get(port, "/ingest")
+      assert(codeGet === 405)
+    }
+  }
+
   test("wire codec round-trips requests and responses") {
     val req = Seq(PromProto.Query(1000L, 2000L, Seq(
       PromProto.LabelMatcher(2, "__name__", "^evt_.*$"),
