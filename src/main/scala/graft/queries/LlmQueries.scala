@@ -241,6 +241,27 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The modern ingest-cleaning order as ONE fully-oracle-checked chain:
+    // decontaminate (eval-leak anti-join) -> redact PII -> exact dedup on
+    // the normalized redacted text (min-id survivor) -> length filter.
+    // Complements q_clean_pipeline (quality + near-dup + components) with
+    // the passes r11 added; every stage is also individually oracle-pinned.
+    "q_clean_full" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Decontamination.clean(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 17 === 3), substring(col("text"), 1, 120),
+        n = 5, minHits = 2)
+      kept
+        .select(col("doc_id"),
+          TextAnalysis.normalize(TextAnalysis.redactPii(col("text"))).as("ntext"))
+        .groupBy(col("ntext"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+        .withColumn("n_tokens", size(split(col("ntext"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 10)
+        .select(col("doc_id"), col("dup_cnt"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mixture capping: at most k docs per domain by deterministic
     // scrambled-id order (engine-portable arithmetic — fully oracle-checked).
     "q_sample_capped" -> ((s, d) => {
@@ -553,6 +574,39 @@ object LlmQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= 2)""".stripMargin,
+
+    "q_clean_full" -> """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |                i -> array_to_string(t[i:i+4], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 5),
+      |btk AS (SELECT string_split(substring(text, 1, 120), ' ') AS t
+      |        FROM documents WHERE doc_id % 17 = 3),
+      |bsh AS (SELECT DISTINCT unnest(
+      |          list_distinct(list_transform(generate_series(1, len(t) - 4),
+      |            i -> array_to_string(t[i:i+4], ' ')))) AS shingle
+      |        FROM btk WHERE len(t) >= 5),
+      |hits AS (SELECT doc_id, count(*) AS hits
+      |         FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) dd
+      |         JOIN bsh USING (shingle) GROUP BY 1),
+      |kept AS (SELECT doc_id, text FROM documents
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= 2)),
+      |red AS (SELECT doc_id,
+      |        regexp_replace(regexp_replace(regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |          '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS text
+      |        FROM kept),
+      |norm AS (SELECT doc_id,
+      |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+      |         FROM red),
+      |ded AS (SELECT ntext, min(doc_id) AS doc_id, count(*) AS dup_cnt
+      |        FROM norm GROUP BY ntext)
+      |SELECT doc_id, dup_cnt,
+      |       CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_tokens
+      |FROM ded WHERE len(string_split(ntext, ' ')) >= 10
+      |ORDER BY doc_id""".stripMargin,
 
     "q_redact_pii" -> """WITH planted AS (
       |  SELECT doc_id,

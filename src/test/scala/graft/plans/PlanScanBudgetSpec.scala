@@ -41,7 +41,10 @@ class PlanScanBudgetSpec extends SparkSpec {
     // + the anti-join's second corpus pass: derive the flagged set (narrow
     // projection), then re-read the corpus to subtract it — the standard
     // filter-by-derived-set shape
-    "q_decontam_apply" -> 3)
+    "q_decontam_apply" -> 3,
+    // same derive-then-anti-join shape, then the dedup stage reads the kept
+    // side it already holds
+    "q_clean_full" -> 3)
 
   private val benched: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sorted
