@@ -83,6 +83,7 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
   private final class StreamState(val headers: Http2Headers) {
     val body = new java.io.ByteArrayOutputStream()
     var done = false
+    var gzip = false
   }
 
   private final class ConnectionHandler extends ChannelInboundHandlerAdapter {
@@ -118,12 +119,17 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
           s"unknown method $path")
       } else {
         val enc = Option(hs.get("grpc-encoding")).map(_.toString).getOrElse("identity")
-        if (enc != "identity") {
+        if (enc == "gzip") {
+          // OTLP exporters commonly ship compression=gzip; per-message
+          // gunzip happens at frame parse, cap enforced post-inflation
+          state.gzip = true
+        }
+        if (enc != "identity" && enc != "gzip") {
           // announced compression this server doesn't implement —
           // UNIMPLEMENTED plus the accept-encoding hint, per the gRPC spec
           finishEarly(ctx, h.stream(), state, StatusUnimplemented,
             s"grpc-encoding $enc not supported",
-            extra = Seq("grpc-accept-encoding" -> "identity"))
+            extra = Seq("grpc-accept-encoding" -> "identity,gzip"))
         } else if (h.isEndStream) {
           finishEarly(ctx, h.stream(), state, StatusInvalidArgument,
             "empty request body")
@@ -153,9 +159,10 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
         state.done = true
         streams.remove(stream)
         val body = state.body.toByteArray
+        val gzip = state.gzip
         val eventLoop = ctx.channel().eventLoop()
         pool.execute(() => {
-          val (status, message) = process(body)
+          val (status, message) = process(body, gzip)
           eventLoop.execute(() => respond(ctx, stream, status, message))
         })
       }
@@ -198,8 +205,8 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
 
   /** The unary Export call body → (grpc-status, message). Runs off the event
     * loop; every Spark interaction lives here. */
-  private def process(body: Array[Byte]): (Int, String) = {
-    val frames = parseGrpcFrames(body) match {
+  private def process(body: Array[Byte], gzip: Boolean): (Int, String) = {
+    val frames = parseGrpcFrames(body, gzip) match {
       case Right(f) => f
       case Left(err) => return err
     }
@@ -246,8 +253,12 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
   }
 
   /** gRPC message framing: 1-byte compressed flag + 4-byte big-endian length
-    * + payload, repeated. A unary call carries exactly one message. */
-  private def parseGrpcFrames(body: Array[Byte]): Either[(Int, String), Seq[Array[Byte]]] = {
+    * + payload, repeated. A unary call carries exactly one message; with a
+    * negotiated gzip encoding a flag-1 payload inflates here, cap enforced
+    * on the DECOMPRESSED size (a zip bomb must not ride a small frame past
+    * the message cap). */
+  private def parseGrpcFrames(body: Array[Byte],
+      gzip: Boolean): Either[(Int, String), Seq[Array[Byte]]] = {
     val out = Seq.newBuilder[Array[Byte]]
     var pos = 0
     var count = 0
@@ -257,16 +268,21 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
       val flag = body(pos) & 0xff
       val len = ((body(pos + 1) & 0xff) << 24) | ((body(pos + 2) & 0xff) << 16) |
         ((body(pos + 3) & 0xff) << 8) | (body(pos + 4) & 0xff)
-      if (flag == 1)
+      if (flag == 1 && !gzip)
         // compressed flag without a negotiated compressor — grpc-go fails
         // this with INTERNAL ("compressed flag set with identity encoding")
         return Left((StatusInternal, "compressed flag set with identity encoding"))
-      if (flag != 0)
+      if (flag != 0 && flag != 1)
         return Left((StatusInvalidArgument, s"bad grpc frame flag $flag"))
       if (len < 0 || len > body.length - pos - GrpcFrameHeader)
         return Left((StatusInvalidArgument, "truncated grpc frame"))
-      out += java.util.Arrays.copyOfRange(body, pos + GrpcFrameHeader,
+      val payload = java.util.Arrays.copyOfRange(body, pos + GrpcFrameHeader,
         pos + GrpcFrameHeader + len)
+      if (flag == 1) gunzipBounded(payload) match {
+        case Right(m) => out += m
+        case Left(err) => return Left(err)
+      }
+      else out += payload
       pos += GrpcFrameHeader + len
       count += 1
     }
@@ -274,6 +290,26 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
       Left((StatusInvalidArgument, s"unary call carried $count messages"))
     else Right(out.result())
   }
+
+  private def gunzipBounded(b: Array[Byte]): Either[(Int, String), Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) {
+        out.write(chunk, 0, n)
+        if (out.size > maxMessageBytes)
+          return Left((StatusResourceExhausted,
+            s"decompressed message exceeds $maxMessageBytes bytes"))
+        n = in.read(chunk)
+      }
+      Right(out.toByteArray)
+    } catch {
+      case e: java.io.IOException =>
+        Left((StatusInternal, s"gzip decode failed: ${e.getClass.getSimpleName}"))
+    }
 }
 
 object GrpcOtlpReceiver {

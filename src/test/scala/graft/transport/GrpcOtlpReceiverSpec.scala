@@ -282,12 +282,13 @@ class GrpcOtlpReceiverSpec extends SparkSpec {
         Array[Byte](1, 0, 0, 0, 0))
       assert(comp.grpcStatus === 13)
 
-      // grpc-encoding announcing gzip → UNIMPLEMENTED(12) + accept hint
-      val gz = GrpcTestClient.call(port, ExportPath,
+      // grpc-encoding announcing a codec we don't speak → UNIMPLEMENTED(12)
+      // + the accept hint (gzip IS spoken — see the gzip test)
+      val br = GrpcTestClient.call(port, ExportPath,
         grpcFrame(Array.emptyByteArray),
-        extraHeaders = Seq("grpc-encoding" -> "gzip"))
-      assert(gz.grpcStatus === 12)
-      assert(gz.trailers.get("grpc-accept-encoding").contains("identity"))
+        extraHeaders = Seq("grpc-encoding" -> "br"))
+      assert(br.grpcStatus === 12)
+      assert(br.trailers.get("grpc-accept-encoding").contains("identity,gzip"))
 
       // a non-gRPC content type is rejected at the HTTP layer: 415, no
       // grpc-status
@@ -296,6 +297,47 @@ class GrpcOtlpReceiverSpec extends SparkSpec {
       assert(notGrpc.httpStatus === 415)
       assert(notGrpc.grpcStatus === -1)
 
+      assert(landedFiles(sourceDir).isEmpty)
+    }
+  }
+
+  test("gzip-encoded exports decode, land, and stay under the inflated cap") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    def gzFrame(msg: Array[Byte]): Array[Byte] = {
+      val z = gz(msg)
+      val out = grpcFrame(z)
+      out(0) = 1 // compressed flag
+      out
+    }
+    withReceiver() { (sourceDir, port) =>
+      val resp = GrpcTestClient.call(port, ExportPath,
+        gzFrame(OtlpProto.encodeExportRequest(fixture)),
+        extraHeaders = Seq("grpc-encoding" -> "gzip"))
+      assert(resp.grpcStatus === 0)
+      val landed = spark.read
+        .schema(graft.streaming.OtlpSource.exportSchema)
+        .parquet(sourceDir)
+      assert(landed.selectExpr("explode(datapoints)").count() === 6)
+
+      // corrupt gzip stream → INTERNAL(13)
+      val bad = grpcFrame("not gzip at all".getBytes("UTF-8"))
+      bad(0) = 1
+      val corrupt = GrpcTestClient.call(port, ExportPath, bad,
+        extraHeaders = Seq("grpc-encoding" -> "gzip"))
+      assert(corrupt.grpcStatus === 13)
+    }
+    // zip bomb: a tiny frame inflating past the cap fails on the
+    // DECOMPRESSED size — RESOURCE_EXHAUSTED, not an OOM
+    withReceiver(maxMessageBytes = 1024) { (sourceDir, port) =>
+      val bomb = GrpcTestClient.call(port, ExportPath,
+        gzFrame(new Array[Byte](1024 * 1024)),
+        extraHeaders = Seq("grpc-encoding" -> "gzip"))
+      assert(bomb.grpcStatus === 8)
       assert(landedFiles(sourceDir).isEmpty)
     }
   }
