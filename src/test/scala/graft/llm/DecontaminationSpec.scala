@@ -42,6 +42,35 @@ class DecontaminationSpec extends SparkSpec {
     assert(hits === Map(1L -> 5L, 3L -> 1L))
   }
 
+  test("property: hits equal brute-force shingle-set intersection (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1711)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(): String =
+      Seq.fill(rnd.nextInt(28) + 2)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    for (n <- Seq(2, 3); round <- 1 to 3) {
+      val docRows = (0 until 40).map(i => (i.toLong, text()))
+      val benchRows = (0 until 6).map(_ => text())
+      def grams(s: String): Set[String] = {
+        val t = s.split(" ", -1)
+        if (t.length < n) Set.empty
+        else t.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val benchSet = benchRows.flatMap(grams).toSet
+      val expected = docRows
+        .map { case (id, s) => id -> grams(s).count(benchSet.contains).toLong }
+        .filter(_._2 >= 2).toMap
+      val got = Decontamination.contaminationHits(
+          docRows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          benchRows.map(Tuple1(_)).toDF("bench_text"),
+          col("bench_text"), n = n, minHits = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"n=$n round=$round")
+    }
+  }
+
   test("clean removes exactly the flagged documents, schema preserved") {
     val (docs, bench) = fixture
     val clean = Decontamination.clean(docs, col("doc_id"), col("text"),
