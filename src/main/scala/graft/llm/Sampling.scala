@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * sequential ids thoroughly enough for mixture capping; it is NOT a
   * cryptographic or adversarial-proof permutation.
   *
-  * 100 TB shape: one shuffle on the group key, per-group top-k via
-  * row_number — the same pattern as the ANN re-rank. Groups are domains
-  * (thousands), not documents, so the window partitions are coarse and the
-  * cap keeps each one's output bounded.
+  * 100 TB shape: no plan here ever ranks a whole group in one task.
+  * [[topKPerGroup]] (k small) salts the group into bounded cells and
+  * re-ranks only the ≤ k·nSalts survivors; [[mixture]] (quota proportional
+  * to the corpus) decomposes the global rank into contiguous key-range
+  * buckets whose offsets come from a tiny count aggregate — per-task work
+  * is |group|/nBuckets either way.
   */
 object Sampling {
 
@@ -39,30 +41,64 @@ object Sampling {
     * mix: group g keeps floor(weights(g) × total) rows, chosen by the same
     * scrambled-id order as [[topKPerGroup]]; groups absent from `weights`
     * (or rounding to a zero quota) are dropped — the weights map IS the
-    * mixture spec. Single pass: the quota table rides along as a literal
-    * map column, so there is one scan and one group-keyed shuffle no matter
-    * how many distinct quotas the mix has. The phase-1 salt-cell bound uses
-    * the LARGEST quota (a superset for smaller-quota groups — correct, just
-    * looser); phase 2 applies each group's own cap. */
+    * mixture spec.
+    *
+    * Unlike [[topKPerGroup]] (k small), the quota here is proportional to
+    * the corpus, so no plan may ever rank a whole group in one task. The
+    * global per-group rank is instead assembled from KEY-RANGE buckets:
+    * the scramble key is uniform on [0, 2³²), so its top `log2(nBuckets)`
+    * bits split each group into nBuckets contiguous, balanced key ranges.
+    * Because buckets are contiguous in the (key, id) total order,
+    * global rank = (rows of the group in strictly-lower buckets) +
+    * rank-within-bucket — an exact decomposition, no cross-bucket re-rank.
+    *
+    * Plan shape (pinned by SamplingSpec's whole-group-window audit):
+    *   1. per-(group, bucket) counts — one map-side-combined aggregation,
+    *      |groups|·nBuckets output rows;
+    *   2. cumulative offsets over those COUNTS (a window over the tiny
+    *      aggregate, never the corpus) — broadcast back;
+    *   3. buckets whose offset already meets the quota are dropped BEFORE
+    *      the rank shuffle, so only ~quota + one bucket per group is ever
+    *      sorted, in per-bucket tasks of ~|group|/nBuckets rows each.
+    * At a 10 B-row group with weight 0.3, the old whole-group window put
+    * ~3 B rows through one task; this puts |group|/nBuckets per task and
+    * only quota-adjacent buckets through the shuffle at all. */
   def mixture(df: DataFrame, group: Column, id: Column,
       weights: Map[String, Double], total: Long,
-      nSalts: Int = 32): DataFrame = {
+      nBuckets: Int = 64): DataFrame = {
     require(total > 0, "total must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a positive power of two")
     val caps: Map[String, Long] = weights.view
       .mapValues(w => math.floor(w * total).toLong)
       .filter(_._2 > 0).toMap
     require(caps.nonEmpty, "every weight rounded to a zero quota")
-    val maxCap = caps.values.max
     val capCol = coalesce(element_at(typedLit(caps), group), lit(0L))
-    val salt = pmod(scrambleKey(id), lit(nSalts.toLong))
-    val w1 = Window.partitionBy(group, salt).orderBy(scrambleKey(id), id)
-    val w2 = Window.partitionBy(group).orderBy(scrambleKey(id), id)
-    df.filter(capCol > 0)
-      .withColumn("__rk1", row_number().over(w1))
-      .filter(col("__rk1") <= maxCap)
-      .withColumn("__rk", row_number().over(w2))
-      .filter(col("__rk") <= capCol)
-      .drop("__rk1", "__rk")
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val base = df.filter(capCol > 0)
+      .withColumn("__grp", group)
+      .withColumn("__key", scrambleKey(id))
+      .withColumn("__id", id)
+      .withColumn("__bkt", shiftright(col("__key"), shift))
+    // rows of the group in strictly-lower key buckets; the window input is
+    // the aggregated counts (≤ |groups|·nBuckets rows), not the corpus
+    val wOff = Window.partitionBy(col("__grp")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__grp"), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__grp").as("__ogrp"), col("__bkt").as("__obkt"), col("__off"))
+    val grpCap = coalesce(element_at(typedLit(caps), col("__grp")), lit(0L))
+    // per-bucket rank: partitions are (group, bucket) cells of
+    // ~|group|/nBuckets rows — bounded per-task work, tunable via nBuckets
+    val wCell = Window.partitionBy(col("__grp"), col("__bkt"))
+      .orderBy(col("__key"), col("__id"))
+    base.join(broadcast(offsets), // structurally tiny: |groups|·nBuckets rows
+        col("__grp") === col("__ogrp") && col("__bkt") === col("__obkt"))
+      .filter(col("__off") < grpCap) // whole bucket past the quota → pruned pre-shuffle
+      .withColumn("__rk", col("__off") + row_number().over(wCell))
+      .filter(col("__rk") <= grpCap)
+      .drop("__grp", "__key", "__id", "__bkt", "__ogrp", "__obkt", "__off", "__rk")
   }
 
   /** Keep at most k rows per group, chosen by scrambled-id order

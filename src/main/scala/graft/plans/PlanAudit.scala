@@ -3,7 +3,9 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Executed-plan audits shared by the Scratch probes and the plan-shape
   * regression specs. The central question: how many times does a query's
@@ -40,5 +42,40 @@ object PlanAudit {
     scannedPaths(qe.executedPlan)
       .groupBy(identity).view.mapValues(_.size)
       .filter(_._2 > budget).toMap
+  }
+
+  /** Window nodes that rank corpus-scale data in single-expression
+    * partitions — the "whole-group window" shape whose partition count is
+    * the GROUP count, funneling each group's full row set through one task
+    * (the r11 verdict's scale-killer #1 in Sampling.mixture). A window is
+    * flagged when its partition spec has fewer than two expressions AND its
+    * input subtree reaches a scan without crossing an aggregation (an
+    * aggregate bounds its output to the group count, so a window above one
+    * ranks already-reduced data). Note a Filter does NOT count as bounding —
+    * callers apply this to plans whose windows must be STRUCTURALLY bounded
+    * (e.g. mixture), not to top-k shapes whose phase-2 input is bounded only
+    * by a phase-1 rank filter. */
+  def wholeGroupWindows(plan: SparkPlan): Seq[String] = {
+    def unaggregatedScanBelow(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+          _: SortAggregateExec => false
+      case a: AdaptiveSparkPlanExec => unaggregatedScanBelow(a.executedPlan)
+      case q: QueryStageExec => unaggregatedScanBelow(q.plan)
+      case r: ReusedExchangeExec => unaggregatedScanBelow(r.child)
+      case leaf if leaf.children.isEmpty => true // any scan/leaf counts
+      case other => other.children.exists(unaggregatedScanBelow)
+    }
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.size < 2 &&
+            unaggregatedScanBelow(w.child) =>
+          Seq(w.simpleString(120))
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Seq.empty
+      }
+      self ++ p.children.flatMap(walk)
+    }
+    walk(plan)
   }
 }

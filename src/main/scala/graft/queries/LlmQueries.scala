@@ -136,8 +136,9 @@ object LlmQueries {
     }),
 
     // End-to-end dedup application: corpus minus non-survivors (cluster
-    // members that are not their cluster's min id). Broadcast anti-join —
-    // the corpus never shuffles.
+    // members that are not their cluster's min id). Un-hinted anti-join on
+    // the id key — AQE broadcasts the loser set when it is actually small
+    // and shuffles when a dup-heavy corpus makes it large.
     "q_dedup_apply" -> ((s, d) => {
       val docs = docsNearDups(s, d)
       val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),

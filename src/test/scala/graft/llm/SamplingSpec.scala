@@ -41,4 +41,49 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(out.filter(_._1 == "g0") === top20)
   }
+
+  test("mixture at corpus-scale quotas equals the whole-group-window reference") {
+    val s = spark
+    import s.implicits._
+    // quotas in the hundreds (≫ any single key-range bucket's share), so the
+    // bucket-offset decomposition must stitch ranks across MANY buckets —
+    // the regime the r11 single-reducer window died in at scale
+    val df = (0L until 6000L).map(i => (s"g${i % 3}", i)).toDF("src", "doc_id")
+    val weights = Map("g0" -> 0.5, "g1" -> 0.3, "g2" -> 0.15)
+    val out = Sampling.mixture(df, col("src"), col("doc_id"), weights,
+        total = 2000, nBuckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(Sampling.scrambleKey(col("doc_id")), col("doc_id"))
+    val caps = typedLit(weights.view.mapValues(x => math.floor(x * 2000).toLong).toMap)
+    val expect = df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= element_at(caps, col("src")))
+      .select(col("src"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(out === expect)
+    assert(out.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map("g0" -> 1000, "g1" -> 600, "g2" -> 300))
+  }
+
+  test("mixture's executed plan has no whole-group window over unaggregated data") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 4000L).map(i => (s"g${i % 3}", i)).toDF("src", "doc_id")
+    val out = Sampling.mixture(df, col("src"), col("doc_id"),
+      Map("g0" -> 0.5, "g1" -> 0.3), total = 2000)
+    out.collect()
+    val flagged = graft.plans.PlanAudit.wholeGroupWindows(
+      out.queryExecution.executedPlan)
+    assert(flagged.isEmpty,
+      s"corpus-scale single-partition window in mixture plan: $flagged")
+    // the auditor itself must still catch the old shape — a row_number over
+    // the raw rows partitioned by the group alone
+    val old = df.withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+        .orderBy(col("doc_id"))))
+    old.collect()
+    assert(graft.plans.PlanAudit.wholeGroupWindows(
+      old.queryExecution.executedPlan).nonEmpty,
+      "auditor failed to flag a genuine whole-group window")
+  }
 }

@@ -44,7 +44,12 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_decontam_apply" -> 3,
     // same derive-then-anti-join shape, then the dedup stage reads the kept
     // side it already holds
-    "q_clean_full" -> 3)
+    "q_clean_full" -> 3,
+    // key-range-bucket mixture (r12): one column-pruned scan derives the
+    // per-(group, bucket) count offsets, a second feeds the rank pass — the
+    // price of never ranking a whole group in one task (caching the corpus
+    // to save the narrow 2-column count scan would cost more at 100 TB)
+    "q_sample_mixture" -> 2)
 
   private val benched: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sorted
