@@ -53,7 +53,14 @@ object Dedup {
     * shingles, self-join on shingle with id< ordering, count intersections,
     * and compute |A∩B| / (|A|+|B|−|A∩B|). Exact and oracle-expressible; at
     * scale the shingle join IS the LSH-free baseline — superseded by
-    * [[minHashCandidates]] when the corpus no longer fits a shingle join. */
+    * [[minHashCandidates]] when the corpus no longer fits a shingle join.
+    *
+    * CACHING CONTRACT: the hashed-shingle projection is `persist()`ed
+    * internally (it feeds two DAG branches — see the inline note). The
+    * cache is NOT released here; after materializing the result, callers
+    * must release it via [[graft.CacheHygiene.releaseAll]] (Verify, Bench
+    * and the query harness already do) or the MEMORY_AND_DISK blocks
+    * accumulate across repeated calls in a long-lived session. */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
     // hashed shingles, not strings: the inverted index only needs shingle

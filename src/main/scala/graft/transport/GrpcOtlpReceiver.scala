@@ -102,6 +102,20 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
       }
 
     private def onHeaders(ctx: ChannelHandlerContext, h: Http2HeadersFrame): Unit = {
+      val existing = streams.get(h.stream())
+      if (existing != null) {
+        // a SECOND HeaderS frame on an open stream: with END_STREAM it is
+        // the client's trailers — the request body is complete, process it
+        // (unconditionally replacing the state here would reset `done` and
+        // discard the buffered body, answering an already-answered stream);
+        // without END_STREAM it is a protocol violation — fail the stream,
+        // never rewind it
+        if (existing.done) ()
+        else if (h.isEndStream) complete(ctx, h.stream(), existing)
+        else finishEarly(ctx, h.stream(), existing, StatusInternal,
+          "unexpected HEADERS on open stream")
+        return
+      }
       val hs = h.headers()
       val state = new StreamState(hs)
       streams.put(h.stream(), state)
@@ -155,25 +169,36 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
       if (state.body.size() > maxMessageBytes + GrpcFrameHeader) {
         finishEarly(ctx, stream, state, StatusResourceExhausted,
           s"message exceeds $maxMessageBytes bytes")
-      } else if (d.isEndStream) {
-        state.done = true
-        streams.remove(stream)
-        val body = state.body.toByteArray
-        val gzip = state.gzip
-        val eventLoop = ctx.channel().eventLoop()
-        pool.execute(() => {
-          val (status, message) = process(body, gzip)
-          eventLoop.execute(() => respond(ctx, stream, status, message))
-        })
-      }
+      } else if (d.isEndStream) complete(ctx, stream, state)
+    }
+
+    /** End of the request body (END_STREAM on DATA, or client trailers):
+      * hand the accumulated message to the worker pool and respond. */
+    private def complete(ctx: ChannelHandlerContext, stream: Http2FrameStream,
+        state: StreamState): Unit = {
+      state.done = true
+      streams.remove(stream)
+      val body = state.body.toByteArray
+      val gzip = state.gzip
+      val eventLoop = ctx.channel().eventLoop()
+      pool.execute(() => {
+        val (status, message) = process(body, gzip)
+        eventLoop.execute(() => respond(ctx, stream, status, message))
+      })
     }
 
     /** Trailers-only response for streams failed before their body finished;
-      * the reset tells the client to stop sending what we'll never read. */
+      * the reset tells the client to stop sending what we'll never read.
+      * The state leaves the map immediately — a failed stream must not pin
+      * its (up to cap-sized) buffered body until connection close; onData's
+      * state==null branch keeps draining and window-crediting whatever the
+      * client still has in flight. */
     private def finishEarly(ctx: ChannelHandlerContext, stream: Http2FrameStream,
         state: StreamState, status: Int, message: String,
         extra: Seq[(String, String)] = Nil): Unit = {
       state.done = true
+      streams.remove(stream)
+      state.body.reset()
       val out = new DefaultHttp2Headers().status("200")
       out.set("content-type", "application/grpc")
       out.set("grpc-status", status.toString)
@@ -339,10 +364,18 @@ object GrpcOtlpReceiver {
     out
   }
 
-  /** grpc-message is percent-encoded per the spec; everything this server
-    * emits is printable ASCII, so only '%' and non-printables need escaping. */
-  def percentEncode(s: String): String =
-    s.flatMap { c =>
-      if (c == '%' || c < ' ' || c > '~') f"%%${c.toInt}%02X" else c.toString
+  /** grpc-message is percent-encoded per the spec: the UTF-8 BYTES of the
+    * string, two hex digits per escaped byte. Encoding code UNITS would
+    * break on any char above 0xFF (f"%02X" does not truncate, so 'ş' would
+    * emit the malformed "%15F") — reachable because the unknown-method
+    * message echoes the client-controlled `:path`. */
+  def percentEncode(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val v = b & 0xff
+      if (v == '%' || v < ' ' || v > '~') sb.append(f"%%$v%02X")
+      else sb.append(v.toChar)
     }
+    sb.toString
+  }
 }

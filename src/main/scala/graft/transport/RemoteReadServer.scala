@@ -40,7 +40,8 @@ import graft.sink.MetricsSink
 class RemoteReadServer(spark: SparkSession, storageDir: String,
     sourceDir: String, workspaceId: String, nowMs: () => Long,
     maxBodyBytes: Int = RemoteReadServer.DefaultMaxBodyBytes,
-    maxResponseRows: Int = RemoteReadServer.DefaultMaxResponseRows) {
+    maxResponseRows: Int = RemoteReadServer.DefaultMaxResponseRows,
+    queryTimeoutMs: Long = RemoteReadServer.DefaultQueryTimeoutMs) {
 
   /** Pinned-clock convenience for tests and replays. */
   def this(spark: SparkSession, storageDir: String, sourceDir: String,
@@ -123,6 +124,10 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
         } catch {
           case e: RemoteReadServer.BodyTooLarge =>
             (413, e.getMessage.getBytes("UTF-8"), Map.empty[String, String])
+          case e: RemoteReadServer.QueryTimeout =>
+            // the reference fails long reads server-side via ClickHouse's
+            // max_execution_time=60 (writer.go:50-52); 503 is the HTTP arm
+            (503, e.getMessage.getBytes("UTF-8"), Map.empty[String, String])
           case e: Exception =>
             (400, s"bad request: ${e.getMessage}".getBytes("UTF-8"),
               Map.empty[String, String])
@@ -236,10 +241,10 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
             .otherwise(sampleValue(vCol, col("count"), col("sum"))))
       }
     val rows = sampled.filter(col("sample_value").isNotNull)
-    val shaped = shape(rows, tsCol, Seq(col("labels")), limit)
+    val shapedDf = shape(rows, tsCol, Seq(col("labels")), limit)
       .select(col("metric"), col("labels"), col("attributes"),
         tsCol.as("ts_ms"), col("sample_value"))
-      .collect()
+    val shaped = collectWithDeadline(shapedDf)
     // regroup consecutive rows into series (A14's grouping, sample arrays
     // preserved in the shaped order)
     val bySeries = scala.collection.mutable.LinkedHashMap
@@ -258,6 +263,44 @@ class RemoteReadServer(spark: SparkSession, storageDir: String,
       PromProto.TimeSeries(labels, samples.toSeq)
     }.toSeq
   }
+
+  /** The server-side execution time budget — the analog of the reference's
+    * `max_execution_time=60` on every read (writer.go:50-52): without it one
+    * pathological matcher over an unpruned range holds a server thread AND
+    * the Spark scheduler's resources indefinitely. The collect runs inside a
+    * per-request job group (job groups are thread-local, and each request is
+    * served on its own pool thread); a shared watchdog timer cancels the
+    * group at the deadline, which interrupts the running stages and fails
+    * the collect — surfaced as [[RemoteReadServer.QueryTimeout]] → 503. The
+    * cancellation is group-scoped, so concurrent requests on the shared
+    * session are untouched (pinned by RemoteReadServerSpec). */
+  private def collectWithDeadline(df: org.apache.spark.sql.DataFrame):
+      Array[org.apache.spark.sql.Row] = {
+    if (queryTimeoutMs <= 0) return df.collect()
+    val sc = spark.sparkContext
+    val groupId = s"promread-${java.util.UUID.randomUUID()}"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sc.setJobGroup(groupId, s"remote-read (deadline ${queryTimeoutMs}ms)",
+      interruptOnCancel = true)
+    // AndFutureJobs: a deadline elapsing while the request is still in
+    // planning/codegen must also doom the jobs it submits AFTER the cancel,
+    // or a slow-to-plan query would sail past its budget untouched
+    val watchdog = RemoteReadServer.watchdog.schedule(new Runnable {
+      override def run(): Unit = {
+        fired.set(true)
+        sc.cancelJobGroupAndFutureJobs(groupId,
+          s"remote-read deadline ${queryTimeoutMs}ms exceeded")
+      }
+    }, queryTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try df.collect()
+    catch {
+      case e: Exception if fired.get() =>
+        throw new RemoteReadServer.QueryTimeout(queryTimeoutMs)
+    } finally {
+      watchdog.cancel(false)
+      sc.clearJobGroup()
+    }
+  }
 }
 
 object RemoteReadServer {
@@ -270,8 +313,25 @@ object RemoteReadServer {
     * multi-query amplification of its per-query LIMIT 100000. */
   val DefaultMaxResponseRows: Int = 1000000
 
+  /** Reference read-side execution budget: `max_execution_time=60` on the
+    * ClickHouse session every read runs under (writer.go:50-52). */
+  val DefaultQueryTimeoutMs: Long = 60000L
+
   private[transport] final class BodyTooLarge(max: Int)
     extends RuntimeException(s"request body exceeds $max bytes")
+
+  private[transport] final class QueryTimeout(ms: Long)
+    extends RuntimeException(s"query exceeded the ${ms}ms execution budget")
+
+  /** Shared deadline timer for [[RemoteReadServer]] instances — one daemon
+    * thread; the scheduled task is a cheap cancelJobGroup call. */
+  private[transport] lazy val watchdog:
+      java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "promread-deadline")
+      t.setDaemon(true)
+      t
+    })
 
   private[transport] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))

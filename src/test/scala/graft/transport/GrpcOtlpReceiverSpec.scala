@@ -191,6 +191,37 @@ class GrpcOtlpReceiverSpec extends SparkSpec {
     }
   }
 
+  test("client trailers (second HEADERS, END_STREAM) complete the request, not reset it") {
+    withReceiver() { (sourceDir, port) =>
+      // HTTP/2 allows request trailers: HEADERS → DATA… → HEADERS(end).
+      // The old onHeaders unconditionally replaced the stream state, so the
+      // trailers frame discarded the buffered body and re-opened a stream
+      // the server then never answered (ADVICE r11) — now it must be
+      // treated as end-of-body and processed normally.
+      val resp = GrpcTestClient.call(port, ExportPath,
+        grpcFrame(OtlpProto.encodeExportRequest(fixture)),
+        endWithTrailers = true)
+      assert(resp.httpStatus === 200)
+      assert(resp.grpcStatus === 0)
+      assert(landedFiles(sourceDir).size === 1)
+    }
+  }
+
+  test("percent-encoding escapes UTF-8 bytes, not UTF-16 code units") {
+    import GrpcOtlpReceiver.percentEncode
+    // printable ASCII passes through; '%' always escapes
+    assert(percentEncode("plain 100% ok") === "plain 100%25 ok")
+    // chars above 0xFF must emit one %XX pair PER UTF-8 BYTE (the old code
+    // unit form emitted the malformed "%15F" for 'ş'); round-trip through a
+    // standard percent-decoder proves well-formedness
+    val s = "méthode-ş-→"
+    val enc = percentEncode(s)
+    assert(enc.matches("[\\x20-\\x7e]*"), s"non-ASCII survived encoding: $enc")
+    val dec = java.net.URLDecoder.decode(
+      enc.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
+    assert(dec === s)
+  }
+
   test("an export with zero datapoints acks without landing anything") {
     withReceiver() { (sourceDir, port) =>
       val resp = GrpcTestClient.call(port, ExportPath,

@@ -35,7 +35,8 @@ object GrpcTestClient {
     def call(path: String, body: Array[Byte],
         contentType: String = "application/grpc",
         extraHeaders: Seq[(String, String)] = Nil,
-        chunkSize: Int = 16384): GrpcResponse = {
+        chunkSize: Int = 16384,
+        endWithTrailers: Boolean = false): GrpcResponse = {
       val done = new CountDownLatch(1)
       val bodyOut = new java.io.ByteArrayOutputStream()
       @volatile var httpStatus = -1
@@ -94,11 +95,15 @@ object GrpcTestClient {
         var pos = 0
         while (pos < body.length) {
           val n = math.min(chunkSize, body.length - pos)
-          val last = pos + n == body.length
+          // endWithTrailers: END_STREAM rides a trailing HEADERS frame (what
+          // an HTTP/2 client sending request trailers does), never the DATA
+          val last = pos + n == body.length && !endWithTrailers
           stream.write(new DefaultHttp2DataFrame(
             Unpooled.wrappedBuffer(body, pos, n), last))
           pos += n
         }
+        if (endWithTrailers)
+          stream.write(new DefaultHttp2HeadersFrame(new DefaultHttp2Headers(), true))
         stream.flush()
       }
       require(done.await(60, TimeUnit.SECONDS), "grpc call timed out")
@@ -134,9 +139,11 @@ object GrpcTestClient {
   def call(port: Int, path: String, body: Array[Byte],
       contentType: String = "application/grpc",
       extraHeaders: Seq[(String, String)] = Nil,
-      chunkSize: Int = 16384): GrpcResponse = {
+      chunkSize: Int = 16384,
+      endWithTrailers: Boolean = false): GrpcResponse = {
     val conn = connect(port)
-    try conn.call(path, body, contentType, extraHeaders, chunkSize)
+    try conn.call(path, body, contentType, extraHeaders, chunkSize,
+      endWithTrailers)
     finally conn.close()
   }
 }

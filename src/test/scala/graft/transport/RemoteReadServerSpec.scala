@@ -439,6 +439,31 @@ class RemoteReadServerSpec extends SparkSpec {
     }
   }
 
+  test("query execution budget: a slow read is cancelled with 503, session stays healthy") {
+    val src = Files.createTempDirectory("graft_transport_src").toString
+    val req = Snappy.compress(PromProto.encodeReadRequest(Seq(
+      PromProto.Query(0L, 0L, Seq(
+        PromProto.LabelMatcher(2, "__name__", "^evt_.*$"))))))
+    // 1 ms budget: the watchdog fires during planning/execution of any real
+    // read (cancelJobGroupAndFutureJobs dooms later-submitted jobs too, so
+    // firing mid-planning still cancels) → 503, the writer.go:50-52 analog
+    val strict = new RemoteReadServer(spark, store, src, "ws-1", () => NowA,
+      queryTimeoutMs = 1L)
+    val port = strict.start()
+    try {
+      val (code, msg) = post(port, "/api/v1/read", req)
+      assert(code === 503, s"expected 503, got $code: ${new String(msg, "UTF-8")}")
+      assert(new String(msg, "UTF-8").contains("execution budget"))
+    } finally strict.stop()
+    // the cancellation is job-group-scoped: the SAME session immediately
+    // serves the SAME query under the default budget
+    withServer(src) { (_, port2) =>
+      val (code2, body2) = post(port2, "/api/v1/read", req)
+      assert(code2 === 200)
+      assert(PromProto.decodeReadResponse(Snappy.uncompress(body2)).head.nonEmpty)
+    }
+  }
+
   test("ingest endpoint lands an export batch atomically in the source dir") {
     val src = Files.createTempDirectory("graft_transport_src").toString
     withServer(src) { (_, port) =>
