@@ -26,6 +26,7 @@ object SparkEntry {
     * they distorted the performance signal the bench exists to give. */
   def verifyOnly: Set[String] = Set(
     "q_dedup_minhash_det", "q_dedup_simhash_det", "q_ann_lsh_all", "q_ann_ivf_all",
+    "q_ann_ivf_kmeans_det",
     // storage-mode twin of q_p8_route_mv_hist (maintenance.merge_tier_buckets):
     // same dashboard, same oracle — benching it would double-count the
     // routed-hist setup without adding a distinct production path

@@ -193,6 +193,58 @@ object Similarity {
     cent
   }
 
+  /** Deterministic integer-Lloyd twin of [[kmeansCentroids]] — the full-
+    * oracle pin for the learned-quantizer plumbing (the production form is
+    * float-argmax-sensitive across engines, so q_ann_ivf_kmeans is
+    * rows-only; this closes the last rows-only family without a hash-matched
+    * twin, mirroring what q_dedup_minhash_det does for MinHash).
+    *
+    * Same assignment/recompute shapes as production — broadcast-centroid
+    * argmin with map-side combine (corpus never shuffles), per-(cell, dim)
+    * partial sums (k·dim rows through the shuffle), localCheckpoint per
+    * round — under arithmetic BOTH engines restate bit-identically:
+    * vectors quantize to integers via floor(x·scale); assignment is argmin
+    * of the INTEGER squared Euclidean distance (ties → lowest cell id);
+    * the Lloyd mean floors to an integer centroid, computed as
+    * floor(double(s)/m) — exact because |s| < 2⁵³ and a non-integer
+    * quotient sits ≥ 1/m from the boundary, far beyond double rounding
+    * error (truncating integer division would differ from DuckDB on
+    * negative sums; floor division is the shared contract). Empty cells
+    * keep their previous centroid, as in production. */
+  def kmeansDetCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
+      scale: Int = 100): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    def q(c: Column): Column =
+      transform(c.cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("long"))
+    val qcorpus = corpus.select(col("vec_id").cast("long").as("nid"),
+      q(col("embedding")).as("nvec"))
+    var cent = init.select(col("vec_id").cast("long").as("cell"),
+      q(col("embedding")).as("cvec")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = qcorpus.crossJoin(broadcast(cent))
+        .withColumn("d", aggregate(
+          zip_with(col("nvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v))
+        .groupBy(col("nid"))
+        .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"),
+          any_value(col("nvec")).as("nvec"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("nvec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("m")))),
+          e => floor(e.getField("s").cast("double") / e.getField("m"))
+            .cast("long")).as("newv"))
+      cent = cent.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("newv"), col("cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
   /** Mean assigned cosine — the spherical-k-means objective, exposed so the
     * monotone-improvement property is assertable. */
   def assignmentObjective(corpus: DataFrame, centroids: DataFrame): Double = {

@@ -346,6 +346,22 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // Deterministic integer-Lloyd twin: the learned-quantizer plumbing
+    // (broadcast argmin assignment, per-(cell,dim) partial-sum recompute,
+    // empty-cell carry-over, 2 rounds) under floor-quantized integer
+    // arithmetic DuckDB restates verbatim — the full hash-match oracle row
+    // for the k-means family (q_ann_ivf_kmeans above stays the float
+    // production path with its rows-only check + LlmSpec monotone pin).
+    // Output is the refined centroid table itself, exploded per dimension.
+    "q_ann_ivf_kmeans_det" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.kmeansDetCentroids(emb,
+          emb.filter(col("vec_id") % 101 === 0), iters = 2)
+        .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "c")))
+        .select(col("cell"), col("pos").cast("long").as("pos"), col("c"))
+        .orderBy(col("cell"), col("pos"))
+    }),
+
     // IVF probing ALL cells: every corpus row meets every probe exactly once
     // (each row lives in exactly one cell), so the result is brute-force
     // cosine top-k regardless of float-argmax assignment — which gives the
@@ -649,6 +665,41 @@ object LlmQueries {
         |      FROM s)
         |SELECT pid, nid, round(score, 6) AS score, rank
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    // restates kmeansDetCentroids verbatim: floor(x·100) integer vectors,
+    // two unrolled Lloyd rounds — integer-distance argmin (ties → lowest
+    // cell), per-(cell,dim) sums, floor(s/m) centroid update with
+    // empty-cell carry-over — then the final centroids exploded per dim
+    "q_ann_ivf_kmeans_det" -> {
+      def round(inC: String, outC: String, k: Int) =
+        s"""d$k AS (SELECT q.vec_id, q.v, $inC.cell,
+          |          list_sum(list_transform(generate_series(1, 64),
+          |            i -> (q.v[i] - $inC.cv[i]) * (q.v[i] - $inC.cv[i]))) AS d
+          |       FROM q CROSS JOIN $inC),
+          |a$k AS (SELECT vec_id, v, cell FROM (
+          |         SELECT vec_id, v, cell,
+          |                row_number() OVER (PARTITION BY vec_id
+          |                                   ORDER BY d, cell) AS rk
+          |         FROM d$k) WHERE rk = 1),
+          |s$k AS (SELECT cell, g.i AS pos, sum(v[g.i]) AS s, count(*) AS m
+          |       FROM a$k CROSS JOIN generate_series(1, 64) AS g(i)
+          |       GROUP BY cell, g.i),
+          |$outC AS (SELECT $inC.cell, coalesce(n.cv, $inC.cv) AS cv
+          |       FROM $inC LEFT JOIN (
+          |         SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / m) AS BIGINT)
+          |                           ORDER BY pos) AS cv
+          |         FROM s$k GROUP BY cell) n USING (cell))""".stripMargin
+      s"""WITH q AS (SELECT vec_id,
+        |            list_transform(CAST(embedding AS DOUBLE[]),
+        |              x -> CAST(floor(x * 100) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id % 101 = 0),
+        |${round("c0", "c1", 1)},
+        |${round("c1", "c2", 2)}
+        |SELECT cell, CAST(g.i - 1 AS BIGINT) AS pos, cv[g.i] AS c
+        |FROM c2 CROSS JOIN generate_series(1, 64) AS g(i)
+        |ORDER BY cell, pos""".stripMargin
+    },
 
     // identical SQL to q_ann_topk: probing all cells IS brute force
     "q_ann_ivf_all" ->
