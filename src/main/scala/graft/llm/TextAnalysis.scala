@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * not the raw text. `split` is non-cheap, so CollapseProject keeps the
   * two-stage projection and the split runs once per row instead of once per
   * stat; likewise the derived counters (n_tokens/n_distinct/stop_cnt) should
-  * be projected once and fed to [[qualityScore]]/[[langIdScore]] as columns.
+  * be projected once and fed to [[qualityScore]]/[[stopwordRatio]] as columns.
   */
 object TextAnalysis {
 
@@ -49,16 +49,19 @@ object TextAnalysis {
     (lenTerm + stopTerm + divTerm) / 3.0
   }
 
-  /** Language-ID heuristic: stopword-ratio thresholding (the classic n-gram/
-    * stopword profile detector collapsed to one profile). Real corpora would
-    * carry one stopword set per language; the synthetic corpus shares one
-    * vocabulary, so the interesting part — the Spark shape — is a per-row
-    * scalar with no shuffle. */
-  def langIdScore(nTokens: Column, stopCnt: Column): Column =
+  /** Stopword ratio — a QUALITY feature (functional-word density), not a
+    * language claim: the r11 verdict's point was that thresholding this is
+    * not language identification (it calls all non-English text
+    * "non-language"). Real langid is [[LangId]] (char-trigram Naive Bayes);
+    * this survives as the cheap English-likeness gate the C4-style cleaning
+    * composites use. */
+  def stopwordRatio(nTokens: Column, stopCnt: Column): Column =
     stopCnt.cast("double") / nTokens
 
-  def langIdPredict(nTokens: Column, stopCnt: Column, threshold: Double): Column =
-    when(langIdScore(nTokens, stopCnt) >= threshold, "en-like").otherwise("other")
+  /** English-likeness flag from [[stopwordRatio]] thresholding — honest
+    * name for what the old `langIdPredict` computed. */
+  def enLikePredict(nTokens: Column, stopCnt: Column, threshold: Double): Column =
+    when(stopwordRatio(nTokens, stopCnt) >= threshold, "en-like").otherwise("other")
 
   /** Document fingerprint: 64-bit hash of the normalized text. Deterministic
     * across runs and partitions (xxhash64 is seed-fixed), so it is a join key
@@ -111,7 +114,7 @@ object TextAnalysis {
     * bit-identical to the per-stat HOF shapes above by TokenStatsExprSpec),
     * then compose scores from the counters.
     * Output columns: n_tokens, n_distinct, avg_tok_len, stop_cnt, quality,
-    * lang_pred, subwords — appended to `df`'s columns (minus the internal
+    * en_like, subwords — appended to `df`'s columns (minus the internal
     * token array and stats struct). */
   def withStats(df: DataFrame, text: Column, stopwords: Seq[String],
       langThreshold: Double = 0.06): DataFrame = {
@@ -128,7 +131,7 @@ object TextAnalysis {
         "subwords" -> st.getField("subwords")))
       .withColumns(Map(
         "quality" -> qualityScore(col("n_tokens"), col("n_distinct"), col("stop_cnt")),
-        "lang_pred" -> langIdPredict(col("n_tokens"), col("stop_cnt"), langThreshold)))
+        "en_like" -> enLikePredict(col("n_tokens"), col("stop_cnt"), langThreshold)))
       .drop("__tstats")
   }
 }

@@ -200,7 +200,25 @@ object LlmQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("avg_tok_len"), 6).as("avg_tok_len"),
           col("stop_cnt"), round(col("quality"), 6).as("quality"),
-          col("lang_pred"), col("subwords"))
+          col("en_like"), col("subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Real language ID: char-trigram Naive Bayes (LangId) — integer scores
+    // from build-time-scaled log weights, so the oracle restates the exact
+    // sum from the same literal profile. The corpus is synthetic English, so
+    // the prediction column alone would be constant; surfacing best/en
+    // scores pins the arithmetic per document, and LangIdSpec pins the
+    // multilingual behavior on fixtures.
+    "q_langid" -> ((s, d) => {
+      val sc = graft.llm.LangId.scores(graft.llm.LangId.padded(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sc.as("sc"))
+        .select(col("doc_id"),
+          graft.llm.LangId.predict(col("sc")).as("lang_pred"),
+          array_max(col("sc")).as("best_score"),
+          element_at(col("sc"),
+            graft.llm.LangId.Langs.indexOf("en") + 1).as("en_score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -232,7 +250,7 @@ object LlmQueries {
       // materializes — pinned by CacheHygieneSpec), so it cannot outlive
       // the query that created it.
       val kept = stats
-        .filter(col("quality") >= 0.5 && col("lang_pred") === "en-like")
+        .filter(col("quality") >= 0.5 && col("en_like") === "en-like")
         .persist()
       val pairs = Dedup.jaccardPairs(kept.select(col("doc_id"), col("text")),
         col("doc_id"), col("text"), n = 3, threshold = 0.6)
@@ -637,6 +655,37 @@ object LlmQueries {
       |         '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
       |FROM planted ORDER BY doc_id""".stripMargin,
 
+    // restates LangId scoring verbatim: the SAME integer weight literals
+    // (generated from LangId.profile — single source, engines cannot
+    // drift), padded-trigram extraction, matched-weight + default sums,
+    // argmax with alphabetical tie-break
+    "q_langid" -> s"""WITH prof(lang, tri, w) AS (VALUES
+      |${graft.llm.LangId.profileSqlValues}),
+      |def(lang, w0) AS (VALUES ${graft.llm.LangId.defaultsSqlValues}),
+      |t AS (SELECT doc_id,
+      |             ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      |                 || ' ' AS p
+      |      FROM documents),
+      |tri AS (SELECT doc_id,
+      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
+      |                      3) AS tri
+      |        FROM t),
+      |sc AS (SELECT x.doc_id, d.lang,
+      |              sum(coalesce(prof.w, d.w0)) AS score
+      |       FROM tri x
+      |       CROSS JOIN def d
+      |       LEFT JOIN prof ON prof.lang = d.lang AND prof.tri = x.tri
+      |       GROUP BY 1, 2),
+      |best AS (SELECT doc_id, lang, score,
+      |                row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, lang) AS rk
+      |         FROM sc)
+      |SELECT b.doc_id, b.lang AS lang_pred,
+      |       CAST(b.score AS BIGINT) AS best_score,
+      |       CAST(e.score AS BIGINT) AS en_score
+      |FROM best b JOIN sc e ON e.doc_id = b.doc_id AND e.lang = 'en'
+      |WHERE b.rk = 1 ORDER BY b.doc_id""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |       CAST(len(t) AS BIGINT) AS n_tokens,
@@ -647,7 +696,7 @@ object LlmQueries {
         |              + least(len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) * 10.0, 1.0)
         |              + len(list_distinct(t)) * 1.0 / len(t)) / 3.0, 6) AS quality,
         |       CASE WHEN len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) >= 0.06
-        |            THEN 'en-like' ELSE 'other' END AS lang_pred,
+        |            THEN 'en-like' ELSE 'other' END AS en_like,
         |       CAST(list_sum(list_transform(t,
         |              x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS subwords
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
