@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
   * plus a typed metadata struct, with decode/feature-extract implemented as
   * partition-parallel batch functions.
   *
-  * The decode step itself is STUBBED (this container ships no image/audio
-  * codecs — the stub derives deterministic fake features from the bytes), but
-  * the Spark-side plumbing is real and is what matters at 100 TB:
+  * The GENERIC decode step is stubbed (this container ships no image/audio
+  * codecs — [[decodeStub]]/[[decodePartitions]] derive deterministic fake
+  * features from the bytes), but [[decodePpm]] is a REAL dependency-free
+  * decoder for one format (binary PPM headers + raster summary), and the
+  * Spark-side plumbing is real throughout — which is what matters at
+  * 100 TB:
   *   - payloads stay in a `binary` column end-to-end (no base64 strings, no
   *     driver round-trips); parquet stores them page-compressed;
   *   - metadata lives in a typed struct column so filters on width/duration
@@ -75,6 +78,98 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** Wrap the text column as a REAL binary PPM (P6) image: header
+    * `P6 <w> <h> 255\n` followed by the text bytes as the raster. Unlike
+    * [[asMedia]]'s synthetic metadata, this payload is parseable by any
+    * PPM reader — it exists so [[decodePpm]] has an actual format to
+    * decode and the oracle can pin the parse against the construction
+    * arithmetic (w/h derive from the text length; the raster is the text's
+    * own bytes, ASCII in the fixture so DuckDB's ord() sees them). */
+  def asPpm(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
+    val w = (length(payloadText) % 64 + 1).cast("long")
+    val h = (length(payloadText) % 48 + 1).cast("long")
+    df.select(
+      id.as("doc_id"),
+      encode(concat(lit("P6 "), w, lit(" "), h, lit(" 255\n"), payloadText),
+        "UTF-8").as("payload"))
+  }
+
+  case class PpmFeatures(doc_id: Long, width: Option[Long],
+      height: Option[Long], maxval: Option[Long], data_bytes: Option[Long],
+      sum_row0: Option[Long])
+
+  /** A REAL dependency-free media decoder (retiring the r11 "declared stub"
+    * for one format): parses the binary PPM (P6) header byte-by-byte —
+    * magic, whitespace/comment skipping per the Netpbm spec, three ASCII
+    * ints, the single raster-separator byte — and summarizes the raster
+    * (byte count + sum of the first row's bytes, integer-exact so the
+    * oracle restates it). Malformed payloads yield null features, never an
+    * exception: a 100 TB media crawl always contains garbage.
+    *
+    * Same partition-parallel shape as [[decodePartitions]]: mapPartitions,
+    * iterator in/out, per-partition state amortized, rows 1:1, no
+    * shuffle. */
+  def decodePpm(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parsePpm(bytes) match {
+          case Some((w, h, m, db, s0)) =>
+            PpmFeatures(id, Some(w), Some(h), Some(m), Some(db), s0)
+          case None => PpmFeatures(id, None, None, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** The parser itself — total, allocation-free walk over the bytes.
+    * Returns (width, height, maxval, raster_bytes, sum of the first
+    * min(3·width, raster_bytes) raster bytes). */
+  private[llm] def parsePpm(bytes: Array[Byte]):
+      Option[(Long, Long, Long, Long, Option[Long])] = {
+    var i = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 11 || b == 12
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') { // comment runs to end of line
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else go = false
+      }
+    }
+    def parseInt(): Option[Long] = {
+      skipWsAndComments()
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      if (i == start) None else Some(v)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    i = 2
+    for (w <- parseInt(); h <- parseInt(); m <- parseInt()) yield {
+      // exactly ONE whitespace byte separates maxval from the raster — a
+      // raster beginning with 0x20 is data, not skippable whitespace
+      if (i < bytes.length && isWs(bytes(i))) i += 1
+      val dataBytes = (bytes.length - i).toLong
+      val k = math.min(3L * w, dataBytes).toInt
+      val sum0 =
+        if (k <= 0) None
+        else {
+          var s = 0L
+          var j = 0
+          while (j < k) { s += bytes(i + j) & 0xff; j += 1 }
+          Some(s)
+        }
+      (w, h, m, dataBytes, sum0)
+    }
   }
 
   /** Frame-sampling shape: explode n_frames into (doc_id, frame_idx) rows,

@@ -437,6 +437,34 @@ object LlmQueries {
           everyK = 7)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Real media decode: binary PPM payloads built from the text, parsed by
+    // the byte-level decoder (decodePpm's mapPartitions). The oracle pins
+    // the PARSE against the CONSTRUCTION arithmetic: the decoder must
+    // recover exactly the embedded w/h/maxval plus the raster byte count
+    // and first-row byte sum (text is ASCII, so DuckDB's ord() sees the
+    // same bytes).
+    "q_mm_decode" -> ((s, d) => {
+      Multimodal.decodePpm(
+          Multimodal.asPpm(Tables.documents(s, d), col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer-aware packing: same next-fit fold as q_pack_nextfit, but the
+    // budget is BPE-ish subword units (greatest(1, ceil(len/4)) per token —
+    // the ~4-chars/token heuristic; a pinned vocab literal map drops into
+    // the same estimator) instead of whitespace tokens. Fully
+    // oracle-checked via the same recursive CTE under the subword size.
+    "q_pack_bpe" -> ((s, d) => {
+      val sized = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.subwordCountEstimate(
+            TextAnalysis.tokens(col("text"))).as("n_sub"))
+      graft.llm.Packing.packNextFit(sized, col("doc_id"),
+          pmod(col("doc_id"), lit(8)), col("doc_id"), col("n_sub"),
+          maxTokens = 256L)
+        .orderBy(col("doc_id"))
     }))
 
   /** Shared CTE chain for the cluster oracles: near-dup fixture → shingles →
@@ -884,5 +912,44 @@ object LlmQueries {
 
     "q_mm_frames" ->
       """SELECT doc_id, CAST(unnest(generate_series(0, strlen(text) % 24, 7)) AS BIGINT) AS frame_idx
-        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the decoder must recover the constructed header + raster summary
+    "q_mm_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(strlen(text) % 64 + 1 AS BIGINT) AS width,
+        |                  CAST(strlen(text) % 48 + 1 AS BIGINT) AS height,
+        |                  CAST(strlen(text) AS BIGINT) AS data_bytes,
+        |                  text
+        |           FROM documents),
+        |k AS (SELECT doc_id, width, height, data_bytes,
+        |             CAST(least(3 * width, data_bytes) AS INT) AS k0, text
+        |      FROM m)
+        |SELECT doc_id, width, height, CAST(255 AS BIGINT) AS maxval,
+        |       data_bytes,
+        |       CASE WHEN k0 <= 0 THEN NULL
+        |            ELSE CAST(list_sum(list_transform(generate_series(1, k0),
+        |                   i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+        |       END AS sum_row0
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_pack_bpe" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |         list_sum(list_transform(string_split(text, ' '),
+        |           x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS sz,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, rn, doc_id, sz, CAST(sz AS BIGINT) AS acc,
+        |         CAST(0 AS BIGINT) AS pack_id
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.sz,
+        |         CASE WHEN r.acc + t.sz > 256 THEN CAST(t.sz AS BIGINT)
+        |              ELSE r.acc + t.sz END,
+        |         CASE WHEN r.acc + t.sz > 256 THEN r.pack_id + 1
+        |              ELSE r.pack_id END
+        |  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+        |SELECT shard, doc_id, pack_id FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -265,6 +265,50 @@ class LlmSpec extends SparkSpec {
     assert(viaStub == viaPartitions)
   }
 
+  test("PPM parser: spec-conformant headers, raster edge cases, garbage safety") {
+    import Multimodal.parsePpm
+    def b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // canonical header + 12-byte raster incl. high bytes (unsigned read)
+    val raster = Array[Byte](10, 20, 30, -1, -2, -3, 40, 50, 60, 70, 80, 90)
+    assert(parsePpm(b("P6 4 3 255\n") ++ raster) ===
+      Some((4L, 3L, 255L, 12L,
+        Some(10L + 20 + 30 + 255 + 254 + 253 + 40 + 50 + 60 + 70 + 80 + 90))))
+    // Netpbm allows comments and arbitrary whitespace INSIDE the header
+    assert(parsePpm(b("P6\n# a comment\n 5\t6\r\n255\nabcdef")) ===
+      Some((5L, 6L, 255L, 6L,
+        Some("abcdef".map(_.toLong).sum))))
+    // a raster starting with 0x20 is DATA: only one separator byte skipped
+    assert(parsePpm(b("P6 1 1 255\n ZZ")) ===
+      Some((1L, 1L, 255L, 3L, Some((' '.toInt + 'Z' + 'Z').toLong))))
+    // first-row sum is capped at min(3w, raster)
+    assert(parsePpm(b("P6 1 9 255\nabcdef")).get._5 ===
+      Some(('a'.toInt + 'b' + 'c').toLong))
+    // empty raster → no row sum, zero bytes
+    assert(parsePpm(b("P6 2 2 255\n")) === Some((2L, 2L, 255L, 0L, None)))
+    // garbage never throws
+    assert(parsePpm(Array.empty[Byte]) === None)
+    assert(parsePpm(b("P5 2 2 255\n....")) === None)
+    assert(parsePpm(b("P6 x 2 255\n")) === None)
+    assert(parsePpm(b("P6 2")) === None)
+  }
+
+  test("decodePpm round-trips asPpm construction through the real parser") {
+    val out = Multimodal.decodePpm(
+        Multimodal.asPpm(Tables.documents(spark, Sf), col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+    val src = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    val got = out.collect()
+    assert(got.length === src.length)
+    got.zip(src).foreach { case (g, s) =>
+      val text = s.getString(1)
+      assert(g.getLong(1) === text.length % 64 + 1) // width recovered
+      assert(g.getLong(2) === text.length % 48 + 1) // height recovered
+      assert(g.getLong(3) === 255L)
+      assert(g.getLong(4) === text.length.toLong) // raster = the text bytes
+    }
+  }
+
   test("resizeMeta est_bytes is exact 64-bit integer division beyond 2^53") {
     import spark.implicits._
     // ~16 TB video blobs at 641×480: byte_len · newW · newH ≈ 2^62 is far
