@@ -9,11 +9,13 @@ object Bench {
     * the captured tail begins and the driver reads half a JSON object).
     */
   def headline(ok: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
-    // centisecond precision on the ONE driver-parsed line: ~70 queries at
-    // millisecond width broke the 1900-char budget in r11; 10 ms resolution
-    // is ample for round-over-round comparison (phases keep 3 decimals on
-    // their own line)
-    def cs(d: Double): String = f"$d%.2f"
+    // adaptive precision on the ONE driver-parsed line: centiseconds below
+    // 100 s (ample for round-over-round comparison; phases keep 3 decimals
+    // on their own line), whole seconds above — a 100+ s query is a dead
+    // round, not something needing centisecond resolution, and the wider
+    // worst-case width is what pushed 72 queries past the 1900-char budget
+    // in r12
+    def cs(d: Double): String = if (d < 100) f"$d%.2f" else f"$d%.0f"
     val qs = (ok.map { case (k, t) => s"\"" + k + "\":" + cs(t) } ++
       failed.map { k => s"\"" + k + "\":\"ERROR\"" })
       .mkString("{", ",", "}")

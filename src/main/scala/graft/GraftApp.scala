@@ -30,7 +30,8 @@ import graft.streaming.{OtlpSource, StreamingTemporality}
   *   processor.flush_interval_ms, source.max_files_per_trigger,
   *   maintenance.rollup_every_batches, maintenance.retention_drop,
   *   maintenance.compact_max_files, maintenance.publish_routing,
-  *   maintenance.merge_tier_buckets
+  *   maintenance.merge_tier_buckets, transport.port, transport.grpc_port,
+  *   transport.query_timeout_ms
   *
   * The typed state path carries attributes and exemplar payloads through
   * conversion, so both modes store full rows.
@@ -53,6 +54,7 @@ case class GraftConfig(
     mergeTierBuckets: Boolean = false,
     transportPort: Option[Int] = None,
     grpcPort: Option[Int] = None,
+    queryTimeoutMs: Long = graft.transport.RemoteReadServer.DefaultQueryTimeoutMs,
     sourceClean: String = "off",
     sourceArchiveDir: Option[String] = None,
     nowMs: Option[Long] = None)
@@ -93,6 +95,8 @@ object GraftApp {
         get("maintenance.merge_tier_buckets").exists(_.toBoolean),
       transportPort = get("transport.port").map(_.toInt),
       grpcPort = get("transport.grpc_port").map(_.toInt),
+      queryTimeoutMs = get("transport.query_timeout_ms").map(_.toLong)
+        .getOrElse(graft.transport.RemoteReadServer.DefaultQueryTimeoutMs),
       sourceClean = get("source.clean").getOrElse("off"),
       sourceArchiveDir = get("source.archive_dir"))
   }
@@ -269,7 +273,8 @@ object GraftApp {
     val transport = cfg.transportPort.map { p =>
       val srv = new graft.transport.RemoteReadServer(spark, cfg.storageDir,
         cfg.sourceDir, cfg.workspaceId,
-        () => cfg.nowMs.getOrElse(System.currentTimeMillis()))
+        () => cfg.nowMs.getOrElse(System.currentTimeMillis()),
+        queryTimeoutMs = cfg.queryTimeoutMs)
       val bound = srv.start(p)
       println(s"[graft] remote-read transport on 127.0.0.1:$bound")
       srv
