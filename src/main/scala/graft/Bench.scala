@@ -16,8 +16,11 @@ object Bench {
     // worst-case width is what pushed 72 queries past the 1900-char budget
     // in r12
     def cs(d: Double): String = if (d < 100) f"$d%.2f" else f"$d%.0f"
+    // "ERR", not "ERROR": with 73 queries the all-failed worst case has to
+    // fit the same tail window as the all-green one (still unmistakably a
+    // non-number; detail lives on the earlier errors line)
     val qs = (ok.map { case (k, t) => s"\"" + k + "\":" + cs(t) } ++
-      failed.map { k => s"\"" + k + "\":\"ERROR\"" })
+      failed.map { k => s"\"" + k + "\":\"ERR\"" })
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // sf as basename: the directory prefix is constant and the line budget
@@ -113,7 +116,7 @@ object Bench {
     // stdout line, from a ~2000-char tail window. So: (1) per-phase detail and
     // failure detail go on EARLIER lines; (2) the final line is the compact
     // headline object only, with timings rounded to ms so ~60 queries fit the
-    // window; (3) a failed builder is an explicit "ERROR" marker, never a ~0
+    // window; (3) a failed builder is an explicit "ERR" marker, never a ~0
     // timing that reads as "fast".
     val (failed, ok) = results.partition(_._2.error.isDefined)
     // earlier line 1: per-phase detail where setup is material (the
@@ -129,7 +132,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"errors","errors":$errs}""")
     // final line: the headline the driver parses — failed queries appear as
-    // the string "ERROR" so they can never masquerade as a fast timing
+    // the string "ERR" so they can never masquerade as a fast timing
     println(headline(ok.toSeq.map { case (k, s) => (k, s.total) },
       failed.keys.toSeq, sfDir))
     spark.stop()

@@ -99,6 +99,35 @@ object Similarity {
       .select(col("pid"), col("nid"), col("score"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN — the recall-widening the [[lshTopK]] scaladoc
+    * promises, implemented: each probe searches its own bucket PLUS every
+    * single-bit flip of it (the nBits hamming-1 neighbors — the buckets a
+    * borderline hyperplane projection could have landed in). Candidate
+    * recall is a strict superset of single-probe by construction (pinned in
+    * LlmSpec), at (nBits+1)× the probe-side bucket keys — and the probe
+    * side is the SMALL broadcast side, so the corpus still never
+    * self-joins and still carries exactly one bucket per vector; each
+    * (probe, neighbor) pair meets at most once because a corpus vector
+    * lives in one bucket and the probe's key set is distinct. */
+  def lshTopKMultiProbe(corpus: DataFrame, probes: DataFrame, k: Int,
+      nBits: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nvec"))
+      .withColumn("bucket", lshBucket(col("nvec"), nBits))
+    val b0 = lshBucket(col("pvec"), nBits)
+    val p = probes.select(col("vec_id").as("pid"),
+        col("embedding").cast("array<double>").as("pvec"))
+      .withColumn("bucket", explode(array(
+        b0 +: (0 until nBits).map(j => b0.bitwiseXOR(lit(1L << j))): _*)))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("score", cosine(col("pvec"), col("nvec")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("score"), col("rank"))
+  }
+
   /** IVF — inverted-file ANN with a coarse quantizer: every corpus vector is
     * assigned to its nearest centroid's cell (one broadcast pass — the
     * centroid table is tiny by construction); a probe scores only the

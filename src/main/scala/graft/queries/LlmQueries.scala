@@ -323,6 +323,21 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // Multi-probe LSH: each probe also searches its bucket's hamming-1
+    // neighbors — candidate recall is a strict superset of q_ann_lsh
+    // (pinned in LlmSpec) while the corpus still carries one bucket per
+    // vector. Same float-sign sensitivity as q_ann_lsh → rows-only;
+    // q_ann_lsh_all remains the family's full-oracle twin (nBits=0
+    // degenerates both variants to the identical brute-force plan).
+    "q_ann_lsh_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 5, nBits = 12)
+        .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
     // LSH with nBits = 0: one bucket holds everything, so the bucketed join +
     // re-rank must reproduce brute-force top-k exactly regardless of float
     // sign sensitivity — a full hash-match oracle row for the LSH plumbing

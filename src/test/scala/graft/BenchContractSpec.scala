@@ -29,7 +29,7 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.length <= LineBudget,
       s"headline is ${line.length} chars for ${benched.size} benched queries " +
         s"— over the $LineBudget budget; shorten names or precision")
-    // and the all-failed shape ("ERROR" markers are longer than timings)
+    // and the all-failed shape ("ERR" markers vs worst-case timings)
     val worst = Bench.headline(Nil, benched, "/root/testdata/sf0.1")
     assert(worst.length <= LineBudget)
   }
@@ -38,7 +38,7 @@ class BenchContractSpec extends AnyFunSuite {
     val line = Bench.headline(Seq("q_x" -> 1.0), Seq("q_y"), "sf")
     assert(!line.contains("\n"))
     assert(line.startsWith("""{"metric":"total","value":1.00"""))
-    assert(line.contains(""""q_y":"ERROR""""))
+    assert(line.contains(""""q_y":"ERR""""))
     assert(line.contains(""""failed":1"""))
   }
 
@@ -57,8 +57,11 @@ class BenchContractSpec extends AnyFunSuite {
     // cannot restate — each has a _det/_all full-oracle twin in verifyOnly
     // q_ann_ivf_kmeans: learned-quantizer IVF — float-mean assignment ties
     // are engine-dependent; objective monotonicity pinned in LlmSpec
+    // q_ann_lsh_mp: multi-probe variant of q_ann_lsh — same float-sign
+    // sensitivity; recall ⊇ single-probe pinned in LlmSpec, and the
+    // family's full-oracle twin (q_ann_lsh_all) covers the shared plumbing
     val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
-      "q_ann_ivf", "q_ann_ivf_kmeans")
+      "q_ann_lsh_mp", "q_ann_ivf", "q_ann_ivf_kmeans")
     val unproven = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(unproven.isEmpty,

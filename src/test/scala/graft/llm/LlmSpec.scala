@@ -191,6 +191,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH candidates strictly contain single-probe's, scores exact") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    // compare CANDIDATE sets (k large enough to keep every bucket match):
+    // hamming-1 probing must be a superset per probe by construction
+    val single = Similarity.lshTopK(emb, probes, k = 100000, nBits = 12)
+      .select(col("pid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopKMultiProbe(emb, probes, k = 100000, nBits = 12)
+      .select(col("pid"), col("nid"), col("score")).collect()
+    val multiSet = multi.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multiSet),
+      s"multi-probe lost single-probe candidates: ${(single -- multiSet).take(5)}")
+    assert(multiSet.size > single.size,
+      "multi-probe widened nothing — flip expansion is not reaching the join")
+    // and each (probe, neighbor) pair appears exactly once despite the
+    // 13-bucket probe expansion (one bucket per corpus vector)
+    assert(multi.length === multiSet.size, "duplicate candidate pairs")
+    // scores are the exact cosine, same as brute force
+    val bf = Similarity.bruteForceTopK(emb, probes, k = 100000)
+      .select(col("pid"), col("nid"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    multi.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(2) - bf(pair)) < 1e-9, s"score drift at $pair")
+    }
+  }
+
   test("IVF with all cells probed equals brute force exactly") {
     val emb = Tables.embeddings(spark, Sf)
     val probes = emb.filter(col("vec_id") % 100 === 0)

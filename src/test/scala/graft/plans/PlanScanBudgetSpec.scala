@@ -30,6 +30,7 @@ class PlanScanBudgetSpec extends SparkSpec {
     // probe stride + corpus (+ centroid stride for IVF)
     "q_ann_topk" -> 2,
     "q_ann_lsh" -> 2,
+    "q_ann_lsh_mp" -> 2,
     "q_ann_ivf" -> 3,
     "q_ann_ivf_kmeans" -> 3,
     // union fixture × key-rewritten self-join sides (see scaladoc)
