@@ -44,7 +44,9 @@ import graft.sources.DocumentSource
   *   dedup.horizon (default "1 hour"), source.max_files_per_trigger,
   *   source.clean (off|delete|archive), source.archive_dir,
   *   decontam.bench_dir (JSONL benchmark set; unset = pass off),
-  *   decontam.ngram (default 8), decontam.min_hits (default 2)
+  *   decontam.ngram (default 8), decontam.min_hits (default 2),
+  *   ingest.stamp_stats (default false — stamp the text-quality battery
+  *   and trigram-NB language prediction onto corpus rows at ingest)
   */
 case class DocumentsConfig(
     sourceDir: String,
@@ -56,7 +58,8 @@ case class DocumentsConfig(
     sourceArchiveDir: Option[String] = None,
     decontamBenchDir: Option[String] = None,
     decontamN: Int = 8,
-    decontamMinHits: Int = 2)
+    decontamMinHits: Int = 2,
+    stampStats: Boolean = false)
 
 object DocumentsApp {
 
@@ -78,8 +81,22 @@ object DocumentsApp {
       sourceArchiveDir = get("source.archive_dir"),
       decontamBenchDir = get("decontam.bench_dir"),
       decontamN = get("decontam.ngram").map(_.toInt).getOrElse(8),
-      decontamMinHits = get("decontam.min_hits").map(_.toInt).getOrElse(2))
+      decontamMinHits = get("decontam.min_hits").map(_.toInt).getOrElse(2),
+      stampStats = get("ingest.stamp_stats").exists(_.toBoolean))
   }
+
+  /** Ingest-time enrichment (ingest.stamp_stats): the text-quality battery
+    * (token counts, quality score, en_like flag) plus the trigram-NB
+    * language prediction, stamped as corpus columns. 100 TB point: these
+    * are scan-speed per-row projections computed ONCE at ingest and stored
+    * — every downstream mixture/filter/decontam pass then reads a column
+    * instead of re-running tokenization over the whole corpus. */
+  private[graft] def stampStats(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    TextAnalysis.withStats(df, col("text"), graft.queries.OracleDefs.Stopwords)
+      .withColumn("lang_pred",
+        graft.llm.LangId.predict(
+          graft.llm.LangId.scores(graft.llm.LangId.padded(col("text")))))
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {
@@ -134,7 +151,8 @@ object DocumentsApp {
                   .drop("contaminated_id")))
             case None => (clean, None)
           }
-          kept.write.mode("append")
+          val enriched = if (cfg.stampStats) stampStats(kept) else kept
+          enriched.write.mode("append")
             .partitionBy("p_date")
             .parquet(s"${cfg.storageDir}/corpus")
           contaminated.foreach { c =>

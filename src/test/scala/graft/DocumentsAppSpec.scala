@@ -105,6 +105,43 @@ class DocumentsAppSpec extends SparkSpec {
     } finally CacheHygiene.releaseAll(spark)
   }
 
+  test("ingest.stamp_stats stores the quality battery + langid on corpus rows") {
+    val root = Files.createTempDirectory("graft_docs_app")
+    val src = Files.createDirectory(root.resolve("landing"))
+    val f = root.resolve("docs.properties")
+    Files.writeString(f,
+      s"""source.dir=$src
+         |storage.dir=${root.resolve("store")}
+         |checkpoint.dir=${root.resolve("ckpt")}
+         |ingest.stamp_stats=true
+         |""".stripMargin)
+    val cfg = DocumentsApp.load(f.toString)
+    assert(cfg.stampStats)
+
+    drop(src, "b1.jsonl", Seq(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog", "lang": "en", "source": "w", "n_chars": 41}""",
+      """{"doc_id": 2, "text": "der schnelle braune Fuchs springt über den faulen Hund hinweg und weiter", "lang": "de", "source": "w", "n_chars": 73}"""))
+    val q = DocumentsApp.start(spark, cfg)
+    try q.processAllAvailable() finally q.stop()
+
+    val corpus = spark.read.parquet(s"${root.resolve("store")}/corpus")
+    for (c <- Seq("n_tokens", "quality", "en_like", "subwords", "lang_pred"))
+      assert(corpus.columns.contains(c), s"missing stamped column $c")
+    val rows = corpus.select("doc_id", "n_tokens", "lang_pred").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(1L) === ((9L, "en")))
+    assert(rows(2L)._2 === "de")
+    // the stamped battery equals the batch operator over the same text —
+    // ingest stamping is storage of the SAME projection, not a fork
+    val expect = DocumentsApp.stampStats(
+        corpus.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality"), col("lang_pred"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val got = corpus.select(col("doc_id"), col("quality"), col("lang_pred"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === expect)
+  }
+
   test("landing lifecycle: consumed crawl drops delete (source.clean)") {
     val root = Files.createTempDirectory("graft_docs_app")
     val src = Files.createDirectory(root.resolve("landing"))
