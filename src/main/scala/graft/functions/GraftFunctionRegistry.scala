@@ -125,6 +125,13 @@ object GraftFunctionRegistry {
       arity("graft_bucket_delta", args, 2)
       BucketDeltaExpr(args.head, args(1))
     }),
+    // per-language trigram-NB scores over the PADDED normalized text — the
+    // SQL spelling of LangId.scores; compose the padding + argmax in SQL:
+    // graft_langid_scores(' ' || graft_normalize_text(text) || ' ')
+    fn("graft_langid_scores", { args =>
+      arity("graft_langid_scores", args, 1)
+      LangIdScoresExpr(args.head)
+    }),
     // aggregate: the analyzer wraps a returned AggregateFunction in its
     // AggregateExpression, same as the built-in sum/avg registrations
     fn("graft_merge_buckets", { args =>

@@ -71,6 +71,18 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
   }
 
+  test("langid_scores matches the Column API and composes with SQL padding") {
+    docs
+    val sql = spark.sql(
+      """SELECT id,
+        |       graft_langid_scores(' ' || graft_normalize_text(text) || ' ') AS sc
+        |FROM docs_sqlfn ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        graft.llm.LangId.scores(graft.llm.LangId.padded(col("text"))).as("sc"))
+      .orderBy(col("id")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+  }
+
   test("labels_key and merge_attributes match") {
     val sql = spark.sql(
       """SELECT graft_labels_key(map('b', '2', 'a', '1')) AS lk,

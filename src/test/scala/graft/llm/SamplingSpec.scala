@@ -65,6 +65,23 @@ class SamplingSpec extends SparkSpec {
       Map("g0" -> 1000, "g1" -> 600, "g2" -> 300))
   }
 
+  test("mixture output is invariant under nBuckets (pure plan parameter)") {
+    val s = spark
+    import s.implicits._
+    // nBuckets shapes the physical decomposition only — the selected row
+    // set must be byte-identical whichever bucket count runs it (the rank
+    // decomposition is exact, not approximate)
+    val df = (0L until 3000L).map(i => (s"g${i % 4}", i * 7 + 3)).toDF("src", "doc_id")
+    val w = Map("g0" -> 0.4, "g1" -> 0.3, "g3" -> 0.1)
+    def run(nb: Int) = Sampling.mixture(df, col("src"), col("doc_id"), w,
+        total = 900, nBuckets = nb)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val base = run(64)
+    assert(run(1) === base)
+    assert(run(4) === base)
+    assert(run(256) === base)
+  }
+
   test("mixture's executed plan has no whole-group window over unaggregated data") {
     val s = spark
     import s.implicits._

@@ -77,6 +77,20 @@ class PlanShapeSpec extends SparkSpec {
       s"projection outside codegen: ${unstarred.mkString("; ")}")
   }
 
+  test("langid scoring stays inside whole-stage codegen at scan speed") {
+    val df = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        graft.llm.LangId.scores(graft.llm.LangId.padded(col("text"))).as("sc"))
+    val plan = executedPlan(df)
+    val scoreLine = plan.linesIterator
+      .find(_.contains("langid_scores")).getOrElse("")
+    assert(scoreLine.contains("*("),
+      s"langid scoring fell out of codegen:\n$plan")
+    // and no shuffle: language ID is a pure per-row projection
+    assert(!plan.contains("Exchange"),
+      s"langid projection introduced a shuffle:\n$plan")
+  }
+
   test("date-range predicate prunes the sink's partition directories") {
     import graft.sink.MetricsSink
     import spark.implicits._
