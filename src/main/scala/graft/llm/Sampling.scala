@@ -101,6 +101,21 @@ object Sampling {
       .drop("__grp", "__key", "__id", "__bkt", "__ogrp", "__obkt", "__off", "__rk")
   }
 
+  /** Deterministic Bernoulli subsample: keep a row iff its scramble key
+    * falls under fraction·2³² — the cheap "give me ~10% of the corpus"
+    * every training pipeline runs before expensive passes. ZERO shuffle
+    * (contrast [[mixture]]'s exact quotas, which need the count pass): the
+    * filter evaluates at scan speed, composes with pushdown, and is
+    * reproducible across runs AND engines (same integer arithmetic as the
+    * ranked samples, so the same rows survive wherever it executes). Kept
+    * count is binomial around fraction·n, not exact — that is the
+    * contract; use [[mixture]]/[[topKPerGroup]] when the count must be
+    * exact. */
+  def bernoulli(id: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    scrambleKey(id) < math.floor(fraction * Mod32.toDouble).toLong
+  }
+
   /** Keep at most k rows per group, chosen by scrambled-id order
     * (deterministic; ties impossible while `id` is unique mod the fold,
     * which the id tiebreak below absorbs).

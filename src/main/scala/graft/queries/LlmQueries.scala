@@ -204,6 +204,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic Bernoulli subsample: scramble-key threshold keep — the
+    // zero-shuffle ~10% corpus cut (exact-quota sampling is q_sample_*).
+    // Same engine-portable integer arithmetic, so the SAME rows survive in
+    // the oracle.
+    "q_sample_bernoulli" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(graft.llm.Sampling.bernoulli(col("doc_id"), 0.1))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus summary: the "how big / how clean is my training set" roll-up
+    // every pipeline runs — per predicted language: docs, token and
+    // subword mass, mean quality (boundary-stable rounding). One
+    // map-side-combined aggregation over scan-speed projections.
+    "q_corpus_stats" -> ((s, d) => {
+      val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
+      st.withColumn("lang_pred",
+          graft.llm.LangId.predict(
+            graft.llm.LangId.scores(graft.llm.LangId.padded(col("text")))))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("subwords")).as("total_subwords"),
+          OracleDefs.stableAvg4(avg(col("quality"))).as("avg_quality"))
+        .orderBy(col("lang_pred"))
+    }),
+
     // Real language ID: char-trigram Naive Bayes (LangId) — integer scores
     // from build-time-scaled log weights, so the oracle restates the exact
     // sum from the same literal profile. The corpus is synthetic English, so
@@ -482,6 +510,33 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }))
 
+  /** Shared CTE chain for the langid oracles: the generated integer weight
+    * literals → padded trigrams → per-(doc, lang) score sums → argmax rows
+    * (`best`, filter `rk = 1`). */
+  private lazy val LangIdScoreCtes: String =
+    s"""WITH prof(lang, tri, w) AS (VALUES
+      |${graft.llm.LangId.profileSqlValues}),
+      |def(lang, w0) AS (VALUES ${graft.llm.LangId.defaultsSqlValues}),
+      |t AS (SELECT doc_id,
+      |             concat(' ',
+      |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+      |               ' ') AS p
+      |      FROM documents),
+      |tri AS (SELECT doc_id,
+      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
+      |                      3) AS tri
+      |        FROM t),
+      |sc AS (SELECT x.doc_id, d.lang,
+      |              sum(coalesce(prof.w, d.w0)) AS score
+      |       FROM tri x
+      |       CROSS JOIN def d
+      |       LEFT JOIN prof ON prof.lang = d.lang AND prof.tri = x.tri
+      |       GROUP BY 1, 2),
+      |best AS (SELECT doc_id, lang, score,
+      |                row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, lang) AS rk
+      |         FROM sc)""".stripMargin
+
   /** Shared CTE chain for the cluster oracles: near-dup fixture → shingles →
     * exact Jaccard pairs → undirected edges → recursive reachability. */
   private val ClusterCtes: String =
@@ -702,32 +757,40 @@ object LlmQueries {
     // (generated from LangId.profile — single source, engines cannot
     // drift), padded-trigram extraction, matched-weight + default sums,
     // argmax with alphabetical tie-break
-    "q_langid" -> s"""WITH prof(lang, tri, w) AS (VALUES
-      |${graft.llm.LangId.profileSqlValues}),
-      |def(lang, w0) AS (VALUES ${graft.llm.LangId.defaultsSqlValues}),
-      |t AS (SELECT doc_id,
-      |             ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
-      |                 || ' ' AS p
-      |      FROM documents),
-      |tri AS (SELECT doc_id,
-      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
-      |                      3) AS tri
-      |        FROM t),
-      |sc AS (SELECT x.doc_id, d.lang,
-      |              sum(coalesce(prof.w, d.w0)) AS score
-      |       FROM tri x
-      |       CROSS JOIN def d
-      |       LEFT JOIN prof ON prof.lang = d.lang AND prof.tri = x.tri
-      |       GROUP BY 1, 2),
-      |best AS (SELECT doc_id, lang, score,
-      |                row_number() OVER (PARTITION BY doc_id
-      |                                   ORDER BY score DESC, lang) AS rk
-      |         FROM sc)
+    "q_langid" -> s"""$LangIdScoreCtes
       |SELECT b.doc_id, b.lang AS lang_pred,
       |       CAST(b.score AS BIGINT) AS best_score,
       |       CAST(e.score AS BIGINT) AS en_score
       |FROM best b JOIN sc e ON e.doc_id = b.doc_id AND e.lang = 'en'
       |WHERE b.rk = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // same integer scramble threshold as the Spark filter: floor(0.1·2^32)
+    "q_sample_bernoulli" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 429496729
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-language corpus roll-up: langid CTEs + the token-stat formulas
+    "q_corpus_stats" -> s"""$LangIdScoreCtes,
+      |st AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |feat AS (SELECT doc_id,
+      |                CAST(len(tk) AS BIGINT) AS n_tokens,
+      |                CAST(list_sum(list_transform(tk,
+      |                  x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT))))
+      |                  AS BIGINT) AS subwords,
+      |                (least(len(tk) / 100.0, 1.0)
+      |                 + least(len(list_filter(tk, x -> x IN ('the', 'a')))
+      |                         * 1.0 / len(tk) * 10.0, 1.0)
+      |                 + len(list_distinct(tk)) * 1.0 / len(tk)) / 3.0 AS quality
+      |         FROM st)
+      |SELECT b.lang AS lang_pred,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(f.subwords) AS BIGINT) AS total_subwords,
+      |       ${OracleDefs.stableAvg4Sql("avg(f.quality)")} AS avg_quality
+      |FROM best b JOIN feat f USING (doc_id)
+      |WHERE b.rk = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -65,6 +65,23 @@ class SamplingSpec extends SparkSpec {
       Map("g0" -> 1000, "g1" -> 600, "g2" -> 300))
   }
 
+  test("bernoulli: deterministic, ~fraction-sized, and nested across fractions") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20000L).toDF("doc_id")
+    def keep(f: Double): Set[Long] =
+      df.filter(Sampling.bernoulli(col("doc_id"), f))
+        .collect().map(_.getLong(0)).toSet
+    val k10 = keep(0.10)
+    assert(keep(0.10) === k10) // reproducible
+    // binomial(20000, 0.1): mean 2000, σ≈42 — a ±5σ band
+    assert(math.abs(k10.size - 2000) < 220, s"kept ${k10.size} of 20000 at 10%")
+    // threshold sampling nests: a smaller fraction is a SUBSET of a larger
+    // one (grow a sample without resampling the corpus)
+    assert(keep(0.02).subsetOf(k10) && k10.subsetOf(keep(0.5)))
+    assert(keep(0.0).isEmpty && keep(1.0).size === 20000)
+  }
+
   test("mixture output is invariant under nBuckets (pure plan parameter)") {
     val s = spark
     import s.implicits._
