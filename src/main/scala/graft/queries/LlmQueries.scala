@@ -232,6 +232,25 @@ object LlmQueries {
         .orderBy(col("lang_pred"))
     }),
 
+    // Quantile-based quality curation: the "keep the top quartile" pass —
+    // derive the P75 quality threshold, then count/stat the surviving
+    // docs. The threshold rides as a broadcast scalar (no shuffle of the
+    // corpus beyond the two narrow aggregations). The oracle pins the
+    // EXACT percentile; at 100 TB the same plan swaps in
+    // approx_percentile (identical shape, sketch-bounded memory) — exact
+    // percentile's per-group value buffer is the documented toy-scale
+    // instrument here.
+    "q_quality_cut" -> ((s, d) => {
+      val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
+        .select(col("doc_id"), col("quality"))
+      val thr = st.agg(expr("percentile(quality, 0.75)").as("thr"))
+      st.join(broadcast(thr))
+        .filter(col("quality") >= col("thr"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(min(col("quality")), 6).as("min_kept_quality"),
+          round(any_value(col("thr")), 6).as("threshold"))
+    }),
+
     // Real language ID: char-trigram Naive Bayes (LangId) — integer scores
     // from build-time-scaled log weights, so the oracle restates the exact
     // sum from the same literal profile. The corpus is synthetic English, so
@@ -763,6 +782,20 @@ object LlmQueries {
       |       CAST(e.score AS BIGINT) AS en_score
       |FROM best b JOIN sc e ON e.doc_id = b.doc_id AND e.lang = 'en'
       |WHERE b.rk = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // exact P75 (linear interpolation — both engines' continuous-quantile
+    // definition) then the surviving-docs stats
+    "q_quality_cut" ->
+      """WITH q AS (SELECT doc_id,
+        |       (least(len(t) / 100.0, 1.0)
+        |        + least(len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) * 10.0, 1.0)
+        |        + len(list_distinct(t)) * 1.0 / len(t)) / 3.0 AS quality
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |thr AS (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |       round(min(quality), 6) AS min_kept_quality,
+        |       round(any_value(thr), 6) AS threshold
+        |FROM q CROSS JOIN thr WHERE quality >= thr""".stripMargin,
 
     // same integer scramble threshold as the Spark filter: floor(0.1·2^32)
     "q_sample_bernoulli" ->

@@ -46,6 +46,11 @@ class PlanScanBudgetSpec extends SparkSpec {
     // same derive-then-anti-join shape, then the dedup stage reads the kept
     // side it already holds
     "q_clean_full" -> 3,
+    // derive-the-threshold-then-filter (r12): one scan computes the P75
+    // quality scalar, the second applies it — the standard two-pass
+    // quantile-cut shape (caching the corpus to save a narrow re-scan
+    // costs more at 100 TB)
+    "q_quality_cut" -> 2,
     // key-range-bucket mixture (r12): one column-pruned scan derives the
     // per-(group, bucket) count offsets, a second feeds the rank pass — the
     // price of never ranking a whole group in one task (caching the corpus
