@@ -116,6 +116,27 @@ object Sampling {
     scrambleKey(id) < math.floor(fraction * Mod32.toDouble).toLong
   }
 
+  /** Deterministic named split — train/val/test assignment as a pure
+    * per-row projection: the scramble key lands in consecutive integer
+    * ranges sized by the fractions (same thresholds as [[bernoulli]], so a
+    * 0.8/0.1/0.1 split's "train" IS bernoulli(0.8)'s keep set). ZERO
+    * shuffle, reproducible across runs/engines, and stable under corpus
+    * growth: a document's split never changes when other documents arrive,
+    * because assignment depends only on its own id. Fractions must sum to
+    * ≤ 1; rows beyond the covered mass get NULL (caller filters or names
+    * the remainder explicitly). */
+  def splitLabel(id: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.forall(_._2 >= 0.0), "fractions must be non-negative")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-12, "fractions must sum to <= 1")
+    val key = scrambleKey(id)
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * Mod32.toDouble).toLong)
+    fractions.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), bound), rest) => when(key < bound, name).otherwise(rest)
+    }
+  }
+
   /** Keep at most k rows per group, chosen by scrambled-id order
     * (deterministic; ties impossible while `id` is unique mod the fold,
     * which the id tiebreak below absorbs).

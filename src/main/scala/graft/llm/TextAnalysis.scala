@@ -63,6 +63,21 @@ object TextAnalysis {
   def enLikePredict(nTokens: Column, stopCnt: Column, threshold: Double): Column =
     when(stopwordRatio(nTokens, stopCnt) >= threshold, "en-like").otherwise("other")
 
+  /** Max token multiplicity — the repetition signal of a Gopher-style
+    * filter (native one-pass count; see
+    * [[graft.functions.MaxTokenFreqExpr]]). `maxTokenFreq / n_tokens` near
+    * 1 means the document is one token repeated: boilerplate/spam. */
+  def maxTokenFreq(toks: Column): Column =
+    graft.functions.MaxTokenFreqExpr.maxFreq(toks)
+
+  /** Readable HOF twin of [[maxTokenFreq]] (O(distinct·n) interpreted —
+    * reference shape only; empty arrays coalesce to 0 like the native). */
+  def maxTokenFreqHof(toks: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(toks),
+        x => size(filter(toks, y => y === x)))),
+      lit(0))
+
   /** Document fingerprint: 64-bit hash of the normalized text. Deterministic
     * across runs and partitions (xxhash64 is seed-fixed), so it is a join key
     * for exact dedup at any scale. */

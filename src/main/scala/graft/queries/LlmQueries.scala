@@ -204,6 +204,35 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split: named consecutive scramble-key
+    // ranges — zero shuffle, growth-stable (a doc's split never changes
+    // when others arrive), and 'train' IS bernoulli(0.8)'s keep set.
+    "q_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+
+    // Repetition-ratio quality signal (Gopher-style): max token
+    // multiplicity per doc via the native one-pass counter — a doc whose
+    // top token dominates its length is boilerplate whatever its other
+    // stats say. Scan-speed projection, fully oracle-checked.
+    "q_text_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.maxTokenFreq(TextAnalysis.tokens(col("text")))
+            .cast("long").as("max_freq"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tok"))
+        .select(col("doc_id"), col("max_freq"),
+          round(col("max_freq").cast("double") / col("n_tok"), 6).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic Bernoulli subsample: scramble-key threshold keep — the
     // zero-shuffle ~10% corpus cut (exact-quota sampling is q_sample_*).
     // Same engine-portable integer arithmetic, so the SAME rows survive in
@@ -796,6 +825,30 @@ object LlmQueries {
         |       round(min(quality), 6) AS min_kept_quality,
         |       round(any_value(thr), 6) AS threshold
         |FROM q CROSS JOIN thr WHERE quality >= thr""".stripMargin,
+
+    // consecutive scramble ranges: floor(0.8·2^32), floor(0.9·2^32)
+    "q_split" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3435973836
+        |         THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3865470566
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS max_freq FROM cnt GROUP BY 1),
+        |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |      FROM documents)
+        |SELECT mx.doc_id, CAST(max_freq AS BIGINT) AS max_freq,
+        |       round(max_freq * 1.0 / n_tok, 6) AS rep_ratio
+        |FROM mx JOIN n ON n.doc_id = mx.doc_id ORDER BY mx.doc_id""".stripMargin,
 
     // same integer scramble threshold as the Spark filter: floor(0.1·2^32)
     "q_sample_bernoulli" ->

@@ -44,6 +44,22 @@ class TokenStatsExprSpec extends SparkSpec {
     assert(subw.getLong(3) === 3L) // ceil(8/4) + ceil(2/4)->1
   }
 
+  test("max token frequency: native == HOF twin, edges covered") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val diff = Tables.documents(spark, Sf)
+      .select(TextAnalysis.maxTokenFreq(toks).as("native"),
+        TextAnalysis.maxTokenFreqHof(toks).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+    val r = spark.range(1).select(
+        TextAnalysis.maxTokenFreq(split(lit("a b a a c b"), " ")).as("m"),
+        TextAnalysis.maxTokenFreq(array().cast("array<string>")).as("empty"),
+        TextAnalysis.maxTokenFreqHof(array().cast("array<string>")).as("emptyHof"))
+      .collect()(0)
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 0 && r.getInt(2) === 0)
+  }
+
   test("null token elements mirror the HOF shapes") {
     // tokenizers never emit nulls, but the type check admits containsNull
     // arrays — pin the native struct to the HOF results on one

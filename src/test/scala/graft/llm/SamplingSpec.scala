@@ -82,6 +82,31 @@ class SamplingSpec extends SparkSpec {
     assert(keep(0.0).isEmpty && keep(1.0).size === 20000)
   }
 
+  test("splitLabel partitions the corpus; train equals bernoulli(0.8)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20000L).toDF("doc_id")
+    val labeled = df.select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // full coverage (fractions sum to 1 → no NULLs), all three present
+    assert(labeled.forall(_._2 != null))
+    val byLabel = labeled.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(math.abs(byLabel("train") - 16000) < 600)
+    assert(math.abs(byLabel("val") - 2000) < 300)
+    // threshold alignment: 'train' IS the bernoulli(0.8) keep set
+    val bern = df.filter(Sampling.bernoulli(col("doc_id"), 0.8))
+      .collect().map(_.getLong(0)).toSet
+    assert(labeled.filter(_._2 == "train").map(_._1).toSet === bern)
+    // under-covered fractions leave the remainder NULL
+    val partial = df.limit(1000).select(
+        Sampling.splitLabel(col("doc_id"), Seq("s" -> 0.25)).as("split"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(partial.exists(_.isEmpty) && partial.exists(_.contains("s")))
+  }
+
   test("mixture output is invariant under nBuckets (pure plan parameter)") {
     val s = spark
     import s.implicits._
