@@ -100,6 +100,24 @@ object DocumentsApp {
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {
+    // fail-fast on a stamp_stats toggle against an existing corpus: the
+    // append sink would otherwise mix schemas in one directory and
+    // spark.read.parquet resolves the union nondeterministically (which
+    // footer gets sampled decides whether lang_pred exists). The operator
+    // must backfill or point at a fresh storage.dir instead.
+    val corpusDir = new java.io.File(s"${cfg.storageDir}/corpus")
+    if (corpusDir.isDirectory) {
+      // Try: an existing-but-empty dir (no parquet yet) has no schema to
+      // conflict with — only a readable corpus can disagree with the flag
+      scala.util.Try(spark.read.parquet(corpusDir.getPath).schema).foreach { sch =>
+        val hasStats = sch.fieldNames.contains("lang_pred")
+        require(hasStats == cfg.stampStats,
+          s"ingest.stamp_stats=${cfg.stampStats} but the existing corpus at " +
+            s"${corpusDir.getPath} ${if (hasStats) "carries" else "lacks"} " +
+            "stamped columns — backfill the corpus or use a fresh storage.dir " +
+            "before changing the flag")
+      }
+    }
     // Ingest-boundary decontamination (decontam.bench_dir): the benchmark
     // set is static for the app's lifetime, so its distinct hashed shingle
     // set is derived ONCE here and persisted — each micro-batch pays only

@@ -21,9 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ALL languages, inside whole-stage codegen. Bit-identical to
   * [[graft.llm.LangId.scoresHof]] (pinned by LangIdSpec).
   *
-  * Trigram windows walk UTF-16 code units; profiles are BMP-only, so this
-  * equals code-point windowing for every input that can score above the
-  * smoothing floor. */
+  * Trigram windows walk code points (matching Spark substr/length and the
+  * oracle's substr — non-BMP characters occupy ONE window position). */
 case class LangIdScoresExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -65,14 +64,19 @@ object LangIdScoresExpr {
     m
   }
 
-  /** Shared by eval and generated code. */
+  /** Shared by eval and generated code. Windows walk CODE POINTS, not
+    * UTF-16 units — Spark's substr/length, the HOF twin, and the DuckDB
+    * oracle all count code points, so a supplementary character (emoji)
+    * must be ONE window position here too or the three diverge by
+    * k·default per surrogate pair. */
   def compute(padded: UTF8String): ArrayData = {
     val s = padded.toString
+    val cps = s.codePoints().toArray
     val scores = new Array[Long](langs.length)
     var i = 0
-    val last = s.length - 3
+    val last = cps.length - 3
     while (i <= last) {
-      val w = merged.get(s.substring(i, i + 3))
+      val w = merged.get(new String(cps, i, 3))
       if (w == null) {
         var j = 0
         while (j < scores.length) { scores(j) += defaultsArr(j); j += 1 }

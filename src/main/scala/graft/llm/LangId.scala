@@ -27,9 +27,9 @@ import org.apache.spark.sql.functions._
   * with any downstream filter. The readable HOF twin ([[scoresHof]]) is
   * pinned bit-identical by LangIdSpec.
   *
-  * The trigram alphabet here is BMP text (seeds are European-language
-  * prose); scoring walks UTF-16 code units, which equals code-point
-  * semantics for every character the profiles can contain. */
+  * Scoring windows walk CODE POINTS end-to-end (native expression, HOF
+  * twin, oracle substr) — an emoji or any supplementary character is one
+  * window position in all three. */
 object LangId {
 
   /** Sorted — the tie-break and the argmax index mapping depend on it. */
@@ -93,8 +93,11 @@ object LangId {
         |lettres arrivées, des voisins et de leur jardin et des projets pour
         |les prochaines vacances au bord de la mer.""".stripMargin)
 
+  // Locale.ROOT: the default-locale toLowerCase would build a DIFFERENT
+  // profile on e.g. a tr-TR JVM ('I' → dotless 'ı'), breaking both build
+  // determinism and the match against Spark's locale-independent lower()
   private def normalizeStr(s: String): String =
-    s.trim.toLowerCase.replaceAll("\\s+", " ")
+    s.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
 
   /** Padded char trigrams — the same " text "-windowing the scoring
     * expression and the oracle apply. */

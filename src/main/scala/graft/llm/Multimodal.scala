@@ -150,7 +150,10 @@ object Multimodal {
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
         v = v * 10 + (bytes(i) - '0'); i += 1
       }
-      if (i == start) None else Some(v)
+      // > 15 digits would overflow toward garbage (and 3·width must stay
+      // in range below) — that's a malformed header, the null-features
+      // arm, not a wrapped Long masquerading as a dimension
+      if (i == start || i - start > 15) None else Some(v)
     }
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     i = 2

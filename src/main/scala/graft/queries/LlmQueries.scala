@@ -574,12 +574,15 @@ object LlmQueries {
       |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
       |                      3) AS tri
       |        FROM t),
-      |sc AS (SELECT x.doc_id, d.lang,
-      |              sum(coalesce(prof.w, d.w0)) AS score
-      |       FROM tri x
-      |       CROSS JOIN def d
-      |       LEFT JOIN prof ON prof.lang = d.lang AND prof.tri = x.tri
-      |       GROUP BY 1, 2),
+      |agg AS (SELECT x.doc_id, d.lang,
+      |               sum(coalesce(prof.w, d.w0)) AS score
+      |        FROM tri x
+      |        CROSS JOIN def d
+      |        LEFT JOIN prof ON prof.lang = d.lang AND prof.tri = x.tri
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT t.doc_id, d.lang, coalesce(a.score, 0) AS score
+      |       FROM t CROSS JOIN def d
+      |       LEFT JOIN agg a ON a.doc_id = t.doc_id AND a.lang = d.lang),
       |best AS (SELECT doc_id, lang, score,
       |                row_number() OVER (PARTITION BY doc_id
       |                                   ORDER BY score DESC, lang) AS rk

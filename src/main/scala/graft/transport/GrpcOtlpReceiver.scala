@@ -103,6 +103,12 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
 
     private def onHeaders(ctx: ChannelHandlerContext, h: Http2HeadersFrame): Unit = {
       val existing = streams.get(h.stream())
+      // trailers (no :method pseudo-header) for a stream we no longer
+      // track — e.g. in-flight after finishEarly removed the state: drain,
+      // exactly like onData's state==null branch. Treating them as a new
+      // request would fabricate a StreamState from trailer headers, write
+      // a spurious response on a reset stream, and leak the map entry.
+      if (existing == null && h.headers().method() == null) return
       if (existing != null) {
         // a SECOND HeaderS frame on an open stream: with END_STREAM it is
         // the client's trailers — the request body is complete, process it

@@ -140,6 +140,20 @@ class DocumentsAppSpec extends SparkSpec {
     val got = corpus.select(col("doc_id"), col("quality"), col("lang_pred"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(got === expect)
+
+    // toggling the flag against the existing corpus must FAIL FAST — an
+    // append would mix schemas in one directory and downstream reads
+    // would resolve lang_pred nondeterministically
+    val off = root.resolve("docs_off.properties")
+    Files.writeString(off,
+      s"""source.dir=$src
+         |storage.dir=${root.resolve("store")}
+         |checkpoint.dir=${root.resolve("ckpt2")}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      DocumentsApp.start(spark, DocumentsApp.load(off.toString))
+    }
+    assert(e.getMessage.contains("stamp_stats"))
   }
 
   test("landing lifecycle: consumed crawl drops delete (source.clean)") {

@@ -54,6 +54,10 @@ class LangIdSpec extends SparkSpec {
       .unionAll(graft.model.Tables.documents(spark, Sf)
         .select(col("text")).limit(50))
       .unionAll(Seq("", " ", "ab", "a  b").toDF("text")) // degenerate pads
+      // non-BMP: every surrogate pair must be ONE window position in both
+      // shapes (the UTF-16-unit walk diverged by k·default per emoji)
+      .unionAll(Seq("good morning 😀 friends",
+        "😀🚀🎉").toDF("text"))
     val both = docs.select(
       LangId.scores(LangId.padded(col("text"))).as("native"),
       LangId.scoresHof(LangId.padded(col("text"))).as("hof"))

@@ -318,6 +318,9 @@ class LlmSpec extends SparkSpec {
     assert(parsePpm(b("P5 2 2 255\n....")) === None)
     assert(parsePpm(b("P6 x 2 255\n")) === None)
     assert(parsePpm(b("P6 2")) === None)
+    // a 20-digit width would wrap Long into garbage — malformed, not a
+    // wrapped value masquerading as a dimension
+    assert(parsePpm(b("P6 99999999999999999999 2 255\n....")) === None)
   }
 
   test("decodePpm round-trips asPpm construction through the real parser") {

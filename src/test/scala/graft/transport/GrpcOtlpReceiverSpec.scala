@@ -207,6 +207,26 @@ class GrpcOtlpReceiverSpec extends SparkSpec {
     }
   }
 
+  test("trailers arriving after an early failure are drained, connection stays usable") {
+    // oversize body sent with trailers: the stream fails RESOURCE_EXHAUSTED
+    // mid-body (state removed from the map), then the client's in-flight
+    // trailing HEADERS arrives for an untracked stream — it must be drained
+    // (no fabricated new request, no ghost map entry), and the SAME
+    // connection must serve the next call normally.
+    withReceiver(maxMessageBytes = 64 * 1024) { (sourceDir, port) =>
+      val conn = GrpcTestClient.connect(port)
+      try {
+        val big = new Array[Byte](512 * 1024)
+        val r1 = conn.call(ExportPath, big, endWithTrailers = true)
+        assert(r1.grpcStatus === GrpcOtlpReceiver.StatusResourceExhausted)
+        val r2 = conn.call(ExportPath,
+          grpcFrame(OtlpProto.encodeExportRequest(fixture)))
+        assert(r2.grpcStatus === 0)
+        assert(landedFiles(sourceDir).size === 1)
+      } finally conn.close()
+    }
+  }
+
   test("percent-encoding escapes UTF-8 bytes, not UTF-16 code units") {
     import GrpcOtlpReceiver.percentEncode
     // printable ASCII passes through; '%' always escapes
