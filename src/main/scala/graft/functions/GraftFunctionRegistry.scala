@@ -125,6 +125,10 @@ object GraftFunctionRegistry {
       arity("graft_bucket_delta", args, 2)
       BucketDeltaExpr(args.head, args(1))
     }),
+    fn("graft_max_token_freq", { args =>
+      arity("graft_max_token_freq", args, 1)
+      MaxTokenFreqExpr(args.head)
+    }),
     // per-language trigram-NB scores over the PADDED normalized text — the
     // SQL spelling of LangId.scores; compose the padding + argmax in SQL:
     // graft_langid_scores(' ' || graft_normalize_text(text) || ' ')

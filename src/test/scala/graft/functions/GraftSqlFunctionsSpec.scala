@@ -71,6 +71,17 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
   }
 
+  test("max_token_freq matches the Column API") {
+    docs
+    val sql = spark.sql(
+      """SELECT id, graft_max_token_freq(split(text, ' ')) AS mf
+        |FROM docs_sqlfn ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        graft.llm.TextAnalysis.maxTokenFreq(split(col("text"), " ")).as("mf"))
+      .orderBy(col("id")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+  }
+
   test("langid_scores matches the Column API and composes with SQL padding") {
     docs
     val sql = spark.sql(

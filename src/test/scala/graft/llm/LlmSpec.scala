@@ -321,6 +321,15 @@ class LlmSpec extends SparkSpec {
     // a 20-digit width would wrap Long into garbage — malformed, not a
     // wrapped value masquerading as a dimension
     assert(parsePpm(b("P6 99999999999999999999 2 255\n....")) === None)
+    // fuzz: arbitrary bytes (incl. P6-prefixed garbage) never throw — a
+    // 100 TB media crawl feeds this parser everything
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 2000) {
+      val len = rnd.nextInt(64)
+      val arr = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (rnd.nextBoolean() && len >= 2) { arr(0) = 'P'; arr(1) = '6' }
+      Multimodal.parsePpm(arr) // must be total
+    }
   }
 
   test("decodePpm round-trips asPpm construction through the real parser") {
