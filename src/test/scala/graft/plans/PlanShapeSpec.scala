@@ -91,6 +91,23 @@ class PlanShapeSpec extends SparkSpec {
       s"langid projection introduced a shuffle:\n$plan")
   }
 
+  test("bernoulli sampling and split labeling are scan-only (zero exchanges)") {
+    // the whole point of the threshold samplers: a corpus cut/split costs
+    // one scan, no shuffle — a refactor that sneaks an exchange in breaks
+    // their 100 TB contract
+    val docs = Tables.documents(spark, Sf)
+    val sampled = docs.filter(
+      graft.llm.Sampling.bernoulli(col("doc_id"), 0.1))
+      .select(col("doc_id"))
+    assert(!executedPlan(sampled).contains("Exchange"),
+      s"bernoulli filter shuffled:\n${executedPlan(sampled)}")
+    val labeled = docs.select(col("doc_id"),
+      graft.llm.Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    assert(!executedPlan(labeled).contains("Exchange"),
+      s"split labeling shuffled:\n${executedPlan(labeled)}")
+  }
+
   test("date-range predicate prunes the sink's partition directories") {
     import graft.sink.MetricsSink
     import spark.implicits._
