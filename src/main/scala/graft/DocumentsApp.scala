@@ -94,9 +94,14 @@ object DocumentsApp {
   private[graft] def stampStats(df: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame =
     TextAnalysis.withStats(df, col("text"), graft.queries.OracleDefs.Stopwords)
+      .withColumn("__pad", graft.llm.LangId.padded(col("text")))
+      .withColumn("__sc", graft.llm.LangId.scores(col("__pad")))
+      // margin-binned prediction + the margin itself: downstream readers
+      // get the 'und' bin AND the raw confidence, both stamped once
       .withColumn("lang_pred",
-        graft.llm.LangId.predict(
-          graft.llm.LangId.scores(graft.llm.LangId.padded(col("text")))))
+        graft.llm.LangId.predictWithUnknown(col("__sc"), col("__pad")))
+      .withColumn("lang_margin", graft.llm.LangId.margin(col("__sc")))
+      .drop("__pad", "__sc")
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {

@@ -49,17 +49,16 @@ object LangIdScoresExpr {
 
   private lazy val langs: Array[String] = graft.llm.LangId.Langs.toArray
 
-  private lazy val defaultsArr: Array[Long] =
-    langs.map(graft.llm.LangId.defaults)
-
-  /** trigram → weight vector over langs; a language missing the trigram
-    * carries its default here, so one probe answers every language. */
+  /** trigram → boost vector over langs; a language missing the trigram
+    * carries 0, so one probe answers every language. Boost scoring means
+    * an UNMATCHED window contributes nothing anywhere — the hot loop skips
+    * it entirely (most windows of most documents, at corpus-scan scale). */
   private lazy val merged: java.util.HashMap[String, Array[Long]] = {
     val m = new java.util.HashMap[String, Array[Long]]()
     val tris = graft.llm.LangId.profile.valuesIterator.flatMap(_.keys).toSet
     tris.foreach { t =>
       m.put(t, langs.indices.map(i =>
-        graft.llm.LangId.profile(langs(i)).getOrElse(t, defaultsArr(i))).toArray)
+        graft.llm.LangId.profile(langs(i)).getOrElse(t, 0L)).toArray)
     }
     m
   }
@@ -67,8 +66,7 @@ object LangIdScoresExpr {
   /** Shared by eval and generated code. Windows walk CODE POINTS, not
     * UTF-16 units — Spark's substr/length, the HOF twin, and the DuckDB
     * oracle all count code points, so a supplementary character (emoji)
-    * must be ONE window position here too or the three diverge by
-    * k·default per surrogate pair. */
+    * must be ONE window position in all three. */
   def compute(padded: UTF8String): ArrayData = {
     val s = padded.toString
     val cps = s.codePoints().toArray
@@ -77,10 +75,7 @@ object LangIdScoresExpr {
     val last = cps.length - 3
     while (i <= last) {
       val w = merged.get(new String(cps, i, 3))
-      if (w == null) {
-        var j = 0
-        while (j < scores.length) { scores(j) += defaultsArr(j); j += 1 }
-      } else {
+      if (w != null) {
         var j = 0
         while (j < scores.length) { scores(j) += w(j); j += 1 }
       }

@@ -434,10 +434,12 @@ object Dedup {
     rounds: Int)
 
   /** Thrown by the strict [[components]] entry when label propagation has not
-    * reached a fixpoint within `maxIter` rounds (graph diameter too large). */
-  final class ComponentsNotConvergedException(maxIter: Int)
+    * reached a fixpoint within `maxIter` rounds (graph diameter too large),
+    * or by [[componentsStar]] when star alternation runs out of rounds — the
+    * message names the algorithm that actually exhausted its budget. */
+  final class ComponentsNotConvergedException(maxIter: Int, algorithm: String)
     extends RuntimeException(
-      s"connected components did not converge in $maxIter label-propagation " +
+      s"connected components did not converge in $maxIter $algorithm " +
         "rounds; raise maxIter or use componentsBestEffort for partial labels")
 
   /** Dedup cluster resolution: connected components over an undirected
@@ -537,6 +539,10 @@ object Dedup {
     * against [[componentsBestEffort]] by DedupComponentsSpec. */
   def componentsStar(pairs: DataFrame, idA: Column, idB: Column,
       maxIter: Int = 50): DataFrame = {
+    // the internal math runs on long, but the OUTPUT schema must match the
+    // propagation path's (which preserves the caller's id type) — otherwise
+    // components()'s result type would depend on runtime convergence
+    val idType = pairs.select(idA.as("__id")).schema.head.dataType
     val nodes = pairs.select(idA.cast("long").as("id"))
       .unionAll(pairs.select(idB.cast("long").as("id")))
       .distinct().localCheckpoint(true)
@@ -579,12 +585,14 @@ object Dedup {
       edgeCount = nextCount
       iter += 1
     }
-    if (!converged) throw new ComponentsNotConvergedException(maxIter)
+    if (!converged)
+      throw new ComponentsNotConvergedException(maxIter, "large/small-star")
     // star forest: every non-root sits on exactly one (root, node) edge
     nodes.join(edges, nodes("id") === edges("hi"), "left")
       .groupBy(col("id"))
       .agg(coalesce(min(col("lo")), first(col("id"))).as("component"))
-      .select(col("id").as("doc_id"), col("component"))
+      .select(col("id").cast(idType).as("doc_id"),
+        col("component").cast(idType).as("component"))
   }
 
   /** Apply cluster resolution: drop every non-survivor (component member

@@ -88,8 +88,13 @@ object Multimodal {
     * arithmetic (w/h derive from the text length; the raster is the text's
     * own bytes, ASCII in the fixture so DuckDB's ord() sees them). */
   def asPpm(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
-    val w = (length(payloadText) % 64 + 1).cast("long")
-    val h = (length(payloadText) % 48 + 1).cast("long")
+    // w/h derive from the BYTE length of the encoded raster — decodePpm (and
+    // the oracle's strlen) count bytes, so deriving from length() (code
+    // points) would silently desynchronize construction and parse on any
+    // non-ASCII text
+    val rasterBytes = octet_length(encode(payloadText, "UTF-8"))
+    val w = (rasterBytes % 64 + 1).cast("long")
+    val h = (rasterBytes % 48 + 1).cast("long")
     df.select(
       id.as("doc_id"),
       encode(concat(lit("P6 "), w, lit(" "), h, lit(" 255\n"), payloadText),

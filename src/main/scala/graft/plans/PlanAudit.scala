@@ -44,6 +44,34 @@ object PlanAudit {
       .filter(_._2 > budget).toMap
   }
 
+  /** Exact-percentile aggregates in the executed tree — the
+    * all-values-in-one-buffer shape (`Percentile` is a
+    * TypedImperativeAggregate whose state is every value in the group): at
+    * corpus scale the final merge holds the whole column in one aggregator.
+    * Benched production paths must be free of it (approx_percentile's GK
+    * sketch is the bounded-memory replacement of identical plan shape);
+    * the exact form is the oracle-twin instrument only. */
+  def exactPercentileAggs(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    def aggFns(p: SparkPlan) = p match {
+      case h: HashAggregateExec => h.aggregateExpressions.map(_.aggregateFunction)
+      case o: ObjectHashAggregateExec => o.aggregateExpressions.map(_.aggregateFunction)
+      case s: SortAggregateExec => s.aggregateExpressions.map(_.aggregateFunction)
+      case _ => Seq.empty
+    }
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case other =>
+          aggFns(other).collect { case pct: Percentile => pct.toString }
+      }
+      self ++ p.children.flatMap(walk)
+    }
+    walk(plan)
+  }
+
   /** Window nodes that rank corpus-scale data in single-expression
     * partitions — the "whole-group window" shape whose partition count is
     * the GROUP count, funneling each group's full row set through one task

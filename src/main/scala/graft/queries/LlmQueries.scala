@@ -65,6 +65,21 @@ object LlmQueries {
       |  SELECT doc_id + 200000 AS doc_id, text || ' zz0 zz1 zz2' AS text
       |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
+  /** Shared plan for q_quality_cut and its det twin — only the threshold
+    * aggregate differs (approx_percentile in production, exact percentile in
+    * the oracle instrument). The broadcast hint is safe here unlike
+    * dedup-apply's: the threshold relation is ONE row by construction. */
+  private def qualityCut(s: SparkSession, d: String, thrAgg: Column): DataFrame = {
+    val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
+      .select(col("doc_id"), col("quality"))
+    val thr = st.agg(thrAgg.as("thr"))
+    st.join(broadcast(thr))
+      .filter(col("quality") >= col("thr"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("quality")), 6).as("min_kept_quality"),
+        round(any_value(col("thr")), 6).as("threshold"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors per normalized-text fingerprint. fp (xxhash64)
     // is dropped from the output so DuckDB can restate the grouping on the
@@ -250,9 +265,14 @@ object LlmQueries {
     // map-side-combined aggregation over scan-speed projections.
     "q_corpus_stats" -> ((s, d) => {
       val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
-      st.withColumn("lang_pred",
-          graft.llm.LangId.predict(
-            graft.llm.LangId.scores(graft.llm.LangId.padded(col("text")))))
+      // margin-binned prediction ('und' under MarginPerWindow·windows): the
+      // corpus report must not force-classify noise into a language. Scores
+      // are materialized in one projection so the one-pass native scorer
+      // runs once per doc, not once per consumer expression.
+      st.withColumn("__pad", graft.llm.LangId.padded(col("text")))
+        .withColumn("__sc", graft.llm.LangId.scores(col("__pad")))
+        .withColumn("lang_pred",
+          graft.llm.LangId.predictWithUnknown(col("__sc"), col("__pad")))
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -264,21 +284,23 @@ object LlmQueries {
     // Quantile-based quality curation: the "keep the top quartile" pass —
     // derive the P75 quality threshold, then count/stat the surviving
     // docs. The threshold rides as a broadcast scalar (no shuffle of the
-    // corpus beyond the two narrow aggregations). The oracle pins the
-    // EXACT percentile; at 100 TB the same plan swaps in
-    // approx_percentile (identical shape, sketch-bounded memory) — exact
-    // percentile's per-group value buffer is the documented toy-scale
-    // instrument here.
-    "q_quality_cut" -> ((s, d) => {
-      val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
-        .select(col("doc_id"), col("quality"))
-      val thr = st.agg(expr("percentile(quality, 0.75)").as("thr"))
-      st.join(broadcast(thr))
-        .filter(col("quality") >= col("thr"))
-        .agg(count(lit(1)).as("n_kept"),
-          round(min(col("quality")), 6).as("min_kept_quality"),
-          round(any_value(col("thr")), 6).as("threshold"))
-    }),
+    // corpus beyond the two narrow aggregations). PRODUCTION path uses
+    // approx_percentile: its GK sketch bounds aggregator memory at the
+    // accuracy parameter regardless of corpus size, where exact
+    // percentile's value buffer holds the whole column in one aggregator —
+    // the r12 verdict's last scale-killer. The exact form survives as the
+    // full-oracle twin q_quality_cut_det (the MinHash/SimHash/k-means
+    // production-vs-det split); sketch-vs-exact agreement is pinned by a
+    // ±5% tolerance property in LlmQueriesSpec (reference three-way gate:
+    // test/validate_percentiles.go:341-385), and PlanAuditSpec asserts the
+    // benched plan carries no exact-Percentile aggregate.
+    "q_quality_cut" -> ((s, d) =>
+      qualityCut(s, d, expr("approx_percentile(quality, 0.75D, 10000)"))),
+
+    // Full-oracle twin: exact linear-interpolation P75 (both engines'
+    // continuous-quantile definition) through the SAME downstream plan.
+    "q_quality_cut_det" -> ((s, d) =>
+      qualityCut(s, d, expr("percentile(quality, 0.75D)"))),
 
     // Real language ID: char-trigram Naive Bayes (LangId) — integer scores
     // from build-time-scaled log weights, so the oracle restates the exact
@@ -294,7 +316,10 @@ object LlmQueries {
           graft.llm.LangId.predict(col("sc")).as("lang_pred"),
           array_max(col("sc")).as("best_score"),
           element_at(col("sc"),
-            graft.llm.LangId.Langs.indexOf("en") + 1).as("en_score"))
+            graft.llm.LangId.Langs.indexOf("en") + 1).as("en_score"),
+          // confidence: best − second-best (integer, oracle-restated) — the
+          // r12-missing signal that lets downstream bin low-margin docs
+          graft.llm.LangId.margin(col("sc")).as("margin"))
         .orderBy(col("doc_id"))
     }),
 
@@ -558,35 +583,45 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }))
 
-  /** Shared CTE chain for the langid oracles: the generated integer weight
-    * literals → padded trigrams → per-(doc, lang) score sums → argmax rows
-    * (`best`, filter `rk = 1`). */
+  /** Shared CTE chain for the langid oracles: the generated integer boost
+    * literals → padded trigrams → per-(doc, lang) matched-boost sums →
+    * argmax rows (`best`, filter `rk = 1`) → confidence margin (`mg`).
+    *
+    * Boost scoring keeps the restatement sparse: score(doc, lang) =
+    * Σ_matched boost, so only MATCHED (window, lang) rows flow through the
+    * join — windows × |Langs| rows (the r12 NB shape) became windows ×
+    * avg-matches, which is what keeps the 10-language profile affordable
+    * in the 10x DuckDB gate. Identical integer arithmetic, exact by
+    * construction. */
   private lazy val LangIdScoreCtes: String =
     s"""WITH prof(lang, tri, w) AS (VALUES
       |${graft.llm.LangId.profileSqlValues}),
-      |def(lang, w0) AS (VALUES ${graft.llm.LangId.defaultsSqlValues}),
+      |lgs(lang) AS (VALUES ${graft.llm.LangId.langsSqlValues}),
       |t AS (SELECT doc_id,
       |             concat(' ',
       |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
       |               ' ') AS p
       |      FROM documents),
+      |nw AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM t),
       |tri AS (SELECT doc_id,
       |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
       |                      3) AS tri
       |        FROM t),
-      |agg AS (SELECT x.doc_id, d.lang,
-      |               sum(coalesce(prof.w, d.w0)) AS score
+      |hit AS (SELECT x.doc_id, p.lang, sum(p.w) AS boost
       |        FROM tri x
-      |        CROSS JOIN def d
-      |        LEFT JOIN prof ON prof.lang = d.lang AND prof.tri = x.tri
+      |        JOIN prof p ON p.tri = x.tri
       |        GROUP BY 1, 2),
-      |sc AS (SELECT t.doc_id, d.lang, coalesce(a.score, 0) AS score
-      |       FROM t CROSS JOIN def d
-      |       LEFT JOIN agg a ON a.doc_id = t.doc_id AND a.lang = d.lang),
+      |sc AS (SELECT nw.doc_id, l.lang, coalesce(h.boost, 0) AS score
+      |       FROM nw CROSS JOIN lgs l
+      |       LEFT JOIN hit h ON h.doc_id = nw.doc_id AND h.lang = l.lang),
       |best AS (SELECT doc_id, lang, score,
       |                row_number() OVER (PARTITION BY doc_id
       |                                   ORDER BY score DESC, lang) AS rk
-      |         FROM sc)""".stripMargin
+      |         FROM sc),
+      |mg AS (SELECT b1.doc_id, b1.score - b2.score AS margin
+      |       FROM best b1 JOIN best b2
+      |         ON b2.doc_id = b1.doc_id AND b2.rk = 2
+      |       WHERE b1.rk = 1)""".stripMargin
 
   /** Shared CTE chain for the cluster oracles: near-dup fixture → shingles →
     * exact Jaccard pairs → undirected edges → recursive reachability. */
@@ -811,13 +846,17 @@ object LlmQueries {
     "q_langid" -> s"""$LangIdScoreCtes
       |SELECT b.doc_id, b.lang AS lang_pred,
       |       CAST(b.score AS BIGINT) AS best_score,
-      |       CAST(e.score AS BIGINT) AS en_score
+      |       CAST(e.score AS BIGINT) AS en_score,
+      |       CAST(m.margin AS BIGINT) AS margin
       |FROM best b JOIN sc e ON e.doc_id = b.doc_id AND e.lang = 'en'
+      |JOIN mg m ON m.doc_id = b.doc_id
       |WHERE b.rk = 1 ORDER BY b.doc_id""".stripMargin,
 
     // exact P75 (linear interpolation — both engines' continuous-quantile
-    // definition) then the surviving-docs stats
-    "q_quality_cut" ->
+    // definition) then the surviving-docs stats; the production
+    // q_quality_cut (approx_percentile) is rows-only — a GK sketch is not
+    // restatable in SQL — and this det twin carries the family's hash proof
+    "q_quality_cut_det" ->
       """WITH q AS (SELECT doc_id,
         |       (least(len(t) / 100.0, 1.0)
         |        + least(len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) * 10.0, 1.0)
@@ -871,14 +910,21 @@ object LlmQueries {
       |                 + least(len(list_filter(tk, x -> x IN ('the', 'a')))
       |                         * 1.0 / len(tk) * 10.0, 1.0)
       |                 + len(list_distinct(tk)) * 1.0 / len(tk)) / 3.0 AS quality
-      |         FROM st)
-      |SELECT b.lang AS lang_pred,
+      |         FROM st),
+      |pred AS (SELECT b.doc_id,
+      |                CASE WHEN m.margin <= ${graft.llm.LangId.MarginPerWindow}
+      |                                      * nw.n_win
+      |                     THEN 'und' ELSE b.lang END AS lang_pred
+      |         FROM best b
+      |         JOIN mg m ON m.doc_id = b.doc_id
+      |         JOIN nw ON nw.doc_id = b.doc_id
+      |         WHERE b.rk = 1)
+      |SELECT p.lang_pred,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
       |       CAST(sum(f.subwords) AS BIGINT) AS total_subwords,
       |       ${OracleDefs.stableAvg4Sql("avg(f.quality)")} AS avg_quality
-      |FROM best b JOIN feat f USING (doc_id)
-      |WHERE b.rk = 1
+      |FROM pred p JOIN feat f USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_stats" ->

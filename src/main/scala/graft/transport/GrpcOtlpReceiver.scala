@@ -108,7 +108,19 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
       // exactly like onData's state==null branch. Treating them as a new
       // request would fabricate a StreamState from trailer headers, write
       // a spurious response on a reset stream, and leak the map entry.
-      if (existing == null && h.headers().method() == null) return
+      // Real trailers ALWAYS carry END_STREAM — a method-less first HEADERS
+      // without it is a malformed request, and silently dropping it would
+      // hang the client until its own timeout: answer it (one frame, no
+      // state allocated) so the stream dies loudly instead.
+      if (existing == null && h.headers().method() == null) {
+        if (!h.isEndStream) {
+          val out = new DefaultHttp2Headers().status("400")
+          ctx.write(new DefaultHttp2HeadersFrame(out, true).stream(h.stream()))
+          ctx.writeAndFlush(
+            new DefaultHttp2ResetFrame(Http2Error.PROTOCOL_ERROR).stream(h.stream()))
+        }
+        return
+      }
       if (existing != null) {
         // a SECOND HeaderS frame on an open stream: with END_STREAM it is
         // the client's trailers — the request body is complete, process it
@@ -133,7 +145,11 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
         // grpc-status — the client isn't speaking the protocol
         val out = new DefaultHttp2Headers().status("415")
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(out, true).stream(h.stream()))
+        // same immediate-removal hygiene as finishEarly: a rejected stream
+        // must not pin its map entry until RESET/connection close; onData's
+        // state==null branch drains + window-credits anything in flight
         state.done = true
+        streams.remove(h.stream())
       } else if (method != "POST" || path != ExportPath) {
         finishEarly(ctx, h.stream(), state, StatusUnimplemented,
           s"unknown method $path")

@@ -18,20 +18,38 @@ class LangIdSpec extends SparkSpec {
     ("es", "los niños jugaban en el parque hasta que empezó a llover y corrieron a casa riendo"),
     ("es", "por favor recuerda traer tu pasaporte y los billetes cuando salgas hacia el aeropuerto"),
     ("fr", "les enfants jouaient dans le parc jusqu'à ce qu'il commence à pleuvoir et ils ont couru à la maison en riant"),
-    ("fr", "n'oubliez pas d'apporter votre passeport et les billets quand vous partez pour l'aéroport"))
+    ("fr", "n'oubliez pas d'apporter votre passeport et les billets quand vous partez pour l'aéroport"),
+    ("it", "i bambini giocavano nel parco finché non ha cominciato a piovere e sono corsi a casa ridendo"),
+    ("it", "per favore ricordati di portare il passaporto e i biglietti quando parti per l'aeroporto"),
+    ("pt", "as crianças brincavam no parque até começar a chover e correram para casa a rir"),
+    ("pt", "por favor lembra-te de trazer o teu passaporte e os bilhetes quando saíres para o aeroporto"),
+    ("ru", "дети играли в парке, пока не начался дождь, и они со смехом побежали домой"),
+    ("ru", "пожалуйста, не забудьте взять паспорт и билеты, когда поедете в аэропорт"),
+    ("ar", "لعب الأطفال في الحديقة حتى بدأ المطر فركضوا إلى البيت وهم يضحكون"),
+    ("ar", "من فضلك تذكر أن تحضر جواز سفرك والتذاكر عندما تغادر إلى المطار"),
+    ("ja", "子どもたちは雨が降り始めるまで公園で遊び、笑いながら家へ走って帰った"),
+    ("ja", "空港へ出発するときは、パスポートと切符を忘れずに持ってきてください"),
+    ("zh", "孩子们在公园里玩耍，直到开始下雨，他们笑着跑回家"),
+    ("zh", "请记得在出发去机场的时候带上你的护照和票"))
 
   test("profile is deterministic, bounded, and shaped for the oracle") {
     assert(LangId.Langs === LangId.Langs.sorted)
     LangId.Langs.foreach { l =>
       val p = LangId.profile(l)
-      assert(p.size === LangId.TopK, s"$l profile size ${p.size}")
-      assert(p.keys.forall(_.length === 3))
-      assert(p.values.forall(_ < 0L)) // scaled log probs of <1 events
-      assert(p.values.forall(_ > LangId.defaults(l))) // seen beats unseen
+      // bounded by the cap; large enough to cover held-out prose (the
+      // 128-cap regression: CJK profiles truncated to the alphabetically
+      // low tail and matched nothing)
+      assert(p.size <= LangId.TopK, s"$l profile size ${p.size}")
+      assert(p.size >= 300, s"$l profile too small: ${p.size}")
+      // code-point length: CJK trigrams are 3 chars but >3 UTF-16 units
+      assert(p.keys.forall(t => t.codePointCount(0, t.length) === 3))
+      // boosts: strictly positive (a seen trigram always beats the unseen
+      // floor by ≥ ~Scale·ln 2)
+      assert(p.values.forall(_ >= 690L))
     }
     // the SQL literal block carries every weight exactly once
     assert(LangId.profileSqlValues.linesIterator.size ===
-      LangId.Langs.size * LangId.TopK)
+      LangId.Langs.map(LangId.profile(_).size).sum)
   }
 
   test("multilingual fixtures predict their language (held-out sentences)") {
@@ -62,6 +80,32 @@ class LangIdSpec extends SparkSpec {
       LangId.scores(LangId.padded(col("text"))).as("native"),
       LangId.scoresHof(LangId.padded(col("text"))).as("hof"))
     assert(both.filter(not(col("native") <=> col("hof"))).count() === 0L)
+  }
+
+  test("margin bins noise as 'und' and keeps real language above threshold") {
+    val s = spark
+    import s.implicits._
+    // noise: no script signal — only smoothing-default differences separate
+    // the languages, far under MarginPerWindow per window
+    val noise = Seq("3 14 159 26 53 58 97 93 23 84 62 64 33 83 27 95",
+      "x9 q7 zz k2 v5 w8 j3 p0 b6 n4 m1 t7 r2")
+    val real = fixtures.map(_._2)
+    val df = (noise.map(("und", _)) ++ fixtures).toDF("expected", "text")
+      .withColumn("pad", LangId.padded(col("text")))
+      .withColumn("sc", LangId.scores(col("pad")))
+      .select(col("expected"),
+        LangId.predictWithUnknown(col("sc"), col("pad")).as("pred"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(0),
+        s"expected ${r.getString(0)} got ${r.getString(1)}")
+    }
+    // zero-window degenerate: empty text must bin as und, never a language
+    val empty = Seq("").toDF("text")
+      .withColumn("pad", LangId.padded(col("text")))
+      .select(LangId.predictWithUnknown(
+        LangId.scores(col("pad")), col("pad")).as("p"))
+    assert(empty.head.getString(0) === "und")
+    assert(real.nonEmpty) // fixtures drive the confident half above
   }
 
   test("prediction tie-break takes the alphabetically first language") {

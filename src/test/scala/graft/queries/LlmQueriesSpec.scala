@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** q_quality_cut's production/oracle split (r12 verdict item 1): the benched
+  * path thresholds on approx_percentile (GK sketch, memory bounded by the
+  * accuracy parameter at any corpus size); the exact-percentile form is the
+  * verify-only det twin. Two contracts pinned here:
+  *
+  *   - TOLERANCE: sketch and exact thresholds (and the kept-count they
+  *     induce) agree within ±5% — the reference's own three-way percentile
+  *     gate (reference test/validate_percentiles.go:341-385 validates
+  *     engine-vs-engine percentiles at 5% relative tolerance);
+  *   - PLAN SHAPE: the executed production plan carries NO exact-Percentile
+  *     aggregate (PlanAudit.exactPercentileAggs), with the det twin as the
+  *     positive control proving the auditor sees the bad shape.
+  */
+class LlmQueriesSpec extends SparkSpec {
+
+  private def row(name: String) =
+    SparkEntry.queries(name)(spark, Sf).collect().head
+
+  test("quality cut: approx threshold tracks exact within the 5% gate") {
+    val prod = row("q_quality_cut")
+    val det = row("q_quality_cut_det")
+    val (thrA, thrE) = (prod.getDouble(2), det.getDouble(2))
+    assert(thrE > 0.0)
+    assert(math.abs(thrA - thrE) / thrE <= 0.05,
+      s"approx P75 $thrA vs exact $thrE drifts past 5%")
+    val (keptA, keptE) = (prod.getLong(0), det.getLong(0))
+    assert(keptE > 0L)
+    assert(math.abs(keptA - keptE).toDouble / keptE <= 0.05,
+      s"approx kept $keptA vs exact kept $keptE drifts past 5%")
+  }
+
+  test("benched quality cut has no exact-percentile aggregate; det twin does") {
+    val prod = SparkEntry.queries("q_quality_cut")(spark, Sf)
+    prod.collect()
+    val flagged = graft.plans.PlanAudit.exactPercentileAggs(
+      prod.queryExecution.executedPlan)
+    assert(flagged.isEmpty,
+      s"exact Percentile in the BENCHED quality-cut plan: $flagged")
+    // positive control: the auditor must see the exact aggregate in the twin
+    val det = SparkEntry.queries("q_quality_cut_det")(spark, Sf)
+    det.collect()
+    assert(graft.plans.PlanAudit.exactPercentileAggs(
+      det.queryExecution.executedPlan).nonEmpty,
+      "auditor failed to flag the det twin's exact Percentile aggregate")
+  }
+}
