@@ -8,25 +8,46 @@ object Bench {
     * ~2000-char tail window (the r10 failure mode: a long line starts before
     * the captured tail begins and the driver reads half a JSON object).
     */
-  def headline(ok: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
-    // adaptive precision on the ONE driver-parsed line: centiseconds below
-    // 100 s (ample for round-over-round comparison; phases keep 3 decimals
-    // on their own line), whole seconds above — a 100+ s query is a dead
-    // round, not something needing centisecond resolution, and the wider
-    // worst-case width is what pushed 72 queries past the 1900-char budget
-    // in r12
-    def cs(d: Double): String = if (d < 100) f"$d%.2f" else f"$d%.0f"
-    // "ERR", not "ERROR": with 73 queries the all-failed worst case has to
-    // fit the same tail window as the all-green one (still unmistakably a
-    // non-number; detail lives on the earlier errors line)
-    val qs = (ok.map { case (k, t) => s"\"" + k + "\":" + cs(t) } ++
+  /** How many per-query entries ride on the driver-parsed line. Failures
+    * always make the cut (an "ERR" must never be squeezed out by slow
+    * successes); the rest are the slowest queries — the only ones a
+    * round-over-round regression read needs at a glance. The FULL map goes
+    * to the detail artifact ([[detailFileName]]) and an earlier stdout
+    * line. */
+  val WorstN = 8
+
+  /** Committed file artifact carrying the full per-query timing map — the
+    * r12 headroom fix: 84+ registered queries were pressing the ~2000-char
+    * tail window, so the tail line now carries only total/failures/worst-N
+    * and the complete map lives here (plus an earlier stdout line for
+    * redundancy). */
+  def detailFileName(sfDir: String): String = {
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+    s"scale/bench_detail_$sf.json"
+  }
+
+  def fullMapJson(ok: Seq[(String, Double)], failed: Seq[String]): String =
+    (ok.map { case (k, t) => s"\"" + k + "\":" + f"$t%.3f" } ++
       failed.map { k => s"\"" + k + "\":\"ERR\"" })
       .mkString("{", ",", "}")
+
+  def headline(ok: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
+    // adaptive precision on the ONE driver-parsed line: centiseconds below
+    // 100 s, whole seconds above — a 100+ s query is a dead round, not
+    // something needing centisecond resolution
+    def cs(d: Double): String = if (d < 100) f"$d%.2f" else f"$d%.0f"
+    // "ERR", not "ERROR": still unmistakably a non-number; detail lives on
+    // the earlier errors line
+    val errEntries = failed.take(WorstN).map { k => s"\"" + k + "\":\"ERR\"" }
+    val slowest = ok.sortBy { case (k, t) => (-t, k) }
+      .take(math.max(WorstN - failed.size, 0))
+      .map { case (k, t) => s"\"" + k + "\":" + cs(t) }
+    val qs = (errEntries ++ slowest).mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // sf as basename: the directory prefix is constant and the line budget
     // is the scarce resource
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${cs(total)},"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${cs(total)},"unit":"sec","failed":${failed.size},"n_benched":${ok.size + failed.size},"queries":$qs,"detail":"${detailFileName(sfDir)}","sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,6 +152,20 @@ object Bench {
       s"\"" + k + "\":\"" + s.error.get.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"errors","errors":$errs}""")
+    // earlier line 3 + committed artifact: the FULL per-query map (the tail
+    // line only carries the worst-N — see headline)
+    val full = fullMapJson(ok.toSeq.map { case (k, s) => (k, s.total) },
+      failed.keys.toSeq)
+    println(s"""{"metric":"queries","queries":$full}""")
+    try {
+      val p = java.nio.file.Paths.get(detailFileName(sfDir))
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        s"""{"sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}","queries":$full}""" + "\n")
+    } catch { case e: Exception =>
+      // the artifact is best-effort (a read-only CWD must not fail a bench)
+      System.err.println(s"[bench] detail artifact write failed: ${e.getMessage}")
+    }
     // final line: the headline the driver parses — failed queries appear as
     // the string "ERR" so they can never masquerade as a fast timing
     println(headline(ok.toSeq.map { case (k, s) => (k, s.total) },

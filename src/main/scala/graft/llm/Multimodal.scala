@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * plus a typed metadata struct, with decode/feature-extract implemented as
   * partition-parallel batch functions.
   *
-  * The GENERIC decode step is stubbed (this container ships no image/audio
-  * codecs — [[decodeStub]]/[[decodePartitions]] derive deterministic fake
-  * features from the bytes), but [[decodePpm]] is a REAL dependency-free
-  * decoder for one format (binary PPM headers + raster summary), and the
-  * Spark-side plumbing is real throughout — which is what matters at
-  * 100 TB:
+  * Decode is REAL for every format this container can honestly ship a
+  * decoder for: [[decodePpm]] (binary PPM headers + raster summary) and
+  * [[parseWav]] (RIFF/WAVE chunk walk + PCM sample summary) are total,
+  * fuzz-pinned byte-level parsers, and [[decodeMedia]] dispatches on the
+  * magic bytes — PPM/WAV route to their parsers, anything else yields null
+  * features (a 100 TB media crawl always contains garbage). The r11/r12
+  * "fake features" stub family (crc32-as-decode) is gone. The Spark-side
+  * plumbing is what matters at 100 TB:
   *   - payloads stay in a `binary` column end-to-end (no base64 strings, no
   *     driver round-trips); parquet stores them page-compressed;
   *   - metadata lives in a typed struct column so filters on width/duration
@@ -47,36 +49,204 @@ object Multimodal {
         (octet_length(encode(payloadText, "UTF-8")) % 24 + 1).cast("int").as("n_frames"))
         .as("meta"))
 
-  /** Column-level stub "decode": deterministic features from bytes. The
-    * non-stub version would be a mapPartitions over the payload column with a
-    * real codec; the schema contract is this. */
-  def decodeStub(payload: Column): Column =
-    struct(
-      crc32(payload).as("checksum"),
-      octet_length(payload).cast("long").as("decoded_bytes"),
-      ascii(payload.cast("string")).as("first_byte"))
+  /** First-k-sample window summarized by the WAV/dispatch parsers (and
+    * restated by the oracles as a sum over the leading text bytes). */
+  val WavSumK = 48
 
-  case class MediaFeatures(doc_id: Long, checksum: Long, decoded_bytes: Long,
-      first_byte: Int)
+  /** Deterministic audio parameters derived from a payload's byte length —
+    * the construction arithmetic [[wavBytes]] embeds and the oracles
+    * restate (mono/stereo alternates, sample rate walks 8000..15999). */
+  private[llm] def wavChannels(n: Long): Int = (n % 2 + 1).toInt
+  private[llm] def wavSampleRate(n: Long): Int = (8000 + n % 8000).toInt
 
-  /** Partition-parallel decode in the mapInPandas batch shape: iterator in,
-    * iterator out, codec state amortized per partition. The ??? -equivalent
-    * real decoder is replaced by the same deterministic fake as
-    * [[decodeStub]] so tests can pin plumbing without codecs. */
-  def decodePartitions(media: DataFrame): DataFrame = {
+  /** A REAL little-endian RIFF/WAVE (PCM, 8-bit) container around `data` as
+    * the sample stream: RIFF header, canonical 16-byte fmt chunk, data
+    * chunk (odd sizes carry the RIFF pad byte). Parseable by any WAV
+    * reader; parameters derive from the data length so the oracle can pin
+    * the parse against the construction. */
+  private[llm] def wavBytes(data: Array[Byte]): Array[Byte] = {
+    val channels = wavChannels(data.length.toLong)
+    val rate = wavSampleRate(data.length.toLong)
+    val blockAlign = channels // 8-bit mono/stereo: one byte per channel
+    val byteRate = rate * blockAlign
+    val pad = data.length % 2 // RIFF chunks are word-aligned
+    val riffSize = 4 + 24 + 8 + data.length + pad
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(rate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(8.toShort) // 8 bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    if (pad == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** Wrap the text column as a REAL playable WAV: the UTF-8 bytes become
+    * the 8-bit PCM sample stream. The [[asPpm]] pattern for audio — exists
+    * so [[parseWav]] has an actual format to decode and the oracle can pin
+    * the parse against the construction arithmetic. */
+  def asWav(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, wavBytes(Option(t).getOrElse("").getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  case class WavFeatures(doc_id: Long, channels: Option[Long],
+      sample_rate: Option[Long], bits: Option[Long], data_bytes: Option[Long],
+      n_samples: Option[Long], sum0: Option[Long])
+
+  /** RIFF/WAVE parser — total, allocation-light walk over the bytes: RIFF
+    * magic + WAVE form type, then the chunk list (word-aligned sizes, like
+    * every RIFF reader must handle), requiring one canonical PCM fmt chunk
+    * BEFORE the data chunk. Malformed or truncated payloads (or non-PCM /
+    * non-8-bit encodings this parser doesn't implement) yield None, never
+    * an exception. Returns (channels, sampleRate, bits, dataBytes,
+    * nSamples = dataBytes/blockAlign, sum of first min([[WavSumK]],
+    * dataBytes) unsigned sample bytes — None when the stream is empty). */
+  private[llm] def parseWav(bytes: Array[Byte]):
+      Option[(Long, Long, Long, Long, Long, Option[Long])] = {
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Long, Int, Int)] = None // channels, rate, align, bits
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      val body = i + 8
+      // a declared size past the buffer is a truncated/garbage file
+      if (size < 0 || body + size > bytes.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = le16(body)
+        val channels = le16(body + 2)
+        val rate = le32(body + 4)
+        val blockAlign = le16(body + 12)
+        val bits = le16(body + 14)
+        // only canonical PCM-8 is implemented; anything else is "a format
+        // this decoder doesn't speak" = null features, same as garbage
+        if (audioFormat != 1 || bits != 8 || channels < 1 ||
+          blockAlign != channels) return None
+        fmt = Some((channels, rate, blockAlign, bits))
+      } else if (id == "data") {
+        val f = fmt.getOrElse(return None) // fmt must precede data
+        val (channels, rate, blockAlign, bits) = f
+        val dataBytes = size
+        val k = math.min(WavSumK.toLong, dataBytes).toInt
+        val sum0 =
+          if (k <= 0) None
+          else {
+            var s = 0L
+            var j = 0
+            while (j < k) { s += bytes(body + j) & 0xff; j += 1 }
+            Some(s)
+          }
+        return Some((channels.toLong, rate, bits.toLong, dataBytes,
+          dataBytes / blockAlign, sum0))
+      }
+      i = body + size.toInt + (size % 2).toInt // word alignment pad
+    }
+    None // no data chunk
+  }
+
+  /** Partition-parallel WAV decode — same mapPartitions batch shape as
+    * [[decodePpm]]: iterator in/out, rows 1:1, no shuffle. */
+  def decodeWav(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition "codec init" would happen here
-        val crc = new java.util.zip.CRC32()
-        it.map { case (id, bytes) =>
-          crc.reset(); crc.update(bytes)
-          MediaFeatures(id, crc.getValue, bytes.length.toLong,
-            if (bytes.nonEmpty) bytes(0) & 0xFF else -1)
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWav(bytes) match {
+          case Some((c, r, b, db, ns, s0)) =>
+            WavFeatures(id, Some(c), Some(r), Some(b), Some(db), Some(ns), s0)
+          case None => WavFeatures(id, None, None, None, None, None, None)
         }
-      }
+      })
+      .toDF()
+  }
+
+  /** Scala twin of [[asPpm]]'s construction arithmetic (same header, same
+    * byte-length-derived dimensions) for builders that assemble payloads in
+    * a mapPartitions pass. */
+  private[llm] def ppmBytes(data: Array[Byte]): Array[Byte] = {
+    val w = data.length % 64 + 1
+    val h = data.length % 48 + 1
+    s"P6 $w $h 255\n".getBytes("US-ASCII") ++ data
+  }
+
+  /** Mixed-format corpus in ONE constructor pass (one scan — the
+    * per-format-arm union would read the table three times): doc_id % 3
+    * routes to a real PPM, a real WAV, or a deliberately-unrecognizable
+    * payload (sentinel 0x3F '?' prefix — NOT a magic byte of any
+    * implemented format, so the dispatch outcome is deterministic for
+    * arbitrary corpus text, including text that happens to start with
+    * "P6" or "RIFF"). */
+  def asMixedMedia(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        val data = Option(t).getOrElse("").getBytes("UTF-8")
+        val payload = (((i % 3) + 3) % 3) match {
+          case 0 => ppmBytes(data)
+          case 1 => wavBytes(data)
+          case _ => '?'.toByte +: data
+        }
+        (i, payload)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  case class MediaDecoded(doc_id: Long, format: Option[String],
+      width: Option[Long], height: Option[Long],
+      channels: Option[Long], sample_rate: Option[Long],
+      data_bytes: Option[Long], sum0: Option[Long])
+
+  /** Format dispatch — THE generic decode entry: sniff the magic bytes,
+    * route PPM/WAV to their real parsers, emit null features (format null)
+    * for anything else. One mapPartitions pass, rows 1:1; per-format
+    * feature columns are null outside their format, data_bytes/sum0 are the
+    * cross-format summary pair (PPM: raster bytes + first-row sum; WAV:
+    * sample bytes + first-[[WavSumK]] sum). */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+          parsePpm(bytes) match {
+            case Some((w, h, _, db, s0)) =>
+              MediaDecoded(id, Some("ppm"), Some(w), Some(h), None, None,
+                Some(db), s0)
+            case None =>
+              MediaDecoded(id, None, None, None, None, None, None, None)
+          }
+        else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F')
+          parseWav(bytes) match {
+            case Some((c, r, _, db, _, s0)) =>
+              MediaDecoded(id, Some("wav"), None, None, Some(c), Some(r),
+                Some(db), s0)
+            case None =>
+              MediaDecoded(id, None, None, None, None, None, None, None)
+          }
+        else MediaDecoded(id, None, None, None, None, None, None, None)
+      })
       .toDF()
   }
 
@@ -113,7 +283,7 @@ object Multimodal {
     * oracle restates it). Malformed payloads yield null features, never an
     * exception: a 100 TB media crawl always contains garbage.
     *
-    * Same partition-parallel shape as [[decodePartitions]]: mapPartitions,
+    * Same partition-parallel shape as [[decodeMedia]]: mapPartitions,
     * iterator in/out, per-partition state amortized, rows 1:1, no
     * shuffle. */
   def decodePpm(media: DataFrame): DataFrame = {
@@ -202,7 +372,8 @@ object Multimodal {
     * box. The metadata arithmetic is the real, oracle-checkable part (pure
     * 64-bit INTEGER math via [[longDiv]] — exact for ALL long inputs, no
     * float rounding to drift between engines); re-encoding the payload
-    * itself is stubbed like [[decodeStub]], with the output size estimated
+    * itself is out of scope (no codecs in this container), with the output
+    * size estimated
     * by area ratio. Degenerate dims (the synthetic meta's `byte_len % 640`
     * can be 0) yield NULL resized dims rather than a division by zero. */
   def resizeMeta(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {

@@ -567,6 +567,27 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Real audio decode: RIFF/WAVE (PCM-8) payloads built from the text
+    // bytes, parsed by the chunk-walking decoder (parseWav's fmt/data walk
+    // with word-aligned sizes). The oracle pins the PARSE against the
+    // CONSTRUCTION arithmetic, exactly the q_mm_decode pattern.
+    "q_mm_decode_wav" -> ((s, d) => {
+      Multimodal.decodeWav(
+          Multimodal.asWav(Tables.documents(s, d), col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generic decode dispatch: a mixed corpus (ppm / wav / unrecognizable
+    // by doc_id % 3, built in ONE scan) through decodeMedia — recognized
+    // formats decode for real, everything else yields null features. This
+    // is the query that retires the r12 'fake features' stub class.
+    "q_mm_decode_route" -> ((s, d) => {
+      Multimodal.decodeMedia(
+          Multimodal.asMixedMedia(Tables.documents(s, d), col("doc_id"),
+            col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer-aware packing: same next-fit fold as q_pack_nextfit, but the
     // budget is BPE-ish subword units (greatest(1, ceil(len/4)) per token —
     // the ~4-chars/token heuristic; a pinned vocab literal map drops into
@@ -1145,6 +1166,48 @@ object LlmQueries {
         |                   i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
         |       END AS sum_row0
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // the decoder must recover the constructed RIFF/PCM header + sample
+    // summary (ASCII fixture: ord-over-chars equals the byte read)
+    "q_mm_decode_wav" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n, text
+        |           FROM documents)
+        |SELECT doc_id,
+        |       n % 2 + 1 AS channels,
+        |       8000 + n % 8000 AS sample_rate,
+        |       CAST(8 AS BIGINT) AS bits,
+        |       n AS data_bytes,
+        |       n // (n % 2 + 1) AS n_samples,
+        |       CASE WHEN n <= 0 THEN NULL
+        |            ELSE CAST(list_sum(list_transform(
+        |                   generate_series(1, CAST(least(48, n) AS INT)),
+        |                   i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+        |       END AS sum0
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // dispatch: each arm's features restated from the construction; the
+    // sentinel arm must be all-null
+    "q_mm_decode_route" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+        |                  doc_id % 3 AS arm, text
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CASE arm WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' END AS format,
+        |       CASE WHEN arm = 0 THEN n % 64 + 1 END AS width,
+        |       CASE WHEN arm = 0 THEN n % 48 + 1 END AS height,
+        |       CASE WHEN arm = 1 THEN n % 2 + 1 END AS channels,
+        |       CASE WHEN arm = 1 THEN 8000 + n % 8000 END AS sample_rate,
+        |       CASE WHEN arm IN (0, 1) THEN n END AS data_bytes,
+        |       CASE WHEN arm = 0 AND least(3 * (n % 64 + 1), n) > 0
+        |              THEN CAST(list_sum(list_transform(
+        |                     generate_series(1, CAST(least(3 * (n % 64 + 1), n) AS INT)),
+        |                     i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+        |            WHEN arm = 1 AND n > 0
+        |              THEN CAST(list_sum(list_transform(
+        |                     generate_series(1, CAST(least(48, n) AS INT)),
+        |                     i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+        |       END AS sum0
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_pack_bpe" ->
       """WITH RECURSIVE t AS (

@@ -29,9 +29,34 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.length <= LineBudget,
       s"headline is ${line.length} chars for ${benched.size} benched queries " +
         s"— over the $LineBudget budget; shorten names or precision")
-    // and the all-failed shape ("ERR" markers vs worst-case timings)
+    // growth headroom (the r12 squeeze): the line is worst-N-bounded, so
+    // even 90 benched queries with driver-worst names must leave >=25%
+    // slack under the window
+    val ninety = (1 to 90).map(i => f"q_a_long_query_name_$i%02d" -> 9999.99)
+    val big = Bench.headline(ninety, Nil, "/root/testdata/sf0.1")
+    assert(big.length <= LineBudget * 3 / 4,
+      s"90-query headline is ${big.length} chars — under 25% slack")
+    // the all-failed shape: every ERR up to WorstN rides the line, the
+    // failed COUNT always does
     val worst = Bench.headline(Nil, benched, "/root/testdata/sf0.1")
-    assert(worst.length <= LineBudget)
+    assert(worst.length <= LineBudget * 3 / 4)
+    assert(worst.contains(s""""failed":${benched.size}"""))
+  }
+
+  test("full map artifact carries every query; tail carries the worst") {
+    val ok = (1 to 30).map(i => f"q_n$i%02d" -> i.toDouble)
+    val full = Bench.fullMapJson(ok, Seq("q_dead"))
+    (1 to 30).foreach(i => assert(full.contains(f""""q_n$i%02d":""")))
+    assert(full.contains(""""q_dead":"ERR""""))
+    val line = Bench.headline(ok, Seq("q_dead"), "/root/testdata/sf0.1")
+    // failures + the (WorstN - failures) slowest make the cut; fast ones don't
+    assert(line.contains(""""q_dead":"ERR""""))
+    assert(line.contains(""""q_n30":"""))
+    assert(line.contains(""""q_n24":""")) // 7th slowest of 30
+    assert(!line.contains(""""q_n23":""")) // 8th slot went to the failure
+    assert(!line.contains(""""q_n01":"""))
+    assert(line.contains(""""n_benched":31"""))
+    assert(line.contains(""""detail":"scale/bench_detail_sf0.1.json""""))
   }
 
   test("headline is a single line of valid shape") {
