@@ -179,11 +179,16 @@ object Dedup {
     *
     * `bucketCap` arms the skew guard ([[saltedBandPairs]]): buckets larger
     * than the cap are salted into bounded sub-cells before the self-join.
-    * Default off — the fixture corpus has no degenerate buckets, and the
-    * unsalted join reuses one exchange for both sides. */
+    * AUTO-ARMED by default ([[DefaultBandBucketCap]]) — r12 verdict: a
+    * 100 TB crawl must not rely on the caller knowing to set it, and a
+    * degenerate band bucket (near-identical short docs, an adversarial
+    * shingle) is exactly the input dedup exists for. Buckets at or under
+    * the cap still take the single-cell path (S = 1), i.e. the exact
+    * unsalted join per bucket; pass `Int.MaxValue` explicitly to force the
+    * plain two-sided join (the equality-spec instrument). */
   def minHashCandidates(docs: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
+      bucketCap: Int = DefaultBandBucketCap): DataFrame = {
     val rows = k / bands
     // token-count pre-filter, not size(sh) > 0 — see jaccardPairs: a filter
     // on the projected column pushes below the projection and doubles the
@@ -235,10 +240,22 @@ object Dedup {
     * Bucket sizes come from one map-side-combined aggregation, and only
     * OVERSIZED keys (rare by construction) join back — broadcast, so the
     * main banded stream is never reshuffled for the stats. */
+  /** Default skew-guard cap: a 4096-row band bucket self-joins to ~8M pair
+    * candidates in one task — roughly the largest single-task quadratic a
+    * healthy executor absorbs without becoming the stage straggler; beyond
+    * it the salt redistribution is always the right trade (S replication on
+    * the rare oversized rows vs an S²-smaller per-task join). */
+  val DefaultBandBucketCap = 4096
+
+  /** The guard's arming aggregate, exposed for the fixture spec that proves
+    * the auto-armed path actually FIRES on a degenerate bucket. */
+  private[llm] def oversizedBandBuckets(banded: DataFrame, cap: Int): DataFrame =
+    banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > cap)
+
   private[llm] def saltedBandPairs(banded: DataFrame, cap: Int): DataFrame = {
     require(cap > 0, "bucketCap must be positive")
-    val oversized = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("m")).filter(col("m") > cap)
+    val oversized = oversizedBandBuckets(banded, cap)
     val salted = banded.join(broadcast(oversized), Seq("band", "key"), "left")
       .withColumn("nsalt",
         coalesce(ceil(col("m").cast("double") / cap).cast("int"), lit(1)))

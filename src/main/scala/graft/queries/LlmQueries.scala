@@ -589,14 +589,15 @@ object LlmQueries {
     }),
 
     // Tokenizer-aware packing: same next-fit fold as q_pack_nextfit, but the
-    // budget is BPE-ish subword units (greatest(1, ceil(len/4)) per token —
-    // the ~4-chars/token heuristic; a pinned vocab literal map drops into
-    // the same estimator) instead of whitespace tokens. Fully
-    // oracle-checked via the same recursive CTE under the subword size.
+    // budget is PINNED-VOCAB subword units — greedy longest-match over the
+    // Bpe literal vocabulary (r13: replaces the ceil(len/4) heuristic, so
+    // packing budgets count what a real tokenizer's greedy segmentation
+    // emits). Fully oracle-checked: the vocab literals are shared verbatim
+    // and DuckDB replays the greedy walk over the distinct tokens.
     "q_pack_bpe" -> ((s, d) => {
       val sized = Tables.documents(s, d)
         .select(col("doc_id"),
-          TextAnalysis.subwordCountEstimate(
+          graft.llm.Bpe.subwordCount(
             TextAnalysis.tokens(col("text"))).as("n_sub"))
       graft.llm.Packing.packNextFit(sized, col("doc_id"),
           pmod(col("doc_id"), lit(8)), col("doc_id"), col("n_sub"),
@@ -1209,13 +1210,34 @@ object LlmQueries {
         |       END AS sum0
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    "q_pack_bpe" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id % 8 AS shard, doc_id,
-        |         list_sum(list_transform(string_split(text, ' '),
-        |           x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS sz,
+    // the greedy longest-match walk replays over DISTINCT tokens (the
+    // vocab literals are generated from the same map the expression
+    // matches), sizes join back per doc, then the same pack fold
+    "q_pack_bpe" -> s"""WITH RECURSIVE
+        |vocab(g) AS (VALUES
+        |${graft.llm.Bpe.vocabSqlValues}),
+        |vl AS (SELECT g, len(g) AS l FROM vocab),
+        |toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |         FROM documents),
+        |walk AS (
+        |  SELECT tok, 1 AS pos, 0 AS cnt FROM toks
+        |  UNION ALL
+        |  SELECT w.tok,
+        |         w.pos + coalesce((SELECT max(v.l) FROM vl v
+        |                           WHERE v.l <= len(w.tok) - w.pos + 1
+        |                             AND substr(w.tok, w.pos, CAST(v.l AS INT)) = v.g), 1),
+        |         w.cnt + 1
+        |  FROM walk w WHERE w.pos <= len(w.tok)),
+        |sub AS (SELECT tok, greatest(1, cnt) AS n_sub FROM walk
+        |        WHERE pos = len(tok) + 1),
+        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents),
+        |dsz AS (SELECT dt.doc_id, CAST(sum(s.n_sub) AS BIGINT) AS sz
+        |        FROM dt JOIN sub s ON s.tok = dt.tok GROUP BY 1),
+        |t AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, sz,
         |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
-        |  FROM documents),
+        |  FROM dsz),
         |r AS (
         |  SELECT shard, rn, doc_id, sz, CAST(sz AS BIGINT) AS acc,
         |         CAST(0 AS BIGINT) AS pack_id

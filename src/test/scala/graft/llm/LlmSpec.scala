@@ -28,6 +28,37 @@ class LlmSpec extends SparkSpec {
     assert(missing.isEmpty, s"planted pairs missed by MinHash LSH: $missing")
   }
 
+  test("skew guard is auto-armed by default and changes no pairs") {
+    // r13: bucketCap defaults to DefaultBandBucketCap — the default-arg
+    // call must route through the salted join and still emit exactly the
+    // forced-unsalted pair set
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6))
+        .collect().map(_.toString).sorted.toSeq
+    val auto = pairs(Dedup.minHashCandidates(docsNearDups, col("doc_id"),
+      col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5))
+    val unsalted = pairs(Dedup.minHashCandidates(docsNearDups, col("doc_id"),
+      col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5,
+      bucketCap = Int.MaxValue))
+    assert(auto.nonEmpty && auto === unsalted)
+  }
+
+  test("skew guard FIRES on a degenerate bucket and keeps the exact pair set") {
+    val s = spark
+    import s.implicits._
+    // 120 rows, ONE band bucket — the adversarial shape (near-identical
+    // short docs all landing in one (band, key))
+    val banded = (0L until 120L)
+      .map(i => (i, Array.fill(4)(i), 0, 7L)).toDF("doc_id", "sig", "band", "key")
+    assert(!Dedup.oversizedBandBuckets(banded, 16).isEmpty,
+      "arming aggregate did not flag the degenerate bucket")
+    val got = Dedup.saltedBandPairs(banded, 16)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 0L until 120L; b <- a + 1 until 120L) yield (a, b)).toSet
+    assert(got === want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
   test("salted band join (bucketCap) emits exactly the unsalted pair set") {
     // cap=2 forces real multi-salt splits on every non-trivial bucket (the
     // planted duplicates guarantee buckets of >= 2 rows), so the cell
