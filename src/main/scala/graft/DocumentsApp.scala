@@ -103,6 +103,22 @@ object DocumentsApp {
       .withColumn("lang_margin", graft.llm.LangId.margin(col("__sc")))
       .drop("__pad", "__sc")
 
+  /** The live "how clean is my corpus" roll-up — per predicted language:
+    * docs, token and subword mass, mean quality. The SAME aggregation as
+    * the batch q_corpus_stats tail, built over the [[stampStats]] columns,
+    * so it runs identically on a batch corpus read or a STREAMING ingest
+    * (complete-mode aggregate over the stamped stream: stats computed once
+    * at ingest, the dashboard is one stateful agg — no re-tokenization of
+    * anything). Streaming ≡ batch pinned by StreamingCorpusStatsSpec. */
+  def corpusStats(stamped: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    stamped.groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("subwords")).as("total_subwords"),
+        graft.queries.OracleDefs.stableAvg4(avg(col("quality")))
+          .as("avg_quality"))
+
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {
     // fail-fast on a stamp_stats toggle against an existing corpus: the

@@ -269,16 +269,15 @@ object LlmQueries {
       // corpus report must not force-classify noise into a language. Scores
       // are materialized in one projection so the one-pass native scorer
       // runs once per doc, not once per consumer expression.
-      st.withColumn("__pad", graft.llm.LangId.padded(col("text")))
+      val stamped = st
+        .withColumn("__pad", graft.llm.LangId.padded(col("text")))
         .withColumn("__sc", graft.llm.LangId.scores(col("__pad")))
         .withColumn("lang_pred",
           graft.llm.LangId.predictWithUnknown(col("__sc"), col("__pad")))
-        .groupBy(col("lang_pred"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("subwords")).as("total_subwords"),
-          OracleDefs.stableAvg4(avg(col("quality"))).as("avg_quality"))
-        .orderBy(col("lang_pred"))
+      // the roll-up itself is DocumentsApp.corpusStats — the SAME plan the
+      // streaming ingest dashboard runs (streaming ≡ batch pinned by
+      // StreamingCorpusStatsSpec)
+      graft.DocumentsApp.corpusStats(stamped).orderBy(col("lang_pred"))
     }),
 
     // Quantile-based quality curation: the "keep the top quartile" pass —
