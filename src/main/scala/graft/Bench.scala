@@ -9,22 +9,27 @@ object Bench {
     * the captured tail begins and the driver reads half a JSON object).
     */
   /** How many per-query entries ride on the driver-parsed line. Failures
-    * always make the cut (an "ERR" must never be squeezed out by slow
-    * successes); the rest are the slowest queries — the only ones a
-    * round-over-round regression read needs at a glance. The FULL map goes
-    * to the detail artifact ([[detailFileName]]) and an earlier stdout
-    * line. */
+    * fill the slots FIRST, in sorted name order (deterministic across
+    * runs — never hash-map iteration order), then the slowest successes;
+    * a mass-failure round can still exceed WorstN failures, in which case
+    * the alphabetically-first ride the line, the `failed` COUNT is always
+    * exact, and the complete ERR list is on the earlier errors line and in
+    * the detail artifact ([[detailFileName]]). */
   val WorstN = 8
+
+  /** sf token used in the headline and the detail-artifact name/content —
+    * ONE definition so the three sites can never disagree on degenerate
+    * sfDir inputs. */
+  private def sfBase(sfDir: String): String =
+    sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
 
   /** Committed file artifact carrying the full per-query timing map — the
     * r12 headroom fix: 84+ registered queries were pressing the ~2000-char
     * tail window, so the tail line now carries only total/failures/worst-N
     * and the complete map lives here (plus an earlier stdout line for
     * redundancy). */
-  def detailFileName(sfDir: String): String = {
-    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
-    s"scale/bench_detail_$sf.json"
-  }
+  def detailFileName(sfDir: String): String =
+    s"scale/bench_detail_${sfBase(sfDir)}.json"
 
   def fullMapJson(ok: Seq[(String, Double)], failed: Seq[String]): String =
     (ok.map { case (k, t) => s"\"" + k + "\":" + f"$t%.3f" } ++
@@ -38,7 +43,7 @@ object Bench {
     def cs(d: Double): String = if (d < 100) f"$d%.2f" else f"$d%.0f"
     // "ERR", not "ERROR": still unmistakably a non-number; detail lives on
     // the earlier errors line
-    val errEntries = failed.take(WorstN).map { k => s"\"" + k + "\":\"ERR\"" }
+    val errEntries = failed.sorted.take(WorstN).map { k => s"\"" + k + "\":\"ERR\"" }
     val slowest = ok.sortBy { case (k, t) => (-t, k) }
       .take(math.max(WorstN - failed.size, 0))
       .map { case (k, t) => s"\"" + k + "\":" + cs(t) }
@@ -46,7 +51,7 @@ object Bench {
     val total = ok.map(_._2).sum
     // sf as basename: the directory prefix is constant and the line budget
     // is the scarce resource
-    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val sf = sfBase(sfDir)
     s"""{"metric":"total","value":${cs(total)},"unit":"sec","failed":${failed.size},"n_benched":${ok.size + failed.size},"queries":$qs,"detail":"${detailFileName(sfDir)}","sf":"$sf"}"""
   }
 
@@ -148,20 +153,20 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"phases","phases":$phases}""")
     // earlier line 2: explicit failure detail (empty object when green)
-    val errs = failed.map { case (k, s) =>
+    val errs = failed.toSeq.sortBy(_._1).map { case (k, s) =>
       s"\"" + k + "\":\"" + s.error.get.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"errors","errors":$errs}""")
     // earlier line 3 + committed artifact: the FULL per-query map (the tail
     // line only carries the worst-N — see headline)
     val full = fullMapJson(ok.toSeq.map { case (k, s) => (k, s.total) },
-      failed.keys.toSeq)
+      failed.keys.toSeq.sorted)
     println(s"""{"metric":"queries","queries":$full}""")
     try {
       val p = java.nio.file.Paths.get(detailFileName(sfDir))
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p,
-        s"""{"sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}","queries":$full}""" + "\n")
+        s"""{"sf":"${sfBase(sfDir)}","queries":$full}""" + "\n")
     } catch { case e: Exception =>
       // the artifact is best-effort (a read-only CWD must not fail a bench)
       System.err.println(s"[bench] detail artifact write failed: ${e.getMessage}")
@@ -169,7 +174,7 @@ object Bench {
     // final line: the headline the driver parses — failed queries appear as
     // the string "ERR" so they can never masquerade as a fast timing
     println(headline(ok.toSeq.map { case (k, s) => (k, s.total) },
-      failed.keys.toSeq, sfDir))
+      failed.keys.toSeq.sorted, sfDir))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -85,6 +85,13 @@ object DocumentsApp {
       stampStats = get("ingest.stamp_stats").exists(_.toBoolean))
   }
 
+  /** Every column [[stampStats]] adds — the start()-time schema guard
+    * checks this exact set so a corpus stamped by an older build (a
+    * SUBSET of these) fails fast instead of mixing a third schema. */
+  private[graft] val StampedCols: Seq[String] = Seq(
+    "n_tokens", "n_distinct", "avg_tok_len", "stop_cnt", "subwords",
+    "quality", "en_like", "lang_pred", "lang_margin")
+
   /** Ingest-time enrichment (ingest.stamp_stats): the text-quality battery
     * (token counts, quality score, en_like flag) plus the trigram-NB
     * language prediction, stamped as corpus columns. 100 TB point: these
@@ -121,20 +128,30 @@ object DocumentsApp {
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {
-    // fail-fast on a stamp_stats toggle against an existing corpus: the
+    // fail-fast on a stamp_stats mismatch against an existing corpus: the
     // append sink would otherwise mix schemas in one directory and
     // spark.read.parquet resolves the union nondeterministically (which
-    // footer gets sampled decides whether lang_pred exists). The operator
-    // must backfill or point at a fresh storage.dir instead.
+    // footer gets sampled decides whether a stamped column exists). The
+    // check covers the FULL stamped set, not a sentinel column, so a
+    // corpus written by an older stamping build (e.g. lang_pred without
+    // lang_margin) also fails fast instead of appending a third schema.
+    // The operator must backfill or point at a fresh storage.dir instead.
     val corpusDir = new java.io.File(s"${cfg.storageDir}/corpus")
     if (corpusDir.isDirectory) {
       // Try: an existing-but-empty dir (no parquet yet) has no schema to
       // conflict with — only a readable corpus can disagree with the flag
       scala.util.Try(spark.read.parquet(corpusDir.getPath).schema).foreach { sch =>
-        val hasStats = sch.fieldNames.contains("lang_pred")
-        require(hasStats == cfg.stampStats,
+        val present = StampedCols.filter(sch.fieldNames.contains)
+        val hasAll = present.size == StampedCols.size
+        require(!(present.nonEmpty && !hasAll),
+          s"existing corpus at ${corpusDir.getPath} carries a PARTIAL stamp " +
+            s"schema (has: ${present.mkString(",")}; missing: " +
+            s"${StampedCols.diff(present).mkString(",")}) — written by a " +
+            "different stamping build; backfill the corpus or use a fresh " +
+            "storage.dir")
+        require(hasAll == cfg.stampStats,
           s"ingest.stamp_stats=${cfg.stampStats} but the existing corpus at " +
-            s"${corpusDir.getPath} ${if (hasStats) "carries" else "lacks"} " +
+            s"${corpusDir.getPath} ${if (hasAll) "carries" else "lacks"} " +
             "stamped columns — backfill the corpus or use a fresh storage.dir " +
             "before changing the flag")
       }

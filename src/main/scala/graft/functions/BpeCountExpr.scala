@@ -45,10 +45,55 @@ case class BpeCountExpr(child: Expression) extends UnaryExpression {
 
 object BpeCountExpr {
 
-  private lazy val vocab: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    graft.llm.Bpe.vocab.keys.foreach(s.add)
-    s
+  /** Code-point trie over the vocab, flattened to primitive arrays: per
+    * node a SORTED child-key array + parallel child-index array (probe =
+    * one binarySearch, zero allocation) and a terminal flag. Greedy
+    * longest-match is then ONE descent per position — the previous
+    * HashSet probing allocated up to (MaxGram-MinGram+1) candidate-gram
+    * Strings per code point on the corpus-scan hot path. */
+  private final class Trie(
+      childKeys: Array[Array[Int]],
+      childIdx: Array[Array[Int]],
+      terminal: Array[Boolean]) {
+    /** Longest vocab gram starting at cps(i) with length in
+      * [minG, maxLen]; 0 when none. */
+    def longestMatch(cps: Array[Int], i: Int, maxLen: Int, minG: Int): Int = {
+      var node = 0
+      var depth = 0
+      var best = 0
+      while (depth < maxLen) {
+        val ks = childKeys(node)
+        val j = java.util.Arrays.binarySearch(ks, cps(i + depth))
+        if (j < 0) return best
+        node = childIdx(node)(j)
+        depth += 1
+        if (depth >= minG && terminal(node)) best = depth
+      }
+      best
+    }
+  }
+
+  private lazy val trie: Trie = {
+    val children = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.TreeMap.empty[Int, Int])
+    val term = scala.collection.mutable.ArrayBuffer(false)
+    // sorted insertion order → deterministic node layout (inspectability;
+    // match results are order-independent regardless)
+    graft.llm.Bpe.vocab.keys.toSeq.sorted.foreach { g =>
+      var node = 0
+      g.codePoints().toArray.foreach { cp =>
+        node = children(node).getOrElseUpdate(cp, {
+          children += scala.collection.mutable.TreeMap.empty[Int, Int]
+          term += false
+          children.size - 1
+        })
+      }
+      term(node) = true
+    }
+    new Trie(
+      children.map(_.keys.toArray).toArray,
+      children.map(_.values.toArray).toArray,
+      term.toArray)
   }
 
   /** Shared by eval and generated code: Σ per-token greedy counts, with a
@@ -56,6 +101,7 @@ object BpeCountExpr {
   def compute(tokens: ArrayData): Long = {
     val minG = graft.llm.Bpe.MinGram
     val maxG = graft.llm.Bpe.MaxGram
+    val tr = trie
     var total = 0L
     var t = 0
     val n = tokens.numElements()
@@ -66,14 +112,8 @@ object BpeCountExpr {
       var i = 0
       var cnt = 0L
       while (i < cps.length) {
-        var consumed = 1
-        var l = math.min(maxG, cps.length - i)
-        var found = false
-        while (!found && l >= minG) {
-          if (vocab.contains(new String(cps, i, l))) { consumed = l; found = true }
-          l -= 1
-        }
-        i += consumed
+        val m = tr.longestMatch(cps, i, math.min(maxG, cps.length - i), minG)
+        i += (if (m > 0) m else 1)
         cnt += 1L
       }
       total += math.max(1L, cnt)

@@ -36,8 +36,10 @@ object Bpe {
   val MaxGram = 6
   val VocabSize = 512
 
-  private def normalizeStr(s: String): String =
-    s.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+  // the vocab is built "from the SAME seed prose as the langid profiles" —
+  // that premise requires the SAME normalization, so this is LangId's own
+  // helper, not a copy that could drift
+  private def normalizeStr(s: String): String = LangId.normalizeStr(s)
 
   /** gram → true (a Set would do; Map keeps the build counts inspectable
     * in tests). Grams are code-point substrings of seed WORDS — no

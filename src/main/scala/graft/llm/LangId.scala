@@ -172,8 +172,10 @@ object LangId {
 
   // Locale.ROOT: the default-locale toLowerCase would build a DIFFERENT
   // profile on e.g. a tr-TR JVM ('I' → dotless 'ı'), breaking both build
-  // determinism and the match against Spark's locale-independent lower()
-  private def normalizeStr(s: String): String =
+  // determinism and the match against Spark's locale-independent lower().
+  // private[llm]: Bpe builds its vocab from the SAME seeds and MUST
+  // normalize identically — one definition keeps that premise honest.
+  private[llm] def normalizeStr(s: String): String =
     s.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
 
   /** Padded char trigrams — the same " text "-windowing the scoring

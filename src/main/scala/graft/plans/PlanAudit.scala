@@ -45,14 +45,15 @@ object PlanAudit {
   }
 
   /** Exact-percentile aggregates in the executed tree — the
-    * all-values-in-one-buffer shape (`Percentile` is a
-    * TypedImperativeAggregate whose state is every value in the group): at
+    * all-values-in-one-buffer shape (`PercentileBase` subclasses —
+    * `percentile`, `percentile_cont`, `percentile_disc` — are
+    * TypedImperativeAggregates whose state is every value in the group): at
     * corpus scale the final merge holds the whole column in one aggregator.
-    * Benched production paths must be free of it (approx_percentile's GK
-    * sketch is the bounded-memory replacement of identical plan shape);
-    * the exact form is the oracle-twin instrument only. */
+    * Benched production paths must be free of ALL of them (approx_percentile's
+    * GK sketch is the bounded-memory replacement of identical plan shape);
+    * the exact forms are the oracle-twin instrument only. */
   def exactPercentileAggs(plan: SparkPlan): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.catalyst.expressions.aggregate.PercentileBase
     def aggFns(p: SparkPlan) = p match {
       case h: HashAggregateExec => h.aggregateExpressions.map(_.aggregateFunction)
       case o: ObjectHashAggregateExec => o.aggregateExpressions.map(_.aggregateFunction)
@@ -65,7 +66,7 @@ object PlanAudit {
         case q: QueryStageExec => walk(q.plan)
         case r: ReusedExchangeExec => walk(r.child)
         case other =>
-          aggFns(other).collect { case pct: Percentile => pct.toString }
+          aggFns(other).collect { case pct: PercentileBase => pct.toString }
       }
       self ++ p.children.flatMap(walk)
     }

@@ -264,20 +264,15 @@ object LlmQueries {
     // subword mass, mean quality (boundary-stable rounding). One
     // map-side-combined aggregation over scan-speed projections.
     "q_corpus_stats" -> ((s, d) => {
-      val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
-      // margin-binned prediction ('und' under MarginPerWindow·windows): the
-      // corpus report must not force-classify noise into a language. Scores
-      // are materialized in one projection so the one-pass native scorer
-      // runs once per doc, not once per consumer expression.
-      val stamped = st
-        .withColumn("__pad", graft.llm.LangId.padded(col("text")))
-        .withColumn("__sc", graft.llm.LangId.scores(col("__pad")))
-        .withColumn("lang_pred",
-          graft.llm.LangId.predictWithUnknown(col("__sc"), col("__pad")))
-      // the roll-up itself is DocumentsApp.corpusStats — the SAME plan the
-      // streaming ingest dashboard runs (streaming ≡ batch pinned by
-      // StreamingCorpusStatsSpec)
-      graft.DocumentsApp.corpusStats(stamped).orderBy(col("lang_pred"))
+      // stamping AND roll-up are DocumentsApp's own stampStats/corpusStats
+      // — the SAME code the streaming ingest dashboard runs (streaming ≡
+      // batch pinned by StreamingCorpusStatsSpec), not a re-statement of
+      // it: this oracle row therefore pins the shared implementation, and
+      // a margin-threshold or stamping tweak can never diverge the benched
+      // batch query from the live dashboard silently.
+      graft.DocumentsApp.corpusStats(
+          graft.DocumentsApp.stampStats(Tables.documents(s, d)))
+        .orderBy(col("lang_pred"))
     }),
 
     // Quantile-based quality curation: the "keep the top quartile" pass —

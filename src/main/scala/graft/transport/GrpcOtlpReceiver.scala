@@ -89,6 +89,10 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
   private final class ConnectionHandler extends ChannelInboundHandlerAdapter {
     private val streams =
       new java.util.HashMap[Http2FrameStream, StreamState]()
+    // highest client stream id seen on this connection — distinguishes a
+    // genuinely new stream (id above the watermark) from late frames on a
+    // stream already answered and dropped from the map
+    private var maxSeenStreamId = 0
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
       msg match {
@@ -103,17 +107,27 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
 
     private def onHeaders(ctx: ChannelHandlerContext, h: Http2HeadersFrame): Unit = {
       val existing = streams.get(h.stream())
+      // client stream ids are odd and strictly increasing: an id at or
+      // below the watermark with no map entry is a stream we ALREADY
+      // answered-and-removed (415/finishEarly), not a new request
+      val sid = h.stream().id()
+      val isNewStream = sid > maxSeenStreamId
+      if (isNewStream) maxSeenStreamId = sid
       // trailers (no :method pseudo-header) for a stream we no longer
       // track — e.g. in-flight after finishEarly removed the state: drain,
       // exactly like onData's state==null branch. Treating them as a new
       // request would fabricate a StreamState from trailer headers, write
       // a spurious response on a reset stream, and leak the map entry.
-      // Real trailers ALWAYS carry END_STREAM — a method-less first HEADERS
-      // without it is a malformed request, and silently dropping it would
-      // hang the client until its own timeout: answer it (one frame, no
-      // state allocated) so the stream dies loudly instead.
+      // Real trailers ALWAYS carry END_STREAM — a method-less FIRST HEADERS
+      // on a genuinely new stream without it is a malformed request, and
+      // silently dropping it would hang the client until its own timeout:
+      // answer it (one frame, no state allocated) so the stream dies loudly
+      // instead. The isNewStream guard keeps the answer off streams the
+      // server already closed with END_STREAM, where a second HEADERS write
+      // would fail netty's half-closed(local) stream state — late frames on
+      // an answered stream drain silently, same as onData.
       if (existing == null && h.headers().method() == null) {
-        if (!h.isEndStream) {
+        if (!h.isEndStream && isNewStream) {
           val out = new DefaultHttp2Headers().status("400")
           ctx.write(new DefaultHttp2HeadersFrame(out, true).stream(h.stream()))
           ctx.writeAndFlush(

@@ -154,6 +154,29 @@ class DocumentsAppSpec extends SparkSpec {
       DocumentsApp.start(spark, DocumentsApp.load(off.toString))
     }
     assert(e.getMessage.contains("stamp_stats"))
+
+    // a corpus stamped by an OLDER build (subset of StampedCols — here
+    // lang_pred without lang_margin) must fail fast under EITHER flag
+    // value: the sentinel-column check would have let stamp_stats=true
+    // append a third schema (r13 review finding)
+    val store3 = root.resolve("store3")
+    spark.range(3).selectExpr("id as doc_id", "'t' as text",
+        "cast(id as long) as n_tokens", "'en' as lang_pred")
+      .write.parquet(store3.resolve("corpus").toString)
+    Seq(true, false).foreach { flag =>
+      val p3 = root.resolve(s"docs_partial_$flag.properties")
+      Files.writeString(p3,
+        s"""source.dir=$src
+           |storage.dir=$store3
+           |checkpoint.dir=${root.resolve(s"ckpt3_$flag")}
+           |ingest.stamp_stats=$flag
+           |""".stripMargin)
+      val pe = intercept[IllegalArgumentException] {
+        DocumentsApp.start(spark, DocumentsApp.load(p3.toString))
+      }
+      assert(pe.getMessage.contains("PARTIAL"), s"flag=$flag: ${pe.getMessage}")
+      assert(pe.getMessage.contains("lang_margin"))
+    }
   }
 
   test("landing lifecycle: consumed crawl drops delete (source.clean)") {

@@ -46,5 +46,17 @@ class LlmQueriesSpec extends SparkSpec {
     assert(graft.plans.PlanAudit.exactPercentileAggs(
       det.queryExecution.executedPlan).nonEmpty,
       "auditor failed to flag the det twin's exact Percentile aggregate")
+    // positive controls for the OTHER exact-percentile spellings (r13
+    // review finding: percentile_cont/percentile_disc are the same
+    // all-values-in-one-buffer PercentileBase state and must not slip
+    // through the gate)
+    Seq("percentile_cont", "percentile_disc").foreach { fn =>
+      val df = spark.range(100).selectExpr(
+        s"$fn(0.75) WITHIN GROUP (ORDER BY cast(id as double)) as p")
+      df.collect()
+      assert(graft.plans.PlanAudit.exactPercentileAggs(
+        df.queryExecution.executedPlan).nonEmpty,
+        s"auditor failed to flag $fn")
+    }
   }
 }

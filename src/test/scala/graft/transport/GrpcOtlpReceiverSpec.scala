@@ -227,6 +227,41 @@ class GrpcOtlpReceiverSpec extends SparkSpec {
     }
   }
 
+  test("method-less first HEADERS: 400+RST on a new stream, drained on an answered one") {
+    withReceiver() { (sourceDir, port) =>
+      val conn = GrpcTestClient.connect(port)
+      try {
+        // arm 1 — a genuinely NEW stream whose first HEADERS has no :method
+        // and no END_STREAM (a malformed request, not trailers): the server
+        // must answer loudly (400 and/or RST), never hang the client
+        val bad = new io.netty.handler.codec.http2.DefaultHttp2Headers()
+          .scheme("http").path(ExportPath).authority("127.0.0.1")
+        val (status, reset) = conn.rawHeaders(bad, endStream = false)
+        assert(status === 400 || reset,
+          s"malformed new stream got neither 400 nor RST (status=$status)")
+        // arm 2 — the same frame arriving LATE on a stream the server
+        // already answered-and-dropped (415 + map removal): the watermark
+        // must route it to the drain, not a second response on a stream
+        // the server closed with END_STREAM (r13 review finding)
+        val first = new io.netty.handler.codec.http2.DefaultHttp2Headers()
+          .method("POST").scheme("http").path(ExportPath).authority("127.0.0.1")
+        first.set("content-type", "text/plain") // → immediate 415, state dropped
+        // no pseudo-headers: netty's client encoder rejects pseudo-headers
+        // in a trailers-position HEADERS, and the server-side trigger is
+        // method() == null either way
+        val late = new io.netty.handler.codec.http2.DefaultHttp2Headers()
+        late.set("x-late", "1")
+        assert(conn.headersThenLateHeaders(first, late),
+          "late HEADERS write failed locally")
+        // the connection survives both arms and serves a real call
+        val ok = conn.call(ExportPath,
+          grpcFrame(OtlpProto.encodeExportRequest(fixture)))
+        assert(ok.grpcStatus === 0)
+        assert(landedFiles(sourceDir).size === 1)
+      } finally conn.close()
+    }
+  }
+
   test("percent-encoding escapes UTF-8 bytes, not UTF-16 code units") {
     import GrpcOtlpReceiver.percentEncode
     // printable ASCII passes through; '%' always escapes

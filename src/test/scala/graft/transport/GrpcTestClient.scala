@@ -111,6 +111,37 @@ object GrpcTestClient {
         bodyOut.toByteArray, trailers)
     }
 
+    /** Frame-level escape hatch for protocol-violation specs: open a fresh
+      * stream and write ONE arbitrary HEADERS frame (caller controls the
+      * pseudo-headers — e.g. a method-less non-end HEADERS no conforming
+      * client would send). Returns (observed :status or -1, sawReset)
+      * after the server answers, resets, or `waitMs` elapses — a (−1,
+      * false) result means the server silently drained the frame. The
+      * returned stream channel stays open for follow-up frames. */
+    def rawHeaders(hs: Http2Headers, endStream: Boolean,
+        waitMs: Long = 2000): (Int, Boolean) = {
+      val done = new CountDownLatch(1)
+      @volatile var httpStatus = -1
+      @volatile var sawReset = false
+      val streamBootstrap = new Http2StreamChannelBootstrap(channel)
+      streamBootstrap.handler(new ChannelInboundHandlerAdapter {
+        override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+          msg match {
+            case h: Http2HeadersFrame =>
+              Option(h.headers().get(":status"))
+                .foreach(s => httpStatus = s.toString.toInt)
+              if (h.isEndStream) done.countDown()
+            case _: Http2ResetFrame =>
+              sawReset = true; done.countDown()
+            case other => io.netty.util.ReferenceCountUtil.release(other)
+          }
+      })
+      val stream = streamBootstrap.open().sync().getNow
+      stream.writeAndFlush(new DefaultHttp2HeadersFrame(hs, endStream))
+      done.await(waitMs, TimeUnit.MILLISECONDS)
+      (httpStatus, sawReset)
+    }
+
     def close(): Unit = {
       channel.close().sync()
       group.shutdownGracefully(0, 500, TimeUnit.MILLISECONDS)
@@ -133,6 +164,79 @@ object GrpcTestClient {
       })
     val channel = b.connect("127.0.0.1", port).sync().channel()
     new GrpcConnection(group, channel)
+  }
+
+  /** Raw-socket h2c writer for frames a CONFORMING client cannot send
+    * (netty's encoder rejects e.g. a second HEADERS without END_STREAM
+    * with "sent too many headers") — the tool for protocol-violation
+    * specs. Speaks just enough HTTP/2 by hand: preface, empty SETTINGS,
+    * ACK of the server's SETTINGS, then whatever frames the spec wants,
+    * HPACK-encoded as literal-without-indexing (no dynamic table, no
+    * huffman — always valid for the server's decoder). */
+  final class RawH2Client(port: Int) extends AutoCloseable {
+    private val sock = new java.net.Socket("127.0.0.1", port)
+    sock.setSoTimeout(5000)
+    private val out = sock.getOutputStream
+    private val in = new java.io.DataInputStream(sock.getInputStream)
+
+    private def writeFrame(tpe: Int, flags: Int, streamId: Int,
+        payload: Array[Byte]): Unit = {
+      val len = payload.length
+      out.write(Array[Byte](
+        ((len >> 16) & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte, tpe.toByte, flags.toByte,
+        ((streamId >> 24) & 0x7f).toByte, ((streamId >> 16) & 0xff).toByte,
+        ((streamId >> 8) & 0xff).toByte, (streamId & 0xff).toByte))
+      out.write(payload)
+      out.flush()
+    }
+
+    // client preface + our (empty) SETTINGS
+    out.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    writeFrame(0x4, 0, 0, Array.empty)
+
+    /** One frame off the wire: (type, flags, streamId, payload); throws
+      * SocketTimeoutException after 5 s of silence. */
+    def readFrame(): (Int, Int, Int, Array[Byte]) = {
+      val hdr = new Array[Byte](9)
+      in.readFully(hdr)
+      val len = ((hdr(0) & 0xff) << 16) | ((hdr(1) & 0xff) << 8) | (hdr(2) & 0xff)
+      val sid = ((hdr(5) & 0x7f) << 24) | ((hdr(6) & 0xff) << 16) |
+        ((hdr(7) & 0xff) << 8) | (hdr(8) & 0xff)
+      val pay = new Array[Byte](len)
+      in.readFully(pay)
+      (hdr(3) & 0xff, hdr(4) & 0xff, sid, pay)
+    }
+
+    /** Drain frames until the server's SETTINGS arrives, then ACK it. */
+    def handshake(): Unit = {
+      var acked = false
+      while (!acked) {
+        val (tpe, flags, _, _) = readFrame()
+        if (tpe == 0x4 && (flags & 0x1) == 0) {
+          writeFrame(0x4, 0x1, 0, Array.empty); acked = true
+        }
+      }
+    }
+
+    /** HEADERS frame (END_HEADERS always set) from literal pairs —
+      * pseudo-headers must come first, per RFC 9113 §8.3. */
+    def headers(streamId: Int, hs: Seq[(String, String)],
+        endStream: Boolean): Unit = {
+      val bb = new java.io.ByteArrayOutputStream()
+      hs.foreach { case (k, v) =>
+        val n = k.getBytes("UTF-8"); val value = v.getBytes("UTF-8")
+        require(n.length < 127 && value.length < 127, "helper caps at 7-bit lengths")
+        bb.write(0x00) // literal without indexing, new name
+        bb.write(n.length); bb.write(n, 0, n.length)
+        bb.write(value.length); bb.write(value, 0, value.length)
+      }
+      writeFrame(0x1, 0x4 | (if (endStream) 0x1 else 0), streamId,
+        bb.toByteArray)
+    }
+
+    override def close(): Unit = sock.close()
   }
 
   /** Single-shot convenience: connect, call once, close. */
