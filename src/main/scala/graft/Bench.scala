@@ -1,7 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  private def ms(d: Double): String = f"$d%.3f"
+  // ALL JSON number formatting in this file goes through these two
+  // Locale.ROOT formatters: the f"" interpolator uses the JVM default
+  // locale, and a comma-decimal locale would turn both the driver-parsed
+  // tail line and the committed detail artifact into invalid JSON
+  private def fmt(pattern: String, d: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(d))
+  private def ms(d: Double): String = fmt("%.3f", d)
 
   /** The single stdout line the driver parses, built in one place so
     * BenchContractSpec can pin its worst-case length against the driver's
@@ -32,7 +38,7 @@ object Bench {
     s"scale/bench_detail_${sfBase(sfDir)}.json"
 
   def fullMapJson(ok: Seq[(String, Double)], failed: Seq[String]): String =
-    (ok.map { case (k, t) => s"\"" + k + "\":" + f"$t%.3f" } ++
+    (ok.map { case (k, t) => s"\"" + k + "\":" + ms(t) } ++
       failed.map { k => s"\"" + k + "\":\"ERR\"" })
       .mkString("{", ",", "}")
 
@@ -40,7 +46,7 @@ object Bench {
     // adaptive precision on the ONE driver-parsed line: centiseconds below
     // 100 s, whole seconds above — a 100+ s query is a dead round, not
     // something needing centisecond resolution
-    def cs(d: Double): String = if (d < 100) f"$d%.2f" else f"$d%.0f"
+    def cs(d: Double): String = if (d < 100) fmt("%.2f", d) else fmt("%.0f", d)
     // "ERR", not "ERROR": still unmistakably a non-number; detail lives on
     // the earlier errors line
     val errEntries = failed.sorted.take(WorstN).map { k => s"\"" + k + "\":\"ERR\"" }

@@ -118,20 +118,26 @@ class GrpcOtlpReceiver(spark: SparkSession, sourceDir: String,
       // exactly like onData's state==null branch. Treating them as a new
       // request would fabricate a StreamState from trailer headers, write
       // a spurious response on a reset stream, and leak the map entry.
-      // Real trailers ALWAYS carry END_STREAM — a method-less FIRST HEADERS
-      // on a genuinely new stream without it is a malformed request, and
-      // silently dropping it would hang the client until its own timeout:
-      // answer it (one frame, no state allocated) so the stream dies loudly
-      // instead. The isNewStream guard keeps the answer off streams the
-      // server already closed with END_STREAM, where a second HEADERS write
-      // would fail netty's half-closed(local) stream state — late frames on
-      // an answered stream drain silently, same as onData.
+      // A method-less FIRST HEADERS on a genuinely NEW stream is a
+      // malformed request whether or not it carries END_STREAM (real
+      // trailers only exist on a stream the server is already tracking):
+      // silently dropping it would hang the client until its own timeout,
+      // so answer 400 loudly (one frame, no state allocated). Without
+      // END_STREAM the client side is still open — follow with RST so no
+      // body frames trickle in; with END_STREAM the remote side is already
+      // half-closed and the 400+END_STREAM alone closes the stream cleanly.
+      // The isNewStream guard keeps the answer off streams the server
+      // already closed with END_STREAM, where a second HEADERS write would
+      // fail netty's half-closed(local) stream state — late frames on an
+      // answered stream drain silently, same as onData.
       if (existing == null && h.headers().method() == null) {
-        if (!h.isEndStream && isNewStream) {
+        if (isNewStream) {
           val out = new DefaultHttp2Headers().status("400")
           ctx.write(new DefaultHttp2HeadersFrame(out, true).stream(h.stream()))
-          ctx.writeAndFlush(
-            new DefaultHttp2ResetFrame(Http2Error.PROTOCOL_ERROR).stream(h.stream()))
+          if (!h.isEndStream)
+            ctx.write(new DefaultHttp2ResetFrame(Http2Error.PROTOCOL_ERROR)
+              .stream(h.stream()))
+          ctx.flush()
         }
         return
       }

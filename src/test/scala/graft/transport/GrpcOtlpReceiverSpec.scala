@@ -239,26 +239,60 @@ class GrpcOtlpReceiverSpec extends SparkSpec {
         val (status, reset) = conn.rawHeaders(bad, endStream = false)
         assert(status === 400 || reset,
           s"malformed new stream got neither 400 nor RST (status=$status)")
-        // arm 2 — the same frame arriving LATE on a stream the server
-        // already answered-and-dropped (415 + map removal): the watermark
-        // must route it to the drain, not a second response on a stream
-        // the server closed with END_STREAM (r13 review finding)
-        val first = new io.netty.handler.codec.http2.DefaultHttp2Headers()
-          .method("POST").scheme("http").path(ExportPath).authority("127.0.0.1")
-        first.set("content-type", "text/plain") // → immediate 415, state dropped
-        // no pseudo-headers: netty's client encoder rejects pseudo-headers
-        // in a trailers-position HEADERS, and the server-side trigger is
-        // method() == null either way
-        val late = new io.netty.handler.codec.http2.DefaultHttp2Headers()
-        late.set("x-late", "1")
-        assert(conn.headersThenLateHeaders(first, late),
-          "late HEADERS write failed locally")
+        // arm 1b — the same malformed frame WITH END_STREAM: the remote
+        // side is closed so no RST is owed, but the stream must still be
+        // answered 400, never silently dropped (r13 review finding)
+        val badClosed = new io.netty.handler.codec.http2.DefaultHttp2Headers()
+          .scheme("http").path(ExportPath).authority("127.0.0.1")
+        val (status2, _) = conn.rawHeaders(badClosed, endStream = true)
+        assert(status2 === 400,
+          s"malformed new stream with END_STREAM not answered 400 (status=$status2)")
         // the connection survives both arms and serves a real call
         val ok = conn.call(ExportPath,
           grpcFrame(OtlpProto.encodeExportRequest(fixture)))
         assert(ok.grpcStatus === 0)
         assert(landedFiles(sourceDir).size === 1)
       } finally conn.close()
+    }
+  }
+
+  test("late method-less HEADERS on an answered-and-dropped stream are drained") {
+    // netty's conforming client encoder cannot send a second HEADERS on a
+    // stream the server already answered (half-closed bookkeeping), so this
+    // protocol-violation arm speaks raw h2c. Sequence: stream 1 opens with a
+    // non-gRPC content type (server answers 415 + END_STREAM and drops the
+    // state immediately), then a method-less HEADERS arrives late on that
+    // same stream — it sits AT the watermark with no map entry, so the
+    // server must route it to the drain (no second response, no fabricated
+    // state), and the connection must keep serving new streams.
+    withReceiver() { (_, port) =>
+      val raw = new GrpcTestClient.RawH2Client(port)
+      try {
+        raw.handshake()
+        def awaitHeaders(sid: Int): Unit = {
+          var seen = false
+          while (!seen) {
+            val (tpe, _, id, _) = raw.readFrame()
+            if (tpe == 0x1 && id == sid) seen = true
+          }
+        }
+        raw.headers(1, Seq(
+          ":method" -> "POST", ":scheme" -> "http", ":path" -> ExportPath,
+          ":authority" -> "127.0.0.1", "content-type" -> "text/plain"),
+          endStream = false)
+        awaitHeaders(1) // the 415 — state is dropped server-side
+        // the late frame: no pseudo-headers at all, stream id at the
+        // watermark → drain branch
+        raw.headers(1, Seq("x-late" -> "1"), endStream = true)
+        // liveness probe: a NEW stream on the same connection still gets
+        // answered — proves the late frame neither crashed the handler nor
+        // produced a response that corrupted connection state
+        raw.headers(3, Seq(
+          ":method" -> "POST", ":scheme" -> "http", ":path" -> ExportPath,
+          ":authority" -> "127.0.0.1", "content-type" -> "text/plain"),
+          endStream = false)
+        awaitHeaders(3)
+      } finally raw.close()
     }
   }
 
