@@ -630,4 +630,67 @@ object Dedup {
       .select(col("doc_id").as("__loser"))
     docs.join(losers, id === col("__loser"), "left_anti")
   }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) of the NORMALIZED
+    * text — distinct minima of w-wide windows over rolling k-char-gram
+    * hashes ([[graft.functions.WinnowFingerprintExpr]]). Substring-level
+    * signal: any shared run of ≥ k+w−1 characters yields a common
+    * fingerprint, which catches copy/paste spans that whole-document
+    * shingle-set Jaccard dilutes on long documents. Engine-portable integer
+    * hash → the production queries are FULL-oracle (no xxhash twin). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    graft.functions.WinnowFingerprintExpr.fingerprints(text, k, w)
+
+  /** Near-dup candidate pairs by shared winnowing fingerprints, scored with
+    * set resemblance |A∩B| / |A∪B| over the df-capped fingerprint sets.
+    *
+    * 100 TB shape — same inverted-index discipline as [[jaccardPairs]],
+    * plus the lesson the MinHash band guard taught ([[saltedBandPairs]]):
+    * a fingerprint's candidate cost is quadratic in its document frequency,
+    * and natural-language corpora HAVE ubiquitous substrings ("in the",
+    * boilerplate headers), so hot fingerprints must be dropped, not salted
+    * — a fingerprint present in more than `dfCap` documents carries no
+    * near-dup evidence (it is the substring analog of a stopword) and
+    * every pair it would generate is either noise or re-witnessed by the
+    * pair's rarer shared fingerprints. An ABSOLUTE cap, not a corpus
+    * fraction: a fractional cut re-opens the quadratic door as the corpus
+    * grows (frac·N docs per bucket → frac²·N² pairs), while dfCap bounds
+    * any bucket's pair fan-out at dfCap²/2 forever. The df cut is one
+    * map-side-combined aggregation over the inverted index; resemblance
+    * denominators use the POST-cut set sizes so the score stays a true
+    * Jaccard of the sets that actually joined. */
+  def winnowPairs(docs: DataFrame, id: Column, text: Column, k: Int, w: Int,
+      dfCap: Int, threshold: Double): DataFrame = {
+    // PERSISTED like jaccardPairs' sh: the fingerprint derivation (the
+    // expensive text pass) feeds the df cut, the sizes branch, AND both
+    // sides of the pair join — un-cached it would re-evaluate per branch.
+    // Emptiness pre-filter on the NORMALIZED LENGTH, not on size(fp): fp is
+    // non-empty ⟺ length ≥ k, and a filter on the projected fp column gets
+    // pushed below the projection, duplicating the whole winnow derivation
+    // into the scan filter (the jaccardPairs lesson).
+    val fps = docs
+      .filter(length(TextAnalysis.normalize(text)) >= k)
+      .select(id.as("doc_id"),
+        winnowFingerprints(TextAnalysis.normalize(text), k, w).as("fp"))
+      .persist()
+    val inv = fps.select(col("doc_id"), explode(col("fp")).as("f"))
+    val kept = inv.groupBy(col("f")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("f"))
+    // shuffle join on f (kept is |distinct fps|-sized — data-dependent, so
+    // no broadcast hint; AQE may still convert when it measures small)
+    val kinv = inv.join(kept, "f")
+    val sizes = kinv.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val pairs = kinv.as("a").hint("shuffle_merge")
+      .join(kinv.as("b").hint("shuffle_merge"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("nf").as("nf_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nf").as("nf_b")), "id_b")
+      .withColumn("resemblance",
+        col("shared").cast("double") / (col("nf_a") + col("nf_b") - col("shared")))
+      .filter(col("resemblance") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("resemblance"))
+  }
 }

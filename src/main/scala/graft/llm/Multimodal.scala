@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * partition-parallel batch functions.
   *
   * Decode is REAL for every format this container can honestly ship a
-  * decoder for: [[decodePpm]] (binary PPM headers + raster summary) and
-  * [[parseWav]] (RIFF/WAVE chunk walk + PCM sample summary) are total,
-  * fuzz-pinned byte-level parsers, and [[decodeMedia]] dispatches on the
-  * magic bytes — PPM/WAV route to their parsers, anything else yields null
-  * features (a 100 TB media crawl always contains garbage). The r11/r12
-  * "fake features" stub family (crc32-as-decode) is gone. The Spark-side
+  * decoder for: [[decodePpm]] (binary PPM headers + raster summary),
+  * [[parseWav]] (RIFF/WAVE chunk walk + PCM sample summary), and
+  * [[parsePng]] (chunk CRCs + zlib INFLATE + scanline defilter — the first
+  * COMPRESSED format) are total, fuzz-pinned byte-level parsers, and
+  * [[decodeMedia]] dispatches on the magic bytes — PPM/WAV/PNG route to
+  * their parsers, anything else yields null features (a 100 TB media crawl
+  * always contains garbage). The r11/r12 "fake features" stub family
+  * (crc32-as-decode) is gone. The Spark-side
   * plumbing is what matters at 100 TB:
   *   - payloads stay in a `binary` column end-to-end (no base64 strings, no
   *     driver round-trips); parquet stores them page-compressed;
@@ -188,11 +190,11 @@ object Multimodal {
   }
 
   /** Mixed-format corpus in ONE constructor pass (one scan — the
-    * per-format-arm union would read the table three times): doc_id % 3
-    * routes to a real PPM, a real WAV, or a deliberately-unrecognizable
-    * payload (sentinel 0x3F '?' prefix — NOT a magic byte of any
-    * implemented format, so the dispatch outcome is deterministic for
-    * arbitrary corpus text, including text that happens to start with
+    * per-format-arm union would read the table once per format): doc_id % 4
+    * routes to a real PPM, a real WAV, a real PNG, or a deliberately-
+    * unrecognizable payload (sentinel 0x3F '?' prefix — NOT a magic byte
+    * of any implemented format, so the dispatch outcome is deterministic
+    * for arbitrary corpus text, including text that happens to start with
     * "P6" or "RIFF"). */
   def asMixedMedia(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
     val spark = df.sparkSession
@@ -201,9 +203,10 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions(_.map { case (i, t) =>
         val data = Option(t).getOrElse("").getBytes("UTF-8")
-        val payload = (((i % 3) + 3) % 3) match {
+        val payload = (((i % 4) + 4) % 4) match {
           case 0 => ppmBytes(data)
           case 1 => wavBytes(data)
+          case 2 => pngBytes(data)
           case _ => '?'.toByte +: data
         }
         (i, payload)
@@ -241,6 +244,15 @@ object Multimodal {
           parseWav(bytes) match {
             case Some((c, r, _, db, _, s0)) =>
               MediaDecoded(id, Some("wav"), None, None, Some(c), Some(r),
+                Some(db), s0)
+            case None =>
+              MediaDecoded(id, None, None, None, None, None, None, None)
+          }
+        else if (bytes.length >= 8 && bytes(0) == PngSig(0) &&
+          bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+          parsePng(bytes) match {
+            case Some((w, h, c, db, s0)) =>
+              MediaDecoded(id, Some("png"), Some(w), Some(h), Some(c), None,
                 Some(db), s0)
             case None =>
               MediaDecoded(id, None, None, None, None, None, None, None)
@@ -347,6 +359,220 @@ object Multimodal {
           Some(s)
         }
       (w, h, m, dataBytes, sum0)
+    }
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private[llm] def pngWidth(n: Long): Int = (n % 64 + 1).toInt
+  private[llm] def pngHeight(n: Long): Int = {
+    val w = pngWidth(n)
+    math.max(((n + w - 1) / w).toInt, 1)
+  }
+
+  /** Assemble a PNG from already-FILTERED scanlines (each row = 1 filter
+    * byte + stride bytes): signature, IHDR (8-bit, colorType 0 grayscale or
+    * 2 RGB), one zlib-deflated IDAT, IEND — CRC32 per chunk, as any PNG
+    * reader requires. Split from [[pngBytes]] so specs can hand-craft
+    * payloads exercising filter types 1–4, which the canonical constructor
+    * (filter 0) never emits. */
+  private[llm] def pngEncode(w: Int, h: Int, colorType: Int,
+      scanlines: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      crc.reset(); crc.update(t); crc.update(payload)
+      be32(payload.length.toLong) ++ t ++ payload ++ be32(crc.getValue)
+    }
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(scanlines)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(scanlines.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Wrap `data` as a REAL 8-bit grayscale PNG: width from the byte length
+    * (same fold as [[ppmBytes]]), height = ⌈n/w⌉ (≥ 1), raster zero-padded
+    * to w·h, filter 0 per scanline, zlib IDAT. Parseable by any PNG reader;
+    * parameters derive from the data length so the oracle pins the parse
+    * against the construction arithmetic — the DEFLATE round-trip is the
+    * engine-side reality the spec pins. */
+  private[llm] def pngBytes(data: Array[Byte]): Array[Byte] = {
+    val w = pngWidth(data.length.toLong)
+    val h = pngHeight(data.length.toLong)
+    val raster = java.util.Arrays.copyOf(data, w * h) // zero-padded tail
+    val scan = new Array[Byte]((w + 1) * h)
+    var r = 0
+    while (r < h) {
+      scan(r * (w + 1)) = 0 // filter: None
+      System.arraycopy(raster, r * w, scan, r * (w + 1) + 1, w)
+      r += 1
+    }
+    pngEncode(w, h, 0, scan)
+  }
+
+  /** Wrap the text column as a REAL grayscale PNG — the [[asPpm]]/[[asWav]]
+    * pattern for a COMPRESSED image format. */
+  def asPng(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, pngBytes(Option(t).getOrElse("").getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  case class PngFeatures(doc_id: Long, width: Option[Long],
+      height: Option[Long], channels: Option[Long], data_bytes: Option[Long],
+      sum_row0: Option[Long])
+
+  /** PNG decode — same partition-parallel shape as [[decodePpm]]. */
+  def decodePng(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parsePng(bytes) match {
+          case Some((w, h, c, db, s0)) =>
+            PngFeatures(id, Some(w), Some(h), Some(c), Some(db), s0)
+          case None => PngFeatures(id, None, None, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** A REAL dependency-free PNG decoder — the first COMPRESSED format in
+    * the dispatch family (PPM and WAV are containered raw bytes; a PNG
+    * payload has to survive chunk CRCs, zlib INFLATE, and scanline
+    * defiltering before any feature is trustworthy). Implements the honest
+    * static subset a feature extractor needs: 8-bit greyscale (colorType
+    * 0) and truecolor (2), non-interlaced, all five standard scanline
+    * filters (None/Sub/Up/Average/Paeth) — anything else (palette, 16-bit,
+    * interlace, bad CRC, truncated or over-long IDAT) yields None, never an
+    * exception or a junk feature row.
+    *
+    * Returns (width, height, channels, raster_bytes = w·channels·h, sum of
+    * the first DEFILTERED scanline's unsigned bytes). Decompressed size is
+    * bounded up front by the IHDR dimensions (w·h capped), so a hostile
+    * deflate bomb cannot balloon memory — the parser allocates exactly the
+    * raster it validated. */
+  private[llm] def parsePng(bytes: Array[Byte]):
+      Option[(Long, Long, Long, Long, Option[Long])] = {
+    try {
+      if (bytes.length < 8) return None
+      var i = 0
+      while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+      def be32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      var pos = 8
+      var w = 0L
+      var h = 0L
+      var channels = 0
+      var seenIhdr = false
+      var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      val crc = new java.util.zip.CRC32
+      while (!seenIend) {
+        if (pos + 12 > bytes.length) return None
+        val len = be32(pos)
+        if (len > bytes.length - pos - 12) return None
+        val n = len.toInt
+        crc.reset()
+        crc.update(bytes, pos + 4, 4 + n)
+        if (crc.getValue != be32(pos + 8 + n)) return None
+        val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+        tpe match {
+          case "IHDR" =>
+            if (seenIhdr || n != 13) return None
+            w = be32(pos + 8); h = be32(pos + 12)
+            // dimension sanity bounds the raster allocation BEFORE inflate
+            if (w <= 0 || h <= 0 || w * h > (1L << 26)) return None
+            if (bytes(pos + 16) != 8) return None // bit depth
+            channels = bytes(pos + 17) match {
+              case 0 => 1 // greyscale
+              case 2 => 3 // truecolor
+              case _ => return None
+            }
+            // compression, filter method, interlace must all be 0
+            if (bytes(pos + 18) != 0 || bytes(pos + 19) != 0 ||
+              bytes(pos + 20) != 0) return None
+            seenIhdr = true
+          case "IDAT" =>
+            if (!seenIhdr) return None
+            idat.write(bytes, pos + 8, n)
+          case "IEND" =>
+            if (!seenIhdr || n != 0) return None
+            seenIend = true
+          case _ =>
+            if (!seenIhdr) return None // IHDR must be the first chunk
+        }
+        pos += 12 + n
+      }
+      val stride = (w * channels).toInt
+      val expected = (stride + 1) * h.toInt
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val scan = new Array[Byte](expected)
+      var got = 0
+      while (got < expected && !inflater.finished()) {
+        val k = inflater.inflate(scan, got, expected - got)
+        if (k == 0 && inflater.needsInput()) return None // truncated stream
+        got += k
+      }
+      // exactly the advertised raster: no short stream, no trailing data
+      val overflow = got == expected && !inflater.finished() &&
+        inflater.inflate(new Array[Byte](1)) > 0
+      inflater.end()
+      if (got != expected || overflow) return None
+      val out = new Array[Byte](stride * h.toInt)
+      val bpp = channels
+      var r = 0
+      while (r < h) {
+        val f = scan(r * (stride + 1)) & 0xff
+        if (f > 4) return None
+        var c = 0
+        while (c < stride) {
+          val x = scan(r * (stride + 1) + 1 + c) & 0xff
+          val a = if (c >= bpp) out(r * stride + c - bpp) & 0xff else 0
+          val b = if (r > 0) out((r - 1) * stride + c) & 0xff else 0
+          val d = if (r > 0 && c >= bpp) out((r - 1) * stride + c - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case _ => // Paeth predictor
+              val p = a + b - d
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - d)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else d)
+          }
+          out(r * stride + c) = (v & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      var s0 = 0L
+      var c = 0
+      while (c < stride) { s0 += out(c) & 0xff; c += 1 }
+      Some((w, h, channels.toLong, w * channels * h, Some(s0)))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
     }
   }
 

@@ -163,4 +163,57 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk1", "__rk")
   }
+
+  /** Deterministic global training-order shuffle: every row gets a `shard`
+    * (which output file/worker group it belongs to) and a 1-based `pos`
+    * (its exact position within the shard), with the order given by the
+    * scramble key — the uniform pseudo-random permutation the bernoulli /
+    * split / topK samples already share. This is the "shuffle the corpus
+    * once, write N shards, stream them in order" pass every epoch-0
+    * training pipeline runs; determinism means the same corpus always
+    * yields the same byte-identical shards on any engine or cluster size.
+    *
+    * 100 TB shape: shard = top log2(nShards) bits of the key, so shards
+    * are contiguous key ranges and `repartitionByRange`-friendly; `pos` is
+    * the [[mixture]] rank decomposition re-used — per-(shard, bucket)
+    * counts (one map-side-combined agg), cumulative offsets over that tiny
+    * aggregate, then row_number inside (shard, bucket) cells of
+    * ~|corpus|/(nShards·nBuckets) rows. No task ever sorts a whole shard:
+    * at 100 TB / 1024 shards a whole-shard window would put ~100 GB
+    * through single tasks; cells stay ~100 GB/nBuckets and nBuckets is a
+    * free knob. Exact decomposition, no cross-cell re-rank, because cells
+    * are contiguous in the (key, id) total order. */
+  def shardShuffle(df: DataFrame, id: Column, nShards: Int,
+      nBuckets: Int = 64): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      "nShards must be a positive power of two")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a positive power of two")
+    val sBits = java.lang.Integer.numberOfTrailingZeros(nShards)
+    val bBits = java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    require(sBits + bBits <= 31, "nShards·nBuckets must fit the 32-bit key")
+    val cols = df.columns.map(col)
+    val base = df.withColumn("__key", scrambleKey(id))
+      .withColumn("__id", id)
+      .withColumn("__shard", shiftright(col("__key"), 32 - sBits))
+      .withColumn("__bkt",
+        shiftright(col("__key"), 32 - sBits - bBits)
+          .bitwiseAND(lit(nBuckets - 1L)))
+    // offsets: rows of the shard in strictly-lower buckets — a window over
+    // the AGGREGATED counts (≤ nShards·nBuckets rows), never the corpus
+    val wOff = Window.partitionBy(col("__shard")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__shard"), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__shard").as("__oshard"), col("__bkt").as("__obkt"),
+        col("__off"))
+    val wCell = Window.partitionBy(col("__shard"), col("__bkt"))
+      .orderBy(col("__key"), col("__id"))
+    base.join(broadcast(offsets), // structurally tiny: nShards·nBuckets rows
+        col("__shard") === col("__oshard") && col("__bkt") === col("__obkt"))
+      .withColumn("__pos", col("__off") + row_number().over(wCell))
+      .select(cols :+ col("__shard").cast("int").as("shard")
+        :+ col("__pos").as("pos"): _*)
+  }
 }

@@ -80,6 +80,63 @@ object LlmQueries {
         round(any_value(col("thr")), 6).as("threshold"))
   }
 
+  /** Per-language [[qualityCut]]: one threshold per `lang` group instead of
+    * one global scalar — the curation pass a multilingual corpus actually
+    * needs, because quality scores are not comparable across languages (a
+    * stopword-ratio term scored against an English stopword list
+    * systematically ranks non-English text lower; a global P75 would
+    * silently discard most of the non-English corpus). The thresholds
+    * relation is |languages| rows — broadcast by construction, corpus
+    * shuffled only for the two narrow aggregations. */
+  private def qualityCutByLang(s: SparkSession, d: String, thrAgg: Column): DataFrame = {
+    val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val thr = st.groupBy(col("lang")).agg(thrAgg.as("thr"))
+    st.join(broadcast(thr), "lang")
+      .filter(col("quality") >= col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("quality")), 6).as("min_kept_quality"),
+        round(any_value(col("thr")), 6).as("threshold"))
+      .orderBy(col("lang"))
+  }
+
+  /** Winnowing parameters (k-gram length, window width): a shared substring
+    * of ≥ k+w−1 = 19 characters (≈ 4 tokens) is guaranteed a common
+    * fingerprint. Shared verbatim with the oracle restatement. */
+  private val WinnowK = 12
+  private val WinnowW = 8
+
+  /** Single-line unrolled restatement of the rolling k-gram hash — the
+    * left fold h = (h·B + ord(char)) mod P that WinnowFingerprintExpr
+    * computes rollingly. Single-line on purpose: interpolating multi-line
+    * fragments into a stripMargin oracle re-strips inner lines. */
+  private def winnowGramHashSql(k: Int): String =
+    (1 until k).foldLeft("CAST(ord(substr(nt, p + 0, 1)) AS BIGINT)") {
+      (acc, j) =>
+        s"(($acc)*${graft.functions.WinnowFingerprintExpr.B} + " +
+          s"ord(substr(nt, p + $j, 1))) % ${graft.functions.WinnowFingerprintExpr.P}"
+    }
+
+  /** Oracle CTE chain `norm → grams → fps` computing per-doc winnowing
+    * fingerprint lists from a docs relation named `src(doc_id, text)`. */
+  private def winnowFpsCtes(src: String): String =
+    s"norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM $src), " +
+      s"grams AS (SELECT doc_id, list_transform(generate_series(1, length(nt) - ${WinnowK - 1}), p -> ${winnowGramHashSql(WinnowK)}) AS g FROM norm WHERE length(nt) >= $WinnowK), " +
+      s"fps AS (SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, greatest(len(g) - ${WinnowW - 1}, 1)), p -> list_aggregate(list_slice(g, p, p + ${WinnowW - 1}), 'min')))) AS fp FROM grams)"
+
+  /** Continues [[winnowFpsCtes]] with the inverted index, df cut (cap 64),
+    * post-cut sizes, and the resemblance-scored pair set `wp` — the oracle
+    * restatement of [[Dedup.winnowPairs]] shared by q_dedup_winnow and
+    * q_dedup_winnow_apply. Single-line fragments (stripMargin safety). */
+  private val WinnowPairCtes: String =
+    "inv AS (SELECT doc_id, unnest(fp) AS f FROM fps), " +
+      "kept AS (SELECT f FROM inv GROUP BY f HAVING count(*) <= 64), " +
+      "kinv AS (SELECT doc_id, f FROM inv WHERE f IN (SELECT f FROM kept)), " +
+      "sizes AS (SELECT doc_id, count(*) AS nf FROM kinv GROUP BY doc_id), " +
+      "shp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared FROM kinv a JOIN kinv b ON a.f = b.f AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "wp AS (SELECT id_a, id_b, shared, CAST(shared AS DOUBLE) / (sa.nf + sb.nf - shared) AS resem FROM shp JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b WHERE CAST(shared AS DOUBLE) / (sa.nf + sb.nf - shared) >= 0.5)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors per normalized-text fingerprint. fp (xxhash64)
     // is dropped from the output so DuckDB can restate the grouping on the
@@ -295,6 +352,79 @@ object LlmQueries {
     // continuous-quantile definition) through the SAME downstream plan.
     "q_quality_cut_det" -> ((s, d) =>
       qualityCut(s, d, expr("percentile(quality, 0.75D)"))),
+
+    // Per-language quantile cut: one P75 per lang group — the curation
+    // pass a multilingual corpus needs (quality scores are not comparable
+    // across languages; see qualityCutByLang). Same production-vs-det
+    // split as the global cut: grouped approx_percentile (GK sketch per
+    // group, memory bounded at any corpus size) is the benched path,
+    // rows-only; the exact grouped percentile is the full-oracle twin.
+    "q_quality_cut_by_lang" -> ((s, d) =>
+      qualityCutByLang(s, d, expr("approx_percentile(quality, 0.75D, 10000)"))),
+
+    "q_quality_cut_by_lang_det" -> ((s, d) =>
+      qualityCutByLang(s, d, expr("percentile(quality, 0.75D)"))),
+
+    // Winnowing fingerprint profile (Schleimer et al., SIGMOD'03): per-doc
+    // distinct window-min rolling-hash set — the substring-level document
+    // signature. Engine-portable integer hash, so unlike MinHash/SimHash
+    // this fingerprint family is FULL-oracle with no det twin. Native
+    // one-pass expression (rolling hash + monotonic-deque window min).
+    "q_fp_winnow" -> ((s, d) => {
+      // short-doc filter on the normalized LENGTH (fp non-empty ⟺ length
+      // ≥ k): filtering on size(fp) would push the whole winnow derivation
+      // into the scan filter and evaluate it twice per row
+      Tables.documents(s, d)
+        .filter(length(TextAnalysis.normalize(col("text"))) >= WinnowK)
+        .select(col("doc_id"),
+          Dedup.winnowFingerprints(TextAnalysis.normalize(col("text")),
+            WinnowK, WinnowW).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          element_at(col("fp"), 1).as("fp_min"),
+          element_at(col("fp"), -1).as("fp_max"),
+          aggregate(col("fp"), lit(0L), (a, x) => a + x).as("fp_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing near-dup pairs: inverted-index join on shared fingerprints
+    // with an ABSOLUTE document-frequency cap (a fingerprint in > dfCap
+    // docs is the substring analog of a stopword — and a fractional cap
+    // would grow quadratic pair fan-out with the corpus), scored by set
+    // resemblance over the df-capped fingerprint sets. Catches copy/paste
+    // spans ≥ k+w−1 chars that whole-doc shingle Jaccard dilutes.
+    "q_dedup_winnow" -> ((s, d) => {
+      Dedup.winnowPairs(docsNearDups(s, d), col("doc_id"), col("text"),
+          k = WinnowK, w = WinnowW, dfCap = 64, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          round(col("resemblance"), 6).as("resemblance"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // End-to-end winnow dedup: connected components over the winnow pair
+    // graph, corpus minus non-min cluster members — the substring-level
+    // twin of q_dedup_apply, same un-hinted AQE-sized anti-join.
+    "q_dedup_winnow_apply" -> ((s, d) => {
+      val docs = docsNearDups(s, d)
+      val pairs = Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+        k = WinnowK, w = WinnowW, dfCap = 64, threshold = 0.5)
+      Dedup.dropNearDups(docs, col("doc_id"),
+          Dedup.components(pairs, col("id_a"), col("id_b")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global training-order shuffle: shard + exact 1-based
+    // position per doc from the shared scramble-key permutation — the
+    // "shuffle once, write N shards" pass of epoch-0 training. Rank via
+    // the mixture bucketed decomposition (no whole-shard window; pinned by
+    // SamplingSpec's plan audit), restated in the oracle as a plain
+    // per-shard row_number over the same integer key.
+    "q_shard_shuffle" -> ((s, d) => {
+      graft.llm.Sampling.shardShuffle(
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id"),
+          nShards = 8)
+        .orderBy(col("shard"), col("pos"))
+    }),
 
     // Real language ID: char-trigram Naive Bayes (LangId) — integer scores
     // from build-time-scaled log weights, so the oracle restates the exact
@@ -571,10 +701,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Generic decode dispatch: a mixed corpus (ppm / wav / unrecognizable
-    // by doc_id % 3, built in ONE scan) through decodeMedia — recognized
-    // formats decode for real, everything else yields null features. This
-    // is the query that retires the r12 'fake features' stub class.
+    // PNG decode: construct REAL zlib-compressed grayscale PNGs from the
+    // corpus text, then run the full decoder — chunk CRC verification,
+    // INFLATE, scanline defiltering. The oracle pins the decoded features
+    // against the construction arithmetic; the compression round-trip
+    // itself is the engine-side reality LlmSpec fuzz-pins.
+    "q_mm_decode_png" -> ((s, d) => {
+      Multimodal.decodePng(
+          Multimodal.asPng(Tables.documents(s, d), col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generic decode dispatch: a mixed corpus (ppm / wav / png /
+    // unrecognizable by doc_id % 4, built in ONE scan) through decodeMedia
+    // — recognized formats decode for real, everything else yields null
+    // features. This is the query that retires the r12 'fake features'
+    // stub class.
     "q_mm_decode_route" -> ((s, d) => {
       Multimodal.decodeMedia(
           Multimodal.asMixedMedia(Tables.documents(s, d), col("doc_id"),
@@ -884,6 +1026,64 @@ object LlmQueries {
         |       round(any_value(thr), 6) AS threshold
         |FROM q CROSS JOIN thr WHERE quality >= thr""".stripMargin,
 
+    // grouped exact P75 per lang (same continuous-quantile definition);
+    // the production grouped-approx_percentile form is rows-only
+    "q_quality_cut_by_lang_det" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |       (least(len(t) / 100.0, 1.0)
+        |        + least(len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) * 10.0, 1.0)
+        |        + len(list_distinct(t)) * 1.0 / len(t)) / 3.0 AS quality
+        |       FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
+        |thr AS (SELECT lang, quantile_cont(quality, 0.75) AS thr FROM q GROUP BY lang)
+        |SELECT q.lang AS lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |       round(min(quality), 6) AS min_kept_quality,
+        |       round(any_value(thr), 6) AS threshold
+        |FROM q JOIN thr ON q.lang = thr.lang WHERE quality >= thr.thr
+        |GROUP BY q.lang ORDER BY lang""".stripMargin,
+
+    // winnowing profile: the fps CTE replays the identical rolling-hash
+    // fold (unrolled per position) + window-min + distinct-sort
+    "q_fp_winnow" -> (s"WITH ${winnowFpsCtes("documents")} " +
+      """SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+        |       fp[1] AS fp_min, fp[len(fp)] AS fp_max,
+        |       CAST(list_aggregate(fp, 'sum') AS BIGINT) AS fp_sum
+        |FROM fps ORDER BY doc_id""".stripMargin),
+
+    // winnowing near-dup pairs over the planted-mutant corpus: inverted
+    // index, df cap 64, post-cut set resemblance >= 0.5
+    "q_dedup_winnow" -> (s"$NearDupCte, ${winnowFpsCtes("d3")}, $WinnowPairCtes " +
+      """SELECT id_a, id_b, shared, round(resem, 6) AS resemblance
+        |FROM wp ORDER BY id_a, id_b""".stripMargin),
+
+    // end-to-end winnow dedup: transitive closure over the wp pair set,
+    // survivors = corpus minus non-min cluster members (same recursive-CTE
+    // closure as q_dedup_apply's)
+    "q_dedup_winnow_apply" -> (s"${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")}, " +
+      s"${winnowFpsCtes("d3")}, $WinnowPairCtes, " +
+      """e AS (SELECT id_a AS src, id_b AS dst FROM wp
+        |      UNION ALL SELECT id_b AS src, id_a AS dst FROM wp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT doc_id FROM d3
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+        |ORDER BY doc_id""".stripMargin),
+
+    // shard = top 3 key bits (// 2^29), pos = per-shard row_number over
+    // (key, doc_id) — the oracle states the rank directly; the engine's
+    // bucketed decomposition must reproduce it exactly
+    "q_shard_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+        |  ((doc_id % 2147483648) * 2654435761) % 4294967296 AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(key // 536870912 AS INT) AS shard,
+        |       row_number() OVER (PARTITION BY key // 536870912
+        |                          ORDER BY key, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
     // consecutive scramble ranges: floor(0.8·2^32), floor(0.9·2^32)
     "q_split" ->
       """WITH s AS (SELECT doc_id,
@@ -1182,17 +1382,23 @@ object LlmQueries {
 
     // dispatch: each arm's features restated from the construction; the
     // sentinel arm must be all-null
+    // png arm: w = n%64+1 (the ppm fold), h = ceil(n/w) >= 1 (zero-padded
+    // raster), data_bytes = padded w*h, sum0 over the first scanline =
+    // first least(w, n) text bytes (+ zero padding), 0 for an empty text
     "q_mm_decode_route" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
-        |                  doc_id % 3 AS arm, text
-        |           FROM documents)
+        |                  doc_id % 4 AS arm, text
+        |           FROM documents),
+        |g AS (SELECT doc_id, n, arm, text, n % 64 + 1 AS pw,
+        |             greatest((n + n % 64) // (n % 64 + 1), 1) AS ph
+        |      FROM m)
         |SELECT doc_id,
-        |       CASE arm WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' END AS format,
-        |       CASE WHEN arm = 0 THEN n % 64 + 1 END AS width,
-        |       CASE WHEN arm = 0 THEN n % 48 + 1 END AS height,
-        |       CASE WHEN arm = 1 THEN n % 2 + 1 END AS channels,
+        |       CASE arm WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'png' END AS format,
+        |       CASE WHEN arm = 0 THEN n % 64 + 1 WHEN arm = 2 THEN pw END AS width,
+        |       CASE WHEN arm = 0 THEN n % 48 + 1 WHEN arm = 2 THEN ph END AS height,
+        |       CASE WHEN arm = 1 THEN n % 2 + 1 WHEN arm = 2 THEN 1 END AS channels,
         |       CASE WHEN arm = 1 THEN 8000 + n % 8000 END AS sample_rate,
-        |       CASE WHEN arm IN (0, 1) THEN n END AS data_bytes,
+        |       CASE WHEN arm IN (0, 1) THEN n WHEN arm = 2 THEN pw * ph END AS data_bytes,
         |       CASE WHEN arm = 0 AND least(3 * (n % 64 + 1), n) > 0
         |              THEN CAST(list_sum(list_transform(
         |                     generate_series(1, CAST(least(3 * (n % 64 + 1), n) AS INT)),
@@ -1201,8 +1407,26 @@ object LlmQueries {
         |              THEN CAST(list_sum(list_transform(
         |                     generate_series(1, CAST(least(48, n) AS INT)),
         |                     i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+        |            WHEN arm = 2
+        |              THEN coalesce(CAST(list_sum(list_transform(
+        |                     generate_series(1, CAST(least(pw, n) AS INT)),
+        |                     i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT), 0)
         |       END AS sum0
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_mm_decode_png" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n, text
+        |           FROM documents),
+        |g AS (SELECT doc_id, n, text, n % 64 + 1 AS w,
+        |             greatest((n + n % 64) // (n % 64 + 1), 1) AS h
+        |      FROM m)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(1 AS BIGINT) AS channels, w * h AS data_bytes,
+        |       coalesce(CAST(list_sum(list_transform(
+        |         generate_series(1, CAST(least(w, n) AS INT)),
+        |         i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT), 0)
+        |         AS sum_row0
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the greedy longest-match walk replays over DISTINCT tokens (the
     // vocab literals are generated from the same map the expression

@@ -85,11 +85,13 @@ class BenchContractSpec extends AnyFunSuite {
     // q_ann_lsh_mp: multi-probe variant of q_ann_lsh — same float-sign
     // sensitivity; recall ⊇ single-probe pinned in LlmSpec, and the
     // family's full-oracle twin (q_ann_lsh_all) covers the shared plumbing
-    // q_quality_cut: production approx_percentile threshold — a GK sketch
-    // DuckDB cannot restate; the exact-percentile twin q_quality_cut_det
-    // carries the full-oracle hash and LlmQueriesSpec pins ±5% agreement
+    // q_quality_cut(_by_lang): production approx_percentile thresholds — a
+    // GK sketch DuckDB cannot restate; the exact-percentile twins
+    // q_quality_cut(_by_lang)_det carry the full-oracle hash and
+    // LlmQueriesSpec pins ±5% agreement
     val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
-      "q_ann_lsh_mp", "q_ann_ivf", "q_ann_ivf_kmeans", "q_quality_cut")
+      "q_ann_lsh_mp", "q_ann_ivf", "q_ann_ivf_kmeans", "q_quality_cut",
+      "q_quality_cut_by_lang")
     val unproven = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(unproven.isEmpty,

@@ -372,7 +372,7 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out.nonEmpty)
     out.foreach { case (id, r) =>
-      (id % 3) match {
+      (id % 4) match {
         case 0 =>
           assert(r.getString(1) === "ppm", s"doc $id")
           assert(!r.isNullAt(2) && !r.isNullAt(3)) // width/height
@@ -381,6 +381,12 @@ class LlmSpec extends SparkSpec {
           assert(r.getString(1) === "wav", s"doc $id")
           assert(r.isNullAt(2) && r.isNullAt(3))
           assert(!r.isNullAt(4) && !r.isNullAt(5)) // channels/rate
+        case 2 =>
+          assert(r.getString(1) === "png", s"doc $id")
+          assert(!r.isNullAt(2) && !r.isNullAt(3)) // width/height
+          assert(!r.isNullAt(4)) // channels (grayscale: 1)
+          assert(r.isNullAt(5)) // no sample_rate
+          assert(!r.isNullAt(6) && !r.isNullAt(7)) // data_bytes/sum0
         case _ =>
           assert(r.isNullAt(1), s"doc $id dispatched as ${r.getString(1)}")
           (2 to 7).foreach(i => assert(r.isNullAt(i), s"doc $id col $i"))
@@ -390,8 +396,8 @@ class LlmSpec extends SparkSpec {
     // dispatches deterministically (sentinel prefix defeats it)
     val s = spark
     import s.implicits._
-    val tricky = Seq((2L, "P6 1 1 255\nabc"), (5L, "RIFF fake"))
-      .toDF("doc_id", "text")
+    val tricky = Seq((3L, "P6 1 1 255\nabc"), (7L, "RIFF fake"))
+      .toDF("doc_id", "text") // ids ≡ 3 (mod 4): the unrecognizable arm
     val trickyOut = Multimodal.decodeMedia(
         Multimodal.asMixedMedia(tricky, col("doc_id"), col("text")))
       .collect()
@@ -451,6 +457,104 @@ class LlmSpec extends SparkSpec {
       assert(g.getLong(2) === text.length % 48 + 1) // height recovered
       assert(g.getLong(3) === 255L)
       assert(g.getLong(4) === text.length.toLong) // raster = the text bytes
+    }
+  }
+
+  test("PNG parser: roundtrip, all five filters, CRC/zlib/garbage safety") {
+    import Multimodal.{parsePng, pngBytes, pngEncode}
+    // canonical construction round-trips through CRC check + INFLATE +
+    // defilter: 5 bytes → w=6, h=1, zero-padded raster, row0 sum = data sum
+    val d5 = Array[Byte](10, 20, 30, -1, 50)
+    assert(parsePng(pngBytes(d5)) ===
+      Some((6L, 1L, 1L, 6L, Some(10L + 20 + 30 + 255 + 50))))
+    // 70 bytes → w=7, h=10: multi-scanline; row0 = first 7 bytes
+    val d70 = Array.tabulate(70)(i => (i * 3 + 1).toByte)
+    assert(parsePng(pngBytes(d70)) ===
+      Some((7L, 10L, 1L, 70L, Some((0 until 7).map(i => i * 3L + 1).sum))))
+    // empty data → 1×1 zero pixel
+    assert(parsePng(pngBytes(Array.empty[Byte])) ===
+      Some((1L, 1L, 1L, 1L, Some(0L))))
+    // all five standard filters must defilter back to the same raster:
+    // raw rows (w=3, h=2) r0=[10,20,30] r1=[40,50,60]
+    def filtered(f0: Int, f1: Int): Array[Byte] = {
+      // hand-filter against the spec definitions (bpp=1)
+      def enc(row: Array[Int], prev: Array[Int], f: Int): Array[Int] =
+        row.indices.map { c =>
+          val a = if (c >= 1) row(c - 1) else 0
+          val b = prev(c)
+          val d = if (c >= 1) prev(c - 1) else 0
+          val x = row(c)
+          f match {
+            case 0 => x
+            case 1 => (x - a) & 0xff
+            case 2 => (x - b) & 0xff
+            case 3 => (x - (a + b) / 2) & 0xff
+            case 4 =>
+              val p = a + b - d
+              val pr = if (math.abs(p - a) <= math.abs(p - b) &&
+                math.abs(p - a) <= math.abs(p - d)) a
+              else if (math.abs(p - b) <= math.abs(p - d)) b else d
+              (x - pr) & 0xff
+          }
+        }.toArray
+      val r0 = Array(10, 20, 30); val r1 = Array(40, 50, 60)
+      val e0 = enc(r0, Array(0, 0, 0), f0); val e1 = enc(r1, r0, f1)
+      (Array(f0) ++ e0 ++ Array(f1) ++ e1).map(_.toByte)
+    }
+    val want = Some((3L, 2L, 1L, 6L, Some(60L))) // row0 sum = 10+20+30
+    for (f0 <- 0 to 4; f1 <- 0 to 4)
+      assert(parsePng(pngEncode(3, 2, 0, filtered(f0, f1))) === want,
+        s"filters ($f0, $f1)")
+    // truecolor (colorType 2): 1×2 px RGB, channels=3, row0 = first pixel
+    val rgb = Array[Byte](0, 1, 2, 3, 0, 4, 5, 6)
+    assert(parsePng(pngEncode(1, 2, 2, rgb)) ===
+      Some((1L, 2L, 3L, 6L, Some(1L + 2 + 3))))
+    // corruption arms: every single-byte flip must fail the chunk CRC (or
+    // the zlib stream), never return features from corrupt data
+    val good = pngBytes(d5)
+    for (i <- 8 until good.length) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      assert(parsePng(bad) === None, s"flip at $i parsed")
+    }
+    // truncated IDAT stream / truncated file
+    assert(parsePng(good.dropRight(1)) === None)
+    assert(parsePng(good.take(33)) === None)
+    // unimplemented subset: 16-bit depth, palette, interlace
+    def ihdrTweak(off: Int, v: Byte): Array[Byte] = {
+      // rebuild via pngEncode is impossible (CRC) — craft IHDR directly
+      val scan = Array[Byte](0, 1)
+      val base = pngEncode(1, 1, 0, scan)
+      val tweaked = base.clone(); tweaked(off) = v
+      tweaked
+    }
+    assert(parsePng(ihdrTweak(24, 16)) === None) // bit depth (CRC fails first — still None)
+    // fuzz: arbitrary bytes (incl. signature-prefixed garbage) never throw
+    val rnd = new scala.util.Random(9876)
+    for (_ <- 1 to 2000) {
+      val len = rnd.nextInt(96)
+      val arr = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (rnd.nextBoolean() && len >= 8)
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte).copyToArray(arr)
+      parsePng(arr) // must be total
+    }
+  }
+
+  test("decodePng round-trips asPng construction through the real parser") {
+    val out = Multimodal.decodePng(
+        Multimodal.asPng(Tables.documents(spark, Sf), col("doc_id"), col("text")))
+      .orderBy(col("doc_id")).collect()
+    val src = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    assert(out.length === src.length && out.nonEmpty)
+    out.zip(src).foreach { case (g, s) =>
+      val n = s.getString(1).length // ASCII corpus: chars == bytes
+      val w = n % 64 + 1
+      val h = math.max((n + w - 1) / w, 1)
+      assert(g.getLong(1) === w.toLong, s"doc ${s.getLong(0)} width")
+      assert(g.getLong(2) === h.toLong, s"doc ${s.getLong(0)} height")
+      assert(g.getLong(3) === 1L)
+      assert(g.getLong(4) === (w * h).toLong) // padded raster
     }
   }
 

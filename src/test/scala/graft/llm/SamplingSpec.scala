@@ -145,4 +145,45 @@ class SamplingSpec extends SparkSpec {
       old.queryExecution.executedPlan).nonEmpty,
       "auditor failed to flag a genuine whole-group window")
   }
+
+  test("shardShuffle: positions equal the whole-shard window reference") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 5000L).map(i => i * 13 + 5).toDF("doc_id")
+    val out = Sampling.shardShuffle(df, col("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // reference: the naive whole-shard window (test-only shape)
+    val ref = df.withColumn("__key", Sampling.scrambleKey(col("doc_id")))
+      .withColumn("shard", shiftright(col("__key"), 29).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__key"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out === ref)
+    // each shard's positions are exactly 1..n — no gaps, no duplicates
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).toSeq.sorted
+      assert(ps === (1L to ps.size.toLong), s"shard $shard positions broken")
+    }
+  }
+
+  test("shardShuffle invariant under nBuckets; no whole-shard window in the plan") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).map(i => i * 7 + 3).toDF("doc_id")
+    def run(nb: Int) = Sampling.shardShuffle(df, col("doc_id"),
+        nShards = 8, nBuckets = nb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val base = run(64)
+    assert(run(1) === base)
+    assert(run(4) === base)
+    assert(run(256) === base) // 8·256 still fits the 32-bit key
+    val out = Sampling.shardShuffle(df, col("doc_id"), nShards = 8)
+    out.collect()
+    val flagged = graft.plans.PlanAudit.wholeGroupWindows(
+      out.queryExecution.executedPlan)
+    assert(flagged.isEmpty,
+      s"corpus-scale single-partition window in shardShuffle plan: $flagged")
+  }
 }

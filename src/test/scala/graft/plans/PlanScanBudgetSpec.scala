@@ -26,6 +26,7 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_dedup_minhash" -> 2,
     "q_dedup_simhash" -> 2,
     "q_dedup_apply" -> 2,
+    "q_dedup_winnow_apply" -> 2,
     "q_dedup_clusters" -> 2,
     // probe stride + corpus (+ centroid stride for IVF)
     "q_ann_topk" -> 2,
@@ -51,6 +52,12 @@ class PlanScanBudgetSpec extends SparkSpec {
     // quantile-cut shape (caching the corpus to save a narrow re-scan
     // costs more at 100 TB)
     "q_quality_cut" -> 2,
+    // same derive-then-filter shape, thresholds keyed per lang
+    "q_quality_cut_by_lang" -> 2,
+    // bucketed rank decomposition (same as q_sample_mixture): one
+    // column-pruned scan derives per-(shard, bucket) count offsets, a
+    // second feeds the per-cell rank pass
+    "q_shard_shuffle" -> 2,
     // key-range-bucket mixture (r12): one column-pruned scan derives the
     // per-(group, bucket) count offsets, a second feeds the rank pass — the
     // price of never ranking a whole group in one task (caching the corpus
