@@ -129,6 +129,15 @@ object GraftFunctionRegistry {
       arity("graft_max_token_freq", args, 1)
       MaxTokenFreqExpr(args.head)
     }),
+    // winnowing fingerprints over the (caller-normalized) text — the SQL
+    // spelling of Dedup.winnowFingerprints:
+    // graft_winnow_fingerprints(graft_normalize_text(text), 12, 8)
+    fn("graft_winnow_fingerprints", { args =>
+      arity("graft_winnow_fingerprints", args, 3)
+      WinnowFingerprintExpr(args.head,
+        intArg("graft_winnow_fingerprints", "k", args(1)),
+        intArg("graft_winnow_fingerprints", "w", args(2)))
+    }),
     // per-language trigram-NB scores over the PADDED normalized text — the
     // SQL spelling of LangId.scores; compose the padding + argmax in SQL:
     // graft_langid_scores(' ' || graft_normalize_text(text) || ' ')

@@ -287,6 +287,80 @@ object Similarity {
       .agg(avg(col("best"))).head.getDouble(0)
   }
 
+  /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): split each
+    * vector into `m` subvectors, quantize every subvector to its nearest
+    * codeword (the CODE — one small int per subspace), and answer queries
+    * with the asymmetric distance computation (ADC): per probe, precompute
+    * the m×|codebook| table of probe-subvector↔codeword distances, then
+    * score each corpus vector as the sum of m table lookups over its codes.
+    *
+    * What PQ buys at 100 TB: MEMORY/IO compression, not candidate pruning —
+    * a 64-dim float32 vector (256 B) becomes m small codes (m bytes), a
+    * 64× reduction, so the scored representation of a 100 TB embedding
+    * corpus fits the page cache that the raw vectors never would. The scan
+    * stays linear (compose with [[ivfTopK]]'s cell pruning for sub-linear —
+    * classic IVF-PQ; the `codes` relation here is keyed exactly like the
+    * corpus, so the cell column drops in unchanged).
+    *
+    * Plan shape: encode is corpus ⨯ broadcast(m·|codebook| subcodewords)
+    * through a map-side-combined per-(vector, subspace) argmin — the
+    * corpus never shuffles (the [[ivfTopK]] assignment discipline); the ADC
+    * join is keyed on (subspace, code) against the broadcast probe table;
+    * scores aggregate with map-side combine on (probe, vector).
+    *
+    * Arithmetic is INTEGER end-to-end (subvectors quantize via
+    * floor(x·scale), distances are integer squared-L2, argmin ties break to
+    * the lowest codeword id) — the [[kmeansDetCentroids]] recipe — so the
+    * whole query is engine-exact and q_ann_pq needs no rows-only split:
+    * PQ codes are lossy by definition, and pinning the quantizer's
+    * arithmetic is what makes codes REPRODUCIBLE across engines and runs —
+    * a re-encoded 100 TB corpus must yield byte-identical code columns or
+    * incremental re-encoding is impossible. Returns (pid, nid, adist,
+    * rank): ascending approximate squared distance, top `topK` per probe,
+    * self-matches excluded. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, codebook: DataFrame,
+      dim: Int, m: Int, topK: Int, scale: Int = 100): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    def quant(c: Column): Column =
+      transform(c.cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("long"))
+    def subspaces(df: DataFrame, idIn: Column, idOut: String): DataFrame =
+      df.select(idIn.cast("long").as(idOut), quant(col("embedding")).as("qv"))
+        .select(col(idOut), explode(sequence(lit(0), lit(m - 1))).as("j"),
+          col("qv"))
+        .select(col(idOut), col("j"),
+          slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("sv"))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val cb = subspaces(codebook, col("vec_id"), "cid")
+      .withColumnRenamed("sv", "csv")
+    // encode: per-(vector, subspace) argmin over the broadcast codewords —
+    // groupBy (map-side combine), never a window over the expanded product
+    val codes = subspaces(corpus, col("vec_id"), "nid")
+      .join(broadcast(cb), "j")
+      .withColumn("qdist", l2sq(col("sv"), col("csv")))
+      .groupBy(col("nid"), col("j"))
+      .agg(min_by(col("cid"), struct(col("qdist"), col("cid"))).as("code"))
+    // ADC table: probe subvector ↔ codeword distances (|probes|·m·|codebook|
+    // rows — broadcast by construction)
+    val dt = subspaces(probes, col("vec_id"), "pid")
+      .join(broadcast(cb), "j")
+      .withColumn("pdist", l2sq(col("sv"), col("csv")))
+      .select(col("pid"), col("j"), col("cid"), col("pdist"))
+    val scored = codes
+      .join(broadcast(dt),
+        codes("j") === dt("j") && codes("code") === dt("cid"))
+      .groupBy(col("pid"), col("nid"))
+      .agg(sum(col("pdist")).as("adist"))
+      .filter(col("nid") =!= col("pid"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("pid"), col("nid"), col("adist"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs — the embedding-space twin of
     * [[graft.llm.Dedup.minHashCandidates]]: LSH bucket as candidate key,
     * exact cosine inside the bucket, keep pairs ≥ threshold. Positive

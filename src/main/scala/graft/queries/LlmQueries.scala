@@ -563,6 +563,24 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // Product-quantization ANN: m=4 subspaces over dim 64, codewords from a
+    // bounded corpus stride (FIXED 16-slot budget — a proportional codebook
+    // would grow the encode product with the corpus), integer-quantized
+    // encode + ADC (floor(x·100) subvectors, integer squared-L2, ties to
+    // the lowest codeword) — engine-exact end to end, so unlike the
+    // float LSH/IVF variants this is a FULL-oracle production row with no
+    // rows-only split. LlmSpec pins the degenerate-exactness contract
+    // (m=1 + codebook=corpus ⇒ ADC ranking == exact integer-L2 ranking).
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
+          dim = 64, m = 4, topK = 5)
+        .select(col("pid"), col("nid"), col("adist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
     // LSH with nBits = 0: one bucket holds everything, so the bucketed join +
     // re-rank must reproduce brute-force top-k exactly regardless of float
     // sign sensitivity — a full hash-match oracle row for the LSH plumbing
@@ -1170,6 +1188,52 @@ object LlmQueries {
         |             row_number() OVER (PARTITION BY pid ORDER BY score DESC, nid) AS rank
         |      FROM s)
         |SELECT pid, nid, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    // restates pqTopK verbatim: floor(x·100) integer subvectors (m=4 ×
+    // dsub=16), per-(vector, subspace) argmin over the bounded-stride
+    // codebook (ties → lowest codeword id), ADC = sum of the probe's
+    // precomputed subspace distances over each vector's codes
+    "q_ann_pq" ->
+      """WITH qc AS (SELECT vec_id AS nid,
+        |              list_transform(CAST(embedding AS DOUBLE[]),
+        |                x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+        |            FROM embeddings),
+        |qb AS (SELECT vec_id AS cid,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+        |       FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < 1616),
+        |qp AS (SELECT vec_id AS pid,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+        |       FROM embeddings WHERE vec_id % 100 = 0),
+        |csub AS (SELECT cid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
+        |         FROM qb CROSS JOIN generate_series(0, 3) AS g(j)),
+        |nsub AS (SELECT nid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
+        |         FROM qc CROSS JOIN generate_series(0, 3) AS g(j)),
+        |psub AS (SELECT pid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
+        |         FROM qp CROSS JOIN generate_series(0, 3) AS g(j)),
+        |encd AS (SELECT n.nid, n.j, c.cid,
+        |           CAST(list_sum(list_transform(generate_series(1, 16),
+        |             t -> (n.sv[t] - c.sv[t]) * (n.sv[t] - c.sv[t]))) AS BIGINT) AS qd
+        |         FROM nsub n JOIN csub c ON n.j = c.j),
+        |codes AS (SELECT nid, j, cid AS code FROM (
+        |            SELECT nid, j, cid,
+        |                   row_number() OVER (PARTITION BY nid, j
+        |                                      ORDER BY qd, cid) AS rk
+        |            FROM encd) WHERE rk = 1),
+        |dt AS (SELECT p.pid, p.j, c.cid,
+        |         CAST(list_sum(list_transform(generate_series(1, 16),
+        |           t -> (p.sv[t] - c.sv[t]) * (p.sv[t] - c.sv[t]))) AS BIGINT) AS pd
+        |       FROM psub p JOIN csub c ON p.j = c.j),
+        |sc AS (SELECT d.pid, k.nid, CAST(sum(d.pd) AS BIGINT) AS adist
+        |       FROM codes k JOIN dt d ON d.j = k.j AND d.cid = k.code
+        |       GROUP BY d.pid, k.nid HAVING d.pid <> k.nid),
+        |r AS (SELECT pid, nid, adist,
+        |             row_number() OVER (PARTITION BY pid
+        |                                ORDER BY adist, nid) AS rank
+        |      FROM sc)
+        |SELECT pid, nid, adist, rank
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
 
     // restates kmeansDetCentroids verbatim: floor(x·100) integer vectors,

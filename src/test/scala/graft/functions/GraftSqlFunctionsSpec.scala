@@ -82,6 +82,19 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
   }
 
+  test("winnow_fingerprints matches the Column API") {
+    docs
+    val sql = spark.sql(
+      """SELECT id,
+        |       graft_winnow_fingerprints(graft_normalize_text(text), 12, 8) AS fp
+        |FROM docs_sqlfn ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        graft.llm.Dedup.winnowFingerprints(
+          graft.llm.TextAnalysis.normalize(col("text")), 12, 8).as("fp"))
+      .orderBy(col("id")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+  }
+
   test("langid_scores matches the Column API and composes with SQL padding") {
     docs
     val sql = spark.sql(

@@ -302,6 +302,56 @@ class LlmSpec extends SparkSpec {
     graft.CacheHygiene.releaseAll(spark)
   }
 
+  test("PQ ANN: m=1 with codebook=corpus reproduces exact integer-L2 ranking") {
+    // degenerate-exactness pin (the lsh nBits=0 pattern): with one
+    // subspace and every corpus vector a codeword, each vector's code is
+    // itself (qdist 0; a quantized-duplicate tie picks the lower id, whose
+    // codeword is the IDENTICAL integer vector), so ADC == exact integer
+    // squared-L2 and the PQ plumbing must reproduce the brute ranking
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.pqTopK(emb, probes, codebook = emb,
+        dim = 64, m = 1, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 100).toLong).toArray)
+    val probeIds = vecs.map(_._1).filter(_ % 10 == 0)
+    assert(probeIds.nonEmpty)
+    val byId = vecs.toMap
+    probeIds.foreach { p =>
+      val qp = byId(p)
+      val want = vecs.filter(_._1 != p)
+        .map { case (n, qn) =>
+          (n, qn.zip(qp).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        .sortBy { case (n, d) => (d, n) }.take(3)
+      want.zipWithIndex.foreach { case ((n, d), i) =>
+        assert(got((p, i + 1)) === ((n, d)), s"probe $p rank ${i + 1}")
+      }
+    }
+  }
+
+  test("PQ ANN: real codebook emits topK ranked rows per probe") {
+    val emb = Tables.embeddings(spark, Sf)
+    val out = Similarity.pqTopK(emb, emb.filter(col("vec_id") % 10 === 0),
+        codebook = emb.filter(col("vec_id") % 11 === 0), dim = 64, m = 4,
+        topK = 5)
+      .collect()
+    val perProbe = out.groupBy(_.getLong(0))
+    assert(perProbe.nonEmpty)
+    perProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to 5), s"probe $pid")
+      // ascending approximate distance along the rank order
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      assert(rows.forall(_.getLong(1) != pid)) // self excluded
+    }
+  }
+
   test("embedding near-dup finds every planted scaled duplicate with cos=1") {
     val dups = graft.queries.LlmQueries.embScaledDups(spark, Sf)
     val planted = Tables.embeddings(spark, Sf).filter(col("vec_id") % 9 === 0)

@@ -34,6 +34,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_ann_lsh_mp" -> 2,
     "q_ann_ivf" -> 3,
     "q_ann_ivf_kmeans" -> 3,
+    // corpus + codebook stride + probe stride over the same table
+    "q_ann_pq" -> 3,
     // union fixture × key-rewritten self-join sides (see scaladoc)
     "q_dedup_embed" -> 4,
     // UNION ALL over two differently-filtered branches
