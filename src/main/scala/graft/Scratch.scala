@@ -389,6 +389,18 @@ object Scratch {
       println(s"[scratch] q_j2 treeFileScans=" +
         graft.plans.PlanAudit.scannedPaths(qe.executedPlan).size)
       graft.CacheHygiene.releaseAll(spark)
+    } else if (args.headOption.contains("winnow_cc")) {
+      // component-graph diagnostics for the winnow pair set: pair count,
+      // propagation rounds, convergence (did the star fallback arm?)
+      val pairs = Dedup.winnowPairs(
+        graft.queries.LlmQueries.docsNearDups(spark, d),
+        col("doc_id"), col("text"), k = 12, w = 8, dfCap = 64, threshold = 0.5)
+      println(s"[scratch] winnow pairs: ${time("pairs")(pairs.count())}")
+      val r = time("components") {
+        Dedup.componentsBestEffort(pairs, col("id_a"), col("id_b"))
+      }
+      println(s"[scratch] winnow_cc rounds=${r.rounds} converged=${r.converged}")
+      graft.CacheHygiene.releaseAll(spark)
     } else if (args.nonEmpty) {
       // time the named queries (forcing full execution, Bench-style)
       args.foreach { name =>

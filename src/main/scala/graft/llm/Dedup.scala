@@ -499,8 +499,15 @@ object Dedup {
     * of throwing. Same eager-execution contract. */
   def componentsBestEffort(pairs: DataFrame, idA: Column, idB: Column,
       maxIter: Int = 25): ComponentsResult = {
-    val edges = pairs.select(idA.as("src"), idB.as("dst"))
-      .unionAll(pairs.select(idB.as("src"), idA.as("dst")))
+    // materialize the DIRECTED pair list first, then mirror the
+    // checkpointed rows: unionAll over the raw pairs plan would evaluate
+    // the whole candidate-generation DAG twice (one evaluation per branch —
+    // measured at ~2× the pair cost on the winnow graph), while mirroring
+    // after the checkpoint is a projection over materialized rows
+    val directed = pairs.select(idA.as("src"), idB.as("dst"))
+      .localCheckpoint(true)
+    val edges = directed
+      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -560,12 +567,17 @@ object Dedup {
     // propagation path's (which preserves the caller's id type) — otherwise
     // components()'s result type would depend on runtime convergence
     val idType = pairs.select(idA.as("__id")).schema.head.dataType
-    val nodes = pairs.select(idA.cast("long").as("id"))
-      .unionAll(pairs.select(idB.cast("long").as("id")))
+    // one evaluation of the candidate-generation DAG (the componentsBestEffort
+    // lesson): nodes and canonical edges both derive from the checkpointed
+    // directed pair list, not from fresh scans of the pairs plan
+    val base = pairs
+      .select(idA.cast("long").as("a"), idB.cast("long").as("b"))
+      .localCheckpoint(true)
+    val nodes = base.select(col("a").as("id"))
+      .unionAll(base.select(col("b").as("id")))
       .distinct().localCheckpoint(true)
     // canonical undirected edges as (lo, hi), self-loops dropped
-    var edges = pairs
-      .select(idA.cast("long").as("a"), idB.cast("long").as("b"))
+    var edges = base
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))

@@ -318,34 +318,45 @@ object Similarity {
     * incremental re-encoding is impossible. Returns (pid, nid, adist,
     * rank): ascending approximate squared distance, top `topK` per probe,
     * self-matches excluded. */
+  /** floor(x·scale) integer quantization of an embedding column — the
+    * engine-exact arithmetic shared by [[pqTopK]], [[ivfPqTopK]], and
+    * [[kmeansDetCentroids]]. */
+  private[llm] def quant(c: Column, scale: Int): Column =
+    transform(c.cast("array<double>"),
+      x => floor(x * lit(scale.toDouble)).cast("long"))
+
+  /** Integer squared-L2 over two array<long> columns. */
+  private[llm] def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Explode a quantized embedding into its m subvectors:
+    * (idOut, j ∈ [0, m), sv = qv[j·dsub+1 .. j·dsub+dsub]). */
+  private[llm] def subspaces(df: DataFrame, idIn: Column, idOut: String,
+      m: Int, dsub: Int, scale: Int): DataFrame =
+    df.select(idIn.cast("long").as(idOut),
+        quant(col("embedding"), scale).as("qv"))
+      .select(col(idOut), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("qv"))
+      .select(col(idOut), col("j"),
+        slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("sv"))
+
   def pqTopK(corpus: DataFrame, probes: DataFrame, codebook: DataFrame,
       dim: Int, m: Int, topK: Int, scale: Int = 100): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
-    def quant(c: Column): Column =
-      transform(c.cast("array<double>"),
-        x => floor(x * lit(scale.toDouble)).cast("long"))
-    def subspaces(df: DataFrame, idIn: Column, idOut: String): DataFrame =
-      df.select(idIn.cast("long").as(idOut), quant(col("embedding")).as("qv"))
-        .select(col(idOut), explode(sequence(lit(0), lit(m - 1))).as("j"),
-          col("qv"))
-        .select(col(idOut), col("j"),
-          slice(col("qv"), col("j") * dsub + 1, lit(dsub)).as("sv"))
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    val cb = subspaces(codebook, col("vec_id"), "cid")
+    val cb = subspaces(codebook, col("vec_id"), "cid", m, dsub, scale)
       .withColumnRenamed("sv", "csv")
     // encode: per-(vector, subspace) argmin over the broadcast codewords —
     // groupBy (map-side combine), never a window over the expanded product
-    val codes = subspaces(corpus, col("vec_id"), "nid")
+    val codes = subspaces(corpus, col("vec_id"), "nid", m, dsub, scale)
       .join(broadcast(cb), "j")
       .withColumn("qdist", l2sq(col("sv"), col("csv")))
       .groupBy(col("nid"), col("j"))
       .agg(min_by(col("cid"), struct(col("qdist"), col("cid"))).as("code"))
     // ADC table: probe subvector ↔ codeword distances (|probes|·m·|codebook|
     // rows — broadcast by construction)
-    val dt = subspaces(probes, col("vec_id"), "pid")
+    val dt = subspaces(probes, col("vec_id"), "pid", m, dsub, scale)
       .join(broadcast(cb), "j")
       .withColumn("pdist", l2sq(col("sv"), col("csv")))
       .select(col("pid"), col("j"), col("cid"), col("pdist"))
@@ -355,6 +366,79 @@ object Similarity {
       .groupBy(col("pid"), col("nid"))
       .agg(sum(col("pdist")).as("adist"))
       .filter(col("nid") =!= col("pid"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("pid"), col("nid"), col("adist"), col("rank"))
+  }
+
+  /** Classic IVF-PQ (Jégou et al., TPAMI 2011 §V): [[ivfTopK]]'s coarse
+    * cells prune the candidate set, [[pqTopK]]'s codes compress what gets
+    * scored — the composition every billion-vector ANN service runs. A
+    * probe visits only its `nprobe` nearest cells (sub-linear candidates)
+    * and scores them from m-byte codes (64× less I/O than raw vectors).
+    *
+    * Plan shape: cell assignment and PQ encode are both broadcast-argmin
+    * projections of the corpus (no corpus shuffle, map-side combine); the
+    * candidate restriction is an equi-join on `cell` against the broadcast
+    * (pid, cell) probe list; ADC lookups join on (subspace, code) against
+    * the broadcast distance table; scores aggregate on (pid, nid). Both
+    * quantizers here are INTEGER (coarse assignment by integer L2 on the
+    * quantized full vector, ties → lowest cell id; codes per [[pqTopK]]) so
+    * q_ann_ivfpq is engine-exact and full-oracle like q_ann_pq. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, dim: Int, m: Int, topK: Int, nprobe: Int,
+      scale: Int = 100): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    require(nprobe > 0, "nprobe must be positive")
+    val dsub = dim / m
+    val cent = centroids.select(col("vec_id").as("cell"),
+      quant(col("embedding"), scale).as("qcv"))
+    // coarse assignment: integer-L2 argmin over the broadcast centroids —
+    // the ivfTopK groupBy discipline, never a window over the product
+    val cells = corpus
+      .select(col("vec_id").cast("long").as("nid"),
+        quant(col("embedding"), scale).as("qnv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdist", l2sq(col("qnv"), col("qcv")))
+      .groupBy(col("nid"))
+      .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
+    // probe side: top-nprobe cells by ascending integer distance (small,
+    // broadcast — a window here is over |probes|·|centroids| rows)
+    val pw = Window.partitionBy(col("pid")).orderBy(col("cdist"), col("cell"))
+    val probeCells = probes
+      .select(col("vec_id").cast("long").as("pid"),
+        quant(col("embedding"), scale).as("qpv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdist", l2sq(col("qpv"), col("qcv")))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= nprobe)
+      .select(col("pid"), col("cell"))
+    val cb = subspaces(codebook, col("vec_id"), "cid", m, dsub, scale)
+      .withColumnRenamed("sv", "csv")
+    val codes = subspaces(corpus, col("vec_id"), "nid", m, dsub, scale)
+      .join(broadcast(cb), "j")
+      .withColumn("qdist", l2sq(col("sv"), col("csv")))
+      .groupBy(col("nid"), col("j"))
+      .agg(min_by(col("cid"), struct(col("qdist"), col("cid"))).as("code"))
+    val dt = subspaces(probes, col("vec_id"), "pid", m, dsub, scale)
+      .join(broadcast(cb), "j")
+      .withColumn("pdist", l2sq(col("sv"), col("csv")))
+      .select(col("pid"), col("j"), col("cid"), col("pdist"))
+    // candidate restriction BEFORE any ADC work: only vectors in a probe's
+    // visited cells expand into per-subspace lookups
+    val cand = cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("nid") =!= col("pid"))
+      .select(col("pid"), col("nid"))
+    val dtr = dt.select(col("pid").as("dpid"), col("j").as("dj"),
+      col("cid").as("dcid"), col("pdist"))
+    val scored = cand
+      .join(codes, "nid")
+      .join(broadcast(dtr),
+        col("pid") === col("dpid") && col("j") === col("dj") &&
+          col("code") === col("dcid"))
+      .groupBy(col("pid"), col("nid"))
+      .agg(sum(col("pdist")).as("adist"))
     val w = Window.partitionBy(col("pid")).orderBy(col("adist"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

@@ -125,6 +125,44 @@ object LlmQueries {
       s"grams AS (SELECT doc_id, list_transform(generate_series(1, length(nt) - ${WinnowK - 1}), p -> ${winnowGramHashSql(WinnowK)}) AS g FROM norm WHERE length(nt) >= $WinnowK), " +
       s"fps AS (SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, greatest(len(g) - ${WinnowW - 1}, 1)), p -> list_aggregate(list_slice(g, p, p + ${WinnowW - 1}), 'min')))) AS fp FROM grams)"
 
+  /** Shared PQ oracle CTEs (quantized corpus/codebook/probes, subspace
+    * slices, per-(vector, subspace) codes, probe ADC table) — consumed by
+    * q_ann_pq and q_ann_ivfpq. Restates Similarity.pqTopK's integer
+    * arithmetic verbatim: floor(x·100), m=4 × dsub=16, argmin ties to the
+    * lowest codeword id. */
+  private val PqCtes: String =
+    """WITH qc AS (SELECT vec_id AS nid,
+      |              list_transform(CAST(embedding AS DOUBLE[]),
+      |                x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+      |            FROM embeddings),
+      |qb AS (SELECT vec_id AS cid,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+      |       FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < 1616),
+      |qp AS (SELECT vec_id AS pid,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+      |       FROM embeddings WHERE vec_id % 100 = 0),
+      |csub AS (SELECT cid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
+      |         FROM qb CROSS JOIN generate_series(0, 3) AS g(j)),
+      |nsub AS (SELECT nid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
+      |         FROM qc CROSS JOIN generate_series(0, 3) AS g(j)),
+      |psub AS (SELECT pid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
+      |         FROM qp CROSS JOIN generate_series(0, 3) AS g(j)),
+      |encd AS (SELECT n.nid, n.j, c.cid,
+      |           CAST(list_sum(list_transform(generate_series(1, 16),
+      |             t -> (n.sv[t] - c.sv[t]) * (n.sv[t] - c.sv[t]))) AS BIGINT) AS qd
+      |         FROM nsub n JOIN csub c ON n.j = c.j),
+      |codes AS (SELECT nid, j, cid AS code FROM (
+      |            SELECT nid, j, cid,
+      |                   row_number() OVER (PARTITION BY nid, j
+      |                                      ORDER BY qd, cid) AS rk
+      |            FROM encd) WHERE rk = 1),
+      |dt AS (SELECT p.pid, p.j, c.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 16),
+      |           t -> (p.sv[t] - c.sv[t]) * (p.sv[t] - c.sv[t]))) AS BIGINT) AS pd
+      |       FROM psub p JOIN csub c ON p.j = c.j)""".stripMargin
+
   /** Continues [[winnowFpsCtes]] with the inverted index, df cut (cap 64),
     * post-cut sizes, and the resemblance-scored pair set `wp` — the oracle
     * restatement of [[Dedup.winnowPairs]] shared by q_dedup_winnow and
@@ -576,6 +614,22 @@ object LlmQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
           codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           dim = 64, m = 4, topK = 5)
+        .select(col("pid"), col("nid"), col("adist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
+    // IVF-PQ: the classic billion-vector composition — coarse integer-L2
+    // cells prune candidates (nprobe=3 of the stride centroids), PQ codes
+    // compress what gets scored. Both quantizers integer → full-oracle.
+    // LlmSpec pins result ⊆ q_ann_pq's scores (pruning changes WHICH
+    // vectors are scored, never a scored pair's adist).
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          centroids = emb.filter(col("vec_id") % 101 === 0),
+          codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
+          dim = 64, m = 4, topK = 5, nprobe = 3)
         .select(col("pid"), col("nid"), col("adist"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("pid"), col("rank"))
@@ -1194,39 +1248,8 @@ object LlmQueries {
     // dsub=16), per-(vector, subspace) argmin over the bounded-stride
     // codebook (ties → lowest codeword id), ADC = sum of the probe's
     // precomputed subspace distances over each vector's codes
-    "q_ann_pq" ->
-      """WITH qc AS (SELECT vec_id AS nid,
-        |              list_transform(CAST(embedding AS DOUBLE[]),
-        |                x -> CAST(floor(x * 100) AS BIGINT)) AS qv
-        |            FROM embeddings),
-        |qb AS (SELECT vec_id AS cid,
-        |         list_transform(CAST(embedding AS DOUBLE[]),
-        |           x -> CAST(floor(x * 100) AS BIGINT)) AS qv
-        |       FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < 1616),
-        |qp AS (SELECT vec_id AS pid,
-        |         list_transform(CAST(embedding AS DOUBLE[]),
-        |           x -> CAST(floor(x * 100) AS BIGINT)) AS qv
-        |       FROM embeddings WHERE vec_id % 100 = 0),
-        |csub AS (SELECT cid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
-        |         FROM qb CROSS JOIN generate_series(0, 3) AS g(j)),
-        |nsub AS (SELECT nid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
-        |         FROM qc CROSS JOIN generate_series(0, 3) AS g(j)),
-        |psub AS (SELECT pid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
-        |         FROM qp CROSS JOIN generate_series(0, 3) AS g(j)),
-        |encd AS (SELECT n.nid, n.j, c.cid,
-        |           CAST(list_sum(list_transform(generate_series(1, 16),
-        |             t -> (n.sv[t] - c.sv[t]) * (n.sv[t] - c.sv[t]))) AS BIGINT) AS qd
-        |         FROM nsub n JOIN csub c ON n.j = c.j),
-        |codes AS (SELECT nid, j, cid AS code FROM (
-        |            SELECT nid, j, cid,
-        |                   row_number() OVER (PARTITION BY nid, j
-        |                                      ORDER BY qd, cid) AS rk
-        |            FROM encd) WHERE rk = 1),
-        |dt AS (SELECT p.pid, p.j, c.cid,
-        |         CAST(list_sum(list_transform(generate_series(1, 16),
-        |           t -> (p.sv[t] - c.sv[t]) * (p.sv[t] - c.sv[t]))) AS BIGINT) AS pd
-        |       FROM psub p JOIN csub c ON p.j = c.j),
-        |sc AS (SELECT d.pid, k.nid, CAST(sum(d.pd) AS BIGINT) AS adist
+    "q_ann_pq" -> (PqCtes + ", " +
+      """sc AS (SELECT d.pid, k.nid, CAST(sum(d.pd) AS BIGINT) AS adist
         |       FROM codes k JOIN dt d ON d.j = k.j AND d.cid = k.code
         |       GROUP BY d.pid, k.nid HAVING d.pid <> k.nid),
         |r AS (SELECT pid, nid, adist,
@@ -1234,7 +1257,44 @@ object LlmQueries {
         |                                ORDER BY adist, nid) AS rank
         |      FROM sc)
         |SELECT pid, nid, adist, rank
-        |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+        |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin),
+
+    // IVF-PQ: the PQ CTEs plus the coarse integer-L2 cell layer — corpus
+    // cells by argmin over the (unbounded) stride centroids, probe visits
+    // its nprobe=3 nearest cells, ADC restricted to candidates
+    "q_ann_ivfpq" -> (PqCtes + ", " +
+      """qcent AS (SELECT vec_id AS cell,
+        |            list_transform(CAST(embedding AS DOUBLE[]),
+        |              x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+        |          FROM embeddings WHERE vec_id % 101 = 0),
+        |ncell AS (SELECT nid, cell FROM (
+        |            SELECT n.nid, c.cell,
+        |                   row_number() OVER (PARTITION BY n.nid ORDER BY
+        |                     CAST(list_sum(list_transform(generate_series(1, 64),
+        |                       t -> (n.qv[t] - c.qv[t]) * (n.qv[t] - c.qv[t]))) AS BIGINT),
+        |                     c.cell) AS rk
+        |            FROM qc n CROSS JOIN qcent c) WHERE rk = 1),
+        |pcell AS (SELECT pid, cell FROM (
+        |            SELECT p.pid, c.cell,
+        |                   row_number() OVER (PARTITION BY p.pid ORDER BY
+        |                     CAST(list_sum(list_transform(generate_series(1, 64),
+        |                       t -> (p.qv[t] - c.qv[t]) * (p.qv[t] - c.qv[t]))) AS BIGINT),
+        |                     c.cell) AS rk
+        |            FROM qp p CROSS JOIN qcent c) WHERE rk <= 3),
+        |cand AS (SELECT pc.pid, nc.nid
+        |         FROM ncell nc JOIN pcell pc ON nc.cell = pc.cell
+        |         WHERE nc.nid <> pc.pid),
+        |sc AS (SELECT a.pid, a.nid, CAST(sum(d.pd) AS BIGINT) AS adist
+        |       FROM cand a
+        |       JOIN codes k ON k.nid = a.nid
+        |       JOIN dt d ON d.pid = a.pid AND d.j = k.j AND d.cid = k.code
+        |       GROUP BY a.pid, a.nid),
+        |r AS (SELECT pid, nid, adist,
+        |             row_number() OVER (PARTITION BY pid
+        |                                ORDER BY adist, nid) AS rank
+        |      FROM sc)
+        |SELECT pid, nid, adist, rank
+        |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin),
 
     // restates kmeansDetCentroids verbatim: floor(x·100) integer vectors,
     // two unrolled Lloyd rounds — integer-distance argmin (ties → lowest

@@ -335,6 +335,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: scored pairs carry the same adist as unpruned PQ; all cells probed == PQ") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    val cb = emb.filter(col("vec_id") % 11 === 0)
+    val cents = emb.filter(col("vec_id") % 7 === 0)
+    val nCells = cents.count().toInt
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pq = asMap(Similarity.pqTopK(emb, probes, cb, dim = 64, m = 4,
+      topK = 1000))
+    // pruned: every surviving (pid, nid) must score EXACTLY its PQ adist
+    // (cells change which pairs are scored, never a scored pair's value)
+    val pruned = asMap(Similarity.ivfPqTopK(emb, probes, cents, cb,
+      dim = 64, m = 4, topK = 1000, nprobe = 2))
+    assert(pruned.nonEmpty && pruned.size < pq.size)
+    pruned.foreach { case (k, v) =>
+      assert(pq(k) === v, s"pair $k adist drifted under pruning")
+    }
+    // with every cell probed, IVF-PQ degenerates to exactly PQ
+    val all = asMap(Similarity.ivfPqTopK(emb, probes, cents, cb,
+      dim = 64, m = 4, topK = 1000, nprobe = nCells))
+    assert(all === pq)
+  }
+
   test("PQ ANN: real codebook emits topK ranked rows per probe") {
     val emb = Tables.embeddings(spark, Sf)
     val out = Similarity.pqTopK(emb, emb.filter(col("vec_id") % 10 === 0),

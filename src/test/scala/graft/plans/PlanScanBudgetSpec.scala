@@ -36,6 +36,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_ann_ivf_kmeans" -> 3,
     // corpus + codebook stride + probe stride over the same table
     "q_ann_pq" -> 3,
+    // + the centroid stride and the cell-assignment corpus pass
+    "q_ann_ivfpq" -> 6,
     // union fixture × key-rewritten self-join sides (see scaladoc)
     "q_dedup_embed" -> 4,
     // UNION ALL over two differently-filtered branches
