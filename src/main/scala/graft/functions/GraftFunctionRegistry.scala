@@ -129,6 +129,12 @@ object GraftFunctionRegistry {
       arity("graft_max_token_freq", args, 1)
       MaxTokenFreqExpr(args.head)
     }),
+    // pinned-vocab greedy subword count over a token array — the SQL
+    // spelling of Bpe.count: graft_bpe_count(split(text, ' '))
+    fn("graft_bpe_count", { args =>
+      arity("graft_bpe_count", args, 1)
+      BpeCountExpr(args.head)
+    }),
     // winnowing fingerprints over the (caller-normalized) text — the SQL
     // spelling of Dedup.winnowFingerprints:
     // graft_winnow_fingerprints(graft_normalize_text(text), 12, 8)

@@ -82,6 +82,17 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
   }
 
+  test("bpe_count matches the Column API") {
+    docs
+    val sql = spark.sql(
+      """SELECT id, graft_bpe_count(split(text, ' ')) AS sw
+        |FROM docs_sqlfn ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        BpeCountExpr.count(split(col("text"), " ")).as("sw"))
+      .orderBy(col("id")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+  }
+
   test("winnow_fingerprints matches the Column API") {
     docs
     val sql = spark.sql(
