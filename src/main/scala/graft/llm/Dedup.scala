@@ -33,6 +33,58 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(text).as("fp"))
       .agg(min(id).as("doc_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Paragraph-level exact dedup (the CCNet/RefinedWeb structural pass):
+    * explode documents into '\n'-separated paragraphs, keep each distinct
+    * normalized paragraph's FIRST occurrence (lowest (doc_id, position)),
+    * and reassemble documents from their surviving paragraphs. Boilerplate
+    * headers, quoted reposts, and licence blocks dissolve without dropping
+    * the whole documents that carry them — the case document-level dedup
+    * cannot express. Documents whose every paragraph occurred earlier
+    * vanish entirely.
+    *
+    * Scale shape: one explode (linear in corpus text), then two keyed
+    * aggregations — min(struct) per paragraph fingerprint (map-side
+    * combined, so a paragraph repeated millions of times folds to one
+    * struct per partition before the shuffle; no row_number window) and a
+    * per-doc reassembly groupBy. The winner carries its own row inside the
+    * struct, so there is no join-back: paragraph text shuffles exactly
+    * once, keyed by the 64-bit fingerprint. */
+  def paragraphSurvivors(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val paras = docs.select(id.as("doc_id"),
+      size(split(text, "\n")).as("n_paras"),
+      posexplode(split(text, "\n")).as(Seq("pos", "para")))
+    val first = paras
+      .groupBy(TextAnalysis.fingerprint(col("para")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("n_paras"), col("para"))).as("o"))
+    first.select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"),
+        col("o.n_paras").as("n_paras"), col("o.para").as("para"))
+      .groupBy(col("doc_id"))
+      .agg(any_value(col("n_paras")).cast("long").as("n_paras"),
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para"))).as("kept_text"))
+  }
+
+  /** Incremental (cross-snapshot) exact dedup: survivors of a NEW batch
+    * against an already-ingested corpus snapshot — first the within-batch
+    * exact dedup (min-id per fingerprint, map-side combined), then a
+    * left-anti join against the snapshot's fingerprint set. The anti-join
+    * key is the 64-bit fingerprint, so the snapshot side ships 8 bytes per
+    * doc — never text — and the join is un-hinted: AQE picks broadcast vs
+    * shuffle from the snapshot's actual size (the dedup-apply lesson: no
+    * forced hint on a data-dependent set). This is the nightly-crawl shape:
+    * the snapshot fingerprint set is exactly what a production pipeline
+    * persists between ingests. */
+  def incrementalNew(batch: DataFrame, seen: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val surv = batch.groupBy(TextAnalysis.fingerprint(text).as("fp"))
+      .agg(min(id).as("doc_id"), count(lit(1)).as("batch_dups"))
+    val seenFps = seen.select(TextAnalysis.fingerprint(text).as("fp")).distinct()
+    surv.join(seenFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("batch_dups"))
+  }
+
   /** Word n-gram shingle set (distinct) of a text column.
     *
     * Built as zip_with over n shifted slices of the token array, NOT as

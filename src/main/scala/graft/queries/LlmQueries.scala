@@ -65,6 +65,50 @@ object LlmQueries {
       |  SELECT doc_id + 200000 AS doc_id, text || ' zz0 zz1 zz2' AS text
       |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
+  /** Paragraph width (tokens) of the paragraphed-corpus fixture. Shared
+    * with [[ParaCte]] (the 12s there are this constant, inlined because the
+    * CTE is a plain literal — see the stripMargin note on
+    * [[winnowGramHashSql]]). */
+  private val ParaW = 12
+
+  /** Paragraphed corpus: each doc's tokens re-chunked into 12-token
+    * '\n'-joined paragraphs, plus a planted "quoting" doc per 13th base doc
+    * (id+300000) — the original's first paragraph followed by a boilerplate
+    * footer shared by ALL quoting docs. Paragraph-level dedup must strip
+    * the quoted paragraph (the base doc owns the earlier occurrence) and
+    * collapse the footer to its first quoting doc. */
+  def docsParagraphs(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / ParaW).cast("long")
+    val ptext = concat_ws("\n",
+      transform(sequence(lit(0L), nChunks - 1),
+        i => concat_ws(" ", slice(toks, (i * ParaW + 1).cast("int"), lit(ParaW)))))
+    val base = Tables.documents(s, d).select(col("doc_id"), ptext.as("text"))
+    val quotes = Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat_ws("\n", concat_ws(" ", slice(toks, 1, ParaW)),
+          lit("quoted repost footer boilerplate")).as("text"))
+    base.unionAll(quotes)
+  }
+
+  /** DuckDB restatement of [[docsParagraphs]] as relation `pdq(doc_id,
+    * text)`: identical 12-token chunking ((i−1)·12+1 .. i·12 inclusive ==
+    * Spark's slice(toks, i·12+1, 12) at 0-based i) and the same planted
+    * quoting stride. */
+  private val ParaCte =
+    """WITH pdq AS (
+      |  SELECT doc_id,
+      |         array_to_string(list_transform(
+      |           generate_series(1, CAST(ceil(len(t) / 12.0) AS BIGINT)),
+      |           i -> array_to_string(t[(i-1)*12+1:i*12], ' ')), chr(10)) AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id,
+      |         array_to_string(t[1:12], ' ') || chr(10) ||
+      |           'quoted repost footer boilerplate' AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE doc_id % 13 = 0)""".stripMargin
+
   /** Shared plan for q_quality_cut and its det twin — only the threshold
     * aggregate differs (approx_percentile in production, exact percentile in
     * the oracle instrument). The broadcast hint is safe here unlike
@@ -449,6 +493,49 @@ object LlmQueries {
           Dedup.components(pairs, col("id_a"), col("id_b")))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph-level exact dedup (the structural pass document-level dedup
+    // cannot express): explode → first-occurrence winner per normalized
+    // paragraph → per-doc reassembly. Fixture: the paragraphed corpus with
+    // planted quoting docs — the quoted first paragraph must be stripped
+    // (the base doc owns the earlier occurrence) and the shared footer must
+    // collapse to its first quoting doc, while base paragraphs pass through.
+    "q_dedup_paragraph" -> ((s, d) => {
+      Dedup.paragraphSurvivors(docsParagraphs(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental (cross-snapshot) dedup: tonight's crawl batch vs the
+    // already-ingested snapshot. Batch = every even doc re-crawled
+    // (id+400000) plus a re-duplicated %6 stride (id+500000); within-batch
+    // dedup collapses those first (batch_dups counts them), then the
+    // fingerprint anti-join drops texts the snapshot (every 5th doc)
+    // already holds.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      val seen = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.incrementalNew(batch, seen, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary profile: global token frequency + document
+    // frequency, top 25 by count (ties broken on the token) — the "what is
+    // this corpus made of" first look and the input a derived stopword list
+    // would come from. One explode, one map-side-combined aggregation; df's
+    // count(distinct doc_id) shuffles (token, doc_id) pairs, bounded by the
+    // corpus token count.
+    "q_vocab_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(25)
     }),
 
     // Deterministic global training-order shuffle: shard + exact 1-based
@@ -1112,6 +1199,56 @@ object LlmQueries {
         |       round(any_value(thr), 6) AS threshold
         |FROM q JOIN thr ON q.lang = thr.lang WHERE quality >= thr.thr
         |GROUP BY q.lang ORDER BY lang""".stripMargin,
+
+    // paragraph dedup: positional unnest of the paragraphed corpus, first
+    // occurrence per normalized paragraph (row_number restates the
+    // min(struct) winner — same (doc_id, pos) order), per-doc reassembly
+    // in position order. Spark groups on xxhash64(normalized); the oracle
+    // groups on the normalized text itself (injective here, the
+    // q_dedup_exact argument).
+    "q_dedup_paragraph" -> (s"$ParaCte,\n" +
+      """paras AS (
+        |  SELECT doc_id, len(ps) AS n_paras,
+        |         unnest(list_transform(generate_series(1, len(ps)),
+        |           i -> {'pos': i, 'para': ps[i]}), recursive := true)
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM pdq)),
+        |rk AS (
+        |  SELECT doc_id, n_paras, pos, para,
+        |         row_number() OVER (
+        |           PARTITION BY regexp_replace(lower(trim(para)), '\s+', ' ', 'g')
+        |           ORDER BY doc_id, pos) AS r
+        |  FROM paras)
+        |SELECT doc_id, CAST(any_value(n_paras) AS BIGINT) AS n_paras,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       string_agg(para, chr(10) ORDER BY pos) AS kept_text
+        |FROM rk WHERE r = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // incremental dedup: within-batch survivors on the normalized text,
+    // anti-joined against the snapshot's normalized-text set
+    "q_dedup_incremental" ->
+      """WITH nb AS (
+        |  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0),
+        |bn AS (SELECT doc_id,
+        |              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |       FROM nb),
+        |bs AS (SELECT min(doc_id) AS doc_id, nt,
+        |              CAST(count(*) AS BIGINT) AS batch_dups
+        |       FROM bn GROUP BY nt),
+        |sn AS (SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |       FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, batch_dups FROM bs
+        |WHERE nt NOT IN (SELECT nt FROM sn) ORDER BY doc_id""".stripMargin,
+
+    // vocabulary profile: token frequency + doc frequency, top 25 with the
+    // token tie-break shared by both engines
+    "q_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
 
     // winnowing profile: the fps CTE replays the identical rolling-hash
     // fold (unrolled per position) + window-min + distinct-sort

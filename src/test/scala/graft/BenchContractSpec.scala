@@ -30,12 +30,12 @@ class BenchContractSpec extends AnyFunSuite {
       s"headline is ${line.length} chars for ${benched.size} benched queries " +
         s"— over the $LineBudget budget; shorten names or precision")
     // growth headroom (the r12 squeeze): the line is worst-N-bounded, so
-    // even 90 benched queries with driver-worst names must leave >=25%
+    // even 120 benched queries with driver-worst names must leave >=25%
     // slack under the window
-    val ninety = (1 to 90).map(i => f"q_a_long_query_name_$i%02d" -> 9999.99)
-    val big = Bench.headline(ninety, Nil, "/root/testdata/sf0.1")
+    val many = (1 to 120).map(i => f"q_a_long_query_name_$i%03d" -> 9999.99)
+    val big = Bench.headline(many, Nil, "/root/testdata/sf0.1")
     assert(big.length <= LineBudget * 3 / 4,
-      s"90-query headline is ${big.length} chars — under 25% slack")
+      s"120-query headline is ${big.length} chars — under 25% slack")
     // the all-failed shape: every ERR up to WorstN rides the line, the
     // failed COUNT always does
     val worst = Bench.headline(Nil, benched, "/root/testdata/sf0.1")

@@ -632,6 +632,52 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: first occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb\ncc dd\nee ff"), // owns all three
+      (2L, "cc dd\ngg hh"),        // loses "cc dd" to doc 1, keeps "gg hh"
+      (3L, "aa bb"),               // fully seen earlier → vanishes
+      (4L, "xx yy\nxx yy"),        // within-doc dup → keeps position 0 only
+      (5L, "  AA   BB  ")          // normalizes to "aa bb" → vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphSurvivors(docs, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 3L, "aa bb\ncc dd\nee ff"),
+      (2L, 2L, 1L, "gg hh"),
+      (4L, 2L, 1L, "xx yy")))
+  }
+
+  test("paragraph dedup on the registered fixture: quotes dissolve structurally") {
+    // quoting docs (id ≥ 300000) carry [base's first paragraph, shared
+    // footer]: the quoted paragraph always loses to its base doc, and the
+    // footer survives only in the LOWEST quoting doc — so exactly one
+    // quote-doc row remains, holding exactly the footer.
+    val out = graft.queries.LlmQueries.docsParagraphs(spark, Sf)
+      .transform(d => Dedup.paragraphSurvivors(d, col("doc_id"), col("text")))
+      .filter(col("doc_id") >= 300000L)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(2) === 1L)
+    assert(out.head.getString(3) === "quoted repost footer boilerplate")
+  }
+
+  test("incremental dedup: batch collapses internally, snapshot anti-joins") {
+    import spark.implicits._
+    val seen = Seq((10L, "s1"), (11L, "s2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "s1"), // snapshot already holds it → dropped
+      (101L, "n1"), (102L, "n1"), // within-batch dup → min id, dups 2
+      (103L, "n2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, seen, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((101L, 2L), (103L, 1L)))
+  }
+
   test("resizeMeta est_bytes is exact 64-bit integer division beyond 2^53") {
     import spark.implicits._
     // ~16 TB video blobs at 641×480: byte_len · newW · newH ≈ 2^62 is far

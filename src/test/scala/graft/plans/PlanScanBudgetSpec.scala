@@ -28,6 +28,10 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_dedup_apply" -> 2,
     "q_dedup_winnow_apply" -> 2,
     "q_dedup_clusters" -> 2,
+    // base + quoting branch of the paragraphed-corpus fixture
+    "q_dedup_paragraph" -> 2,
+    // three strided scans: the two batch branches + the snapshot side
+    "q_dedup_incremental" -> 3,
     // probe stride + corpus (+ centroid stride for IVF)
     "q_ann_topk" -> 2,
     "q_ann_lsh" -> 2,
