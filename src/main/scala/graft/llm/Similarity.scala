@@ -445,6 +445,38 @@ object Similarity {
       .select(col("pid"), col("nid"), col("adist"), col("rank"))
   }
 
+  /** IVF-PQ with exact re-rank (Jégou et al. §V-C — the recipe production
+    * ANN services actually run): the ADC shortlist (refine·topK per probe)
+    * is re-scored by EXACT integer squared-L2 on the raw quantized vectors
+    * and re-cut to topK. ADC ranks are approximate — code compression can
+    * swap near-ties; the re-rank restores exact order while touching only
+    * |probes|·refine·topK raw vectors instead of the corpus.
+    *
+    * Plan shape: the shortlist is bounded by construction (probes × topK ×
+    * refine — not data-dependent), so the broadcast hint is safe (the
+    * dedup-apply rule bans hints on UNBOUNDED derived sets only) and the
+    * corpus side of the re-rank is a broadcast hash join read by key — the
+    * corpus never shuffles for re-ranking. */
+  def ivfPqRerankTopK(corpus: DataFrame, probes: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, dim: Int, m: Int,
+      topK: Int, nprobe: Int, refine: Int, scale: Int = 100): DataFrame = {
+    require(refine > 0, "refine must be positive")
+    val shortlist = ivfPqTopK(corpus, probes, centroids, codebook, dim, m,
+        topK * refine, nprobe, scale)
+      .select(col("pid"), col("nid"), col("adist"))
+    val qc = corpus.select(col("vec_id").cast("long").as("nid"),
+      quant(col("embedding"), scale).as("qnv"))
+    val qp = probes.select(col("vec_id").cast("long").as("pid"),
+      quant(col("embedding"), scale).as("qpv"))
+    val exact = qc.join(broadcast(shortlist), "nid")
+      .join(broadcast(qp), "pid")
+      .withColumn("dist", l2sq(col("qnv"), col("qpv")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("dist"), col("nid"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("pid"), col("nid"), col("dist"), col("adist"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs — the embedding-space twin of
     * [[graft.llm.Dedup.minHashCandidates]]: LSH bucket as candidate key,
     * exact cosine inside the bucket, keep pairs ≥ threshold. Positive

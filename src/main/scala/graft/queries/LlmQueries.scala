@@ -722,6 +722,22 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
+    // IVF-PQ + exact re-rank: the ADC shortlist (refine×topK = 20/probe) is
+    // re-scored by exact integer L2 on the raw quantized vectors — code
+    // compression noise cannot survive into the final ranking, and the
+    // corpus side of the re-rank is a broadcast join read by key. Both
+    // stages integer → full-oracle.
+    "q_ann_ivfpq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          centroids = emb.filter(col("vec_id") % 101 === 0),
+          codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
+          dim = 64, m = 4, topK = 5, nprobe = 3, refine = 4)
+        .select(col("pid"), col("nid"), col("dist"), col("adist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
     // LSH with nBits = 0: one bucket holds everything, so the bucketed join +
     // re-rank must reproduce brute-force top-k exactly regardless of float
     // sign sensitivity — a full hash-match oracle row for the LSH plumbing
@@ -1432,6 +1448,53 @@ object LlmQueries {
         |      FROM sc)
         |SELECT pid, nid, adist, rank
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin),
+
+    // IVF-PQ + exact re-rank: the ivfpq pipeline cut at the refine×topK=20
+    // shortlist, each survivor re-scored by exact integer L2 over the full
+    // quantized vectors (qc/qp from the PQ CTEs), re-cut at topK=5
+    "q_ann_ivfpq_rerank" -> (PqCtes + ", " +
+      """qcent AS (SELECT vec_id AS cell,
+        |            list_transform(CAST(embedding AS DOUBLE[]),
+        |              x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+        |          FROM embeddings WHERE vec_id % 101 = 0),
+        |ncell AS (SELECT nid, cell FROM (
+        |            SELECT n.nid, c.cell,
+        |                   row_number() OVER (PARTITION BY n.nid ORDER BY
+        |                     CAST(list_sum(list_transform(generate_series(1, 64),
+        |                       t -> (n.qv[t] - c.qv[t]) * (n.qv[t] - c.qv[t]))) AS BIGINT),
+        |                     c.cell) AS rk
+        |            FROM qc n CROSS JOIN qcent c) WHERE rk = 1),
+        |pcell AS (SELECT pid, cell FROM (
+        |            SELECT p.pid, c.cell,
+        |                   row_number() OVER (PARTITION BY p.pid ORDER BY
+        |                     CAST(list_sum(list_transform(generate_series(1, 64),
+        |                       t -> (p.qv[t] - c.qv[t]) * (p.qv[t] - c.qv[t]))) AS BIGINT),
+        |                     c.cell) AS rk
+        |            FROM qp p CROSS JOIN qcent c) WHERE rk <= 3),
+        |cand AS (SELECT pc.pid, nc.nid
+        |         FROM ncell nc JOIN pcell pc ON nc.cell = pc.cell
+        |         WHERE nc.nid <> pc.pid),
+        |sc AS (SELECT a.pid, a.nid, CAST(sum(d.pd) AS BIGINT) AS adist
+        |       FROM cand a
+        |       JOIN codes k ON k.nid = a.nid
+        |       JOIN dt d ON d.pid = a.pid AND d.j = k.j AND d.cid = k.code
+        |       GROUP BY a.pid, a.nid),
+        |shortl AS (SELECT pid, nid, adist FROM (
+        |             SELECT pid, nid, adist,
+        |                    row_number() OVER (PARTITION BY pid
+        |                                       ORDER BY adist, nid) AS rank
+        |             FROM sc) WHERE rank <= 20),
+        |rr AS (SELECT s.pid, s.nid, s.adist,
+        |              CAST(list_sum(list_transform(generate_series(1, 64),
+        |                t -> (n.qv[t] - p.qv[t]) * (n.qv[t] - p.qv[t]))) AS BIGINT) AS dist
+        |       FROM shortl s
+        |       JOIN qc n ON n.nid = s.nid JOIN qp p ON p.pid = s.pid),
+        |rr2 AS (SELECT pid, nid, dist, adist,
+        |               row_number() OVER (PARTITION BY pid
+        |                                  ORDER BY dist, nid) AS rank
+        |        FROM rr)
+        |SELECT pid, nid, dist, adist, rank
+        |FROM rr2 WHERE rank <= 5 ORDER BY pid, rank""".stripMargin),
 
     // restates kmeansDetCentroids verbatim: floor(x·100) integer vectors,
     // two unrolled Lloyd rounds — integer-distance argmin (ties → lowest

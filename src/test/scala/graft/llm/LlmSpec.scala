@@ -376,6 +376,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ rerank: full probe+refine equals exact integer-L2 top-k") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val cents = emb.filter(col("vec_id") % 101 === 0)
+    val cb = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616)
+    // nprobe = |cells|, refine ≥ |corpus|/topK: nothing is pruned, so the
+    // re-ranked result must BE the exact integer-L2 brute-force top-k —
+    // ADC noise is fully erased by the re-rank
+    val out = Similarity.ivfPqRerankTopK(emb, probes, cents, cb,
+        dim = 64, m = 4, topK = 5, nprobe = 5, refine = 100)
+      .select(col("pid"), col("nid"), col("dist"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val qc = emb.select(col("vec_id").cast("long").as("nid"),
+      Similarity.quant(col("embedding"), 100).as("qnv"))
+    val qp = probes.select(col("vec_id").cast("long").as("pid"),
+      Similarity.quant(col("embedding"), 100).as("qpv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("dist"), col("nid"))
+    val exact = qc.crossJoin(qp).filter(col("nid") =!= col("pid"))
+      .withColumn("dist", Similarity.l2sq(col("qnv"), col("qpv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("pid"), col("nid"), col("dist"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out === exact)
+    // production shape (refine=4): 5 rows per probe, dist ascending per pid
+    val prod = Similarity.ivfPqRerankTopK(emb, probes, cents, cb,
+        dim = 64, m = 4, topK = 5, nprobe = 3, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    assert(prod.groupBy(_._1).forall { case (_, rs) =>
+      rs.length == 5 && rs.sortBy(_._3).map(_._2).sliding(2)
+        .forall(p => p.head <= p.last)
+    })
+  }
+
   test("embedding near-dup finds every planted scaled duplicate with cos=1") {
     val dups = graft.queries.LlmQueries.embScaledDups(spark, Sf)
     val planted = Tables.embeddings(spark, Sf).filter(col("vec_id") % 9 === 0)

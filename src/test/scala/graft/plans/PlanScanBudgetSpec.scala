@@ -42,6 +42,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_ann_pq" -> 3,
     // + the centroid stride and the cell-assignment corpus pass
     "q_ann_ivfpq" -> 6,
+    // ivfpq's six + the re-rank stage's raw corpus + probe vector reads
+    "q_ann_ivfpq_rerank" -> 8,
     // union fixture × key-rewritten self-join sides (see scaladoc)
     "q_dedup_embed" -> 4,
     // UNION ALL over two differently-filtered branches
