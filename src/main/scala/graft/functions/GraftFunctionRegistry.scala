@@ -135,6 +135,12 @@ object GraftFunctionRegistry {
       arity("graft_bpe_count", args, 1)
       BpeCountExpr(args.head)
     }),
+    // conditional-trigram-LM NLL over the PADDED text — the SQL spelling of
+    // LmScore.nll: graft_lm_nll(concat(' ', graft_normalize_text(text), ' '))
+    fn("graft_lm_nll", { args =>
+      arity("graft_lm_nll", args, 1)
+      LmNllExpr(args.head)
+    }),
     // winnowing fingerprints over the (caller-normalized) text — the SQL
     // spelling of Dedup.winnowFingerprints:
     // graft_winnow_fingerprints(graft_normalize_text(text), 12, 8)

@@ -270,7 +270,7 @@ object LangId {
     when(margin(scoresCol) <= lit(MarginPerWindow) * nWindows(paddedText),
       lit("und")).otherwise(predict(scoresCol))
 
-  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+  private[llm] def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** `(lang, tri, w)` VALUES rows for the oracle — generated from the SAME
     * profile map the expression scores with, so the two engines cannot

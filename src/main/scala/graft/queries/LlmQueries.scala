@@ -572,6 +572,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perplexity quality score (the CCNet/KenLM filter): integer NLL under
+    // a conditional char-trigram LM built from the en seed at BUILD time —
+    // fluent English pays low per-window cost; word salad and non-English
+    // text saturate toward the unseen floor. One native scan-speed pass;
+    // the length-normalized nll_mw (milli-nats/window) is the curation
+    // signal a quantile cut consumes.
+    "q_lm_perplexity" -> ((s, d) => {
+      val p = graft.llm.LangId.padded(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.llm.LmScore.nll(p).as("nll"),
+          graft.llm.LangId.nWindows(p).as("n_win"))
+        .select(col("doc_id"), col("nll"), col("n_win"),
+          graft.llm.LmScore.nllPerWindow(col("nll"), col("n_win")).as("nll_mw"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: greedy next-fit token-budget packs per shard (the
     // sequential fold runs per shard via flatMapGroups; shards in parallel).
     // Fully oracle-checked — DuckDB restates the fold as a linear recursion.
@@ -1184,6 +1200,35 @@ object LlmQueries {
       |FROM best b JOIN sc e ON e.doc_id = b.doc_id AND e.lang = 'en'
       |JOIN mg m ON m.doc_id = b.doc_id
       |WHERE b.rk = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // LM perplexity: matched windows join the cost VALUES literals (sparse,
+    // the langid lesson), the (windows − matched) remainder pays the unseen
+    // floor — closed integer arithmetic, the exact sum LmNllExpr computes
+    "q_lm_perplexity" -> s"""WITH lmp(tri, w) AS (VALUES
+      |${graft.llm.LmScore.costsSqlValues}),
+      |t AS (SELECT doc_id,
+      |             concat(' ',
+      |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+      |               ' ') AS p
+      |      FROM documents),
+      |nw AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM t),
+      |tri AS (SELECT doc_id,
+      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
+      |                      3) AS tri
+      |        FROM t),
+      |hit AS (SELECT x.doc_id, CAST(sum(p.w) AS BIGINT) AS msum,
+      |               CAST(count(*) AS BIGINT) AS mcnt
+      |        FROM tri x JOIN lmp p ON p.tri = x.tri
+      |        GROUP BY 1),
+      |s AS (SELECT nw.doc_id,
+      |             coalesce(h.msum, 0) +
+      |               (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost} AS nll,
+      |             nw.n_win
+      |      FROM nw LEFT JOIN hit h ON h.doc_id = nw.doc_id)
+      |SELECT doc_id, CAST(nll AS BIGINT) AS nll,
+      |       CAST(n_win AS BIGINT) AS n_win,
+      |       CAST(CASE WHEN n_win > 0 THEN nll // n_win ELSE 0 END AS BIGINT) AS nll_mw
+      |FROM s ORDER BY doc_id""".stripMargin,
 
     // exact P75 (linear interpolation — both engines' continuous-quantile
     // definition) then the surviving-docs stats; the production

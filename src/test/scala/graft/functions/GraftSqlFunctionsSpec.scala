@@ -93,6 +93,17 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
   }
 
+  test("lm_nll matches the Column API") {
+    docs
+    val sql = spark.sql(
+      """SELECT id, graft_lm_nll(concat(' ', graft_normalize_text(text), ' ')) AS nll
+        |FROM docs_sqlfn ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        graft.llm.LmScore.nll(graft.llm.LangId.padded(col("text"))).as("nll"))
+      .orderBy(col("id")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+  }
+
   test("winnow_fingerprints matches the Column API") {
     docs
     val sql = spark.sql(
