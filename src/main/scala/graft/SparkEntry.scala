@@ -27,10 +27,10 @@ object SparkEntry {
   def verifyOnly: Set[String] = Set(
     "q_dedup_minhash_det", "q_dedup_simhash_det", "q_ann_lsh_all", "q_ann_ivf_all",
     "q_ann_ivf_kmeans_det",
-    // exact-percentile twins of q_quality_cut / q_quality_cut_by_lang: the
-    // all-values-in-one-buffer aggregate is the oracle instrument, never
-    // the benched production path
-    "q_quality_cut_det", "q_quality_cut_by_lang_det",
+    // exact-percentile twins of q_quality_cut / q_quality_cut_by_lang /
+    // q_lm_cut_by_lang: the all-values-in-one-buffer aggregate is the
+    // oracle instrument, never the benched production path
+    "q_quality_cut_det", "q_quality_cut_by_lang_det", "q_lm_cut_by_lang_det",
     // storage-mode twin of q_p8_route_mv_hist (maintenance.merge_tier_buckets):
     // same dashboard, same oracle — benching it would double-count the
     // routed-hist setup without adding a distinct production path

@@ -145,6 +145,30 @@ object LlmQueries {
       .orderBy(col("lang"))
   }
 
+  /** Per-language perplexity curation — the CCNet cut over [[graft.llm.LmScore]]'s
+    * signal: keep documents AT OR UNDER their language's median
+    * nll_mw (LOW perplexity = fluent; the comparison inverts
+    * [[qualityCutByLang]]'s because this score is a cost). Same
+    * derive-then-filter shape, same production/det split: approx_percentile
+    * (GK sketch, bounded memory at any corpus size) benches; exact
+    * percentile is the oracle instrument. thr is cast to double so both
+    * forms share one output schema. */
+  private def lmCutByLang(s: SparkSession, d: String, thrAgg: Column): DataFrame = {
+    val p = graft.llm.LangId.padded(col("text"))
+    val st = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.llm.LmScore.nllPerWindow(graft.llm.LmScore.nll(p),
+          graft.llm.LangId.nWindows(p)).as("nll_mw"))
+    val thr = st.groupBy(col("lang")).agg(thrAgg.cast("double").as("thr"))
+    st.join(broadcast(thr), "lang")
+      .filter(col("nll_mw") <= col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("nll_mw")).as("max_kept_mw"),
+        round(any_value(col("thr")), 6).as("threshold"))
+      .orderBy(col("lang"))
+  }
+
   /** Winnowing parameters (k-gram length, window width): a shared substring
     * of ≥ k+w−1 = 19 characters (≈ 4 tokens) is guaranteed a common
     * fingerprint. Shared verbatim with the oracle restatement. */
@@ -446,6 +470,14 @@ object LlmQueries {
 
     "q_quality_cut_by_lang_det" -> ((s, d) =>
       qualityCutByLang(s, d, expr("percentile(quality, 0.75D)"))),
+
+    // Per-language perplexity cut (CCNet): keep the under-median-nll_mw
+    // half per lang. Sketch threshold benches (rows-only); exact twin below.
+    "q_lm_cut_by_lang" -> ((s, d) =>
+      lmCutByLang(s, d, expr("approx_percentile(nll_mw, 0.5D, 10000)"))),
+
+    "q_lm_cut_by_lang_det" -> ((s, d) =>
+      lmCutByLang(s, d, expr("percentile(nll_mw, 0.5D)"))),
 
     // Winnowing fingerprint profile (Schleimer et al., SIGMOD'03): per-doc
     // distinct window-min rolling-hash set — the substring-level document
@@ -1260,6 +1292,39 @@ object LlmQueries {
         |       round(any_value(thr), 6) AS threshold
         |FROM q JOIN thr ON q.lang = thr.lang WHERE quality >= thr.thr
         |GROUP BY q.lang ORDER BY lang""".stripMargin,
+
+    // per-language exact-median perplexity cut — the det twin of
+    // q_lm_cut_by_lang: same LM CTEs with lang carried through,
+    // quantile_cont (both engines' linear-interpolated exact percentile)
+    "q_lm_cut_by_lang_det" -> s"""WITH lmp(tri, w) AS (VALUES
+      |${graft.llm.LmScore.costsSqlValues}),
+      |t AS (SELECT doc_id, lang,
+      |             concat(' ',
+      |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+      |               ' ') AS p
+      |      FROM documents),
+      |nw AS (SELECT doc_id, lang, greatest(len(p) - 2, 0) AS n_win FROM t),
+      |tri AS (SELECT doc_id,
+      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
+      |                      3) AS tri
+      |        FROM t),
+      |hit AS (SELECT x.doc_id, CAST(sum(p.w) AS BIGINT) AS msum,
+      |               CAST(count(*) AS BIGINT) AS mcnt
+      |        FROM tri x JOIN lmp p ON p.tri = x.tri
+      |        GROUP BY 1),
+      |mw AS (SELECT nw.doc_id, nw.lang,
+      |              CAST(CASE WHEN nw.n_win > 0
+      |                   THEN (coalesce(h.msum, 0) +
+      |                         (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost})
+      |                        // nw.n_win
+      |                   ELSE 0 END AS BIGINT) AS nll_mw
+      |       FROM nw LEFT JOIN hit h ON h.doc_id = nw.doc_id),
+      |thr AS (SELECT lang, quantile_cont(nll_mw, 0.5) AS thr FROM mw GROUP BY lang)
+      |SELECT mw.lang AS lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |       CAST(max(nll_mw) AS BIGINT) AS max_kept_mw,
+      |       round(any_value(thr), 6) AS threshold
+      |FROM mw JOIN thr ON mw.lang = thr.lang WHERE nll_mw <= thr.thr
+      |GROUP BY mw.lang ORDER BY lang""".stripMargin,
 
     // paragraph dedup: positional unnest of the paragraphed corpus, first
     // occurrence per normalized paragraph (row_number restates the

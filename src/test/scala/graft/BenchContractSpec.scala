@@ -91,7 +91,7 @@ class BenchContractSpec extends AnyFunSuite {
     // LlmQueriesSpec pins ±5% agreement
     val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
       "q_ann_lsh_mp", "q_ann_ivf", "q_ann_ivf_kmeans", "q_quality_cut",
-      "q_quality_cut_by_lang")
+      "q_quality_cut_by_lang", "q_lm_cut_by_lang")
     val unproven = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(unproven.isEmpty,

@@ -64,6 +64,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_quality_cut" -> 2,
     // same derive-then-filter shape, thresholds keyed per lang
     "q_quality_cut_by_lang" -> 2,
+    // same derive-then-filter shape on the LM perplexity signal
+    "q_lm_cut_by_lang" -> 2,
     // bucketed rank decomposition (same as q_sample_mixture): one
     // column-pruned scan derives per-(shard, bucket) count offsets, a
     // second feeds the per-cell rank pass

@@ -50,6 +50,32 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("per-language LM cut: approx tracks exact within the 5% gate per group") {
+    def byLang(name: String): Map[String, (Long, Double)] =
+      SparkEntry.queries(name)(spark, Sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val prod = byLang("q_lm_cut_by_lang")
+    val det = byLang("q_lm_cut_by_lang_det")
+    assert(det.nonEmpty && prod.keySet === det.keySet)
+    det.foreach { case (lang, (keptE, thrE)) =>
+      val (keptA, thrA) = prod(lang)
+      assert(thrE > 0.0, lang)
+      assert(math.abs(thrA - thrE) / thrE <= 0.05,
+        s"$lang: approx P50 $thrA vs exact $thrE drifts past 5%")
+      assert(math.abs(keptA - keptE).toDouble / keptE <= 0.05,
+        s"$lang: approx kept $keptA vs exact kept $keptE drifts past 5%")
+    }
+  }
+
+  test("benched per-language LM cut has no exact-percentile aggregate") {
+    val prod = SparkEntry.queries("q_lm_cut_by_lang")(spark, Sf)
+    prod.collect()
+    val flagged = graft.plans.PlanAudit.exactPercentileAggs(
+      prod.queryExecution.executedPlan)
+    assert(flagged.isEmpty,
+      s"exact Percentile in the BENCHED LM-cut plan: $flagged")
+  }
+
   test("benched per-language quality cut has no exact-percentile aggregate") {
     val prod = SparkEntry.queries("q_quality_cut_by_lang")(spark, Sf)
     prod.collect()
