@@ -90,7 +90,7 @@ object DocumentsApp {
     * SUBSET of these) fails fast instead of mixing a third schema. */
   private[graft] val StampedCols: Seq[String] = Seq(
     "n_tokens", "n_distinct", "avg_tok_len", "stop_cnt", "subwords",
-    "quality", "en_like", "lang_pred", "lang_margin")
+    "quality", "en_like", "lang_pred", "lang_margin", "lm_nll_mw")
 
   /** Ingest-time enrichment (ingest.stamp_stats): the text-quality battery
     * (token counts, quality score, en_like flag) plus the trigram-NB
@@ -108,6 +108,11 @@ object DocumentsApp {
       .withColumn("lang_pred",
         graft.llm.LangId.predictWithUnknown(col("__sc"), col("__pad")))
       .withColumn("lang_margin", graft.llm.LangId.margin(col("__sc")))
+      // LM perplexity (milli-nats/window): the CCNet curation signal,
+      // stamped once like the rest — downstream cuts read a column
+      .withColumn("lm_nll_mw",
+        graft.llm.LmScore.nllPerWindow(graft.llm.LmScore.nll(col("__pad")),
+          graft.llm.LangId.nWindows(col("__pad"))))
       .drop("__pad", "__sc")
 
   /** The live "how clean is my corpus" roll-up — per predicted language:
@@ -124,7 +129,9 @@ object DocumentsApp {
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("subwords")).as("total_subwords"),
         graft.queries.OracleDefs.stableAvg4(avg(col("quality")))
-          .as("avg_quality"))
+          .as("avg_quality"),
+        graft.queries.OracleDefs.stableAvg4(avg(col("lm_nll_mw")))
+          .as("avg_lm_mw"))
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {

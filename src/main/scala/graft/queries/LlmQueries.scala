@@ -1469,13 +1469,27 @@ object LlmQueries {
       |         FROM best b
       |         JOIN mg m ON m.doc_id = b.doc_id
       |         JOIN nw ON nw.doc_id = b.doc_id
-      |         WHERE b.rk = 1)
+      |         WHERE b.rk = 1),
+      |lmp(tri, w) AS (VALUES
+      |${graft.llm.LmScore.costsSqlValues}),
+      |lmhit AS (SELECT x.doc_id, CAST(sum(l.w) AS BIGINT) AS msum,
+      |                 CAST(count(*) AS BIGINT) AS mcnt
+      |          FROM tri x JOIN lmp l ON l.tri = x.tri
+      |          GROUP BY 1),
+      |lmmw AS (SELECT nw.doc_id,
+      |                CAST(CASE WHEN nw.n_win > 0
+      |                     THEN (coalesce(h.msum, 0) +
+      |                           (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost})
+      |                          // nw.n_win
+      |                     ELSE 0 END AS BIGINT) AS lm_mw
+      |         FROM nw LEFT JOIN lmhit h ON h.doc_id = nw.doc_id)
       |SELECT p.lang_pred,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
       |       CAST(sum(f.subwords) AS BIGINT) AS total_subwords,
-      |       ${OracleDefs.stableAvg4Sql("avg(f.quality)")} AS avg_quality
-      |FROM pred p JOIN feat f USING (doc_id)
+      |       ${OracleDefs.stableAvg4Sql("avg(f.quality)")} AS avg_quality,
+      |       ${OracleDefs.stableAvg4Sql("avg(l.lm_mw)")} AS avg_lm_mw
+      |FROM pred p JOIN feat f USING (doc_id) JOIN lmmw l USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_stats" ->
