@@ -527,6 +527,47 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-scaled mixture weights (the Llama/PaLM data-mixing
+    // recipe at α = 0.5): per-source sampling weight n^α, flattening the
+    // head sources so the tail survives. The α = 0.5 power is integer
+    // square root — floor(sqrt(n)) is engine-exact (IEEE sqrt is correctly
+    // rounded, and for n < 2^40 the true root sits further than half an
+    // ulp from the next integer) — so weights, the ppm share, and the
+    // 1000-doc quota are all closed integer arithmetic. One map-side-
+    // combined count; everything after runs on the |sources|-row relation.
+    "q_mix_temperature" -> ((s, d) => {
+      val counts = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = counts.select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double"))).cast("long").as("w"))
+      val tot = w.agg(sum(col("w")).as("tw"))
+      w.join(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("w"),
+          call_function("div", col("w") * 1000000L, col("tw")).as("p_ppm"),
+          call_function("div", col("w") * 1000L, col("tw")).as("quota_1k"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-source corpus report — the "which sources are garbage" dashboard
+    // a mixture decision reads: volume, exact-dup rate (1 − distinct
+    // fingerprints / docs, here as the dup COUNT), mean heuristic quality,
+    // mean LM perplexity. One scan, one keyed aggregation; count(distinct)
+    // is the standard two-phase exact form.
+    "q_source_report" -> ((s, d) => {
+      val p = graft.llm.LangId.padded(col("text"))
+      TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
+        .select(col("source"), col("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          graft.llm.LmScore.nllPerWindow(graft.llm.LmScore.nll(p),
+            graft.llm.LangId.nWindows(p)).as("nll_mw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"),
+          OracleDefs.stableAvg4(avg(col("quality"))).as("avg_quality"),
+          OracleDefs.stableAvg4(avg(col("nll_mw"))).as("avg_lm_mw"))
+        .orderBy(col("source"))
+    }),
+
     // Paragraph-level exact dedup (the structural pass document-level dedup
     // cannot express): explode → first-occurrence winner per normalized
     // paragraph → per-doc reassembly. Fixture: the paragraphed corpus with
@@ -1325,6 +1366,60 @@ object LlmQueries {
       |       round(any_value(thr), 6) AS threshold
       |FROM mw JOIN thr ON mw.lang = thr.lang WHERE nll_mw <= thr.thr
       |GROUP BY mw.lang ORDER BY lang""".stripMargin,
+
+    // temperature mixture weights: integer sqrt (engine-exact), integer
+    // ppm/quota division
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        |      FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, w,
+        |       CAST((w * 1000000) // tw AS BIGINT) AS p_ppm,
+        |       CAST((w * 1000) // tw AS BIGINT) AS quota_1k
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // per-source report: normalized-text distinct count (the fingerprint
+    // grouping's injective restatement), the shared quality formula, and
+    // the LM per-window score from the shared cost literals
+    "q_source_report" -> s"""WITH lmp(tri, w) AS (VALUES
+      |${graft.llm.LmScore.costsSqlValues}),
+      |t AS (SELECT doc_id, source,
+      |             concat(' ',
+      |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+      |               ' ') AS p,
+      |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+      |             string_split(text, ' ') AS tk
+      |      FROM documents),
+      |nw AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM t),
+      |tri AS (SELECT doc_id,
+      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
+      |                      3) AS tri
+      |        FROM t),
+      |hit AS (SELECT x.doc_id, CAST(sum(l.w) AS BIGINT) AS msum,
+      |               CAST(count(*) AS BIGINT) AS mcnt
+      |        FROM tri x JOIN lmp l ON l.tri = x.tri GROUP BY 1),
+      |mw AS (SELECT nw.doc_id,
+      |              CAST(CASE WHEN nw.n_win > 0
+      |                   THEN (coalesce(h.msum, 0) +
+      |                         (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost})
+      |                        // nw.n_win
+      |                   ELSE 0 END AS BIGINT) AS nll_mw
+      |       FROM nw LEFT JOIN hit h ON h.doc_id = nw.doc_id),
+      |q AS (SELECT doc_id, source, nt,
+      |             (least(len(tk) / 100.0, 1.0)
+      |              + least(len(list_filter(tk, x -> x IN ('the', 'a')))
+      |                      * 1.0 / len(tk) * 10.0, 1.0)
+      |              + len(list_distinct(tk)) * 1.0 / len(tk)) / 3.0 AS quality
+      |      FROM t)
+      |SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) - count(DISTINCT q.nt) AS BIGINT) AS n_dups,
+      |       ${OracleDefs.stableAvg4Sql("avg(q.quality)")} AS avg_quality,
+      |       ${OracleDefs.stableAvg4Sql("avg(m.nll_mw)")} AS avg_lm_mw
+      |FROM q JOIN mw m USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // paragraph dedup: positional unnest of the paragraphed corpus, first
     // occurrence per normalized paragraph (row_number restates the

@@ -66,6 +66,9 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_quality_cut_by_lang" -> 2,
     // same derive-then-filter shape on the LM perplexity signal
     "q_lm_cut_by_lang" -> 2,
+    // derive-the-total-then-join over the |sources|-row weight relation
+    // (exchange reuse may collapse it to 1; 2 is the structural bound)
+    "q_mix_temperature" -> 2,
     // bucketed rank decomposition (same as q_sample_mixture): one
     // column-pruned scan derives per-(shard, bucket) count offsets, a
     // second feeds the per-cell rank pass
