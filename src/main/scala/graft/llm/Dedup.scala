@@ -39,8 +39,10 @@ object Dedup {
     * and reassemble documents from their surviving paragraphs. Boilerplate
     * headers, quoted reposts, and licence blocks dissolve without dropping
     * the whole documents that carry them — the case document-level dedup
-    * cannot express. Documents whose every paragraph occurred earlier
-    * vanish entirely.
+    * cannot express. Blank segments are treated as separators (filtered
+    * before the fingerprint grouping — never deduped, never reassembled);
+    * documents whose every paragraph is blank or occurred earlier vanish
+    * entirely. n_paras counts raw split segments.
     *
     * Scale shape: one explode (linear in corpus text), then two keyed
     * aggregations — min(struct) per paragraph fingerprint (map-side
@@ -51,8 +53,13 @@ object Dedup {
     * once, keyed by the 64-bit fingerprint. */
   def paragraphSurvivors(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val paras = docs.select(id.as("doc_id"),
-      size(split(text, "\n")).as("n_paras"),
-      posexplode(split(text, "\n")).as(Seq("pos", "para")))
+        size(split(text, "\n")).as("n_paras"),
+        posexplode(split(text, "\n")).as(Seq("pos", "para")))
+      // blank segments are SEPARATORS, never content: without this filter
+      // every whitespace-only paragraph in the corpus shares one
+      // fingerprint, so the global first-occurrence rule would rewrite the
+      // blank-line structure of unrelated documents (CCNet drops them too)
+      .filter(length(trim(col("para"))) > 0)
     val first = paras
       .groupBy(TextAnalysis.fingerprint(col("para")).as("fp"))
       .agg(min(struct(col("doc_id"), col("pos"), col("n_paras"), col("para"))).as("o"))

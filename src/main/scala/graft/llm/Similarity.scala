@@ -452,11 +452,13 @@ object Similarity {
     * swap near-ties; the re-rank restores exact order while touching only
     * |probes|·refine·topK raw vectors instead of the corpus.
     *
-    * Plan shape: the shortlist is bounded by construction (probes × topK ×
-    * refine — not data-dependent), so the broadcast hint is safe (the
-    * dedup-apply rule bans hints on UNBOUNDED derived sets only) and the
-    * corpus side of the re-rank is a broadcast hash join read by key — the
-    * corpus never shuffles for re-ranking. */
+    * Plan shape: the shortlist is |probes| × topK × refine rows and the
+    * re-rank joins broadcast both it and the raw probe vectors — these
+    * scale with the PROBE set (like every broadcast in this ANN family,
+    * where probes are the small side by contract), not with the corpus,
+    * so the corpus never shuffles for re-ranking. A caller scaling the
+    * probe set toward corpus size must drop the hints and let AQE size
+    * the joins — the dedup-apply rule. */
   def ivfPqRerankTopK(corpus: DataFrame, probes: DataFrame,
       centroids: DataFrame, codebook: DataFrame, dim: Int, m: Int,
       topK: Int, nprobe: Int, refine: Int, scale: Int = 100): DataFrame = {

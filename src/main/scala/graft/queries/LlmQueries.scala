@@ -135,12 +135,23 @@ object LlmQueries {
   private def qualityCutByLang(s: SparkSession, d: String, thrAgg: Column): DataFrame = {
     val st = TextAnalysis.withStats(Tables.documents(s, d), col("text"), Stopwords)
       .select(col("doc_id"), col("lang"), col("quality"))
-    val thr = st.groupBy(col("lang")).agg(thrAgg.as("thr"))
+    groupedSignalCut(st, "quality", thrAgg, keepAtOrAbove = true,
+      round(min(col("quality")), 6).as("min_kept_quality"))
+  }
+
+  /** The shared per-language threshold-cut shape under [[qualityCutByLang]]
+    * and [[lmCutByLang]]: per-lang threshold aggregate over the signal
+    * (cast double so the approx and exact forms share one output schema) →
+    * broadcast |langs|-row join → keep-side filter (≥ for goodness
+    * signals, ≤ for cost signals) → per-lang rollup. */
+  private def groupedSignalCut(st: DataFrame, signal: String, thrAgg: Column,
+      keepAtOrAbove: Boolean, keptStat: Column): DataFrame = {
+    val thr = st.groupBy(col("lang")).agg(thrAgg.cast("double").as("thr"))
     st.join(broadcast(thr), "lang")
-      .filter(col("quality") >= col("thr"))
+      .filter(if (keepAtOrAbove) col(signal) >= col("thr")
+              else col(signal) <= col("thr"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept"),
-        round(min(col("quality")), 6).as("min_kept_quality"),
+      .agg(count(lit(1)).as("n_kept"), keptStat,
         round(any_value(col("thr")), 6).as("threshold"))
       .orderBy(col("lang"))
   }
@@ -159,15 +170,26 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"),
         graft.llm.LmScore.nllPerWindow(graft.llm.LmScore.nll(p),
           graft.llm.LangId.nWindows(p)).as("nll_mw"))
-    val thr = st.groupBy(col("lang")).agg(thrAgg.cast("double").as("thr"))
-    st.join(broadcast(thr), "lang")
-      .filter(col("nll_mw") <= col("thr"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept"),
-        max(col("nll_mw")).as("max_kept_mw"),
-        round(any_value(col("thr")), 6).as("threshold"))
-      .orderBy(col("lang"))
+    groupedSignalCut(st, "nll_mw", thrAgg, keepAtOrAbove = false,
+      max(col("nll_mw")).as("max_kept_mw"))
   }
+
+  /** Oracle CTE chain for the LM perplexity score — continues a chain that
+    * already defines `t(doc_id, …, p)` (padded normalized text) and
+    * `nw(doc_id, …, n_win)`: the cost literals, the sparse matched-window
+    * sums, and `lmmw(doc_id, nll, lm_mw)` — the exact integer sum
+    * [[graft.functions.LmNllExpr]] computes (matched costs + unseen-floor
+    * remainder) and its per-window division. Shared by q_lm_perplexity,
+    * q_lm_cut_by_lang_det, q_source_report, and q_corpus_stats so the LM
+    * arithmetic cannot drift between oracles. Single-line fragments
+    * (stripMargin safety). */
+  private lazy val LmWindowCtes: String =
+    s"lmp(lmtri, lmw) AS (VALUES\n${graft.llm.LmScore.costsSqlValues}),\n" +
+      "lmtri0 AS (SELECT doc_id, substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT), 3) AS lmtri FROM t), " +
+      "lmhit AS (SELECT x.doc_id, CAST(sum(l.lmw) AS BIGINT) AS msum, CAST(count(*) AS BIGINT) AS mcnt FROM lmtri0 x JOIN lmp l ON l.lmtri = x.lmtri GROUP BY 1), " +
+      s"lmmw AS (SELECT nw.doc_id, CAST(coalesce(h.msum, 0) + (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost} AS BIGINT) AS nll, " +
+      s"CAST(CASE WHEN nw.n_win > 0 THEN (coalesce(h.msum, 0) + (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost}) // nw.n_win ELSE 0 END AS BIGINT) AS lm_mw " +
+      "FROM nw LEFT JOIN lmhit h ON h.doc_id = nw.doc_id)"
 
   /** Winnowing parameters (k-gram length, window width): a shared substring
     * of ≥ k+w−1 = 19 characters (≈ 4 tokens) is guaranteed a common
@@ -1277,31 +1299,18 @@ object LlmQueries {
     // LM perplexity: matched windows join the cost VALUES literals (sparse,
     // the langid lesson), the (windows − matched) remainder pays the unseen
     // floor — closed integer arithmetic, the exact sum LmNllExpr computes
-    "q_lm_perplexity" -> s"""WITH lmp(tri, w) AS (VALUES
-      |${graft.llm.LmScore.costsSqlValues}),
-      |t AS (SELECT doc_id,
-      |             concat(' ',
-      |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-      |               ' ') AS p
-      |      FROM documents),
-      |nw AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM t),
-      |tri AS (SELECT doc_id,
-      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
-      |                      3) AS tri
-      |        FROM t),
-      |hit AS (SELECT x.doc_id, CAST(sum(p.w) AS BIGINT) AS msum,
-      |               CAST(count(*) AS BIGINT) AS mcnt
-      |        FROM tri x JOIN lmp p ON p.tri = x.tri
-      |        GROUP BY 1),
-      |s AS (SELECT nw.doc_id,
-      |             coalesce(h.msum, 0) +
-      |               (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost} AS nll,
-      |             nw.n_win
-      |      FROM nw LEFT JOIN hit h ON h.doc_id = nw.doc_id)
-      |SELECT doc_id, CAST(nll AS BIGINT) AS nll,
-      |       CAST(n_win AS BIGINT) AS n_win,
-      |       CAST(CASE WHEN n_win > 0 THEN nll // n_win ELSE 0 END AS BIGINT) AS nll_mw
-      |FROM s ORDER BY doc_id""".stripMargin,
+    "q_lm_perplexity" -> (
+      """WITH t AS (SELECT doc_id,
+        |             concat(' ',
+        |               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |               ' ') AS p
+        |      FROM documents),
+        |nw AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM t),
+        |""".stripMargin + LmWindowCtes + """
+        |SELECT m.doc_id, m.nll, CAST(nw.n_win AS BIGINT) AS n_win,
+        |       m.lm_mw AS nll_mw
+        |FROM lmmw m JOIN nw ON nw.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin),
 
     // exact P75 (linear interpolation — both engines' continuous-quantile
     // definition) then the surviving-docs stats; the production
@@ -1337,35 +1346,22 @@ object LlmQueries {
     // per-language exact-median perplexity cut — the det twin of
     // q_lm_cut_by_lang: same LM CTEs with lang carried through,
     // quantile_cont (both engines' linear-interpolated exact percentile)
-    "q_lm_cut_by_lang_det" -> s"""WITH lmp(tri, w) AS (VALUES
-      |${graft.llm.LmScore.costsSqlValues}),
-      |t AS (SELECT doc_id, lang,
-      |             concat(' ',
-      |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-      |               ' ') AS p
-      |      FROM documents),
-      |nw AS (SELECT doc_id, lang, greatest(len(p) - 2, 0) AS n_win FROM t),
-      |tri AS (SELECT doc_id,
-      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
-      |                      3) AS tri
-      |        FROM t),
-      |hit AS (SELECT x.doc_id, CAST(sum(p.w) AS BIGINT) AS msum,
-      |               CAST(count(*) AS BIGINT) AS mcnt
-      |        FROM tri x JOIN lmp p ON p.tri = x.tri
-      |        GROUP BY 1),
-      |mw AS (SELECT nw.doc_id, nw.lang,
-      |              CAST(CASE WHEN nw.n_win > 0
-      |                   THEN (coalesce(h.msum, 0) +
-      |                         (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost})
-      |                        // nw.n_win
-      |                   ELSE 0 END AS BIGINT) AS nll_mw
-      |       FROM nw LEFT JOIN hit h ON h.doc_id = nw.doc_id),
-      |thr AS (SELECT lang, quantile_cont(nll_mw, 0.5) AS thr FROM mw GROUP BY lang)
-      |SELECT mw.lang AS lang, CAST(count(*) AS BIGINT) AS n_kept,
-      |       CAST(max(nll_mw) AS BIGINT) AS max_kept_mw,
-      |       round(any_value(thr), 6) AS threshold
-      |FROM mw JOIN thr ON mw.lang = thr.lang WHERE nll_mw <= thr.thr
-      |GROUP BY mw.lang ORDER BY lang""".stripMargin,
+    "q_lm_cut_by_lang_det" -> (
+      """WITH t AS (SELECT doc_id, lang,
+        |             concat(' ',
+        |               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |               ' ') AS p
+        |      FROM documents),
+        |nw AS (SELECT doc_id, lang, greatest(len(p) - 2, 0) AS n_win FROM t),
+        |""".stripMargin + LmWindowCtes + """,
+        |mw AS (SELECT m.doc_id, nw.lang, m.lm_mw AS nll_mw
+        |       FROM lmmw m JOIN nw ON nw.doc_id = m.doc_id),
+        |thr AS (SELECT lang, quantile_cont(nll_mw, 0.5) AS thr FROM mw GROUP BY lang)
+        |SELECT mw.lang AS lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(max(nll_mw) AS BIGINT) AS max_kept_mw,
+        |       round(any_value(thr), 6) AS threshold
+        |FROM mw JOIN thr ON mw.lang = thr.lang WHERE nll_mw <= thr.thr
+        |GROUP BY mw.lang ORDER BY lang""".stripMargin),
 
     // temperature mixture weights: integer sqrt (engine-exact), integer
     // ppm/quota division
@@ -1384,30 +1380,16 @@ object LlmQueries {
     // per-source report: normalized-text distinct count (the fingerprint
     // grouping's injective restatement), the shared quality formula, and
     // the LM per-window score from the shared cost literals
-    "q_source_report" -> s"""WITH lmp(tri, w) AS (VALUES
-      |${graft.llm.LmScore.costsSqlValues}),
-      |t AS (SELECT doc_id, source,
-      |             concat(' ',
-      |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-      |               ' ') AS p,
-      |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
-      |             string_split(text, ' ') AS tk
-      |      FROM documents),
-      |nw AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM t),
-      |tri AS (SELECT doc_id,
-      |               substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
-      |                      3) AS tri
-      |        FROM t),
-      |hit AS (SELECT x.doc_id, CAST(sum(l.w) AS BIGINT) AS msum,
-      |               CAST(count(*) AS BIGINT) AS mcnt
-      |        FROM tri x JOIN lmp l ON l.tri = x.tri GROUP BY 1),
-      |mw AS (SELECT nw.doc_id,
-      |              CAST(CASE WHEN nw.n_win > 0
-      |                   THEN (coalesce(h.msum, 0) +
-      |                         (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost})
-      |                        // nw.n_win
-      |                   ELSE 0 END AS BIGINT) AS nll_mw
-      |       FROM nw LEFT JOIN hit h ON h.doc_id = nw.doc_id),
+    "q_source_report" -> (
+      """WITH t AS (SELECT doc_id, source,
+        |             concat(' ',
+        |               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |               ' ') AS p,
+        |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |             string_split(text, ' ') AS tk
+        |      FROM documents),
+        |nw AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM t),
+        |""".stripMargin + LmWindowCtes + s""",
       |q AS (SELECT doc_id, source, nt,
       |             (least(len(tk) / 100.0, 1.0)
       |              + least(len(list_filter(tk, x -> x IN ('the', 'a')))
@@ -1417,9 +1399,9 @@ object LlmQueries {
       |SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(count(*) - count(DISTINCT q.nt) AS BIGINT) AS n_dups,
       |       ${OracleDefs.stableAvg4Sql("avg(q.quality)")} AS avg_quality,
-      |       ${OracleDefs.stableAvg4Sql("avg(m.nll_mw)")} AS avg_lm_mw
-      |FROM q JOIN mw m USING (doc_id)
-      |GROUP BY 1 ORDER BY 1""".stripMargin,
+      |       ${OracleDefs.stableAvg4Sql("avg(m.lm_mw)")} AS avg_lm_mw
+      |FROM q JOIN lmmw m ON m.doc_id = q.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // paragraph dedup: positional unnest of the paragraphed corpus, first
     // occurrence per normalized paragraph (row_number restates the
@@ -1438,7 +1420,7 @@ object LlmQueries {
         |         row_number() OVER (
         |           PARTITION BY regexp_replace(lower(trim(para)), '\s+', ' ', 'g')
         |           ORDER BY doc_id, pos) AS r
-        |  FROM paras)
+        |  FROM paras WHERE len(trim(para)) > 0)
         |SELECT doc_id, CAST(any_value(n_paras) AS BIGINT) AS n_paras,
         |       CAST(count(*) AS BIGINT) AS n_kept,
         |       string_agg(para, chr(10) ORDER BY pos) AS kept_text
@@ -1565,19 +1547,7 @@ object LlmQueries {
       |         JOIN mg m ON m.doc_id = b.doc_id
       |         JOIN nw ON nw.doc_id = b.doc_id
       |         WHERE b.rk = 1),
-      |lmp(tri, w) AS (VALUES
-      |${graft.llm.LmScore.costsSqlValues}),
-      |lmhit AS (SELECT x.doc_id, CAST(sum(l.w) AS BIGINT) AS msum,
-      |                 CAST(count(*) AS BIGINT) AS mcnt
-      |          FROM tri x JOIN lmp l ON l.tri = x.tri
-      |          GROUP BY 1),
-      |lmmw AS (SELECT nw.doc_id,
-      |                CAST(CASE WHEN nw.n_win > 0
-      |                     THEN (coalesce(h.msum, 0) +
-      |                           (nw.n_win - coalesce(h.mcnt, 0)) * ${graft.llm.LmScore.UnseenCost})
-      |                          // nw.n_win
-      |                     ELSE 0 END AS BIGINT) AS lm_mw
-      |         FROM nw LEFT JOIN lmhit h ON h.doc_id = nw.doc_id)
+      |$LmWindowCtes
       |SELECT p.lang_pred,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,

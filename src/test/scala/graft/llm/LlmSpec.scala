@@ -673,7 +673,9 @@ class LlmSpec extends SparkSpec {
       (2L, "cc dd\ngg hh"),        // loses "cc dd" to doc 1, keeps "gg hh"
       (3L, "aa bb"),               // fully seen earlier → vanishes
       (4L, "xx yy\nxx yy"),        // within-doc dup → keeps position 0 only
-      (5L, "  AA   BB  ")          // normalizes to "aa bb" → vanishes
+      (5L, "  AA   BB  "),         // normalizes to "aa bb" → vanishes
+      (6L, "pp qq\n\nrr ss"),      // blank segment = separator, not content
+      (7L, "\n \n")                // all-blank doc → vanishes
     ).toDF("doc_id", "text")
     val out = Dedup.paragraphSurvivors(docs, col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
@@ -681,7 +683,10 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 3L, 3L, "aa bb\ncc dd\nee ff"),
       (2L, 2L, 1L, "gg hh"),
-      (4L, 2L, 1L, "xx yy")))
+      (4L, 2L, 1L, "xx yy"),
+      // doc 6's blank middle segment never enters the dedup (doc 7's blanks
+      // cannot steal or be stolen), and reassembly skips it
+      (6L, 3L, 2L, "pp qq\nrr ss")))
   }
 
   test("paragraph dedup on the registered fixture: quotes dissolve structurally") {
