@@ -703,6 +703,15 @@ class LlmSpec extends SparkSpec {
     assert(out.head.getString(3) === "quoted repost footer boilerplate")
   }
 
+  test("paragraph dedup is idempotent: re-running on the survivors changes nothing") {
+    val once = graft.queries.LlmQueries.docsParagraphs(spark, Sf)
+      .transform(d => Dedup.paragraphSurvivors(d, col("doc_id"), col("text")))
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val twice = Dedup.paragraphSurvivors(once, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("kept_text").as("text"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
   test("incremental dedup: batch collapses internally, snapshot anti-joins") {
     import spark.implicits._
     val seen = Seq((10L, "s1"), (11L, "s2")).toDF("doc_id", "text")

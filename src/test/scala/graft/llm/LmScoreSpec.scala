@@ -57,6 +57,35 @@ class LmScoreSpec extends SparkSpec {
     assert(noiseMw <= LmScore.UnseenCost)
   }
 
+  test("fuzz: native ≡ HOF over 600 mixed-alphabet random strings") {
+    import spark.implicits._
+    // seeded: the failing case is reproducible from its index
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val alphabets = Seq(
+      "abcdefghij the and was ", // seen-trigram-rich ASCII
+      "ÀàßçñøÅåÉé üöä ",         // accented Latin
+      "今天早晨天气晴朗而寒冷",      // CJK (all unseen)
+      "😀🚂🌊",                   // supplementary-plane (2 UTF-16 units each)
+      " \t\n  ",                 // whitespace runs (normalize collapses)
+      "a'b\"c\\d|e")             // quoting/escape hazards
+    val cases = (0 until 600).map { i =>
+      val ab = alphabets(i % alphabets.length) +
+        alphabets(rnd.nextInt(alphabets.length))
+      val cps = ab.codePoints().toArray
+      val len = rnd.nextInt(40)
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      (i.toLong, sb.toString)
+    }
+    val bad = cases.toDF("id", "text")
+      .select(col("id"), LangId.padded(col("text")).as("p"))
+      .select(col("id"), LmScore.nll(col("p")).as("native"),
+        LmScore.nllHof(col("p")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .collect()
+    assert(bad.isEmpty, s"native/HOF divergence on seeds: ${bad.map(_.getLong(0)).mkString(",")}")
+  }
+
   test("zero-window text scores nll 0 and per-window 0") {
     import spark.implicits._
     val r = Seq((1L, "")).toDF("id", "text")
