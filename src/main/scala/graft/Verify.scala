@@ -28,11 +28,18 @@ object Verify {
     m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // dev-only third arg: comma-separated query-name filter for fast
+    // iteration on a single operator (the driver always passes two args,
+    // so the dumped oracle_sql.json stays complete in driver runs)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,7 +49,8 @@ object Verify {
       finally CacheHygiene.releaseAll(spark) // no per-query cache outlives its dump
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      jsonObj(SparkEntry.oracleSql))
+      jsonObj(SparkEntry.oracleSql
+        .filter { case (name, _) => only.forall(_.contains(name)) }))
     // always written (empty object when green) so its absence vs emptiness is
     // never ambiguous to the driver or a later auditor
     Files.writeString(Paths.get(s"$outDir/failures.json"), jsonObj(failures))

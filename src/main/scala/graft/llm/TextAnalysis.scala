@@ -124,6 +124,128 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
 
+  /** Newline-aware tokens: fold '\n' to ' ' first so the token stream
+    * crosses line boundaries (translate is a codegen'd 1:1 char map; the
+    * oracle restates it as replace(text, chr(10), ' ')). */
+  def flatTokens(text: Column): Column = split(translate(text, "\n", " "), " ")
+
+  /** Line split — the structural unit of the Gopher/C4 line-level rules. */
+  def docLines(text: Column): Column = split(text, "\n")
+
+  /** Fraction of lines that are repeats of an earlier line in the same
+    * document (Gopher's duplicate-line fraction). Per-row HOF arithmetic —
+    * no explode, no shuffle, scan speed. */
+  def dupLineFrac(ls: Column): Column =
+    (size(ls) - size(array_distinct(ls))).cast("double") / size(ls)
+
+  /** Total characters across a line array (line-content chars only). */
+  def lineChars(ls: Column): Column =
+    aggregate(ls, lit(0L), (acc, l) => acc + length(l))
+
+  /** Fraction of line characters inside repeated lines (Gopher's
+    * duplicate-line CHARACTER fraction — catches one huge duplicated
+    * paragraph that the line-count fraction would underweight). */
+  def dupLineCharFrac(ls: Column): Column = {
+    val total = lineChars(ls)
+    when(total > 0L,
+      lit(1.0) - lineChars(array_distinct(ls)).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Most frequent word 2-gram: struct(cnt, gram), ties broken to the
+    * lexicographically smallest gram. Gopher's top-n-gram coverage signal
+    * (cnt·len(gram)/n_chars near 1 ⇒ the doc is one phrase repeated). One
+    * sorted fold per row — the sort groups equal grams into runs, so a
+    * single pass finds the longest run; no explode, no (doc, gram) shuffle.
+    * Strict `>` keeps the FIRST maximal run, which after sorting is the
+    * smallest gram — the same tie the oracle states as (count DESC, gram). */
+  def topBigram(toks: Column): Column = {
+    val grams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("cnt"), lit("").as("gram")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          when(run > acc.getField("cnt"), run)
+            .otherwise(acc.getField("cnt")).as("cnt"),
+          when(run > acc.getField("cnt"), g)
+            .otherwise(acc.getField("gram")).as("gram"))
+      },
+      acc => struct(acc.getField("cnt").as("cnt"), acc.getField("gram").as("gram")))
+  }
+
+  /** The Gopher rule battery's stopword list (Rae et al. 2021, §A1.1):
+    * a doc must contain at least two of these to pass. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule signals (Rae et al. 2021, §A1.1), appended as
+    * columns: n_words, mean_word_len, symbol_ratio ('#' tokens and '...'
+    * carriers per word), bullet_frac / ellipsis_frac (of lines),
+    * alpha_frac (words containing a letter), stop_hits (distinct Gopher
+    * stopwords present), and the composite `gopher_pass`. Every signal is
+    * a per-row projection of codegen'd builtins — zero shuffle; every
+    * formula is engine-portable, so the oracle states the identical
+    * arithmetic. Thresholds are the paper's. */
+  def withGopherSignals(df: DataFrame, text: Column): DataFrame = {
+    val toks = col("__gtoks")
+    val ls = col("__glines")
+    val n = size(toks)
+    df.withColumn("__gtoks", flatTokens(text))
+      .withColumn("__glines", docLines(text))
+      .withColumns(Map(
+        "n_words" -> n.cast("long"),
+        // chars minus single-char separators, over words — exact mean
+        "mean_word_len" ->
+          ((length(text) - n + lit(1)).cast("double") / n),
+        "symbol_ratio" ->
+          (size(filter(toks, t => t === "#" || t.contains("...")))
+            .cast("double") / n),
+        "bullet_frac" ->
+          (size(filter(ls, l => l.startsWith("- ") || l.startsWith("* ")))
+            .cast("double") / size(ls)),
+        "ellipsis_frac" ->
+          (size(filter(ls, l => l.endsWith("...")))
+            .cast("double") / size(ls)),
+        "alpha_frac" ->
+          (size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n),
+        "stop_hits" ->
+          size(filter(array(GopherStopwords.map(lit): _*),
+            w => array_contains(toks, w))).cast("long")))
+      .withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2L)
+      .drop("__gtoks", "__glines")
+  }
+
+  /** C4's line keep-rule (Raffel et al. 2020, §2.2): terminal punctuation,
+    * at least five words, no "javascript". */
+  def c4KeepLine(l: Column): Column =
+    (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+      size(split(l, " ")) >= 5 &&
+      !lower(l).contains("javascript")
+
+  /** Lines surviving [[c4KeepLine]] — the cleaned document body. */
+  def c4KeptLines(ls: Column): Column = filter(ls, c4KeepLine(_))
+
+  /** C4's document keep-rule over the kept lines: no lorem-ipsum
+    * boilerplate, no code braces, at least three surviving lines. */
+  def c4DocKeep(text: Column, keptCount: Column): Column =
+    !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") &&
+      keptCount >= 3
+
   /** The full stat battery as a staged projection: tokenize once, derive all
     * counters in ONE native pass ([[graft.functions.TokenStatsExpr]] — pinned
     * bit-identical to the per-stat HOF shapes above by TokenStatsExprSpec),

@@ -79,16 +79,90 @@ object LlmQueries {
     * collapse the footer to its first quoting doc. */
   def docsParagraphs(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val nChunks = ceil(size(toks).cast("double") / ParaW).cast("long")
-    val ptext = concat_ws("\n",
-      transform(sequence(lit(0L), nChunks - 1),
-        i => concat_ws(" ", slice(toks, (i * ParaW + 1).cast("int"), lit(ParaW)))))
-    val base = Tables.documents(s, d).select(col("doc_id"), ptext.as("text"))
     val quotes = Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
       .select((col("doc_id") + 300000L).as("doc_id"),
         concat_ws("\n", concat_ws(" ", slice(toks, 1, ParaW)),
           lit("quoted repost footer boilerplate")).as("text"))
-    base.unionAll(quotes)
+    paragraphedBase(s, d).unionAll(quotes)
+  }
+
+  /** The paragraphed BASE corpus alone (no planted quotes) — the line-bearing
+    * substrate the Gopher/C4 line-rule fixtures build their own plants on. */
+  def paragraphedBase(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / ParaW).cast("long")
+    val ptext = concat_ws("\n",
+      transform(sequence(lit(0L), nChunks - 1),
+        i => concat_ws(" ", slice(toks, (i * ParaW + 1).cast("int"), lit(ParaW)))))
+    Tables.documents(s, d).select(col("doc_id"), ptext.as("text"))
+  }
+
+  /** Repetition fixture: the paragraphed corpus (quotes included) plus a
+    * spam mutant per 17th base doc (id+400000) — its first paragraph
+    * repeated three times. Spam docs must light up the duplicate-line
+    * fractions AND the top-2-gram coverage; everything else stays near 0. */
+  def docsSpam(s: SparkSession, d: String): DataFrame = {
+    val p1 = concat_ws(" ", slice(split(col("text"), " "), 1, ParaW))
+    docsParagraphs(s, d).unionAll(
+      Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat_ws("\n", p1, p1, p1).as("text")))
+  }
+
+  /** Gopher-rules fixture: paragraphed base plus three rule-tripping plant
+    * families — bulleted mutants (every line "- "-prefixed, id+400000,
+    * %17), ellipsis mutants (every line "..."-suffixed, id+500000, %19),
+    * and symbol-spam mutants (eight '#' tokens appended, id+600000, %23).
+    * Base docs already exercise the word-count and stopword rules (short
+    * docs fail ≥50 words; stopword-poor docs fail the ≥2-hits rule). */
+  def docsGopherFix(s: SparkSession, d: String): DataFrame = {
+    val b = paragraphedBase(s, d)
+    val ls = split(col("text"), "\n")
+    // The synthetic vocabulary carries only ONE Gopher stopword ("the"),
+    // so an unenriched corpus fails the ≥2-hits rule uniformly and the
+    // pass flag would be a constant. Every 3rd doc gains a stopword-rich
+    // closing line — the pass flag then genuinely bisects the corpus
+    // (stopword-poor and sub-50-word docs still fail).
+    val enriched = b.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit("\nof the and that have to be with all of it in the end")))
+        .otherwise(col("text")).as("text"))
+    enriched.unionAll(b.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat_ws("\n", transform(ls, l => concat(lit("- "), l))).as("text")))
+      .unionAll(b.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat_ws("\n", transform(ls, l => concat(l, lit("...")))).as("text")))
+      .unionAll(b.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat(col("text"), lit(" # # # # # # # #")).as("text")))
+  }
+
+  /** C4 fixture: paragraphed base with '.' appended to every line (C4's
+    * line rule keeps only terminal-punctuated lines — the synthetic corpus
+    * has no punctuation of its own), plus three plant families: junk-line
+    * mutants (three droppable lines appended: too short / no terminal
+    * punctuation / "javascript", id+400000, %17), lorem-ipsum mutants
+    * (id+500000, %19), and code-brace mutants (id+600000, %23). */
+  def docsC4Fix(s: SparkSession, d: String): DataFrame = {
+    val b = paragraphedBase(s, d)
+    val ls = split(col("text"), "\n")
+    val dotted = b.select(col("doc_id"),
+      concat_ws("\n", transform(ls, l => concat(l, lit(".")))).as("text"))
+    dotted.unionAll(dotted.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat_ws("\n", col("text"), lit("tiny line."),
+            lit("this line has no terminal punctuation"),
+            lit("please enable javascript to view this page.")).as("text")))
+      .unionAll(dotted.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("lorem ipsum dolor sit amet consectetur elit.")).as("text")))
+      .unionAll(dotted.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("function render() { return body; }")).as("text")))
   }
 
   /** DuckDB restatement of [[docsParagraphs]] as relation `pdq(doc_id,
@@ -108,6 +182,76 @@ object LlmQueries {
       |           'quoted repost footer boilerplate' AS text
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE doc_id % 13 = 0)""".stripMargin
+
+  /** DuckDB restatement of [[paragraphedBase]] as relation `pb(doc_id,
+    * text)` — the quote-free paragraphed corpus the Gopher/C4 fixtures
+    * plant on. Chunking arithmetic identical to [[ParaCte]]'s. */
+  private val PBaseCte =
+    """WITH pb AS (
+      |  SELECT doc_id,
+      |         array_to_string(list_transform(
+      |           generate_series(1, CAST(ceil(len(t) / 12.0) AS BIGINT)),
+      |           i -> array_to_string(t[(i-1)*12+1:i*12], ' ')), chr(10)) AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  /** [[docsSpam]] restated: the paragraphed corpus (quotes included, via
+    * [[ParaCte]]'s pdq) plus the 3×-repeated-first-paragraph spam plant. */
+  private val SpamCte = s"$ParaCte,\n" +
+    """sdq AS (
+      |  SELECT doc_id, text FROM pdq
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id,
+      |         p1 || chr(10) || p1 || chr(10) || p1 AS text
+      |  FROM (SELECT doc_id,
+      |               array_to_string(string_split(text, ' ')[1:12], ' ') AS p1
+      |        FROM documents WHERE doc_id % 17 = 0))""".stripMargin
+
+  /** [[docsGopherFix]] restated as `gdq(doc_id, text)`. */
+  private val GopherCte = s"$PBaseCte,\n" +
+    """gdq AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN text || chr(10) ||
+      |                'of the and that have to be with all of it in the end'
+      |              ELSE text END AS text
+      |  FROM pb
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id,
+      |         array_to_string(list_transform(string_split(text, chr(10)),
+      |           l -> '- ' || l), chr(10)) AS text
+      |  FROM pb WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id,
+      |         array_to_string(list_transform(string_split(text, chr(10)),
+      |           l -> l || '...'), chr(10)) AS text
+      |  FROM pb WHERE doc_id % 19 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 600000 AS doc_id, text || ' # # # # # # # #' AS text
+      |  FROM pb WHERE doc_id % 23 = 0)""".stripMargin
+
+  /** [[docsC4Fix]] restated as `cdq(doc_id, text)`. */
+  private val C4Cte = s"$PBaseCte,\n" +
+    """dotted AS (
+      |  SELECT doc_id,
+      |         array_to_string(list_transform(string_split(text, chr(10)),
+      |           l -> l || '.'), chr(10)) AS text
+      |  FROM pb),
+      |cdq AS (
+      |  SELECT doc_id, text FROM dotted
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id,
+      |         text || chr(10) || 'tiny line.' ||
+      |           chr(10) || 'this line has no terminal punctuation' ||
+      |           chr(10) || 'please enable javascript to view this page.' AS text
+      |  FROM dotted WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id,
+      |         text || chr(10) || 'lorem ipsum dolor sit amet consectetur elit.' AS text
+      |  FROM dotted WHERE doc_id % 19 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 600000 AS doc_id,
+      |         text || chr(10) || 'function render() { return body; }' AS text
+      |  FROM dotted WHERE doc_id % 23 = 0)""".stripMargin
 
   /** Shared plan for q_quality_cut and its det twin — only the threshold
     * aggregate differs (approx_percentile in production, exact percentile in
@@ -598,6 +742,64 @@ object LlmQueries {
     // collapse to its first quoting doc, while base paragraphs pass through.
     "q_dedup_paragraph" -> ((s, d) => {
       Dedup.paragraphSurvivors(docsParagraphs(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher repetition battery (Rae et al. 2021): duplicate-line fraction,
+    // duplicate-line CHARACTER fraction, and top-2-gram coverage — the
+    // signals that catch boilerplate/spam whole-document dedup misses.
+    // Everything is a per-row HOF projection (the top-gram is a sorted
+    // fold, not a (doc, gram) shuffle) — scan speed at any corpus size.
+    // Fixture: the paragraphed corpus plus planted spam docs (one
+    // paragraph repeated 3×) that must light up all three signals.
+    "q_gopher_repetition" -> ((s, d) => {
+      val ls = TextAnalysis.docLines(col("text"))
+      val tb = TextAnalysis.topBigram(TextAnalysis.flatTokens(col("text")))
+      docsSpam(s, d)
+        .select(col("doc_id"), col("text"), ls.as("ls"), tb.as("tb"))
+        .select(col("doc_id"),
+          size(col("ls")).cast("long").as("n_lines"),
+          round(TextAnalysis.dupLineFrac(col("ls")), 6).as("dup_line_frac"),
+          round(TextAnalysis.dupLineCharFrac(col("ls")), 6).as("dup_char_frac"),
+          col("tb.cnt").as("top2_cnt"),
+          col("tb.gram").as("top2_gram"),
+          round(col("tb.cnt") * length(col("tb.gram")) / length(col("text")), 6)
+            .as("top2_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher quality-rule battery (Rae et al. 2021 §A1.1): word count,
+    // mean word length, symbol ratio, bullet/ellipsis line fractions,
+    // alpha-word fraction, stopword hits, and the composite pass flag —
+    // the canonical pre-training heuristic filter. Zero-shuffle per-row
+    // projections; the fixture plants one mutant family per line rule.
+    "q_gopher_rules" -> ((s, d) => {
+      TextAnalysis.withGopherSignals(docsGopherFix(s, d), col("text"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("bullet_frac"), 6).as("bullet_frac"),
+          round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("stop_hits"), col("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines that end
+    // in terminal punctuation, carry ≥5 words, and don't mention
+    // javascript; keep docs with ≥3 surviving lines and no lorem-ipsum /
+    // code-brace markers. One filter HOF per row — the line rules never
+    // explode the corpus.
+    "q_c4_clean" -> ((s, d) => {
+      val ls = TextAnalysis.docLines(col("text"))
+      docsC4Fix(s, d)
+        .select(col("doc_id"), col("text"), ls.as("ls"),
+          TextAnalysis.c4KeptLines(ls).as("kept"))
+        .select(col("doc_id"),
+          size(col("ls")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          length(concat_ws("\n", col("kept"))).cast("long").as("clean_chars"),
+          TextAnalysis.c4DocKeep(col("text"), size(col("kept"))).as("doc_kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1425,6 +1627,95 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS n_kept,
         |       string_agg(para, chr(10) ORDER BY pos) AS kept_text
         |FROM rk WHERE r = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Gopher repetition: line fractions as list arithmetic; the top
+    // 2-gram restated as the (count DESC, gram) winner over an unnested
+    // (doc, gram) group — the same tie Spark's sorted fold keeps
+    "q_gopher_repetition" -> (s"$SpamCte,\n" +
+      """ln AS (SELECT doc_id, len(text) AS n_chars,
+        |              string_split(text, chr(10)) AS ls
+        |       FROM sdq),
+        |base AS (
+        |  SELECT doc_id, n_chars, len(ls) AS n_lines,
+        |         round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6)
+        |           AS dup_line_frac,
+        |         CASE WHEN list_sum(list_transform(ls, l -> len(l))) > 0
+        |              THEN round(1.0 -
+        |                list_sum(list_transform(list_distinct(ls), l -> len(l))) * 1.0 /
+        |                list_sum(list_transform(ls, l -> len(l))), 6)
+        |              ELSE 0.0 END AS dup_char_frac
+        |  FROM ln),
+        |tg AS (SELECT doc_id,
+        |              unnest(list_transform(generate_series(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1])) AS gram
+        |       FROM (SELECT doc_id,
+        |                    string_split(replace(text, chr(10), ' '), ' ') AS t
+        |             FROM sdq)),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, c AS top2_cnt, gram AS top2_gram FROM gc
+        |        QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY c DESC, gram) = 1)
+        |SELECT b.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |       dup_line_frac, dup_char_frac,
+        |       CAST(coalesce(top2_cnt, 0) AS BIGINT) AS top2_cnt,
+        |       coalesce(top2_gram, '') AS top2_gram,
+        |       round(coalesce(top2_cnt, 0) * len(coalesce(top2_gram, '')) * 1.0
+        |             / n_chars, 6) AS top2_frac
+        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY b.doc_id""".stripMargin),
+
+    // Gopher rules: the identical per-doc arithmetic over the planted
+    // fixture; the pass flag re-derives from the UNROUNDED ratios exactly
+    // as Spark's composite does
+    "q_gopher_rules" -> (s"$GopherCte,\n" +
+      """sig AS (SELECT doc_id, text,
+        |               string_split(replace(text, chr(10), ' '), ' ') AS t,
+        |               string_split(text, chr(10)) AS ls
+        |        FROM gdq),
+        |m AS (SELECT doc_id, len(t) AS n_words,
+        |             (len(text) - len(t) + 1) * 1.0 / len(t) AS mean_word_len,
+        |             len(list_filter(t, x -> x = '#' OR contains(x, '...')))
+        |               * 1.0 / len(t) AS symbol_ratio,
+        |             len(list_filter(ls, l -> starts_with(l, '- ')
+        |               OR starts_with(l, '* '))) * 1.0 / len(ls) AS bullet_frac,
+        |             len(list_filter(ls, l -> ends_with(l, '...')))
+        |               * 1.0 / len(ls) AS ellipsis_frac,
+        |             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |               * 1.0 / len(t) AS alpha_frac,
+        |             len(list_filter(
+        |               ['the','be','to','of','and','that','have','with'],
+        |               w -> list_contains(t, w))) AS stop_hits
+        |      FROM sig)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       round(mean_word_len, 6) AS mean_word_len,
+        |       round(symbol_ratio, 6) AS symbol_ratio,
+        |       round(bullet_frac, 6) AS bullet_frac,
+        |       round(ellipsis_frac, 6) AS ellipsis_frac,
+        |       round(alpha_frac, 6) AS alpha_frac,
+        |       CAST(stop_hits AS BIGINT) AS stop_hits,
+        |       (n_words BETWEEN 50 AND 100000)
+        |         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |         AND stop_hits >= 2 AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // C4 cleaning: the identical line keep-rule as a list_filter lambda,
+    // doc keep-rule over the raw text + kept count
+    "q_c4_clean" -> (s"$C4Cte,\n" +
+      """k AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        |             list_filter(string_split(text, chr(10)), l ->
+        |               (ends_with(l, '.') OR ends_with(l, '!')
+        |                 OR ends_with(l, '?') OR ends_with(l, '"'))
+        |               AND len(string_split(l, ' ')) >= 5
+        |               AND NOT contains(lower(l), 'javascript')) AS kept
+        |      FROM cdq)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars,
+        |       (NOT contains(lower(text), 'lorem ipsum'))
+        |         AND (NOT contains(text, '{'))
+        |         AND len(kept) >= 3 AS doc_kept
+        |FROM k ORDER BY doc_id""".stripMargin),
 
     // incremental dedup: within-batch survivors on the normalized text,
     // anti-joined against the snapshot's normalized-text set

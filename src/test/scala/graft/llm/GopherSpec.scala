@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Gopher repetition signals + rule battery + C4 line cleaning: handcrafted
+  * fixtures per rule, a brute-force twin for the top-2-gram sorted fold
+  * (including adversarial tie cases), and C4 idempotence (cleaning a cleaned
+  * document is the identity — every kept line passes the keep-rule). */
+class GopherSpec extends SparkSpec {
+
+  private def one[T](c: Column, text: String): T = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).getAs[T]("v")
+  }
+
+  // ---- repetition signals ----
+
+  test("dupLineFrac / dupLineCharFrac: repeated paragraph lights both") {
+    val t = "aa bb cc\naa bb cc\ndd"
+    val ls = TextAnalysis.docLines(col("text"))
+    assert(one[Double](TextAnalysis.dupLineFrac(ls), t) === 1.0 / 3.0)
+    // chars: lines 8+8+2=18, distinct 8+2=10 → dup char frac 8/18
+    assert(one[Double](TextAnalysis.dupLineCharFrac(ls), t) === 1.0 - 10.0 / 18.0)
+    assert(one[Double](TextAnalysis.dupLineFrac(ls), "x\ny") === 0.0)
+    assert(one[Double](TextAnalysis.dupLineCharFrac(ls), "x\ny") === 0.0)
+  }
+
+  /** Brute-force twin: count every 2-gram, pick (max count, min gram). */
+  private def topBigramBrute(text: String): (Long, String) = {
+    val toks = text.replace('\n', ' ').split(" ", -1)
+    if (toks.length < 2) (0L, "")
+    else {
+      val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, v) => (g, v.size.toLong) }
+      val mx = counts.values.max
+      (mx, counts.filter(_._2 == mx).keys.min)
+    }
+  }
+
+  test("topBigram matches brute force, ties to the smallest gram") {
+    val cases = Seq(
+      "a b a b a",            // "a b" ×2 beats "b a" ×2? tie → "a b"
+      "z y z y z y x",        // dominant "z y"
+      "solo",                 // <2 tokens → (0, "")
+      "a a a a",              // "a a" ×3
+      "m n\nm n",             // newline-crossing gram "n m" counts once
+      "b a b a c c b a")
+    for (t <- cases) {
+      val got = one[org.apache.spark.sql.Row](
+        TextAnalysis.topBigram(TextAnalysis.flatTokens(col("text"))), t)
+      val (cnt, gram) = topBigramBrute(t)
+      assert(got.getAs[Long]("cnt") === cnt, s"cnt for '$t'")
+      assert(got.getAs[String]("gram") === gram, s"gram for '$t'")
+    }
+  }
+
+  test("topBigram fuzz: 300 random token streams match brute force") {
+    val rnd = new scala.util.Random(14)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(30)
+      val t = Seq.fill(n)(('a' + rnd.nextInt(3)).toChar.toString).mkString(" ")
+      val got = one[org.apache.spark.sql.Row](
+        TextAnalysis.topBigram(TextAnalysis.flatTokens(col("text"))), t)
+      val (cnt, gram) = topBigramBrute(t)
+      assert((got.getAs[Long]("cnt"), got.getAs[String]("gram")) === ((cnt, gram)),
+        s"mismatch for '$t'")
+    }
+  }
+
+  // ---- rule battery ----
+
+  private def signals(text: String): org.apache.spark.sql.Row = {
+    val s = spark
+    import s.implicits._
+    TextAnalysis.withGopherSignals(Seq(text).toDF("text"), col("text"))
+      .collect()(0)
+  }
+
+  private val goodDoc: String = {
+    // 60 plain words + the full stopword set, multi-line, no symbols
+    val body = (1 to 60).map(i => s"word$i").grouped(12)
+      .map(_.mkString(" ")).mkString("\n")
+    body + "\nthe be to of and that have with more words here now"
+  }
+
+  test("gopher rules: the good doc passes; each mutation trips its rule") {
+    val g = signals(goodDoc)
+    assert(g.getAs[Boolean]("gopher_pass"), "good doc must pass")
+
+    assert(!signals("too short but the be to of and").getAs[Boolean]("gopher_pass"),
+      "short doc fails word count")
+    val bulleted = goodDoc.split("\n").map("- " + _).mkString("\n")
+    assert(!signals(bulleted).getAs[Boolean]("gopher_pass"), "bullets fail")
+    val ellipsized = goodDoc.split("\n").map(_ + "...").mkString("\n")
+    assert(!signals(ellipsized).getAs[Boolean]("gopher_pass"), "ellipses fail")
+    val symbols = goodDoc + "\n" + Seq.fill(12)("#").mkString(" ")
+    assert(!signals(symbols).getAs[Boolean]("gopher_pass"), "symbols fail")
+    val numeric = goodDoc + "\n" + (1 to 200).map(_.toString).mkString(" ")
+    assert(!signals(numeric).getAs[Boolean]("gopher_pass"),
+      "numeric flood fails alpha fraction")
+    val noStops = goodDoc.split("\n").dropRight(1).mkString("\n")
+    assert(!signals(noStops).getAs[Boolean]("gopher_pass"),
+      "one stopword is not enough")
+  }
+
+  test("gopher signal arithmetic on a handcrafted doc") {
+    val g = signals("aa bbb\n- cc the dd...\nof #")
+    assert(g.getAs[Long]("n_words") === 8L)
+    assert(g.getAs[Long]("stop_hits") === 2L) // the, of
+    assert(g.getAs[Double]("bullet_frac") === 1.0 / 3.0)
+    assert(g.getAs[Double]("ellipsis_frac") === 1.0 / 3.0)
+    assert(g.getAs[Double]("symbol_ratio") === 2.0 / 8.0) // '#' and 'dd...'
+    assert(g.getAs[Double]("alpha_frac") === 6.0 / 8.0)   // '-' and '#' fail
+  }
+
+  // ---- C4 cleaning ----
+
+  test("c4 line rule: terminal punctuation, ≥5 words, no javascript") {
+    val s = spark
+    import s.implicits._
+    val keep = Seq(
+      "one two three four five.",    // keeps
+      "one two three four five!",    // keeps
+      "one two three four five",     // no terminal punct
+      "four words only here.",       // <5 words
+      "please enable JavaScript to view this.", // javascript (case-folded)
+      "she said \"go ahead and do it\"")        // quote terminal keeps
+      .toDF("l")
+      .select(TextAnalysis.c4KeepLine(col("l")).as("k"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(keep === Seq(true, true, false, false, false, true))
+  }
+
+  test("c4 cleaning is idempotent: kept lines all pass the keep-rule") {
+    val t = "one two three four five.\nshort.\nsix seven eight nine ten eleven?"
+    val ls = TextAnalysis.docLines(col("text"))
+    val cleaned = one[String](
+      concat_ws("\n", TextAnalysis.c4KeptLines(ls)), t)
+    assert(cleaned === "one two three four five.\nsix seven eight nine ten eleven?")
+    val recleaned = one[String](
+      concat_ws("\n", TextAnalysis.c4KeptLines(ls)), cleaned)
+    assert(recleaned === cleaned)
+  }
+
+  test("c4 doc rule: lorem ipsum, brace, and <3 kept lines each reject") {
+    val s = spark
+    import s.implicits._
+    def kept(text: String, k: Int): Boolean =
+      Seq((text, k)).toDF("text", "k")
+        .select(TextAnalysis.c4DocKeep(col("text"), col("k")).as("v"))
+        .collect()(0).getBoolean(0)
+    assert(kept("fine document body", 3))
+    assert(!kept("fine document body", 2))
+    assert(!kept("has Lorem Ipsum inside", 3))
+    assert(!kept("code { inside }", 3))
+  }
+}
