@@ -49,4 +49,41 @@ object Packing {
       }
       .toDF("shard", "doc_id", "pack_id")
   }
+
+  /** Overlapping token-window chunking — the complementary half of
+    * [[packNextFit]]'s "never splits documents" contract: documents longer
+    * than the context window are cut into `size`-token chunks advancing by
+    * `stride = size − overlap` tokens, so every token of the original
+    * appears in at least one chunk and consecutive chunks share `overlap`
+    * tokens of context (the standard trainer-prep window, e.g. 32/8).
+    *
+    * Chunk i covers tokens [i·stride+1, i·stride+size]; a doc emits
+    * max(1, 1+⌈(n−size)/stride⌉) chunks — the last chunk is the only one
+    * allowed to run short, and it is never empty. Output: (doc_id,
+    * chunk_idx, chunk_tokens, chunk_chars).
+    *
+    * 100 TB shape: one generator explode per row (posexplode of a
+    * sequence) feeding a narrow projection — no shuffle, no state; the
+    * row multiplier is corpus_tokens/stride, the irreducible output size.
+    * Integer arithmetic end-to-end, so the oracle restates it exactly. */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = col("__ctoks")
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = when(n <= size, lit(1L)).otherwise(
+      lit(1L) + ceil((n - size).cast("double") / stride).cast("long"))
+    df.select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("__ctoks"))
+      .select(col("doc_id"), toks,
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(toks, (col("chunk_idx") * stride + 1).cast("int"), lit(size))
+          .as("__sl"))
+      .select(col("doc_id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__sl")).cast("long")
+          .as("chunk_tokens"),
+        length(concat_ws(" ", col("__sl"))).cast("long").as("chunk_chars"))
+  }
 }

@@ -899,6 +899,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping context-window chunking (size 32, overlap 8): the
+    // "document longer than the context window" half of trainer prep that
+    // packing's never-split contract leaves to the caller. One generator
+    // explode + narrow projection — no shuffle; integer arithmetic both
+    // engines. PackingSpec pins full coverage + stride reconstruction.
+    "q_chunk_overlap" -> ((s, d) => {
+      graft.llm.Packing.chunkTokens(Tables.documents(s, d),
+          col("doc_id"), col("text"), size = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // End-to-end C4-style cleaning: quality + language filter, THEN near-dup
     // cluster resolution over the survivors — the full
     // filter → pair → cluster → drop pipeline in one query. Every stage is
@@ -2095,6 +2106,27 @@ object LlmQueries {
         |WHERE rk <= CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12
         |                        WHEN 'src2' THEN 8 END
         |ORDER BY source, doc_id""".stripMargin,
+
+    // chunking: identical integer window arithmetic — chunk i slices
+    // [i*24+1, i*24+32], list slicing clamps at the end in both engines
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |             CASE WHEN n <= 32 THEN 1
+        |                  ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT)
+        |             END AS nc
+        |      FROM t),
+        |x AS (SELECT doc_id, tk,
+        |             unnest(generate_series(0, nc - 1)) AS chunk_idx
+        |      FROM c)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(tk[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT)
+        |         AS chunk_tokens,
+        |       CAST(len(array_to_string(tk[chunk_idx*24+1 : chunk_idx*24+32],
+        |         ' ')) AS BIGINT) AS chunk_chars
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_pack_nextfit" ->
       """WITH RECURSIVE t AS (
