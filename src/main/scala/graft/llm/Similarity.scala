@@ -479,6 +479,73 @@ object Similarity {
       .select(col("pid"), col("nid"), col("dist"), col("adist"), col("rank"))
   }
 
+  /** L2-normalized double view of an embedding table: (vec_id, nv, qv) —
+    * nv the unit vector, qv its floor(·100) integer quantization for cell
+    * assignment. Normalizing FIRST makes everything downstream
+    * scale-invariant: a 2^k-scaled copy normalizes to the IDENTICAL
+    * doubles (power-of-two scaling is mantissa-preserving in IEEE-754
+    * through square, sum, sqrt, and divide), so a scaled duplicate gets
+    * the same cell AND cosine exactly 1 by construction. Zero vectors
+    * pass through unnormalized (they cluster together, cosine 0). */
+  private[llm] def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), dot(col("v"), col("v")).as("n2"))
+      .select(col("vec_id"),
+        when(col("n2") > 0d,
+          transform(col("v"), e => e / sqrt(col("n2")))).otherwise(col("v"))
+          .as("nv"))
+      .select(col("vec_id"), col("nv"), quant(col("nv"), 100).as("qv"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * embedding clustering — cluster the normalized corpus, compare vectors
+    * only WITHIN a cluster, drop every vector whose cluster holds a
+    * lower-id vector with cosine ≥ `tau`. Returns the surviving rows of
+    * `emb` (all columns).
+    *
+    * Spark shape, stage by stage:
+    *   1. cell assignment — integer-L2 argmin over the broadcast quantized
+    *      centroids (ties → lowest cell id): the [[ivfPqTopK]] groupBy
+    *      discipline, corpus never shuffles against the product;
+    *   2. candidate pairs — equi-join on (cell, bucket) with id_a < id_b,
+    *      where bucket is the scale-invariant hyperplane LSH key over the
+    *      normalized vector ([[lshBucket]], nBits > 0) that keeps a hot
+    *      cell's pair fan-out bounded the same way [[cosineNearDupPairs]]
+    *      bounds its buckets; nBits = 0 degenerates to the paper's pure
+    *      within-cluster comparison (bucket constant — the restatable form
+    *      the oracle checks, pinned a superset of any nBits > 0 pair set);
+    *   3. exact cosine = plain dot of unit vectors, threshold at `tau`,
+    *      losers = distinct id_b, survivors via un-hinted anti-join (AQE
+    *      sizes the loser set — the dedup-apply rule).
+    *
+    * 100 TB posture: |centroids| is the caller's N/cluster-size knob (the
+    * paper runs k ≈ √N to |N|/10k; assignment cost is the linear-scan
+    * N·k·dim integer product every IVF variant here pays), per-cell work
+    * is (cluster size)² bounded below the nBits sub-bucketing. */
+  def semDeDupSurvivors(emb: DataFrame, centroids: DataFrame, tau: Double,
+      nBits: Int = 0): DataFrame = {
+    val n = normalized(emb)
+    val cent = normalized(centroids)
+      .select(col("vec_id").as("cell"), col("qv").as("cqv"))
+    val cells = n.select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("il2", l2sq(col("qv"), col("cqv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("il2"), col("cell"))).as("cell"))
+    val keyed = n.join(cells, "vec_id")
+      .withColumn("bucket",
+        if (nBits == 0) lit(0L) else lshBucket(col("nv"), nBits))
+      .select(col("vec_id"), col("cell"), col("bucket"), col("nv"))
+    val losers = keyed.as("a").hint("shuffle_merge")
+      .join(keyed.as("b").hint("shuffle_merge"),
+        col("a.cell") === col("b.cell") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.nv"), col("b.nv")) >= tau)
+      .select(col("b.vec_id").as("loser")).distinct()
+    emb.join(losers, emb("vec_id") === losers("loser"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs — the embedding-space twin of
     * [[graft.llm.Dedup.minHashCandidates]]: LSH bucket as candidate key,
     * exact cosine inside the bucket, keep pairs ≥ threshold. Positive

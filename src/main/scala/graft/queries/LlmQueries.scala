@@ -1146,6 +1146,25 @@ object LlmQueries {
         .orderBy(col("id_a"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): cluster the NORMALIZED embeddings
+    // (integer-L2 argmin over the stride centroids — normalization first
+    // makes cells and cosine scale-invariant, so the 0.5×-scaled plants
+    // co-cluster with their originals exactly), then drop within-cluster
+    // cosine near-dups keeping the lowest id. Unlike q_dedup_embed's
+    // planted-slice check, the WHOLE pipeline is restatable: every stage
+    // is either integer or identical-IEEE-op double arithmetic, so the
+    // oracle recomputes cells, pairs, and survivors from scratch. nBits=0
+    // here (pure within-cluster, the paper's form); production sets
+    // nBits>0 for the hot-cell guard — LlmSpec pins the survivor-set
+    // relationship between the two.
+    "q_dedup_semdedup" -> ((s, d) => {
+      Similarity.semDeDupSurvivors(embScaledDups(s, d),
+          centroids = Tables.embeddings(s, d).filter(col("vec_id") % 101 === 0),
+          tau = 0.999, nBits = 0)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Multimodal: metadata-only filter — the blob column is never read
     // (column pruning), which IS the 100 TB point of the typed-struct design.
     "q_mm_meta" -> ((s, d) => {
@@ -1313,6 +1332,54 @@ object LlmQueries {
     "q_dedup_embed" -> """SELECT vec_id AS id_a, vec_id + 200000 AS id_b,
       |       CAST(1.0 AS DOUBLE) AS cos
       |FROM embeddings WHERE vec_id % 9 = 0 ORDER BY id_a""".stripMargin,
+
+    // SemDeDup recomputed from scratch: normalize (left-fold sum of
+    // squares — the same IEEE op order as Spark's aggregate, so the unit
+    // vectors are bit-identical), quantize, integer-L2 argmin cells
+    // (ties → lowest cell), within-cell pairs, left-fold dot ≥ τ,
+    // survivors = NOT IN losers
+    "q_dedup_semdedup" ->
+      """WITH e2 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5) AS v
+        |  FROM embeddings WHERE vec_id % 9 = 0),
+        |nrm AS (SELECT vec_id, v,
+        |               list_reduce(list_transform(v, x -> x * x),
+        |                 (a, b) -> a + b) AS n2
+        |        FROM e2),
+        |q AS (SELECT vec_id,
+        |             CASE WHEN n2 > 0
+        |                  THEN list_transform(v, x -> x / sqrt(n2))
+        |                  ELSE v END AS nv
+        |      FROM nrm),
+        |qq AS (SELECT vec_id, nv,
+        |              list_transform(nv, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+        |       FROM q),
+        |cent AS (SELECT vec_id AS cell, qv AS cqv FROM qq
+        |         WHERE vec_id < 200000 AND vec_id % 101 = 0),
+        |asg AS (SELECT qq.vec_id, cent.cell,
+        |               list_reduce(list_transform(generate_series(1, len(qv)),
+        |                 i -> (qv[i] - cqv[i]) * (qv[i] - cqv[i])),
+        |                 (a, b) -> a + b) AS il2
+        |        FROM qq, cent),
+        |cells AS (SELECT vec_id, cell FROM asg
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                                     ORDER BY il2, cell) = 1),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id AS loser
+        |  FROM cells a
+        |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN qq qa ON qa.vec_id = a.vec_id
+        |  JOIN qq qb ON qb.vec_id = b.vec_id
+        |  WHERE list_reduce(list_transform(generate_series(1, len(qa.nv)),
+        |          i -> qa.nv[i] * qb.nv[i]), (x, y) -> x + y) >= 0.999)
+        |SELECT vec_id FROM e2
+        |WHERE vec_id NOT IN (SELECT loser FROM losers)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_dedup_exact" -> s"""$DupCte,
       |norm AS (SELECT doc_id,

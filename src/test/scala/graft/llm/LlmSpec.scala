@@ -421,6 +421,56 @@ class LlmSpec extends SparkSpec {
     found.foreach { case (id, c) => assert(c === 1.0, s"vec $id cos $c") }
   }
 
+  test("semdedup: normalization is exactly scale-invariant for 0.5× copies") {
+    val dups = graft.queries.LlmQueries.embScaledDups(spark, Sf)
+    val n = Similarity.normalized(dups)
+    val base = n.filter(col("vec_id") % 9 === 0 && col("vec_id") < 200000)
+      .select(col("vec_id"), col("nv"), col("qv"))
+    val scaled = n.filter(col("vec_id") >= 200000)
+      .select((col("vec_id") - 200000L).as("vec_id"),
+        col("nv").as("snv"), col("qv").as("sqv"))
+    val joined = base.join(scaled, "vec_id")
+      .select(col("nv") === col("snv"), col("qv") === col("sqv"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getBoolean(0), "unit vectors must be bit-identical")
+      assert(r.getBoolean(1), "quantized cells must be identical")
+    }
+  }
+
+  test("semdedup: drops exactly the planted dups; nBits guard only widens survivors") {
+    val dups = graft.queries.LlmQueries.embScaledDups(spark, Sf)
+    val cents = Tables.embeddings(spark, Sf).filter(col("vec_id") % 101 === 0)
+    val baseIds = Tables.embeddings(spark, Sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val s0 = Similarity.semDeDupSurvivors(dups, cents, tau = 0.999, nBits = 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(s0 === baseIds, "survivors = base corpus (all scaled plants dropped)")
+    // the hot-cell LSH guard can only SPLIT cells → fewer pairs → a
+    // superset of survivors; scaled plants still co-bucket (hyperplane
+    // signs are scale-invariant) so they stay dropped
+    val s12 = Similarity.semDeDupSurvivors(dups, cents, tau = 0.999, nBits = 12)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(s0.subsetOf(s12), "nBits>0 never drops more than nBits=0")
+    assert(s12 === baseIds, "planted dups still caught under the guard")
+  }
+
+  test("semdedup: single centroid degenerates to corpus-wide cosine dedup") {
+    val s = spark
+    import s.implicits._
+    // 4 vectors: v1 ≈ v0 (near-dup), v2 = -v0, v3 orthogonal-ish
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val oneCent = emb.filter(col("vec_id") === 0L)
+    val got = Similarity.semDeDupSurvivors(emb, oneCent, tau = 0.99)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(0L, 2L, 3L), "v1 deduped against v0; opposite/orthogonal kept")
+  }
+
   test("WAV parser: canonical files, chunk-walk edge cases, garbage safety") {
     import Multimodal.parseWav
     // canonical construction round-trips: 5 bytes → mono (5%2+1=2? no:
