@@ -90,7 +90,8 @@ object DocumentsApp {
     * SUBSET of these) fails fast instead of mixing a third schema. */
   private[graft] val StampedCols: Seq[String] = Seq(
     "n_tokens", "n_distinct", "avg_tok_len", "stop_cnt", "subwords",
-    "quality", "en_like", "lang_pred", "lang_margin", "lm_nll_mw")
+    "quality", "en_like", "lang_pred", "lang_margin", "lm_nll_mw",
+    "gopher_pass", "rep_ratio")
 
   /** Ingest-time enrichment (ingest.stamp_stats): the text-quality battery
     * (token counts, quality score, en_like flag) plus the trigram-NB
@@ -114,6 +115,17 @@ object DocumentsApp {
         graft.llm.LmScore.nllPerWindow(graft.llm.LmScore.nll(col("__pad")),
           graft.llm.LangId.nWindows(col("__pad"))))
       .drop("__pad", "__sc")
+      // Gopher composite + repetition ratio: the round-14 rule battery and
+      // top-token-multiplicity signals, stamped like everything else so
+      // curation cuts read columns. Component signals are dropped —
+      // downstream reads the verdicts; re-derive with withGopherSignals
+      // when the breakdown is wanted.
+      .transform(d => TextAnalysis.withGopherSignals(d, col("text"))
+        .drop("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+          "ellipsis_frac", "alpha_frac", "stop_hits"))
+      .withColumn("rep_ratio",
+        TextAnalysis.maxTokenFreq(TextAnalysis.tokens(col("text")))
+          .cast("double") / col("n_tokens"))
 
   /** The live "how clean is my corpus" roll-up — per predicted language:
     * docs, token and subword mass, mean quality. The SAME aggregation as
@@ -131,7 +143,10 @@ object DocumentsApp {
         graft.queries.OracleDefs.stableAvg4(avg(col("quality")))
           .as("avg_quality"),
         graft.queries.OracleDefs.stableAvg4(avg(col("lm_nll_mw")))
-          .as("avg_lm_mw"))
+          .as("avg_lm_mw"),
+        sum(col("gopher_pass").cast("long")).as("n_gopher_pass"),
+        graft.queries.OracleDefs.stableAvg4(avg(col("rep_ratio")))
+          .as("avg_rep_ratio"))
 
   def start(spark: SparkSession, cfg: DocumentsConfig,
       trigger: Trigger = null): StreamingQuery = {

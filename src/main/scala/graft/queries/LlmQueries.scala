@@ -1916,14 +1916,42 @@ object LlmQueries {
       |         JOIN mg m ON m.doc_id = b.doc_id
       |         JOIN nw ON nw.doc_id = b.doc_id
       |         WHERE b.rk = 1),
-      |$LmWindowCtes
+      |$LmWindowCtes,
+      |gsig AS (SELECT doc_id, text,
+      |                string_split(replace(text, chr(10), ' '), ' ') AS t,
+      |                string_split(text, chr(10)) AS ls
+      |         FROM documents),
+      |gp AS (SELECT doc_id,
+      |              (len(t) BETWEEN 50 AND 100000)
+      |                AND ((len(text) - len(t) + 1) * 1.0 / len(t)
+      |                     BETWEEN 3.0 AND 10.0)
+      |                AND len(list_filter(t, x -> x = '#' OR contains(x, '...')))
+      |                    * 1.0 / len(t) <= 0.1
+      |                AND len(list_filter(ls, l -> starts_with(l, '- ')
+      |                    OR starts_with(l, '* '))) * 1.0 / len(ls) <= 0.9
+      |                AND len(list_filter(ls, l -> ends_with(l, '...')))
+      |                    * 1.0 / len(ls) <= 0.3
+      |                AND len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+      |                    * 1.0 / len(t) >= 0.8
+      |                AND len(list_filter(
+      |                  ['the','be','to','of','and','that','have','with'],
+      |                  w -> list_contains(t, w))) >= 2 AS pass
+      |       FROM gsig),
+      |rtk AS (SELECT doc_id, unnest(tk) AS tok FROM st),
+      |rcnt AS (SELECT doc_id, tok, count(*) AS c FROM rtk GROUP BY 1, 2),
+      |rep AS (SELECT r.doc_id, max(r.c) * 1.0 / any_value(f.n_tokens) AS rr
+      |        FROM rcnt r JOIN feat f USING (doc_id) GROUP BY r.doc_id)
       |SELECT p.lang_pred,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
       |       CAST(sum(f.subwords) AS BIGINT) AS total_subwords,
       |       ${OracleDefs.stableAvg4Sql("avg(f.quality)")} AS avg_quality,
-      |       ${OracleDefs.stableAvg4Sql("avg(l.lm_mw)")} AS avg_lm_mw
+      |       ${OracleDefs.stableAvg4Sql("avg(l.lm_mw)")} AS avg_lm_mw,
+      |       CAST(sum(CASE WHEN g.pass THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_gopher_pass,
+      |       ${OracleDefs.stableAvg4Sql("avg(r.rr)")} AS avg_rep_ratio
       |FROM pred p JOIN feat f USING (doc_id) JOIN lmmw l USING (doc_id)
+      |     JOIN gp g USING (doc_id) JOIN rep r USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_stats" ->
