@@ -94,4 +94,74 @@ object Bpe {
     * expression matches against. */
   lazy val vocabSqlValues: String =
     vocab.keys.toSeq.sorted.map(g => s"(${sqlQuote(g)})").mkString(",\n")
+
+  /** Symbol separator for [[trainMerges]]' sequence encoding — a control
+    * char that cannot appear in whitespace-split tokens. */
+  val SymSep = "\u001e"
+
+  /** BPE merge TRAINING (Sennrich et al. 2016) — the learn side of the
+    * pinned-vocab story above: derive the first `rounds` merges from the
+    * corpus itself. Classic algorithm on the word-frequency table: count
+    * adjacent symbol pairs (weighted by word frequency), merge the most
+    * frequent pair everywhere (ties → lexicographically smallest pair),
+    * repeat. Returns (merge_rank, sym_l, sym_r, pair_count).
+    *
+    * Spark shape — the part that matters at 100 TB: the working set is the
+    * DISTINCT-WORD table (one explode + one map-side-combined groupBy of
+    * the corpus, then vocabulary-sized forever), exactly how offline BPE
+    * trainers operate; each round is one narrow pair-explode + groupBy over
+    * that table and the argmax collects ONE row for loop control (the
+    * k-means-iteration class of driver decision, not a data collect).
+    * Symbol sequences ride as [[SymSep]]-joined strings so the merge apply
+    * is a codegen'd left-to-right non-overlapping `replace` — the same
+    * semantics in the JVM and in the oracle's `replace`, which restates
+    * the identical unrolled rounds from the same corpus. Pair counts count
+    * every adjacent occurrence (the reference algorithm's statistic);
+    * the apply is non-overlapping left-to-right (aaa + (a,a) → [aa, a]).
+    * Tokens here are single-code-unit chars (ASCII corpus); a multi-plane
+    * corpus would swap the char split for a code-point split like
+    * [[countToken]]'s. */
+  def trainMerges(docs: org.apache.spark.sql.DataFrame, text: Column,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(rounds > 0, "rounds must be positive")
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(TextAnalysis.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat_ws(SymSep, split(col("w"), "")).as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = words
+        .select(col("freq"), split(col("sym"), SymSep).as("s"))
+        .select(col("freq"),
+          explode(when(size(col("s")) >= 2,
+            transform(sequence(lit(1), size(col("s")) - 1),
+              i => struct(element_at(col("s"), i).as("l"),
+                element_at(col("s"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+            .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, ri, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r.toLong, l, ri, c))
+        words = words.withColumn("sym",
+            org.apache.spark.sql.functions.replace(col("sym"),
+              lit(l + SymSep + ri), lit(l + ri)))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "sym_l", "sym_r", "pair_count")
+  }
 }

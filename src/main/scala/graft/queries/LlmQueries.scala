@@ -253,6 +253,46 @@ object LlmQueries {
       |         text || chr(10) || 'function render() { return body; }' AS text
       |  FROM dotted WHERE doc_id % 23 = 0)""".stripMargin
 
+  /** Rounds for q_bpe_train — small enough for the unrolled oracle (the
+    * kmeansDet 2-round precedent), large enough that later merges build ON
+    * earlier merged symbols. */
+  private val BpeTrainRounds = 4
+
+  /** DuckDB restatement of [[graft.llm.Bpe.trainMerges]]: the same rounds
+    * UNROLLED — w0 is the distinct-word frequency table with char-split
+    * symbol strings (chr(30) = [[graft.llm.Bpe.SymSep]]); each round
+    * counts adjacent pairs, takes the (cnt DESC, l, r) winner, and
+    * rewrites every word's symbol string with the same non-overlapping
+    * left-to-right `replace`. Generated, not hand-written, so the round
+    * count stays a one-constant change. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val sep = "chr(30)"
+    val init =
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |w0 AS (SELECT array_to_string(string_split(tok, ''), $sep) AS sym,
+         |              count(*) AS freq
+         |       FROM t WHERE len(tok) > 0 GROUP BY 1)""".stripMargin
+    val roundCtes = (0 until rounds).map { k =>
+      s""",
+         |p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
+         |         SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+         |           i -> {'l': s[i], 'r': s[i+1]}), recursive := true)
+         |         FROM (SELECT freq, string_split(sym, $sep) AS s FROM w$k))
+         |       GROUP BY l, r),
+         |m$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, l, r, cnt
+         |        FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w${k + 1} AS (SELECT replace(sym, m.l || $sep || m.r, m.l || m.r) AS sym,
+         |              freq
+         |        FROM w$k, m$k m)""".stripMargin
+    }.mkString
+    val union = (0 until rounds).map(k => s"SELECT * FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""$init$roundCtes
+       |SELECT merge_rank, l AS sym_l, r AS sym_r,
+       |       CAST(cnt AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
   /** Shared plan for q_quality_cut and its det twin — only the threshold
     * aggregate differs (approx_percentile in production, exact percentile in
     * the oracle instrument). The broadcast hint is safe here unlike
@@ -897,6 +937,18 @@ object LlmQueries {
           pmod(col("doc_id"), lit(8)), col("doc_id"), col("n_tok"),
           maxTokens = 512L)
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge TRAINING (Sennrich et al. 2016): the first 4 merges
+    // learned from the corpus's own word-frequency table — the learn side
+    // of q_pack_bpe's pinned-vocab apply. Distinct-word working set, one
+    // pair-count groupBy per round, single-row argmax for loop control;
+    // the oracle replays the identical unrolled rounds (same tie order,
+    // same non-overlapping replace semantics).
+    "q_bpe_train" -> ((s, d) => {
+      graft.llm.Bpe.trainMerges(Tables.documents(s, d), col("text"),
+          rounds = BpeTrainRounds)
+        .orderBy(col("merge_rank"))
     }),
 
     // Overlapping context-window chunking (size 32, overlap 8): the
@@ -2201,6 +2253,10 @@ object LlmQueries {
         |WHERE rk <= CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12
         |                        WHEN 'src2' THEN 8 END
         |ORDER BY source, doc_id""".stripMargin,
+
+    // BPE training: the identical rounds unrolled — pair counts from
+    // adjacent symbols, (cnt DESC, l, r) argmax, non-overlapping replace
+    "q_bpe_train" -> bpeTrainSql(BpeTrainRounds),
 
     // chunking: identical integer window arithmetic — chunk i slices
     // [i*24+1, i*24+32], list slicing clamps at the end in both engines

@@ -68,4 +68,79 @@ class BpeSpec extends SparkSpec {
       .count()
     assert(viol === 0L)
   }
+
+  // ---- merge training ----
+
+  /** Single-JVM reference trainer: same statistic (all adjacent
+    * occurrences), same tie order, same left-to-right non-overlapping
+    * apply — but on plain Scala collections. */
+  private def trainBrute(docs: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = docs.flatMap(_.split(" "))
+      .filter(_.nonEmpty).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, f) => w.split("").toVector -> f }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 0 until rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.update((syms(i), syms(i + 1)),
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f)
+      if (counts.nonEmpty) {
+        val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r.toLong, l, rr, c))
+        words = words.map { case (syms, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              nb += (l + rr); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          nb.result() -> f
+        } // merged keys cannot collide: distinct words stay distinct
+      }
+    }
+    out.result()
+  }
+
+  private def trainSpark(docs: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    val s = spark
+    import s.implicits._
+    Bpe.trainMerges(docs.toDF("text"), col("text"), rounds)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("trainMerges: the textbook low/lower/lowest example") {
+    // freqs: low×5 lower×2 newest×6 widest×3 → 'es' wins round 0 (9),
+    // then 'est' (9) — merges build on merged symbols
+    val docs = Seq(
+      ("low " * 5).trim, ("lower " * 2).trim,
+      ("newest " * 6).trim, ("widest " * 3).trim)
+    val got = trainSpark(docs, 4)
+    assert(got === trainBrute(docs, 4))
+    assert(got.head._2 === "e" && got.head._3 === "s" && got.head._4 === 9L)
+    assert(got(1)._2 === "es" && got(1)._3 === "t" && got(1)._4 === 9L,
+      "round 1 must merge the ROUND-0 SYMBOL, not raw chars")
+  }
+
+  test("trainMerges: overlapping runs count all occurrences, merge non-overlapping") {
+    // 'aaaa': pairs (a,a)×3 counted; apply → [aa, aa]; round 1 merges
+    // (aa,aa) once
+    val got = trainSpark(Seq("aaaa"), 2)
+    assert(got === Seq((0L, "a", "a", 3L), (1L, "aa", "aa", 1L)))
+  }
+
+  test("trainMerges fuzz: 12 random corpora match the reference trainer") {
+    val rnd = new scala.util.Random(41)
+    for (n <- 1 to 12) {
+      val docs = Seq.fill(3 + rnd.nextInt(3)) {
+        Seq.fill(5 + rnd.nextInt(15))(
+          Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString)
+          .mkString(" ")
+      }
+      assert(trainSpark(docs, 3) === trainBrute(docs, 3), s"case $n: $docs")
+    }
+  }
 }
