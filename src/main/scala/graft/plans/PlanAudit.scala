@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Executed-plan audits shared by the Scratch probes and the plan-shape
@@ -67,6 +67,25 @@ object PlanAudit {
         case r: ReusedExchangeExec => walk(r.child)
         case other =>
           aggFns(other).collect { case pct: PercentileBase => pct.toString }
+      }
+      self ++ p.children.flatMap(walk)
+    }
+    walk(plan)
+  }
+
+  /** Every shuffle exchange in the executed tree — the audit behind a
+    * "scan-speed, zero-shuffle" claim: a per-row projection battery
+    * (Gopher/C4 signals, chunking) must execute with NO exchange at all,
+    * and its registered query form with exactly ONE (the deterministic
+    * dump's global sort). Reused exchanges credit their one execution. */
+  def shuffleExchanges(plan: SparkPlan): Seq[String] = {
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case e: ShuffleExchangeLike => Seq(e.simpleString(120))
+        case _ => Seq.empty
       }
       self ++ p.children.flatMap(walk)
     }

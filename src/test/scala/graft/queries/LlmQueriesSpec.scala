@@ -111,4 +111,38 @@ class LlmQueriesSpec extends SparkSpec {
         s"auditor failed to flag $fn")
     }
   }
+
+  test("scan-speed batteries: zero shuffles as operators, one sort as dumps") {
+    import org.apache.spark.sql.functions._
+    // operator forms (no deterministic-dump sort): NO exchange at all —
+    // the executed proof of the "per-row projection, scan speed" claim
+    val ops = Seq(
+      "gopher signals" -> graft.llm.TextAnalysis.withGopherSignals(
+        LlmQueries.docsGopherFix(spark, Sf), col("text")),
+      "chunking" -> graft.llm.Packing.chunkTokens(
+        graft.model.Tables.documents(spark, Sf),
+        col("doc_id"), col("text"), 32, 8))
+    ops.foreach { case (name, df) =>
+      df.queryExecution.toRdd.foreach(_ => ())
+      val ex = graft.plans.PlanAudit.shuffleExchanges(
+        df.queryExecution.executedPlan)
+      assert(ex.isEmpty, s"$name shuffles: $ex")
+    }
+    // registered dump forms: at most the orderBy's range exchange
+    Seq("q_gopher_repetition", "q_gopher_rules", "q_c4_clean",
+        "q_chunk_overlap").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect()
+      val ex = graft.plans.PlanAudit.shuffleExchanges(
+        df.queryExecution.executedPlan)
+      assert(ex.size <= 1, s"$q carries extra shuffles: $ex")
+    }
+    // positive control: a groupBy query must be visible to the auditor
+    val ctl = graft.model.Tables.documents(spark, Sf)
+      .groupBy(col("source")).count()
+    ctl.collect()
+    assert(graft.plans.PlanAudit.shuffleExchanges(
+      ctl.queryExecution.executedPlan).nonEmpty,
+      "auditor failed to see a real shuffle")
+  }
 }
