@@ -164,4 +164,24 @@ object Bpe {
     import spark.implicits._
     merges.result().toDF("merge_rank", "sym_l", "sym_r", "pair_count")
   }
+
+  /** Subword count under a LEARNED merge list — [[trainMerges]]' tokenizer
+    * applied: each token char-splits to symbols, the merges replay in rank
+    * order (the same non-overlapping `replace` the trainer used), and the
+    * surviving symbol count is the token's subword count. The merge list is
+    * a handful of literals baked into the expression (the model is
+    * driver-side state, like a broadcast centroid table), so this stays a
+    * per-row codegen'd projection — scan speed, no shuffle, no UDF. */
+  def learnedSubwordCount(toks: Column,
+      merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(toks, org.apache.spark.sql.functions.lit(0L), (acc, t) => {
+      val sym0 = concat_ws(SymSep, split(t, ""))
+      val symN = merges.foldLeft(sym0) { case (s, (l, r)) =>
+        org.apache.spark.sql.functions.replace(s,
+          lit(l + SymSep + r), lit(l + r))
+      }
+      acc + size(split(symN, SymSep))
+    })
+  }
 }

@@ -265,7 +265,7 @@ object LlmQueries {
     * rewrites every word's symbol string with the same non-overlapping
     * left-to-right `replace`. Generated, not hand-written, so the round
     * count stays a one-constant change. */
-  private def bpeTrainSql(rounds: Int): String = {
+  private def bpeTrainCtes(rounds: Int): String = {
     val sep = "chr(30)"
     val init =
       s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -285,12 +285,43 @@ object LlmQueries {
          |              freq
          |        FROM w$k, m$k m)""".stripMargin
     }.mkString
+    init + roundCtes
+  }
+
+  private def bpeTrainSql(rounds: Int): String = {
     val union = (0 until rounds).map(k => s"SELECT * FROM m$k")
       .mkString(" UNION ALL ")
-    s"""$init$roundCtes
+    s"""${bpeTrainCtes(rounds)}
        |SELECT merge_rank, l AS sym_l, r AS sym_r,
        |       CAST(cnt AS BIGINT) AS pair_count
        |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q_bpe_train_apply restated: the SAME training CTEs, then every
+    * document token re-segmented by replaying the learned merges in rank
+    * order (one `replace` per round, same non-overlapping semantics). */
+  private def bpeTrainApplySql(rounds: Int): String = {
+    val sep = "chr(30)"
+    val applyCtes = (0 until rounds).map { k =>
+      s""",
+         |s${k + 1} AS (SELECT doc_id,
+         |              replace(sym, m.l || $sep || m.r, m.l || m.r) AS sym
+         |       FROM s$k, m$k m)""".stripMargin
+    }.mkString
+    s"""${bpeTrainCtes(rounds)},
+       |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |       FROM documents),
+       |s0 AS (SELECT doc_id,
+       |              array_to_string(string_split(tok, ''), $sep) AS sym
+       |       FROM dt)$applyCtes,
+       |ag AS (SELECT doc_id,
+       |              CAST(sum(len(string_split(sym, $sep))) AS BIGINT) AS n_sub
+       |       FROM s$rounds GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |       ag.n_sub
+       |FROM documents d JOIN ag USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Shared plan for q_quality_cut and its det twin — only the threshold
@@ -949,6 +980,23 @@ object LlmQueries {
       graft.llm.Bpe.trainMerges(Tables.documents(s, d), col("text"),
           rounds = BpeTrainRounds)
         .orderBy(col("merge_rank"))
+    }),
+
+    // Train→tokenize loop closure: the 4 learned merges re-segment every
+    // document (per-doc learned-subword counts) — the fit is the
+    // driver-side single-row collects above, the apply is one scan-speed
+    // projection with the merge literals baked in.
+    "q_bpe_train_apply" -> ((s, d) => {
+      val merges = graft.llm.Bpe.trainMerges(Tables.documents(s, d),
+          col("text"), BpeTrainRounds)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tok"),
+          graft.llm.Bpe.learnedSubwordCount(col("__tk"), merges).as("n_sub"))
+        .orderBy(col("doc_id"))
     }),
 
     // Overlapping context-window chunking (size 32, overlap 8): the
@@ -2257,6 +2305,9 @@ object LlmQueries {
     // BPE training: the identical rounds unrolled — pair counts from
     // adjacent symbols, (cnt DESC, l, r) argmax, non-overlapping replace
     "q_bpe_train" -> bpeTrainSql(BpeTrainRounds),
+
+    // learned-merge tokenization: training CTEs + rank-order replay
+    "q_bpe_train_apply" -> bpeTrainApplySql(BpeTrainRounds),
 
     // chunking: identical integer window arithmetic — chunk i slices
     // [i*24+1, i*24+32], list slicing clamps at the end in both engines
