@@ -129,6 +129,12 @@ object GraftFunctionRegistry {
       arity("graft_max_token_freq", args, 1)
       MaxTokenFreqExpr(args.head)
     }),
+    // Gopher top-2-gram coverage: struct(cnt, gram) winner over adjacent
+    // token pairs — graft_top_bigram(split(text, ' '))
+    fn("graft_top_bigram", { args =>
+      arity("graft_top_bigram", args, 1)
+      TopBigramExpr(args.head)
+    }),
     // pinned-vocab greedy subword count over a token array — the SQL
     // spelling of Bpe.count: graft_bpe_count(split(text, ' '))
     fn("graft_bpe_count", { args =>

@@ -99,6 +99,32 @@ object Bpe {
     * char that cannot appear in whitespace-split tokens. */
   val SymSep = "\u001e"
 
+  /** Symbol-level non-overlapping left-to-right merge of the pair (l, r)
+    * over a [[SymSep]]-joined symbol string — the r14 ADVICE fix: a plain
+    * `replace(sym, l+SEP+r, lr)` matches ACROSS symbol boundaries (l as a
+    * suffix of a longer symbol, r as a prefix), corrupting e.g. [ab, c]
+    * under the pair (b, c).
+    *
+    * Boundary-safe encoding: wrap every symbol in separators —
+    * `S sym1 S S sym2 S ...` (inter-symbol boundaries become `SS`, the
+    * ends single `S`) — then the pattern `S l S S r S -> S lr S` can only
+    * match two complete adjacent symbols (symbols contain no S, so an
+    * S-bounded span IS a whole symbol). Standard `replace` left-to-right
+    * non-overlapping semantics carry over exactly: the replacement never
+    * re-participates ([a,a,a,a] + (a,a) -> [aa,aa], [a,a,a] -> [aa,a]),
+    * matching the reference trainer's scan. One codegen'd string pass per
+    * merge, identical restatement in the DuckDB oracle. */
+  def mergeSyms(sym: Column, l: String, r: String): Column = {
+    import org.apache.spark.sql.functions._
+    val S = SymSep
+    val wrapped = concat(lit(S),
+      org.apache.spark.sql.functions.replace(sym, lit(S), lit(S + S)), lit(S))
+    val merged = org.apache.spark.sql.functions.replace(wrapped,
+      lit(S + l + S + S + r + S), lit(S + l + r + S))
+    org.apache.spark.sql.functions.replace(
+      merged.substr(lit(2), length(merged) - 2), lit(S + S), lit(S))
+  }
+
   /** BPE merge TRAINING (Sennrich et al. 2016) — the learn side of the
     * pinned-vocab story above: derive the first `rounds` merges from the
     * corpus itself. Classic algorithm on the word-frequency table: count
@@ -154,16 +180,29 @@ object Bpe {
         val (l, ri, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r.toLong, l, ri, c))
-        words = words.withColumn("sym",
-            org.apache.spark.sql.functions.replace(col("sym"),
-              lit(l + SymSep + ri), lit(l + ri)))
+        val prev = words
+        words = words.withColumn("sym", mergeSyms(col("sym"), l, ri))
           .localCheckpoint()
+        // the new checkpoint is materialized (eager), so the prior round's
+        // blocks are dead weight — free them or storage grows linearly
+        // with merge rounds (r14 ADVICE)
+        unpersistCheckpoint(prev)
         r += 1
       }
     }
+    unpersistCheckpoint(words)
     import spark.implicits._
     merges.result().toDF("merge_rank", "sym_l", "sym_r", "pair_count")
   }
+
+  /** Unpersist the block-manager storage behind a localCheckpoint'ed
+    * DataFrame (its analyzed plan is a LogicalRDD over the persisted RDD). */
+  private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Subword count under a LEARNED merge list — [[trainMerges]]' tokenizer
     * applied: each token char-splits to symbols, the merges replay in rank
@@ -178,8 +217,7 @@ object Bpe {
     aggregate(toks, org.apache.spark.sql.functions.lit(0L), (acc, t) => {
       val sym0 = concat_ws(SymSep, split(t, ""))
       val symN = merges.foldLeft(sym0) { case (s, (l, r)) =>
-        org.apache.spark.sql.functions.replace(s,
-          lit(l + SymSep + r), lit(l + r))
+        mergeSyms(s, l, r) // symbol-boundary-safe, like the trainer
       }
       acc + size(split(symN, SymSep))
     })

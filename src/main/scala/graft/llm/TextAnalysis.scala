@@ -126,8 +126,13 @@ object TextAnalysis {
 
   /** Newline-aware tokens: fold '\n' to ' ' first so the token stream
     * crosses line boundaries (translate is a codegen'd 1:1 char map; the
-    * oracle restates it as replace(text, chr(10), ' ')). */
-  def flatTokens(text: Column): Column = split(translate(text, "\n", " "), " ")
+    * oracle restates it as replace(text, chr(10), ' ')). Zero-length
+    * tokens from whitespace runs are dropped — the Gopher paper's "word"
+    * is a non-empty token, and counting empties deflates alpha_frac /
+    * mean_word_len and inflates n_words (r14 ADVICE). The oracle mirrors
+    * this as a len(x) > 0 list_filter. */
+  def flatTokens(text: Column): Column =
+    filter(split(translate(text, "\n", " "), " "), t => length(t) > 0)
 
   /** Line split — the structural unit of the Gopher/C4 line-level rules. */
   def docLines(text: Column): Column = split(text, "\n")
@@ -153,13 +158,22 @@ object TextAnalysis {
   }
 
   /** Most frequent word 2-gram: struct(cnt, gram), ties broken to the
-    * lexicographically smallest gram. Gopher's top-n-gram coverage signal
-    * (cnt·len(gram)/n_chars near 1 ⇒ the doc is one phrase repeated). One
-    * sorted fold per row — the sort groups equal grams into runs, so a
-    * single pass finds the longest run; no explode, no (doc, gram) shuffle.
-    * Strict `>` keeps the FIRST maximal run, which after sorting is the
-    * smallest gram — the same tie the oracle states as (count DESC, gram). */
-  def topBigram(toks: Column): Column = {
+    * lexicographically smallest gram — Gopher's top-n-gram coverage signal
+    * (cnt·len(gram)/n_chars near 1 ⇒ the doc is one phrase repeated).
+    * Production path: one native hash-counting walk per row inside
+    * whole-stage codegen ([[graft.functions.TopBigramExpr]]), pinned equal
+    * to [[topBigramHof]] by GopherSpec. */
+  def topBigram(toks: Column): Column =
+    graft.functions.TopBigramExpr.topBigram(toks)
+
+  /** HOF twin of [[topBigram]] — the engine-portable restatement kept as
+    * the spec reference: one sorted fold per row (the sort groups equal
+    * grams into runs, a single pass finds the longest run). O(n log n)
+    * interpreted lambdas per row, so the native expression carries the
+    * benched path; strict `>` keeps the FIRST maximal run, which after
+    * sorting is the smallest gram — the same tie the oracle states as
+    * (count DESC, gram). */
+  def topBigramHof(toks: Column): Column = {
     val grams = when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
@@ -197,16 +211,20 @@ object TextAnalysis {
     val toks = col("__gtoks")
     val ls = col("__glines")
     val n = size(toks)
+    // empty tokens are filtered ([[flatTokens]]), so n can be 0 for an
+    // all-whitespace doc — every token ratio guards the division (0.0,
+    // and the composite fails on the word-count bound anyway)
+    def overN(c: Column): Column = when(n > 0, c.cast("double") / n).otherwise(lit(0.0))
     df.withColumn("__gtoks", flatTokens(text))
       .withColumn("__glines", docLines(text))
       .withColumns(Map(
         "n_words" -> n.cast("long"),
-        // chars minus single-char separators, over words — exact mean
+        // exact mean over the FILTERED tokens (whitespace runs carry no
+        // phantom zero-length words — r14 ADVICE)
         "mean_word_len" ->
-          ((length(text) - n + lit(1)).cast("double") / n),
+          overN(aggregate(toks, lit(0L), (acc, t) => acc + length(t))),
         "symbol_ratio" ->
-          (size(filter(toks, t => t === "#" || t.contains("...")))
-            .cast("double") / n),
+          overN(size(filter(toks, t => t === "#" || t.contains("...")))),
         "bullet_frac" ->
           (size(filter(ls, l => l.startsWith("- ") || l.startsWith("* ")))
             .cast("double") / size(ls)),
@@ -214,7 +232,7 @@ object TextAnalysis {
           (size(filter(ls, l => l.endsWith("...")))
             .cast("double") / size(ls)),
         "alpha_frac" ->
-          (size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n),
+          overN(size(filter(toks, t => t.rlike("[A-Za-z]")))),
         "stop_hits" ->
           size(filter(array(GopherStopwords.map(lit): _*),
             w => array_contains(toks, w))).cast("long")))

@@ -262,9 +262,27 @@ object LlmQueries {
     * UNROLLED — w0 is the distinct-word frequency table with char-split
     * symbol strings (chr(30) = [[graft.llm.Bpe.SymSep]]); each round
     * counts adjacent pairs, takes the (cnt DESC, l, r) winner, and
-    * rewrites every word's symbol string with the same non-overlapping
-    * left-to-right `replace`. Generated, not hand-written, so the round
-    * count stays a one-constant change. */
+    * rewrites every word's symbol string with the same symbol-boundary-safe
+    * wrapped `replace` as [[graft.llm.Bpe.mergeSyms]] (wrap each symbol in
+    * separators so the pair pattern can only match two WHOLE adjacent
+    * symbols — the r14 ADVICE fix). Generated, not hand-written, so the
+    * round count stays a one-constant change. */
+  /** Inner layer of the wrapped-replace: wrap, then merge the pair over
+    * whole symbols. The OUTER layer ([[mergeSymsUnwrapSql]]) strips the
+    * wrapping — two SELECT layers so `len(ws)` doesn't duplicate this
+    * expression. */
+  private def mergeSymsWrapSql(symExpr: String, lExpr: String, rExpr: String): String = {
+    val sep = "chr(30)"
+    s"""replace($sep || replace($symExpr, $sep, $sep || $sep) || $sep,
+       |                $sep || $lExpr || $sep || $sep || $rExpr || $sep,
+       |                $sep || $lExpr || $rExpr || $sep)""".stripMargin
+  }
+
+  private def mergeSymsUnwrapSql(wsExpr: String): String = {
+    val sep = "chr(30)"
+    s"replace(substr($wsExpr, 2, len($wsExpr) - 2), $sep || $sep, $sep)"
+  }
+
   private def bpeTrainCtes(rounds: Int): String = {
     val sep = "chr(30)"
     val init =
@@ -281,9 +299,10 @@ object LlmQueries {
          |       GROUP BY l, r),
          |m$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, l, r, cnt
          |        FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |w${k + 1} AS (SELECT replace(sym, m.l || $sep || m.r, m.l || m.r) AS sym,
-         |              freq
-         |        FROM w$k, m$k m)""".stripMargin
+         |w${k + 1} AS (SELECT ${mergeSymsUnwrapSql("ws")} AS sym, freq
+         |        FROM (SELECT freq,
+         |                ${mergeSymsWrapSql("sym", "m.l", "m.r")} AS ws
+         |              FROM w$k, m$k m))""".stripMargin
     }.mkString
     init + roundCtes
   }
@@ -304,9 +323,10 @@ object LlmQueries {
     val sep = "chr(30)"
     val applyCtes = (0 until rounds).map { k =>
       s""",
-         |s${k + 1} AS (SELECT doc_id,
-         |              replace(sym, m.l || $sep || m.r, m.l || m.r) AS sym
-         |       FROM s$k, m$k m)""".stripMargin
+         |s${k + 1} AS (SELECT doc_id, ${mergeSymsUnwrapSql("ws")} AS sym
+         |       FROM (SELECT doc_id,
+         |               ${mergeSymsWrapSql("sym", "m.l", "m.r")} AS ws
+         |             FROM s$k, m$k m))""".stripMargin
     }.mkString
     s"""${bpeTrainCtes(rounds)},
        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1827,7 +1847,9 @@ object LlmQueries {
         |              unnest(list_transform(generate_series(1, len(t) - 1),
         |                i -> t[i] || ' ' || t[i+1])) AS gram
         |       FROM (SELECT doc_id,
-        |                    string_split(replace(text, chr(10), ' '), ' ') AS t
+        |                    list_filter(
+        |                      string_split(replace(text, chr(10), ' '), ' '),
+        |                      x -> len(x) > 0) AS t
         |             FROM sdq)),
         |gc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
         |top AS (SELECT doc_id, c AS top2_cnt, gram AS top2_gram FROM gc
@@ -1846,19 +1868,25 @@ object LlmQueries {
     // as Spark's composite does
     "q_gopher_rules" -> (s"$GopherCte,\n" +
       """sig AS (SELECT doc_id, text,
-        |               string_split(replace(text, chr(10), ' '), ' ') AS t,
+        |               list_filter(
+        |                 string_split(replace(text, chr(10), ' '), ' '),
+        |                 x -> len(x) > 0) AS t,
         |               string_split(text, chr(10)) AS ls
         |        FROM gdq),
         |m AS (SELECT doc_id, len(t) AS n_words,
-        |             (len(text) - len(t) + 1) * 1.0 / len(t) AS mean_word_len,
-        |             len(list_filter(t, x -> x = '#' OR contains(x, '...')))
-        |               * 1.0 / len(t) AS symbol_ratio,
+        |             CASE WHEN len(t) > 0 THEN coalesce(
+        |               list_sum(list_transform(t, x -> len(x))), 0)
+        |               * 1.0 / len(t) ELSE 0.0 END AS mean_word_len,
+        |             CASE WHEN len(t) > 0 THEN
+        |               len(list_filter(t, x -> x = '#' OR contains(x, '...')))
+        |               * 1.0 / len(t) ELSE 0.0 END AS symbol_ratio,
         |             len(list_filter(ls, l -> starts_with(l, '- ')
         |               OR starts_with(l, '* '))) * 1.0 / len(ls) AS bullet_frac,
         |             len(list_filter(ls, l -> ends_with(l, '...')))
         |               * 1.0 / len(ls) AS ellipsis_frac,
-        |             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
-        |               * 1.0 / len(t) AS alpha_frac,
+        |             CASE WHEN len(t) > 0 THEN
+        |               len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |               * 1.0 / len(t) ELSE 0.0 END AS alpha_frac,
         |             len(list_filter(
         |               ['the','be','to','of','and','that','have','with'],
         |               w -> list_contains(t, w))) AS stop_hits
@@ -2018,13 +2046,16 @@ object LlmQueries {
       |         WHERE b.rk = 1),
       |$LmWindowCtes,
       |gsig AS (SELECT doc_id, text,
-      |                string_split(replace(text, chr(10), ' '), ' ') AS t,
+      |                list_filter(
+      |                  string_split(replace(text, chr(10), ' '), ' '),
+      |                  x -> len(x) > 0) AS t,
       |                string_split(text, chr(10)) AS ls
       |         FROM documents),
       |gp AS (SELECT doc_id,
-      |              (len(t) BETWEEN 50 AND 100000)
-      |                AND ((len(text) - len(t) + 1) * 1.0 / len(t)
-      |                     BETWEEN 3.0 AND 10.0)
+      |              len(t) > 0
+      |                AND (len(t) BETWEEN 50 AND 100000)
+      |                AND (coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+      |                     * 1.0 / len(t) BETWEEN 3.0 AND 10.0)
       |                AND len(list_filter(t, x -> x = '#' OR contains(x, '...')))
       |                    * 1.0 / len(t) <= 0.1
       |                AND len(list_filter(ls, l -> starts_with(l, '- ')

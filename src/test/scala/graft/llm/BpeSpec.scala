@@ -132,6 +132,49 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((0L, "a", "a", 3L), (1L, "aa", "aa", 1L)))
   }
 
+  test("trainMerges: merges apply to WHOLE symbols, not string suffixes (r14 ADVICE)") {
+    // round 0 merges (a,b) cnt 6 → the word 'abc' becomes [ab, c]; round 1
+    // merges (b,c) cnt 4, which must NOT match inside [ab, c] (b is a
+    // suffix of the symbol 'ab') — the buggy joined-string replace
+    // corrupted it to the single symbol 'abc' and exhausted at 2 merges
+    val docs = Seq(("ab " * 5).trim, ("bc " * 4).trim, "abc")
+    val got = trainSpark(docs, 3)
+    assert(got === trainBrute(docs, 3))
+    assert(got === Seq((0L, "a", "b", 6L), (1L, "b", "c", 4L),
+      (2L, "ab", "c", 1L)),
+      "true symbol-level BPE yields 3 merges on this corpus")
+  }
+
+  test("learnedSubwordCount matches a symbol-level replay, boundary cases included") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "b"), ("b", "c"), ("ab", "c"))
+    def brute(word: String): Long = {
+      var syms = word.split("").toVector
+      for ((l, r) <- merges) {
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            nb += (l + r); i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.result()
+      }
+      syms.length.toLong
+    }
+    val texts = Seq("abc", "ab bc abc", "aabbcc babc cabca", "b c bc cb",
+      "abcabc abcbc", "a", "zzz")
+    val got = texts.toDF("text")
+      .select(col("text"), Bpe.learnedSubwordCount(
+        TextAnalysis.tokens(col("text")), merges).as("n"))
+      .collect()
+    got.foreach { r =>
+      val expected = r.getString(0).split(" ", -1).map(brute).sum
+      assert(r.getLong(1) === expected, s"text '${r.getString(0)}'")
+    }
+  }
+
   test("trainMerges fuzz: 12 random corpora match the reference trainer") {
     val rnd = new scala.util.Random(41)
     for (n <- 1 to 12) {

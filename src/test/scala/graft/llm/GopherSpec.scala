@@ -29,9 +29,10 @@ class GopherSpec extends SparkSpec {
     assert(one[Double](TextAnalysis.dupLineCharFrac(ls), "x\ny") === 0.0)
   }
 
-  /** Brute-force twin: count every 2-gram, pick (max count, min gram). */
+  /** Brute-force twin: count every 2-gram, pick (max count, min gram).
+    * Empty tokens from whitespace runs are not words (r14 ADVICE fix). */
   private def topBigramBrute(text: String): (Long, String) = {
-    val toks = text.replace('\n', ' ').split(" ", -1)
+    val toks = text.replace('\n', ' ').split(" ", -1).filter(_.nonEmpty)
     if (toks.length < 2) (0L, "")
     else {
       val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
@@ -48,26 +49,41 @@ class GopherSpec extends SparkSpec {
       "solo",                 // <2 tokens → (0, "")
       "a a a a",              // "a a" ×3
       "m n\nm n",             // newline-crossing gram "n m" counts once
+      "a  b a b",             // double space: no phantom empty token
+      "x \n y x y",           // space-adjacent newline: 'x y' crosses cleanly
       "b a b a c c b a")
     for (t <- cases) {
-      val got = one[org.apache.spark.sql.Row](
-        TextAnalysis.topBigram(TextAnalysis.flatTokens(col("text"))), t)
-      val (cnt, gram) = topBigramBrute(t)
-      assert(got.getAs[Long]("cnt") === cnt, s"cnt for '$t'")
-      assert(got.getAs[String]("gram") === gram, s"gram for '$t'")
+      for (c <- Seq(TextAnalysis.topBigram(TextAnalysis.flatTokens(col("text"))),
+          TextAnalysis.topBigramHof(TextAnalysis.flatTokens(col("text"))))) {
+        val got = one[org.apache.spark.sql.Row](c, t)
+        val (cnt, gram) = topBigramBrute(t)
+        assert(got.getAs[Long]("cnt") === cnt, s"cnt for '$t'")
+        assert(got.getAs[String]("gram") === gram, s"gram for '$t'")
+      }
     }
   }
 
-  test("topBigram fuzz: 300 random token streams match brute force") {
+  test("topBigram fuzz: 300 random streams — native ≡ HOF twin ≡ brute force") {
+    val s = spark
+    import s.implicits._
     val rnd = new scala.util.Random(14)
-    for (_ <- 1 to 300) {
-      val n = rnd.nextInt(30)
-      val t = Seq.fill(n)(('a' + rnd.nextInt(3)).toChar.toString).mkString(" ")
-      val got = one[org.apache.spark.sql.Row](
-        TextAnalysis.topBigram(TextAnalysis.flatTokens(col("text"))), t)
+    val texts = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(30))(('a' + rnd.nextInt(3)).toChar.toString)
+        .mkString(" "))
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        TextAnalysis.topBigram(TextAnalysis.flatTokens(col("text"))).as("nat"),
+        TextAnalysis.topBigramHof(TextAnalysis.flatTokens(col("text"))).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
       val (cnt, gram) = topBigramBrute(t)
-      assert((got.getAs[Long]("cnt"), got.getAs[String]("gram")) === ((cnt, gram)),
-        s"mismatch for '$t'")
+      val nat = r.getStruct(1)
+      val hof = r.getStruct(2)
+      assert((nat.getAs[Long]("cnt"), nat.getAs[String]("gram")) === ((cnt, gram)),
+        s"native mismatch for '$t'")
+      assert((hof.getAs[Long]("cnt"), hof.getAs[String]("gram")) === ((cnt, gram)),
+        s"hof mismatch for '$t'")
     }
   }
 
@@ -105,6 +121,20 @@ class GopherSpec extends SparkSpec {
     val noStops = goodDoc.split("\n").dropRight(1).mkString("\n")
     assert(!signals(noStops).getAs[Boolean]("gopher_pass"),
       "one stopword is not enough")
+  }
+
+  test("gopher signals ignore whitespace runs (the paper's word definition)") {
+    // double space + space-adjacent newline: 6 real words, no empties
+    val g = signals("aa  bbb cc \ndd ee ffff")
+    assert(g.getAs[Long]("n_words") === 6L)
+    assert(g.getAs[Double]("mean_word_len") === (2 + 3 + 2 + 2 + 2 + 4) / 6.0)
+    assert(g.getAs[Double]("alpha_frac") === 1.0)
+    // all-whitespace doc: zero words, ratios 0, composite false — no NaN
+    val z = signals("  \n ")
+    assert(z.getAs[Long]("n_words") === 0L)
+    assert(z.getAs[Double]("mean_word_len") === 0.0)
+    assert(z.getAs[Double]("alpha_frac") === 0.0)
+    assert(!z.getAs[Boolean]("gopher_pass"))
   }
 
   test("gopher signal arithmetic on a handcrafted doc") {

@@ -30,6 +30,17 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_dedup_clusters" -> 2,
     // base + quoting branch of the paragraphed-corpus fixture
     "q_dedup_paragraph" -> 2,
+    // paragraphed fixture's two branches + the spam-plant branch
+    "q_gopher_repetition" -> 3,
+    // paragraphed base + three rule-tripping plant branches (bullets,
+    // ellipses, symbol spam), each with its own pushed stride filter
+    "q_gopher_rules" -> 4,
+    // dotted base + three plant branches (bad lines, lorem, braces)
+    "q_c4_clean" -> 4,
+    // scaled-duplicate fixture (2 branches) × three corpus passes (cell
+    // assignment, cell keying, final anti-join — the standard
+    // derive-then-filter shape, uncached by doctrine) + centroid stride
+    "q_dedup_semdedup" -> 7,
     // three strided scans: the two batch branches + the snapshot side
     "q_dedup_incremental" -> 3,
     // probe stride + corpus (+ centroid stride for IVF)
