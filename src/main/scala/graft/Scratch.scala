@@ -372,6 +372,19 @@ object Scratch {
       plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan"))
         .take(20).foreach(l => println("[scratch] " + l.trim.take(150)))
       graft.CacheHygiene.releaseAll(spark)
+    } else if (args.headOption.contains("reuse_q")) {
+      // generic: executed exchange-reuse probe for any registered query
+      val name = args(1)
+      val qe = graft.SparkEntry.queries(name)(spark, d).queryExecution
+      qe.toRdd.foreach(_ => ())
+      val plan = qe.executedPlan.toString
+      println(s"[scratch] $name reused=" +
+        "ReusedExchange".r.findAllIn(plan).size)
+      plan.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Scan") ||
+          l.contains("Aggregate"))
+        .foreach(l => println("[scratch] " + l.trim.take(150)))
+      graft.CacheHygiene.releaseAll(spark)
     } else if (args.headOption.contains("j2_ab")) {
       // does q_j2's triple reference to `cnt` (months/firsts/filled) collapse
       // to one lineitem scan, or re-scan per branch? (tree walk via

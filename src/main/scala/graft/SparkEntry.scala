@@ -11,13 +11,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.MetricsQueries.queries ++
       graft.queries.LlmQueries.queries ++ graft.queries.HistoQueries.queries ++
-      graft.queries.SinkQueries.queries ++ graft.queries.IngestQueries.queries
+      graft.queries.SinkQueries.queries ++ graft.queries.IngestQueries.queries ++
+      graft.queries.CurationQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.MetricsQueries.oracles ++
       graft.queries.LlmQueries.oracles ++ graft.queries.HistoQueries.oracles ++
-      graft.queries.SinkQueries.oracles ++ graft.queries.IngestQueries.oracles
+      graft.queries.SinkQueries.oracles ++ graft.queries.IngestQueries.oracles ++
+      graft.queries.CurationQueries.oracles
   /** Correctness-only twins: Verify runs them (they carry the full-oracle
     * proof for operators whose production form DuckDB cannot restate), but
     * Bench skips them — their cost is the portability price of the oracle

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dsir, LmTrain, SpanDedup}
+import graft.model.Tables
+
+/** Round-15 curation operators: DSIR importance resampling, corpus-trained
+  * trigram LM, and exact substring (span) duplication — each with a FULL
+  * DuckDB oracle (integer weights / engine-portable poly hash, no twins
+  * needed). Split from [[LlmQueries]] to keep that file reviewable. */
+object CurationQueries {
+
+  private val B = graft.functions.WinnowFingerprintExpr.B
+  private val P = graft.functions.WinnowFingerprintExpr.P
+
+  /** Span-dedup fixture: the corpus plus cross-copy plants — every 11th
+    * doc spawns (id+700000) carrying the base doc's first 12 tokens plus a
+    * distinct trailer, so base and plant share 12−W+1 window hashes. */
+  private def docsSpanFix(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val p1 = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+    base.unionAll(
+      base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(p1, lit(" spanfix trailer tokens x y z q r s t u"))
+            .as("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR (Xie et al. 2023): integer milli-nat importance weight of every
+    // raw doc against the lang='en' target slice — hashed-bigram bucket
+    // log-likelihood ratios, summed per doc at scan speed.
+    "q_dsir_weights" -> ((s, d) => {
+      val raw = Tables.documents(s, d)
+      Dsir.withWeights(raw, raw.filter(col("lang") === "en"), col("text"))
+        .select(col("doc_id"), col("lang"), col("dsir_w"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The selection step: top-100 most target-like docs, deterministic
+    // (w DESC, doc_id) tiebreak — the resample that makes the raw corpus
+    // look like the target.
+    "q_dsir_select" -> ((s, d) => {
+      val raw = Tables.documents(s, d)
+      Dsir.select(raw, raw.filter(col("lang") === "en"), col("text"),
+          col("doc_id"), k = 100)
+        .select(col("doc_id"), col("lang"), col("dsir_w"))
+    }),
+
+    // Corpus-trained conditional trigram LM — the learned model's top-20
+    // rows (count-desc head; the full model keeps TopM=4096).
+    "q_lm_train" -> ((s, d) => {
+      LmTrain.trainModel(Tables.documents(s, d), col("text"))
+        .orderBy(col("cnt").desc, col("tri"))
+        .limit(20)
+    }),
+
+    // Every doc scored under the trained model: total milli-nat NLL and
+    // the per-window signal — CCNet's perplexity filter with the reference
+    // model estimated from the corpus itself.
+    "q_lm_train_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      LmTrain.withTrainedNll(docs, col("text"),
+          LmTrain.trainModel(docs, col("text")))
+        .select(col("doc_id"), col("n_win"), col("nll_t"), col("lm_t_mw"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact substring duplication (Lee et al. 2022): per-doc w-token-window
+    // report over the cross-copy fixture. Docs under W tokens carry no
+    // windows and are excluded (matching the oracle's len(t) >= W guard).
+    "q_dedup_substring" -> ((s, d) => {
+      SpanDedup.report(docsSpanFix(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }))
+
+  /** Poly-hash SQL fold over the code points of `gramExpr` — the DuckDB
+    * restatement of the WinnowFingerprintExpr-family hash for
+    * variable-length strings (list_reduce with a zero seed). */
+  private def polyHashSql(gramExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split($gramExpr, ''),
+       |               ch -> CAST(ord(ch) AS BIGINT))),
+       |           (h, c) -> (h * $B + c) % $P)""".stripMargin
+
+  /** Shared DSIR CTE chain: tokens → bucket ids → per-corpus bucket counts
+    * (all NB buckets, absent = 0) → integer weights → per-doc sums. */
+  private lazy val DsirCtes: String = {
+    val nb = Dsir.NBuckets
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |         list_filter(string_split(replace(text, chr(10), ' '), ' '),
+       |                     x -> len(x) > 0) AS t
+       |       FROM documents),
+       |bk AS (SELECT doc_id, lang,
+       |         list_transform(generate_series(1, len(t) - 1),
+       |           i -> ${polyHashSql("t[i] || ' ' || t[i+1]")} % $nb) AS bks
+       |       FROM tok),
+       |eb AS (SELECT doc_id, lang, unnest(bks) AS b FROM bk),
+       |buk AS (SELECT unnest(generate_series(0, ${nb - 1})) AS b),
+       |tcn AS (SELECT buk.b, coalesce(c.cnt, 0) AS tcnt
+       |        FROM buk LEFT JOIN (SELECT b, count(*) AS cnt FROM eb
+       |                            WHERE lang = 'en' GROUP BY 1) c USING (b)),
+       |rcn AS (SELECT buk.b, coalesce(c.cnt, 0) AS rcnt
+       |        FROM buk LEFT JOIN (SELECT b, count(*) AS cnt FROM eb
+       |                            GROUP BY 1) c USING (b)),
+       |tot AS (SELECT (SELECT sum(tcnt) FROM tcn) AS ttot,
+       |               (SELECT sum(rcnt) FROM rcn) AS rtot),
+       |wt AS (SELECT t.b,
+       |         CAST(round(${Dsir.Scale} *
+       |                ln(((t.tcnt + 1) * 1.0 / (tot.ttot + $nb)) /
+       |                   ((r.rcnt + 1) * 1.0 / (tot.rtot + $nb))) + 1e-9)
+       |              AS BIGINT) AS w
+       |       FROM tcn t JOIN rcn r USING (b), tot),
+       |ds AS (SELECT eb.doc_id, sum(wt.w) AS s
+       |       FROM eb JOIN wt USING (b) GROUP BY 1),
+       |dw AS (SELECT bk.doc_id, bk.lang,
+       |              CAST(coalesce(ds.s, 0) AS BIGINT) AS dsir_w
+       |       FROM bk LEFT JOIN ds USING (doc_id))""".stripMargin
+  }
+
+  /** Shared trained-LM CTE chain: padded normalization → trigram/bigram
+    * window counts → TopM-pruned integer-cost model. */
+  private lazy val LmTrainCtes: String =
+    s"""WITH nrm AS (SELECT doc_id,
+       |         concat(' ', regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+       |                ' ') AS p
+       |       FROM documents),
+       |twin AS (SELECT doc_id,
+       |           substr(p, CAST(unnest(generate_series(1, len(p) - 2)) AS INT),
+       |                  3) AS tri
+       |         FROM nrm),
+       |bwin AS (SELECT doc_id,
+       |           substr(p, CAST(unnest(generate_series(1, len(p) - 1)) AS INT),
+       |                  2) AS bg
+       |         FROM nrm),
+       |tcg AS (SELECT tri, count(*) AS cnt FROM twin GROUP BY 1),
+       |bcg AS (SELECT bg, count(*) AS c2 FROM bwin GROUP BY 1),
+       |model AS (SELECT tri, cnt,
+       |            CAST(-round(${LmTrain.Scale} *
+       |                   ln((cnt + 1) * 1.0 / (c2 + ${LmTrain.SmoothV})) + 1e-9)
+       |                 AS BIGINT) AS cost
+       |          FROM tcg JOIN bcg ON substr(tri, 1, 2) = bg
+       |          ORDER BY cnt DESC, tri LIMIT ${LmTrain.TopM})""".stripMargin
+
+  /** Span-dedup CTE chain over the fixture: window hashes → per-(doc,
+    * hash) occurrences → cross-doc shared hashes → per-doc report. */
+  private lazy val SpanCtes: String = {
+    val w = SpanDedup.W
+    s"""WITH sfx AS (SELECT doc_id, text FROM documents
+       |             UNION ALL
+       |             SELECT doc_id + 700000 AS doc_id,
+       |                    array_to_string(string_split(text, ' ')[1:12], ' ') ||
+       |                      ' spanfix trailer tokens x y z q r s t u' AS text
+       |             FROM documents WHERE doc_id % 11 = 0),
+       |tok AS (SELECT doc_id,
+       |          list_filter(string_split(replace(text, chr(10), ' '), ' '),
+       |                      x -> len(x) > 0) AS t
+       |        FROM sfx),
+       |wh AS (SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(t) - ${w - 1}),
+       |           i -> ${polyHashSql(s"array_to_string(t[i:i+${w - 1}], ' ')")})) AS h
+       |       FROM tok WHERE len(t) >= $w),
+       |pd AS (SELECT doc_id, h, count(*) AS n_occ FROM wh GROUP BY 1, 2),
+       |sh AS (SELECT h FROM pd GROUP BY h HAVING count(*) >= 2),
+       |nd AS (SELECT pd.doc_id, sum(pd.n_occ) AS n_dup
+       |       FROM pd JOIN sh USING (h) GROUP BY 1),
+       |nw AS (SELECT doc_id, count(*) AS n_windows FROM wh GROUP BY 1)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""$DsirCtes
+         |SELECT doc_id, lang, dsir_w FROM dw ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""$DsirCtes
+         |SELECT doc_id, lang, dsir_w FROM dw
+         |ORDER BY dsir_w DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_lm_train" ->
+      s"""$LmTrainCtes
+         |SELECT tri, CAST(cnt AS BIGINT) AS cnt, cost FROM model
+         |ORDER BY cnt DESC, tri LIMIT 20""".stripMargin,
+
+    // sparse restatement: matched windows join the model; the remainder
+    // pays the UnseenCost floor (the LangIdScoreCtes pattern)
+    "q_lm_train_score" ->
+      s"""$LmTrainCtes,
+         |nwv AS (SELECT doc_id, greatest(len(p) - 2, 0) AS n_win FROM nrm),
+         |mh AS (SELECT t.doc_id, count(*) AS matched, sum(m.cost) AS mc
+         |       FROM twin t JOIN model m USING (tri) GROUP BY 1),
+         |sc AS (SELECT n.doc_id, n.n_win,
+         |              coalesce(mh.mc, 0) +
+         |                (n.n_win - coalesce(mh.matched, 0)) *
+         |                ${graft.llm.LmScore.UnseenCost} AS nll_t
+         |       FROM nwv n LEFT JOIN mh USING (doc_id))
+         |SELECT doc_id, CAST(n_win AS BIGINT) AS n_win,
+         |       CAST(nll_t AS BIGINT) AS nll_t,
+         |       CAST(CASE WHEN n_win > 0 THEN nll_t // n_win ELSE 0 END
+         |            AS BIGINT) AS lm_t_mw
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      s"""$SpanCtes
+         |SELECT nw.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
+         |       CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup,
+         |       round(coalesce(nd.n_dup, 0) * 1.0 / nw.n_windows, 6) AS dup_frac
+         |FROM nw LEFT JOIN nd USING (doc_id) ORDER BY nw.doc_id""".stripMargin)
+}

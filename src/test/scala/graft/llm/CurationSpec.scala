@@ -1,0 +1,205 @@
+package graft.llm
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-15 curation operators: DSIR importance weights, the
+  * corpus-trained trigram LM, and exact substring (span) duplication —
+  * native-expression hash parity against Scala brutes, separation/edge
+  * fixtures, and the plan-shape claims. */
+class CurationSpec extends SparkSpec {
+
+  private def ph(s: String): Long = {
+    val B = graft.functions.WinnowFingerprintExpr.B
+    val P = graft.functions.WinnowFingerprintExpr.P
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  // ---- hashed bigram buckets ----
+
+  test("hashed bigram buckets match the poly-hash brute, incl. edges") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("a b c", "one", "", "x  y", "über maß straße",
+      "汉字 漢字 かな", "a b a b", "tok1\ntok2 tok3")
+    val got = texts.toDF("text")
+      .select(col("text"), Dsir.bucketIds(col("text")).as("bks"))
+      .collect()
+    got.foreach { r =>
+      val toks = r.getString(0).replace('\n', ' ').split(" ", -1)
+        .filter(_.nonEmpty)
+      val expected =
+        if (toks.length < 2) Seq.empty[Int]
+        else toks.sliding(2).map(p =>
+          (ph(p.mkString(" ")) % Dsir.NBuckets).toInt).toSeq
+      assert(r.getSeq[Int](1) === expected, s"text '${r.getString(0)}'")
+    }
+  }
+
+  // ---- DSIR weights ----
+
+  test("DSIR separates target-like docs on a handcrafted corpus") {
+    val s = spark
+    import s.implicits._
+    // target vocabulary: 'alpha beta gamma'; off-target: 'zig zag zog'
+    val docs = (
+      (1L to 8L).map(i => (i, "t", "alpha beta gamma alpha beta gamma")) ++
+      (9L to 16L).map(i => (i, "r", "zig zag zog zig zag zog")) ++
+      Seq((17L, "r", "alpha beta gamma alpha beta"))
+    ).toDF("doc_id", "kind", "text")
+    val target = docs.filter(col("kind") === "t")
+    val rows = Dsir.withWeights(docs, target, col("text"))
+      .select(col("doc_id"), col("kind"), col("dsir_w")).collect()
+    val tW = rows.filter(_.getString(1) == "t").map(_.getLong(2))
+    val offW = rows.filter(r => r.getString(1) == "r" && r.getLong(0) <= 16L)
+      .map(_.getLong(2))
+    val planted = rows.find(_.getLong(0) == 17L).get.getLong(2)
+    assert(tW.min > offW.max,
+      s"target docs must outweigh off-target: ${tW.min} vs ${offW.max}")
+    assert(planted > offW.max,
+      "the target-looking raw doc must outweigh the off-target docs")
+  }
+
+  test("DSIR weight of a windowless doc is 0; weights are finite integers") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "solo"), (3L, ""),
+      (4L, "zig zag zig zag")).toDF("doc_id", "text")
+    val rows = Dsir.withWeights(docs, docs.filter(col("doc_id") === 1L),
+        col("text"))
+      .select(col("doc_id"), col("dsir_w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(2L) === 0L) // one token → no bigrams
+    assert(rows(3L) === 0L) // empty
+    assert(rows(1L) > 0L)   // the target's own bigram is target-enriched
+    assert(rows(4L) < 0L)   // off-target bigrams are raw-enriched
+  }
+
+  // ---- trained trigram LM ----
+
+  test("trained LM scores in-distribution text below noise") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 20L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val model = LmTrain.trainModel(corpus, col("text"))
+    val probe = Seq((1L, "the quick brown fox"), (2L, "qqq zzz xxx vvv"))
+      .toDF("doc_id", "text")
+    val scored = LmTrain.withTrainedNll(probe, col("text"), model)
+      .select(col("doc_id"), col("lm_t_mw")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored(1L) < scored(2L),
+      s"fluent ${scored(1L)} must score under noise ${scored(2L)}")
+    // noise saturates at the unseen floor
+    assert(scored(2L) === LmScore.UnseenCost)
+  }
+
+  test("trained LM matches a single-JVM brute on a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("ab ba ab", "ba ab ab ba", "ab ab")
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // brute: padded trigram/bigram counts + the cost formula
+    def pad(t: String) = " " + t.trim.toLowerCase.replaceAll("\\s+", " ") + " "
+    val tri = scala.collection.mutable.HashMap.empty[String, Long]
+    val big = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.map(pad).foreach { p =>
+      (0 to p.length - 3).foreach(i =>
+        tri.update(p.substring(i, i + 3), tri.getOrElse(p.substring(i, i + 3), 0L) + 1))
+      (0 to p.length - 2).foreach(i =>
+        big.update(p.substring(i, i + 2), big.getOrElse(p.substring(i, i + 2), 0L) + 1))
+    }
+    val expCosts = tri.map { case (t, c) =>
+      t -> -math.round(LmTrain.Scale *
+        math.log((c + 1.0) / (big(t.substring(0, 2)) + LmTrain.SmoothV)) + 1e-9)
+    }.toMap
+    val gotModel = LmTrain.trainModel(corpus, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    gotModel.foreach { case (t, c, cost) =>
+      assert(c === tri(t), s"count of '$t'")
+      assert(cost === expCosts(t), s"cost of '$t'")
+    }
+    assert(gotModel.length === tri.size) // under TopM, nothing pruned
+    // per-doc NLL: every window is in-model for doc 0
+    val nll = LmTrain.withTrainedNll(corpus, col("text"),
+        LmTrain.trainModel(corpus, col("text")))
+      .select(col("doc_id"), col("nll_t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p0 = pad(texts(0))
+    val exp0 = (0 to p0.length - 3)
+      .map(i => expCosts(p0.substring(i, i + 3))).sum
+    assert(nll(0L) === exp0)
+  }
+
+  test("trained-LM model cut is deterministic and capped at TopM") {
+    val m = LmTrain.trainModel(
+      graft.model.Tables.documents(spark, Sf), col("text")).collect()
+    assert(m.length <= LmTrain.TopM)
+    assert(m.map(_.getString(0)).distinct.length === m.length)
+  }
+
+  // ---- span dedup ----
+
+  test("token window hashes match the brute, empty under W tokens") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",
+      "a b c d e f g",            // 7 tokens < W=8 → empty
+      "x  y z q r s t u v",       // whitespace run filtered first
+      "汉 字 一 二 三 四 五 六 七")
+    val got = texts.toDF("text")
+      .select(col("text"),
+        graft.functions.TokenWindowHashesExpr.hashes(
+          TextAnalysis.flatTokens(col("text")), SpanDedup.W).as("hs"))
+      .collect()
+    got.foreach { r =>
+      val toks = r.getString(0).split(" ", -1).filter(_.nonEmpty)
+      val expected =
+        if (toks.length < SpanDedup.W) Seq.empty[Long]
+        else toks.sliding(SpanDedup.W).map(w => ph(w.mkString(" "))).toSeq
+      assert(r.getSeq[Long](1) === expected, s"text '${r.getString(0)}'")
+    }
+  }
+
+  test("span report flags exactly the cross-doc shared windows") {
+    val s = spark
+    import s.implicits._
+    val shared10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10" // 10 tokens → 3 windows
+    val docs = Seq(
+      (1L, shared10 + " a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 " + shared10),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")).toDF("doc_id", "text")
+    val rows = SpanDedup.report(docs, col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 18 tokens → 11 windows; shared windows = the 3 fully inside
+    // the shared run
+    assert(byId(1L) === ((11L, 3L)))
+    assert(byId(2L) === ((11L, 3L)))
+    assert(byId(3L) === ((5L, 0L)))
+  }
+
+  test("span report on an all-distinct corpus is all-zero dup") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 6L).map(i =>
+      (i, (1 to 12).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val rows = SpanDedup.report(docs, col("doc_id"), col("text")).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getLong(2) === 0L))
+    assert(rows.forall(_.getDouble(3) === 0.0))
+  }
+}

@@ -84,6 +84,18 @@ class PlanScanBudgetSpec extends SparkSpec {
     // column-pruned scan derives per-(shard, bucket) count offsets, a
     // second feeds the per-cell rank pass
     "q_shard_shuffle" -> 2,
+    // DSIR: target-distribution pass + raw-distribution pass + the scoring
+    // pass (the NB-bucket aggregates are column-pruned; caching the corpus
+    // to save them costs more at 100 TB)
+    "q_dsir_weights" -> 3,
+    "q_dsir_select" -> 3,
+    // trigram-count pass + bigram-count pass (different window widths —
+    // structurally distinct aggregates over the same scan)
+    "q_lm_train" -> 2,
+    // the model's two count passes + the scoring pass
+    "q_lm_train_score" -> 3,
+    // cross-copy fixture (2 branches) × derive-shared-set + flag passes
+    "q_dedup_substring" -> 4,
     // key-range-bucket mixture (r12): one column-pruned scan derives the
     // per-(group, bucket) count offsets, a second feeds the rank pass — the
     // price of never ranking a whole group in one task (caching the corpus
