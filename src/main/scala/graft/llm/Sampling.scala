@@ -137,6 +137,39 @@ object Sampling {
     }
   }
 
+  /** Cluster-balanced subsample — the topic-diversity pass (the cluster
+    * quota step of SemDeDup-style pruning / DataComp-style balancing): cap
+    * every embedding cluster at `k` members so no dominant topic swamps the
+    * mix, with members chosen by the same deterministic scrambled-id order
+    * every other sampler here uses.
+    *
+    * Cell assignment is the house integer contract
+    * ([[Similarity.kmeansDetCentroids]]'s recipe): vectors quantize via
+    * floor(x·scale), assignment is integer-squared-L2 argmin over the
+    * BROADCAST centroids (ties → lowest cell id) — the corpus never
+    * shuffles for assignment, and both engines restate the arithmetic
+    * bit-identically, so the query is FULL-oracle. The quota step is
+    * [[topKPerGroup]] (two-phase salted, no whole-cell window).
+    *
+    * 100 TB shape: one broadcast-argmin scan + the bounded top-k; output
+    * ≤ |centroids|·k rows regardless of corpus size. */
+  def clusterBalanced(emb: DataFrame, centroids: DataFrame, k: Int,
+      scale: Int = 100): DataFrame = {
+    def q(c: Column): Column =
+      transform(c.cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("long"))
+    val corpus = emb.select(col("vec_id"), q(col("embedding")).as("__nv"))
+    val cent = centroids.select(col("vec_id").as("cell"),
+      q(col("embedding")).as("__cv"))
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .withColumn("__d", aggregate(
+        zip_with(col("__nv"), col("__cv"), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("cell"))
+    topKPerGroup(assigned, col("cell"), col("vec_id"), k)
+  }
+
   /** Keep at most k rows per group, chosen by scrambled-id order
     * (deterministic; ties impossible while `id` is unique mod the fold,
     * which the id tiebreak below absorbs).

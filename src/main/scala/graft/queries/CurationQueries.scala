@@ -74,6 +74,18 @@ object CurationQueries {
     "q_dedup_substring" -> ((s, d) => {
       SpanDedup.report(docsSpanFix(s, d), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cluster-balanced subsample: integer-L2 cells over the stride
+    // centroids (the SemDeDup assignment contract), ≤10 members per cell
+    // in deterministic scrambled-id order — the topic-balance pass.
+    "q_sample_cluster" -> ((s, d) => {
+      graft.llm.Sampling.clusterBalanced(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") % 101 === 0),
+          k = 10)
+        .select(col("cell"), col("vec_id"))
+        .orderBy(col("cell"), col("vec_id"))
     }))
 
   /** Poly-hash SQL fold over the code points of `gramExpr` — the DuckDB
@@ -207,5 +219,34 @@ object CurationQueries {
          |SELECT nw.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
          |       CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup,
          |       round(coalesce(nd.n_dup, 0) * 1.0 / nw.n_windows, 6) AS dup_frac
-         |FROM nw LEFT JOIN nd USING (doc_id) ORDER BY nw.doc_id""".stripMargin)
+         |FROM nw LEFT JOIN nd USING (doc_id) ORDER BY nw.doc_id""".stripMargin,
+
+    // integer-quantized argmin assignment (ties → lowest cell), then the
+    // per-cell scramble-key top-10 (the q_sample_capped rank restatement)
+    "q_sample_cluster" ->
+      """WITH qc AS (SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(floor(x * 100) AS BIGINT)) AS nv
+        |       FROM embeddings),
+        |cb AS (SELECT vec_id AS cell,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(floor(x * 100) AS BIGINT)) AS cv
+        |       FROM embeddings WHERE vec_id % 101 = 0),
+        |da AS (SELECT q.vec_id, c.cell,
+        |         CAST(list_sum(list_transform(generate_series(1, len(q.nv)),
+        |           t -> (q.nv[t] - c.cv[t]) * (q.nv[t] - c.cv[t]))) AS BIGINT) AS d
+        |       FROM qc q CROSS JOIN cb c),
+        |asg AS (SELECT vec_id, cell FROM (
+        |          SELECT vec_id, cell,
+        |                 row_number() OVER (PARTITION BY vec_id
+        |                                    ORDER BY d, cell) AS rk
+        |          FROM da) WHERE rk = 1),
+        |sk AS (SELECT vec_id, cell,
+        |              ((vec_id % 2147483648) * 2654435761) % 4294967296 AS sk
+        |       FROM asg)
+        |SELECT cell, vec_id FROM (
+        |  SELECT cell, vec_id,
+        |         row_number() OVER (PARTITION BY cell ORDER BY sk, vec_id) AS rk
+        |  FROM sk) WHERE rk <= 10
+        |ORDER BY cell, vec_id""".stripMargin)
 }

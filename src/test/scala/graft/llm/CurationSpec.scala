@@ -192,6 +192,42 @@ class CurationSpec extends SparkSpec {
     assert(byId(3L) === ((5L, 0L)))
   }
 
+  // ---- cluster-balanced sampling ----
+
+  test("cluster-balanced sample: per-cell cap, corpus subset, deterministic") {
+    val emb = graft.model.Tables.embeddings(spark, Sf)
+    val cent = emb.filter(col("vec_id") % 101 === 0)
+    val got = Sampling.clusterBalanced(emb, cent, k = 10)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id")))
+    val perCell = got.groupBy(_._1).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 10), "no cell may exceed its quota")
+    val corpusIds = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.forall(p => corpusIds.contains(p._2)))
+    val cells = cent.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.forall(p => cells.contains(p._1)))
+    val again = Sampling.clusterBalanced(emb, cent, k = 10)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id")))
+    assert(got.sorted.toSeq === again.sorted.toSeq, "two runs must agree")
+  }
+
+  test("cluster-balanced sample keeps every member of an under-quota cell") {
+    val s = spark
+    import s.implicits._
+    // two well-separated 2-d clusters: 3 members near (0,0), 12 near (9,9)
+    val emb = (
+      (1L to 3L).map(i => (i, Array(0.01f * i, 0.01f * i))) ++
+      (11L to 22L).map(i => (i, Array(9.0f + 0.001f * i, 9.0f)))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((1L, Array(0.0f, 0.0f)), (11L, Array(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Sampling.clusterBalanced(emb, cent, k = 5)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id")))
+    val byCell = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byCell(1L) === Set(1L, 2L, 3L), "under-quota cell keeps all")
+    assert(byCell(11L).size === 5, "over-quota cell caps at k")
+    assert(byCell(11L).subsetOf((11L to 22L).toSet))
+  }
+
   test("span report on an all-distinct corpus is all-zero dup") {
     val s = spark
     import s.implicits._
