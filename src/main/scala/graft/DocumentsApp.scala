@@ -250,6 +250,31 @@ object DocumentsApp {
     Option(trigger).fold(writer)(writer.trigger).start()
   }
 
+  /** Training export — the pipeline's last mile: the curated corpus, split
+    * into `nShards` deterministic shards (a power of two), each written as
+    * ONE parquet file whose rows sit in their exact global-shuffle order
+    * ([[graft.llm.Sampling.shardShuffle]]'s scramble-key permutation with
+    * a 1-based `pos`). The same corpus always yields byte-identical shard
+    * contents on any cluster size or engine — re-running the export is a
+    * no-op diff, and a trainer streaming shard files in `pos` order
+    * replays the canonical epoch-0 order.
+    *
+    * 100 TB shape: shards are contiguous scramble-key ranges, so
+    * `repartition(shard)` moves each row exactly once and each task sorts
+    * only its own shard's rows (the rank itself came from the bucketed
+    * decomposition — no whole-shard window computed it); `partitionBy`
+    * yields one `shard=N/` directory per shard with exactly one file
+    * (each shard lives wholly inside one task). For shards too large for
+    * one task's sort, raise nShards — the knob IS the task size. */
+  def exportShards(corpus: org.apache.spark.sql.DataFrame, id:
+      org.apache.spark.sql.Column, nShards: Int, outDir: String): Unit =
+    graft.llm.Sampling.shardShuffle(corpus, id, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+
   def main(args: Array[String]): Unit = {
     val cfg = load(args.headOption.getOrElse(
       throw new IllegalArgumentException("usage: DocumentsApp <config.properties>")))
