@@ -250,6 +250,46 @@ object DocumentsApp {
     Option(trigger).fold(writer)(writer.trigger).start()
   }
 
+  /** Stamp backfill — the tool the [[start]] schema guard's error message
+    * directs operators to: bring an existing corpus (unstamped, or
+    * partially stamped by an older build) up to the CURRENT
+    * [[StampedCols]] schema so `ingest.stamp_stats=true` can resume
+    * appending to it. Reads with schema merge (the mixed-schema dir is
+    * exactly why the guard fails fast), drops whatever stamp subset is
+    * present, re-stamps everything, and swaps directories with a
+    * keep-the-old-until-the-new-landed rename so a crash never leaves
+    * less data than it found (at worst: corpus + a stale
+    * `corpus__backfill_tmp`/`__old` to clean up).
+    *
+    * 100 TB posture: one read → scan-speed stamp projections → one
+    * partitioned write; no shuffle beyond the writer's partitioning. A
+    * cluster deployment swaps the java.io renames for its object-store
+    * committer; the stamping plan is unchanged. */
+  def backfillStamps(spark: SparkSession, storageDir: String): Unit = {
+    val corpus = new java.io.File(s"$storageDir/corpus")
+    require(corpus.isDirectory, s"no corpus at ${corpus.getPath}")
+    val df = spark.read.option("mergeSchema", "true").parquet(corpus.getPath)
+    val present = StampedCols.filter(df.schema.fieldNames.contains)
+    val stamped = stampStats(df.drop(present: _*))
+    val tmp = new java.io.File(s"$storageDir/corpus__backfill_tmp")
+    val w = stamped.write.mode("overwrite")
+    (if (stamped.columns.contains("p_date")) w.partitionBy("p_date") else w)
+      .parquet(tmp.getPath)
+    val old = new java.io.File(s"$storageDir/corpus__backfill_old")
+    if (old.exists())
+      throw new IllegalStateException(
+        s"stale ${old.getPath} from an interrupted backfill — resolve first")
+    require(corpus.renameTo(old), s"could not move ${corpus.getPath} aside")
+    require(tmp.renameTo(corpus),
+      s"could not land ${tmp.getPath}; ORIGINAL preserved at ${old.getPath}")
+    // the new corpus is in place; the old copy is now disposable
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
+  }
+
   /** Training export — the pipeline's last mile: the curated corpus, split
     * into `nShards` deterministic shards (a power of two), each written as
     * ONE parquet file whose rows sit in their exact global-shuffle order

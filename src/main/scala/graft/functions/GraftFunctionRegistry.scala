@@ -135,6 +135,20 @@ object GraftFunctionRegistry {
       arity("graft_top_bigram", args, 1)
       TopBigramExpr(args.head)
     }),
+    // DSIR featurizer: hashed-bigram bucket ids —
+    // graft_bigram_buckets(split(text, ' '), 64)
+    fn("graft_bigram_buckets", { args =>
+      arity("graft_bigram_buckets", args, 2)
+      HashedBigramBucketsExpr(args.head,
+        intArg("graft_bigram_buckets", "nBuckets", args(1)))
+    }),
+    // substring-dedup unit: w-token sliding-window hashes —
+    // graft_window_hashes(split(text, ' '), 8)
+    fn("graft_window_hashes", { args =>
+      arity("graft_window_hashes", args, 2)
+      TokenWindowHashesExpr(args.head,
+        intArg("graft_window_hashes", "w", args(1)))
+    }),
     // pinned-vocab greedy subword count over a token array — the SQL
     // spelling of Bpe.count: graft_bpe_count(split(text, ' '))
     fn("graft_bpe_count", { args =>

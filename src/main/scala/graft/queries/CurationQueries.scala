@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dsir, LmTrain, SpanDedup}
+import graft.llm.{Dsir, Html, LmTrain, Retrieval, SpanDedup}
 import graft.model.Tables
 
 /** Round-15 curation operators: DSIR importance resampling, corpus-trained
@@ -28,7 +28,44 @@ object CurationQueries {
             .as("text")))
   }
 
+  /** BM25 mining terms — present in the synthetic vocabulary at graded
+    * frequencies, so scores genuinely rank. */
+  private val Bm25Terms = Seq("spark", "query", "window")
+
+  /** HTML fixture: every doc wrapped in markup with script/style payloads
+    * (carrying <, >, && — the tag-regex traps), a comment spanning lines,
+    * and an entity battery including the &amp;amp; double-decode trap. */
+  private def docsHtmlFix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>t</title><style>p { color: red }</style>"),
+        lit("<script>if (x < 2 && y > 1) { alert(\"hi\"); }</script></head>"),
+        lit("<body><h1>Heading</h1>\n<p class=\"main\">"), col("text"),
+        lit("</p><!-- hidden\ncomment --><p>&lt;tag&gt; &amp;amp; " +
+          "&quot;quoted&#39; &nbsp;end</p></body></html>")).as("html"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML boilerplate strip (the WET-extraction regex battery): script/
+    // style/comment payloads dropped, tags stripped, entities decoded
+    // (&amp; last), whitespace collapsed — per-doc cleaned text + sizes.
+    "q_html_clean" -> ((s, d) => {
+      docsHtmlFix(s, d)
+        .select(col("doc_id"),
+          Html.toText(col("html")).as("clean_text"),
+          length(col("html")).cast("long").as("n_raw"),
+          length(Html.toText(col("html"))).cast("long").as("n_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 targeted mining: top-50 docs for the literal term query,
+    // ranked on the 6-dp-rounded score (engine-stable boundary).
+    "q_bm25_mine" -> ((s, d) => {
+      Retrieval.withBm25(Tables.documents(s, d), col("text"), Bm25Terms)
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // DSIR (Xie et al. 2023): integer milli-nat importance weight of every
     // raw doc against the lang='en' target slice — hashed-bigram bucket
     // log-likelihood ratios, summed per doc at scan speed.
@@ -181,7 +218,60 @@ object CurationQueries {
        |nw AS (SELECT doc_id, count(*) AS n_windows FROM wh GROUP BY 1)""".stripMargin
   }
 
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The identical strip/decode chain as [[graft.llm.Html.toText]],
+    * generated from the SAME pattern lists. */
+  private def htmlToTextSql(expr: String): String = {
+    val stripped = graft.llm.Html.BlockPatterns.foldLeft(expr) {
+      case (e, (p, r)) => s"regexp_replace($e, ${sq(p)}, ${sq(r)}, 'g')"
+    }
+    val decoded = graft.llm.Html.Entities.foldLeft(stripped) {
+      case (e, (k, v)) => s"replace($e, ${sq(k)}, ${sq(v)})"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** The fixture's markup wrap, restated. */
+  private val HtmlFixSql: String =
+    """SELECT doc_id,
+      |  '<html><head><title>t</title><style>p { color: red }</style>' ||
+      |  '<script>if (x < 2 && y > 1) { alert("hi"); }</script></head>' ||
+      |  '<body><h1>Heading</h1>' || chr(10) || '<p class="main">' || text ||
+      |  '</p><!-- hidden' || chr(10) || 'comment --><p>&lt;tag&gt; &amp;amp; ' ||
+      |  '&quot;quoted&#39; &nbsp;end</p></body></html>' AS html
+      |FROM documents""".stripMargin
+
+  /** One BM25 term's score expression — arithmetic written in the exact
+    * association order the Spark expression folds, so both engines execute
+    * the identical double ops. */
+  private def bm25TermSql(t: String): String = {
+    val tf = s"CAST(len(list_filter(t, x -> x = ${sq(t)})) AS DOUBLE)"
+    val df = s"CAST((SELECT sum(CASE WHEN list_contains(t, ${sq(t)}) " +
+      s"THEN 1 ELSE 0 END) FROM tk) AS DOUBLE)"
+    s"""(ln(1.0 + ((SELECT CAST(count(*) AS DOUBLE) FROM tk) - $df + 0.5) /
+       |   ($df + 0.5)) * ($tf * (1.2 + 1.0)) /
+       |   ($tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(t) AS DOUBLE) /
+       |     (SELECT avg(len(t)) FROM tk))))""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_html_clean" ->
+      s"""WITH hfx AS ($HtmlFixSql)
+         |SELECT doc_id, ${htmlToTextSql("html")} AS clean_text,
+         |       CAST(len(html) AS BIGINT) AS n_raw,
+         |       CAST(len(${htmlToTextSql("html")}) AS BIGINT) AS n_clean
+         |FROM hfx ORDER BY doc_id""".stripMargin,
+
+    "q_bm25_mine" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents),
+         |sc AS (SELECT doc_id,
+         |         ${Bm25Terms.map(bm25TermSql).mkString(" + ")} AS raw
+         |       FROM tk)
+         |SELECT doc_id, round(raw, 6) AS bm25 FROM sc
+         |ORDER BY round(raw, 6) DESC, doc_id LIMIT 50""".stripMargin,
+
     "q_dsir_weights" ->
       s"""$DsirCtes
          |SELECT doc_id, lang, dsir_w FROM dw ORDER BY doc_id""".stripMargin,

@@ -179,6 +179,75 @@ class DocumentsAppSpec extends SparkSpec {
     }
   }
 
+  test("backfillStamps upgrades an unstamped corpus so stamping ingest can resume") {
+    val root = Files.createTempDirectory("graft_docs_backfill")
+    val src = Files.createDirectory(root.resolve("landing"))
+    // phase 2 uses its own landing dir: a fresh checkpoint re-reads
+    // everything in source.dir, and re-ingesting b1 is not under test
+    val src2 = Files.createDirectory(root.resolve("landing2"))
+    val store = root.resolve("store")
+    def cfgWith(stamp: Boolean, ckpt: String, source: Path = src): DocumentsConfig =
+      DocumentsApp.load {
+        val f = root.resolve(s"docs_$stamp$ckpt.properties")
+        Files.writeString(f,
+          s"""source.dir=$source
+             |storage.dir=$store
+             |checkpoint.dir=${root.resolve(ckpt)}
+             |ingest.stamp_stats=$stamp
+             |""".stripMargin)
+        f.toString
+      }
+    // phase 1: an UNSTAMPED corpus lands
+    drop(src, "b1.jsonl", Seq(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog", "lang": "en", "source": "w", "n_chars": 41}""",
+      """{"doc_id": 2, "text": "plain second document with several words", "lang": "en", "source": "w", "n_chars": 40}"""))
+    val q1 = DocumentsApp.start(spark, cfgWith(stamp = false, "ckpt1"))
+    try q1.processAllAvailable() finally q1.stop()
+    // stamping ingest against it fails fast (the guard under test)
+    intercept[IllegalArgumentException] {
+      DocumentsApp.start(spark, cfgWith(stamp = true, "ckpt2"))
+    }
+    // backfill, then the SAME config starts and appends stamped rows
+    DocumentsApp.backfillStamps(spark, store.toString)
+    val corpus1 = spark.read.parquet(s"$store/corpus")
+    DocumentsApp.StampedCols.foreach(c =>
+      assert(corpus1.columns.contains(c), s"missing backfilled column $c"))
+    assert(corpus1.count() === 2)
+    // backfilled values equal the batch stamping of the same text
+    val expect = DocumentsApp.stampStats(
+        corpus1.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality"), col("lang_pred"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val got = corpus1.select(col("doc_id"), col("quality"), col("lang_pred"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === expect)
+    // no leftover swap directories
+    assert(!new java.io.File(s"$store/corpus__backfill_tmp").exists())
+    assert(!new java.io.File(s"$store/corpus__backfill_old").exists())
+
+    drop(src2, "b2.jsonl", Seq(
+      """{"doc_id": 3, "text": "a third document arriving after the backfill", "lang": "en", "source": "w", "n_chars": 45}"""))
+    val q2 = DocumentsApp.start(spark, cfgWith(stamp = true, "ckpt3", src2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$store/corpus").count() === 3)
+  }
+
+  test("backfillStamps heals a PARTIALLY stamped corpus") {
+    val root = Files.createTempDirectory("graft_docs_backfill2")
+    val store = root.resolve("store")
+    // an older build's subset: lang_pred without the rest
+    spark.range(3).selectExpr("id as doc_id",
+        "concat('doc text number ', cast(id as string)) as text",
+        "'en' as lang_pred", "'2024-01-01' as p_date")
+      .write.partitionBy("p_date").parquet(store.resolve("corpus").toString)
+    DocumentsApp.backfillStamps(spark, store.toString)
+    val corpus = spark.read.parquet(s"$store/corpus")
+    DocumentsApp.StampedCols.foreach(c =>
+      assert(corpus.columns.contains(c), s"missing healed column $c"))
+    assert(corpus.count() === 3)
+    assert(corpus.columns.count(_ == "lang_pred") === 1, "no duplicate column")
+  }
+
   test("landing lifecycle: consumed crawl drops delete (source.clean)") {
     val root = Files.createTempDirectory("graft_docs_app")
     val src = Files.createDirectory(root.resolve("landing"))

@@ -82,6 +82,21 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
   }
 
+  test("top_bigram, bigram_buckets, window_hashes match the Column API") {
+    docs
+    val sql = spark.sql(
+      """SELECT id, graft_top_bigram(split(text, ' ')) AS tb,
+        |       graft_bigram_buckets(split(text, ' '), 64) AS bb,
+        |       graft_window_hashes(split(text, ' '), 3) AS wh
+        |FROM docs_sqlfn ORDER BY id""".stripMargin).collect()
+    val api = docs.select(col("id"),
+        TopBigramExpr.topBigram(split(col("text"), " ")).as("tb"),
+        HashedBigramBucketsExpr.buckets(split(col("text"), " "), 64).as("bb"),
+        TokenWindowHashesExpr.hashes(split(col("text"), " "), 3).as("wh"))
+      .orderBy(col("id")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+  }
+
   test("bpe_count matches the Column API") {
     docs
     val sql = spark.sql(

@@ -192,6 +192,55 @@ class CurationSpec extends SparkSpec {
     assert(byId(3L) === ((5L, 0L)))
   }
 
+  // ---- html strip ----
+
+  test("htmlToText: blocks dropped, tags stripped, entities decoded in order") {
+    val s = spark
+    import s.implicits._
+    def clean(h: String): String =
+      Seq(h).toDF("h").select(Html.toText(col("h")).as("v"))
+        .collect()(0).getString(0)
+    assert(clean("<html><body><h1>A</h1><p>b c</p></body></html>") === "A b c")
+    // script payload with < > && and quotes must vanish entirely
+    assert(clean("x<script>if (a < 2 && b > 1) { alert(\"q\"); }</script>y")
+      === "x y")
+    assert(clean("a<style>p { color: red }</style>b") === "a b")
+    assert(clean("a<!-- multi\nline\ncomment -->b") === "a b")
+    // entity order: &amp;lt; decodes to &lt; (literal), NOT to <
+    assert(clean("&amp;lt; &lt; &gt; &quot; &#39; &nbsp;") ===
+      "&lt; < > \" '")
+    // clean text is a fixed point
+    val plain = "no markup here just words"
+    assert(clean(plain) === plain)
+    // unterminated tag: the [^>]+ tag regex never eats past a close
+    assert(clean("a <b>bold</b> c") === "a bold c")
+  }
+
+  // ---- bm25 ----
+
+  test("bm25: term-bearing docs rank above term-free docs; tf saturates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler filler"),
+      (3L, "filler words only here none match this"),
+      (4L, "spark query filler filler filler filler")).toDF("doc_id", "text")
+    val scored = Retrieval.withBm25(docs, col("text"), Seq("spark", "query"))
+      .select(col("doc_id"), col("bm25")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(3L) === 0.0)
+    assert(scored(2L) > 0.0)
+    assert(scored(1L) > scored(2L), "higher tf scores higher")
+    assert(scored(4L) > scored(2L), "two matched terms beat one")
+    // saturation: 4x the tf is far less than 4x the score
+    assert(scored(1L) < scored(2L) * 4.0)
+    val top = Retrieval.topK(docs, col("text"), col("doc_id"),
+      Seq("spark", "query"), k = 2).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!top.contains(3L))
+  }
+
   // ---- cluster-balanced sampling ----
 
   test("cluster-balanced sample: per-cell cap, corpus subset, deterministic") {

@@ -98,6 +98,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_dedup_substring" -> 4,
     // corpus pass + centroid stride over the same embeddings table
     "q_sample_cluster" -> 2,
+    // corpus-statistics pass (N, avg len, per-term df) + the scoring pass
+    "q_bm25_mine" -> 2,
     // key-range-bucket mixture (r12): one column-pruned scan derives the
     // per-(group, bucket) count offsets, a second feeds the rank pass — the
     // price of never ranking a whole group in one task (caching the corpus
