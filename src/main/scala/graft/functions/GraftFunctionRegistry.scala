@@ -149,6 +149,13 @@ object GraftFunctionRegistry {
       TokenWindowHashesExpr(args.head,
         intArg("graft_window_hashes", "w", args(1)))
     }),
+    // n-gram counting unit: all w-code-point windows of a string —
+    // graft_string_windows(text, 3)
+    fn("graft_string_windows", { args =>
+      arity("graft_string_windows", args, 2)
+      StringWindowsExpr(args.head,
+        intArg("graft_string_windows", "w", args(1)))
+    }),
     // pinned-vocab greedy subword count over a token array — the SQL
     // spelling of Bpe.count: graft_bpe_count(split(text, ' '))
     fn("graft_bpe_count", { args =>

@@ -35,11 +35,12 @@ object LmTrain {
   val TopM = 4096
 
   /** Padded char windows of width `w` over a padded normalized text (the
-    * [[LmScore.nllHof]] window shape; empty below width). */
+    * [[LmScore.nllHof]] window shape; empty below width) — native
+    * one-pass ([[graft.functions.StringWindowsExpr]]); the counting
+    * passes explode every window of every document, so the interpreted
+    * HOF's per-window lambda+substr constant was the dominant cost. */
   private def windows(p: Column, w: Int): Column =
-    when(length(p) >= w,
-      transform(sequence(lit(1), length(p) - (w - 1)), i => p.substr(i, lit(w))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.StringWindowsExpr.windows(p, w)
 
   /** The trained model: (tri, cnt, cost), top [[TopM]] trigrams. */
   def trainModel(docs: DataFrame, text: Column): DataFrame = {
@@ -57,22 +58,27 @@ object LmTrain {
           lit(1e-9))).cast("long").as("cost"))
   }
 
+  /** Collect a [[trainModel]] result into the driver-side literal form the
+    * scorer embeds — bounded by [[TopM]] (the k-means-centroid class of
+    * driver model state, not a data collect; the learnedSubwordCount
+    * merges-Seq precedent). */
+  def collectModel(model: DataFrame): Map[String, Long] =
+    model.select(col("tri"), col("cost")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Append `n_win`, `nll_t` (total trained-model NLL, milli-nats) and
-    * `lm_t_mw` (per-window) to `docs`: the model folds to one broadcast
-    * map row; scoring is a per-row HOF probe with the unseen floor. */
+    * `lm_t_mw` (per-window) to `docs`: one generated-code pass per row
+    * with O(1) model probes ([[graft.functions.LmModelNllExpr]] — the
+    * map-COLUMN alternative probes element_at's linear scan over all TopM
+    * entries per window and benched 22.6 s at sf0.1 where this runs at
+    * scan speed). Zero shuffle; the unseen floor pays for pruned/unseen
+    * windows. */
   def withTrainedNll(docs: DataFrame, text: Column,
-      model: DataFrame): DataFrame = {
-    val m = model
-      .agg(map_from_entries(collect_list(struct(col("tri"), col("cost"))))
-        .as("__m"))
-    docs.crossJoin(broadcast(m))
-      .withColumn("__p", LangId.padded(text))
+      model: Map[String, Long]): DataFrame =
+    docs.withColumn("__p", LangId.padded(text))
       .withColumn("n_win", greatest(length(col("__p")) - 2, lit(0)).cast("long"))
       .withColumn("nll_t",
-        aggregate(windows(col("__p"), 3), lit(0L),
-          (acc, t) => acc +
-            coalesce(element_at(col("__m"), t), lit(LmScore.UnseenCost))))
+        graft.functions.LmModelNllExpr.nll(col("__p"), model, LmScore.UnseenCost))
       .withColumn("lm_t_mw", LmScore.nllPerWindow(col("nll_t"), col("n_win")))
-      .drop("__m", "__p")
-  }
+      .drop("__p")
 }

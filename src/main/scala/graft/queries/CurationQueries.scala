@@ -100,7 +100,7 @@ object CurationQueries {
     "q_lm_train_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       LmTrain.withTrainedNll(docs, col("text"),
-          LmTrain.trainModel(docs, col("text")))
+          LmTrain.collectModel(LmTrain.trainModel(docs, col("text"))))
         .select(col("doc_id"), col("n_win"), col("nll_t"), col("lm_t_mw"))
         .orderBy(col("doc_id"))
     }),

@@ -87,12 +87,14 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     val sql = spark.sql(
       """SELECT id, graft_top_bigram(split(text, ' ')) AS tb,
         |       graft_bigram_buckets(split(text, ' '), 64) AS bb,
-        |       graft_window_hashes(split(text, ' '), 3) AS wh
+        |       graft_window_hashes(split(text, ' '), 3) AS wh,
+        |       graft_string_windows(text, 3) AS sw
         |FROM docs_sqlfn ORDER BY id""".stripMargin).collect()
     val api = docs.select(col("id"),
         TopBigramExpr.topBigram(split(col("text"), " ")).as("tb"),
         HashedBigramBucketsExpr.buckets(split(col("text"), " "), 64).as("bb"),
-        TokenWindowHashesExpr.hashes(split(col("text"), " "), 3).as("wh"))
+        TokenWindowHashesExpr.hashes(split(col("text"), " "), 3).as("wh"),
+        StringWindowsExpr.windows(col("text"), 3).as("sw"))
       .orderBy(col("id")).collect()
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
   }

@@ -95,7 +95,8 @@ class CurationSpec extends SparkSpec {
     val model = LmTrain.trainModel(corpus, col("text"))
     val probe = Seq((1L, "the quick brown fox"), (2L, "qqq zzz xxx vvv"))
       .toDF("doc_id", "text")
-    val scored = LmTrain.withTrainedNll(probe, col("text"), model)
+    val scored = LmTrain.withTrainedNll(probe, col("text"),
+        LmTrain.collectModel(model))
       .select(col("doc_id"), col("lm_t_mw")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scored(1L) < scored(2L),
@@ -133,7 +134,7 @@ class CurationSpec extends SparkSpec {
     assert(gotModel.length === tri.size) // under TopM, nothing pruned
     // per-doc NLL: every window is in-model for doc 0
     val nll = LmTrain.withTrainedNll(corpus, col("text"),
-        LmTrain.trainModel(corpus, col("text")))
+        LmTrain.collectModel(LmTrain.trainModel(corpus, col("text"))))
       .select(col("doc_id"), col("nll_t")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val p0 = pad(texts(0))
