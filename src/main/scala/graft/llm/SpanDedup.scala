@@ -28,6 +28,51 @@ object SpanDedup {
     * shape. */
   val W = 8
 
+  /** Substring-dedup APPLY (Lee et al. 2022's text surgery): every
+    * duplicated w-token window — ANY window whose hash occurs twice
+    * anywhere in the corpus, within one doc or across docs — keeps only
+    * its GLOBAL first occurrence (lowest (doc, start)); every other
+    * occurrence's tokens are cut from their document. Output per doc:
+    * token counts and the cleaned text (kept tokens rejoined).
+    *
+    * Contract details (shared with the oracle): window starts and token
+    * positions are 1-based; a token is cut when ANY flagged window covers
+    * it (coverage union of [s, s+w−1] ranges); docs under w tokens carry
+    * no windows and pass through intact.
+    *
+    * 100 TB shape: the same inverted-index explode as [[report]]; the
+    * owner per hash is one map-side-combined min-struct aggregate; flagged
+    * (doc, start) lists fold back per doc (bounded by the doc's own window
+    * count) and the cut is a per-row coverage filter — no text ever joins
+    * against text. */
+  def dedupApply(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val wins = docs.select(id.as("doc_id"),
+        posexplode(graft.functions.TokenWindowHashesExpr.hashes(
+          TextAnalysis.flatTokens(text), W)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("h"))
+    val owners = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("own"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("own.doc_id").as("own_doc"), col("own.s").as("own_s"))
+    val flagged = wins.join(owners, Seq("h"))
+      .filter(!(col("doc_id") === col("own_doc") && col("s") === col("own_s")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("cuts"))
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cuts"), array().cast("array<long>")).as("cuts"),
+        TextAnalysis.flatTokens(col("__text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        filter(col("t"), (_, i) =>
+          !exists(col("cuts"), s => s <= i + 1 && i + 1 < s + W)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+  }
+
   /** Per-doc span-duplication report: (id, n_windows, n_dup, dup_frac).
     *
     * Two corpus passes, the derive-then-flag shape (q_quality_cut's

@@ -113,6 +113,14 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring-dedup APPLY: duplicated w-token windows keep only their
+    // global first occurrence; other occurrences' tokens are cut. Plant
+    // docs lose their copied prefix, base docs (the owners) keep theirs.
+    "q_dedup_substring_apply" -> ((s, d) => {
+      SpanDedup.dedupApply(docsSpanFix(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-balanced subsample: integer-L2 cells over the stride
     // centroids (the SemDeDup assignment contract), ≤10 members per cell
     // in deterministic scrambled-id order — the topic-balance pass.
@@ -208,6 +216,7 @@ object CurationQueries {
        |                      x -> len(x) > 0) AS t
        |        FROM sfx),
        |wh AS (SELECT doc_id,
+       |         unnest(generate_series(1, len(t) - ${w - 1})) AS s,
        |         unnest(list_transform(generate_series(1, len(t) - ${w - 1}),
        |           i -> ${polyHashSql(s"array_to_string(t[i:i+${w - 1}], ' ')")})) AS h
        |       FROM tok WHERE len(t) >= $w),
@@ -310,6 +319,29 @@ object CurationQueries {
          |       CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup,
          |       round(coalesce(nd.n_dup, 0) * 1.0 / nw.n_windows, 6) AS dup_frac
          |FROM nw LEFT JOIN nd USING (doc_id) ORDER BY nw.doc_id""".stripMargin,
+
+    // owner = rank-1 occurrence of each duplicated hash in (doc, start)
+    // order; every later occurrence flags its start; a token is cut when
+    // any flagged [s, s+w-1] range covers it
+    "q_dedup_substring_apply" ->
+      s"""$SpanCtes,
+         |flag AS (SELECT doc_id, s FROM (
+         |           SELECT doc_id, s,
+         |                  row_number() OVER (PARTITION BY h
+         |                                     ORDER BY doc_id, s) AS rk,
+         |                  count(*) OVER (PARTITION BY h) AS n
+         |           FROM wh) WHERE n >= 2 AND rk > 1),
+         |cuts AS (SELECT doc_id, list_sort(list(s)) AS cs FROM flag GROUP BY 1),
+         |kept AS (SELECT t.doc_id, t.t,
+         |           list_filter(generate_series(1, len(t.t)), j ->
+         |             len(list_filter(coalesce(c.cs, []),
+         |               s -> s <= j AND j < s + ${SpanDedup.W})) = 0) AS kp
+         |         FROM tok t LEFT JOIN cuts c USING (doc_id))
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |       CAST(len(kp) AS BIGINT) AS n_kept,
+         |       coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '),
+         |                '') AS kept_text
+         |FROM kept ORDER BY doc_id""".stripMargin,
 
     // integer-quantized argmin assignment (ties → lowest cell), then the
     // per-cell scramble-key top-10 (the q_sample_capped rank restatement)

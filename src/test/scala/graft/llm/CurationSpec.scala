@@ -278,6 +278,42 @@ class CurationSpec extends SparkSpec {
     assert(byCell(11L).subsetOf((11L to 22L).toSet))
   }
 
+  test("span dedup apply: first occurrence kept, copies cut, under-W pass-through") {
+    val s = spark
+    import s.implicits._
+    val shared10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val docs = Seq(
+      (1L, shared10 + " a1 a2 a3 a4 a5 a6 a7 a8"),   // owner: untouched
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 " + shared10),   // copier: loses the copy
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"), // distinct: untouched
+      (4L, "d1 d2 d3"),                               // under W: pass-through
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8") // self-dup
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.dedupApply(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((18L, 18L,
+      shared10 + " a1 a2 a3 a4 a5 a6 a7 a8")))
+    assert(got(2L) === ((18L, 8L, "b1 b2 b3 b4 b5 b6 b7 b8")))
+    assert(got(3L) === ((12L, 12L,
+      "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")))
+    assert(got(4L) === ((3L, 3L, "d1 d2 d3")))
+    assert(got(5L) === ((16L, 8L, "x1 x2 x3 x4 x5 x6 x7 x8")),
+      "within-doc repetition keeps only the first occurrence")
+  }
+
+  test("span dedup apply on an all-distinct corpus is the identity") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 5L).map(i =>
+      (i, (1 to 12).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val got = SpanDedup.dedupApply(docs, col("doc_id"), col("text"))
+      .collect()
+    assert(got.forall(r => r.getLong(1) === r.getLong(2)))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach(r => assert(r.getString(3) === texts(r.getLong(0))))
+  }
+
   test("span report on an all-distinct corpus is all-zero dup") {
     val s = spark
     import s.implicits._

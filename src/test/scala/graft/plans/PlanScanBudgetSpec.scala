@@ -96,6 +96,12 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_lm_train_score" -> 3,
     // cross-copy fixture (2 branches) × derive-shared-set + flag passes
     "q_dedup_substring" -> 4,
+    // same fixture × (owner aggregate + flag probe + the text pass the
+    // cut filter rewrites): the flag step is groupBy-then-join rather
+    // than one count()/row_number() window over each hash's occurrences
+    // — a boilerplate span shared by millions of docs would put that
+    // whole partition through one task (the whole-group-window doctrine)
+    "q_dedup_substring_apply" -> 6,
     // corpus pass + centroid stride over the same embeddings table
     "q_sample_cluster" -> 2,
     // corpus-statistics pass (N, avg len, per-term df) + the scoring pass
