@@ -205,13 +205,22 @@ object Bpe {
     }
 
   /** Subword count under a LEARNED merge list — [[trainMerges]]' tokenizer
-    * applied: each token char-splits to symbols, the merges replay in rank
-    * order (the same non-overlapping `replace` the trainer used), and the
-    * surviving symbol count is the token's subword count. The merge list is
-    * a handful of literals baked into the expression (the model is
-    * driver-side state, like a broadcast centroid table), so this stays a
-    * per-row codegen'd projection — scan speed, no shuffle, no UDF. */
+    * applied: each token splits to code-point symbols, the merges replay
+    * in rank order (the trainer's non-overlapping left-to-right symbol
+    * apply), and the surviving symbol count is the token's subword count.
+    * The merge list is driver-side state baked into a native expression
+    * ([[graft.functions.LearnedBpeCountExpr]]) — one generated-code pass,
+    * scan speed, no shuffle (the wrapped-replace HOF chain this replaces
+    * paid four interpreted string replaces per merge per token and
+    * benched 5.5 s at sf0.1). */
   def learnedSubwordCount(toks: Column,
+      merges: Seq[(String, String)]): Column =
+    graft.functions.LearnedBpeCountExpr.count(toks, merges)
+
+  /** HOF twin of [[learnedSubwordCount]] — the engine-portable wrapped-
+    * replace chain the DuckDB oracle restates verbatim; BpeSpec pins the
+    * native form equal. */
+  def learnedSubwordCountHof(toks: Column,
       merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.functions._
     aggregate(toks, org.apache.spark.sql.functions.lit(0L), (acc, t) => {

@@ -150,7 +150,12 @@ class BpeSpec extends SparkSpec {
     import s.implicits._
     val merges = Seq(("a", "b"), ("b", "c"), ("ab", "c"))
     def brute(word: String): Long = {
-      var syms = word.split("").toVector
+      if (word.isEmpty) return 1L // the empty-token floor
+      // code-point symbols — java String.split("") would split surrogate
+      // pairs, which Spark's split(t, '') does NOT; the engines' shared
+      // contract is code points
+      var syms = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
       for ((l, r) <- merges) {
         val nb = Vector.newBuilder[String]
         var i = 0
@@ -163,15 +168,22 @@ class BpeSpec extends SparkSpec {
       }
       syms.length.toLong
     }
+    // the emoji case pins the code-UNIT symbol contract (Java split(''),
+    // shared by the HOF twin and trainMerges' documented ASCII posture):
+    // brute's split('') produces the same surrogate-half symbols
     val texts = Seq("abc", "ab bc abc", "aabbcc babc cabca", "b c bc cb",
-      "abcabc abcbc", "a", "zzz")
+      "abcabc abcbc", "a", "zzz", "a  b", "😀abc a😀bc")
     val got = texts.toDF("text")
-      .select(col("text"), Bpe.learnedSubwordCount(
-        TextAnalysis.tokens(col("text")), merges).as("n"))
+      .select(col("text"),
+        Bpe.learnedSubwordCount(
+          TextAnalysis.tokens(col("text")), merges).as("n"),
+        Bpe.learnedSubwordCountHof(
+          TextAnalysis.tokens(col("text")), merges).as("nh"))
       .collect()
     got.foreach { r =>
       val expected = r.getString(0).split(" ", -1).map(brute).sum
-      assert(r.getLong(1) === expected, s"text '${r.getString(0)}'")
+      assert(r.getLong(1) === expected, s"native for '${r.getString(0)}'")
+      assert(r.getLong(2) === expected, s"hof for '${r.getString(0)}'")
     }
   }
 
