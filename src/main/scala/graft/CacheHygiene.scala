@@ -22,4 +22,18 @@ object CacheHygiene {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = blocking))
   }
+
+  /** Unpersist ONE localCheckpoint'ed DataFrame's blocks (its analyzed
+    * plan is a LogicalRDD over the persisted RDD) — the per-round release
+    * for iterative loops (BPE merge training, connected components):
+    * once round N's checkpoint materializes, round N−1's blocks are dead
+    * weight that would otherwise grow storage linearly with rounds (r14
+    * ADVICE). Safe only when nothing will recompute the superseded plan —
+    * a locally-checkpointed RDD's lineage is truncated. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -195,14 +195,8 @@ object Bpe {
     merges.result().toDF("merge_rank", "sym_l", "sym_r", "pair_count")
   }
 
-  /** Unpersist the block-manager storage behind a localCheckpoint'ed
-    * DataFrame (its analyzed plan is a LogicalRDD over the persisted RDD). */
   private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.CacheHygiene.unpersistCheckpoint(df)
 
   /** Subword count under a LEARNED merge list — [[trainMerges]]' tokenizer
     * applied: each token splits to code-point symbols, the merges replay

@@ -571,6 +571,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // edges (mirrored) is materialized — the directed list's blocks are
+    // now dead weight (the r14-ADVICE per-round release discipline; at
+    // corpus scale these are edge-set-sized blocks, not metadata)
+    graft.CacheHygiene.unpersistCheckpoint(directed)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -589,6 +593,9 @@ object Dedup {
             .as("changed"))
         .localCheckpoint(false) // lazy: the count below materializes it —
       changed = next.filter(col("changed")).count() // one job per round, not two
+      // the new round is materialized; the superseded labels' blocks die
+      // (the final round's checkpoint survives — the result reads it)
+      graft.CacheHygiene.unpersistCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
@@ -641,6 +648,8 @@ object Dedup {
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .distinct().localCheckpoint(true)
+    // nodes and the canonical edges are materialized — base's blocks die
+    graft.CacheHygiene.unpersistCheckpoint(base)
     var edgeCount = edges.count()
     var iter = 0
     var converged = edgeCount == 0L
@@ -669,6 +678,9 @@ object Dedup {
       // exact convergence: same cardinality and no edge outside the old set
       converged = nextCount == edgeCount &&
         next.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
+      // the anti-join was the old edge set's last reader — release it
+      // (the final round's checkpoint survives to read the labels off)
+      graft.CacheHygiene.unpersistCheckpoint(edges)
       edges = next
       edgeCount = nextCount
       iter += 1
