@@ -29,6 +29,15 @@ object SparkEntry {
   def verifyOnly: Set[String] = Set(
     "q_dedup_minhash_det", "q_dedup_simhash_det", "q_ann_lsh_all", "q_ann_ivf_all",
     "q_ann_ivf_kmeans_det",
+    // full-oracle det twins of the production LSH cluster/apply chain
+    // (q_dedup_clusters_lsh / q_dedup_apply_lsh) — md5 signature math is the
+    // portability price of the oracle, not a production path
+    "q_dedup_clusters_lsh_det", "q_dedup_apply_lsh_det",
+    // the exact-Jaccard chain (r15 verdict #1): correct and oracle-gated,
+    // but its uncapped shingle inverted-index self-join is quadratic on a
+    // hot shingle (21-27x at 10x data) — it is the VERIFY twin of the
+    // banded LSH chain above, which is what a 100 TB corpus actually runs
+    "q_dedup_jaccard", "q_dedup_clusters", "q_dedup_apply",
     // exact-percentile twins of q_quality_cut / q_quality_cut_by_lang /
     // q_lm_cut_by_lang: the all-values-in-one-buffer aggregate is the
     // oracle instrument, never the benched production path

@@ -584,6 +584,56 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PRODUCTION cluster resolution (r15 verdict #1): connected components
+    // over the CAPPED MinHash-LSH candidate pairs instead of the exact
+    // shingle self-join. The exact-Jaccard chain above is the verify twin
+    // (correct, but its uncapped inverted-index join fans out quadratically
+    // on a hot shingle — 21-27x growth at 10x data); banding bounds every
+    // bucket's pair fan-out, and the auto-armed salt guard bounds any
+    // degenerate bucket's task, so THIS is the chain a 100 TB corpus runs.
+    // xxhash64 signatures → rows-only driver check; the det twin below
+    // carries the full-oracle hash match, and LlmSpec pins that every
+    // exact-chain loser is also dropped here.
+    "q_dedup_clusters_lsh" -> ((s, d) => {
+      val pairs = Dedup.minHashCandidates(docsNearDups(s, d), col("doc_id"),
+        col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      Dedup.components(pairs, col("id_a"), col("id_b"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end production dedup at scale: corpus minus the LSH chain's
+    // non-survivors. Same un-hinted AQE-sized anti-join as q_dedup_apply.
+    "q_dedup_apply_lsh" -> ((s, d) => {
+      val docs = docsNearDups(s, d)
+      val pairs = Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      Dedup.dropNearDups(docs, col("doc_id"),
+          Dedup.components(pairs, col("id_a"), col("id_b")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Full-oracle det twins of the LSH cluster/apply chain: components over
+    // the md5/integer det-MinHash pair graph — DuckDB restates signatures,
+    // banding, est-Jaccard, and the recursive reachability closure verbatim,
+    // so the WHOLE production shape (banded candidates → components →
+    // anti-join) carries a hash-matched row (the q_quality_cut doctrine).
+    "q_dedup_clusters_lsh_det" -> ((s, d) => {
+      val pairs = Dedup.minHashDetCandidates(docsNearDups(s, d), col("doc_id"),
+        col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      Dedup.components(pairs, col("id_a"), col("id_b"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_apply_lsh_det" -> ((s, d) => {
+      val docs = docsNearDups(s, d)
+      val pairs = Dedup.minHashDetCandidates(docs, col("doc_id"), col("text"),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      Dedup.dropNearDups(docs, col("doc_id"),
+          Dedup.components(pairs, col("id_a"), col("id_b")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: the eval-leakage pass. The "benchmark" is a
     // deterministic stride of the corpus projected to a 120-char prefix —
     // partial containment, the case a verbatim-match pass misses. 5-gram
@@ -1446,6 +1496,57 @@ object LlmQueries {
       |  UNION
       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
 
+  /** Shared CTE chain restating [[Dedup.minHashDetCandidates]]: shingles →
+    * packed-md5 values mod 2^31 → 64 universal-hash signature mins → 16
+    * band keys → candidate pairs with agreement/64 in `est`. Shared by
+    * q_dedup_minhash_det and the LSH cluster/apply det twins. */
+  private val MinHashDetCtes: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                i -> array_to_string(t[i:i+2], ' '))) AS s
+      |       FROM tk WHERE len(t) >= 3),
+      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |hv AS (SELECT doc_id,
+      |              list_sum(list_transform(generate_series(0, 14),
+      |                p -> (strpos('0123456789abcdef',
+      |                        substr(md5(shingle), p + 1, 1)) - 1)
+      |                     * (CAST(1 AS BIGINT) << (4 * p)))) % 2147483648
+      |                AS v
+      |       FROM inv),
+      |sig AS (SELECT doc_id, g.i AS i,
+      |               min((v * (2 * g.i + 1) + (g.i * 2654435761) % 2147483647)
+      |                   % 2147483647) AS s
+      |        FROM hv CROSS JOIN generate_series(0, 63) AS g(i)
+      |        GROUP BY 1, 2),
+      |band AS (SELECT doc_id, i // 4 AS band,
+      |                string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS key
+      |         FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM band a JOIN band b
+      |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.id_a, c.id_b,
+      |               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0 AS e
+      |        FROM cand c
+      |        JOIN sig sa ON sa.doc_id = c.id_a
+      |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      |        GROUP BY 1, 2)""".stripMargin
+
+  /** Continues [[MinHashDetCtes]] (under a RECURSIVE near-dup fixture) with
+    * the thresholded pair set, undirected edges, and the reachability
+    * closure — the oracle restatement of components-over-det-MinHash shared
+    * by the LSH cluster/apply det twins. */
+  private val MinHashDetClusterCtes: String =
+    s"""${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")},
+      |$MinHashDetCtes,
+      |mp AS (SELECT id_a, id_b FROM est WHERE e >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM mp),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // planted scaled duplicates: found with recall 1 (sign-preserving
     // scaling ⇒ same bucket) and cosine exactly 1 after 6-dp rounding
@@ -1535,38 +1636,22 @@ object LlmQueries {
     // restates minHashDetCandidates verbatim: packed md5 digits mod 2^31 per
     // shingle, 64 universal-hash mins, 16 bands x 4-row keys, agreement/64
     "q_dedup_minhash_det" -> s"""$NearDupCte,
-      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
-      |sh AS (SELECT doc_id,
-      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
-      |                i -> array_to_string(t[i:i+2], ' '))) AS s
-      |       FROM tk WHERE len(t) >= 3),
-      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-      |hv AS (SELECT doc_id,
-      |              list_sum(list_transform(generate_series(0, 14),
-      |                p -> (strpos('0123456789abcdef',
-      |                        substr(md5(shingle), p + 1, 1)) - 1)
-      |                     * (CAST(1 AS BIGINT) << (4 * p)))) % 2147483648
-      |                AS v
-      |       FROM inv),
-      |sig AS (SELECT doc_id, g.i AS i,
-      |               min((v * (2 * g.i + 1) + (g.i * 2654435761) % 2147483647)
-      |                   % 2147483647) AS s
-      |        FROM hv CROSS JOIN generate_series(0, 63) AS g(i)
-      |        GROUP BY 1, 2),
-      |band AS (SELECT doc_id, i // 4 AS band,
-      |                string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS key
-      |         FROM sig GROUP BY doc_id, i // 4),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM band a JOIN band b
-      |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-      |est AS (SELECT c.id_a, c.id_b,
-      |               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0 AS e
-      |        FROM cand c
-      |        JOIN sig sa ON sa.doc_id = c.id_a
-      |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-      |        GROUP BY 1, 2)
+      |$MinHashDetCtes
       |SELECT id_a, id_b, round(CAST(e AS DOUBLE), 6) AS est_jaccard
       |FROM est WHERE e >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // components over the det-MinHash pair graph — the production LSH
+    // cluster chain's full-oracle twin
+    "q_dedup_clusters_lsh_det" -> s"""$MinHashDetClusterCtes
+      |SELECT src AS doc_id, least(src, min(dst)) AS component
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_apply_lsh_det" -> s"""$MinHashDetClusterCtes,
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+      |         FROM reach GROUP BY src)
+      |SELECT doc_id FROM d3
+      |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+      |ORDER BY doc_id""".stripMargin,
 
     // restates simHashDetPairs verbatim: bit i of the 60-bit fingerprint is
     // bit (i%4) of md5 hex digit i//4; ±1 vote per token; 4×15-bit banding

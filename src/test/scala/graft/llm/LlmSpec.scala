@@ -142,6 +142,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("production LSH cluster chain drops every exact-chain loser") {
+    // r15 verdict #1: the banded chain is the production dedup path; this
+    // pin is the recall contract that lets the exact-Jaccard chain retire
+    // to verify-twin status — no doc the exact chain would drop survives
+    // the LSH chain on the fixture (LSH's lower 0.5 est-threshold vs the
+    // exact 0.6 makes it at-least-as-aggressive by construction there)
+    def losers(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.components(pairs, col("id_a"), col("id_b"))
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val exact = losers(Dedup.jaccardPairs(docsNearDups, col("doc_id"),
+      col("text"), n = 3, threshold = 0.6))
+    val lsh = losers(Dedup.minHashCandidates(docsNearDups, col("doc_id"),
+      col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5))
+    assert(exact.nonEmpty, "fixture produced no exact-chain losers at all")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"exact-chain losers missed by the LSH chain: $missed")
+    // and every planted near-dup copy is resolved away
+    val plantedCopies = plantedPairs.map(_._2)
+    assert((plantedCopies -- lsh).isEmpty,
+      s"planted copies surviving the LSH chain: ${plantedCopies -- lsh}")
+  }
+
   test("deterministic simhash fingerprint matches independent md5 bit math") {
     // one doc per token set; expected fingerprint computed with
     // java.security MD5 + the documented convention (bit i = bit i%4 of hex

@@ -28,6 +28,11 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_dedup_apply" -> 2,
     "q_dedup_winnow_apply" -> 2,
     "q_dedup_clusters" -> 2,
+    // production LSH chain: candidate generation runs eagerly inside
+    // components() (checkpointed), so the returned plan re-reads only the
+    // two fixture branches for the anti-join
+    "q_dedup_clusters_lsh" -> 2,
+    "q_dedup_apply_lsh" -> 2,
     // base + quoting branch of the paragraphed-corpus fixture
     "q_dedup_paragraph" -> 2,
     // paragraphed fixture's two branches + the spam-plant branch
