@@ -89,9 +89,15 @@ class BenchContractSpec extends AnyFunSuite {
     // GK sketch DuckDB cannot restate; the exact-percentile twins
     // q_quality_cut(_by_lang)_det carry the full-oracle hash and
     // LlmQueriesSpec pins ±5% agreement
+    // q_dedup_clusters_lsh / q_dedup_apply_lsh: production MinHash-LSH dedup
+    // chain — xxhash64 signatures DuckDB cannot restate; their full-oracle
+    // twins q_dedup_clusters_lsh_det / q_dedup_apply_lsh_det (deterministic
+    // shingle-id signatures) hash-match, and LlmSpec pins LSH-chain recall
+    // against the exact-Jaccard chain
     val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
       "q_ann_lsh_mp", "q_ann_ivf", "q_ann_ivf_kmeans", "q_quality_cut",
-      "q_quality_cut_by_lang", "q_lm_cut_by_lang")
+      "q_quality_cut_by_lang", "q_lm_cut_by_lang",
+      "q_dedup_clusters_lsh", "q_dedup_apply_lsh")
     val unproven = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(unproven.isEmpty,
