@@ -24,10 +24,18 @@ import org.apache.spark.sql.types._
   *
   * Why native: one generated-code pass per row; the per-window char walk
   * is O(n·w·len̄) with w a small literal — no interpreted lambdas, no
-  * string materialization per window. */
-case class TokenWindowHashesExpr(child: Expression, w: Int)
+  * string materialization per window.
+  *
+  * The (b, p) pair defaults to the 31-bit oracle contract above; callers
+  * needing an INDEPENDENT second hash (span-dedup's collision guard) pass
+  * [[TokenWindowHashesExpr.B2]]/[[TokenWindowHashesExpr.P2]] — p must stay
+  * under 2⁴² so `h·b + cp` fits signed 64-bit in both engines. */
+case class TokenWindowHashesExpr(child: Expression, w: Int,
+    b: Long = WinnowFingerprintExpr.B, p: Long = WinnowFingerprintExpr.P)
     extends UnaryExpression {
   require(w >= 2, s"window width must be >= 2 (got $w)")
+  require(p > 1 && (p - 1) <= (Long.MaxValue - 0x10FFFF) / b,
+    s"modulus $p overflows 64-bit fold with base $b")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -39,11 +47,11 @@ case class TokenWindowHashesExpr(child: Expression, w: Int)
   override def prettyName: String = "token_window_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    TokenWindowHashesExpr.compute(input.asInstanceOf[ArrayData], w)
+    TokenWindowHashesExpr.compute(input.asInstanceOf[ArrayData], w, b, p)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = graft.functions.TokenWindowHashesExpr.compute($arr, $w);")
+      s"${ev.value} = graft.functions.TokenWindowHashesExpr.compute($arr, $w, ${b}L, ${p}L);")
 
   override protected def withNewChildInternal(newChild: Expression): TokenWindowHashesExpr =
     copy(child = newChild)
@@ -51,11 +59,17 @@ case class TokenWindowHashesExpr(child: Expression, w: Int)
 
 object TokenWindowHashesExpr {
 
-  def compute(toks: ArrayData, w: Int): ArrayData = {
+  /** Second-hash constants for span-dedup's collision guard: an
+    * INDEPENDENT base (next prime after B) and a ~41-bit prime modulus
+    * (largest prime under 2⁴¹) — large enough that a simultaneous
+    * (h, h2) collision is a ~2⁻⁷² event, small enough that the fold's
+    * `h·B2 + cp` stays inside signed 64-bit in both Java and DuckDB. */
+  val B2: Long = 1000033L
+  val P2: Long = 2199023255531L // largest prime < 2^41
+
+  def compute(toks: ArrayData, w: Int, B: Long, P: Long): ArrayData = {
     val n = toks.numElements()
     if (n < w) return new GenericArrayData(Array.empty[Long])
-    val B = WinnowFingerprintExpr.B
-    val P = WinnowFingerprintExpr.P
     val words = new Array[String](n)
     var i = 0
     while (i < n) {
@@ -87,4 +101,11 @@ object TokenWindowHashesExpr {
   def hashes(tokens: Column, w: Int): Column =
     ColumnBridge.column(
       TokenWindowHashesExpr(ColumnBridge.expression(tokens), w))
+
+  /** The independent (B2, P2) window hash — span-dedup's second opinion:
+    * a cut happens only when BOTH hashes agree, so a 31-bit birthday
+    * collision can never delete an innocent span. */
+  def hashes2(tokens: Column, w: Int): Column =
+    ColumnBridge.column(
+      TokenWindowHashesExpr(ColumnBridge.expression(tokens), w, B2, P2))
 }

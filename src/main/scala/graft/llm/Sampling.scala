@@ -162,9 +162,15 @@ object Sampling {
     val cent = centroids.select(col("vec_id").as("cell"),
       q(col("embedding")).as("__cv"))
     val assigned = corpus.crossJoin(broadcast(cent))
-      .withColumn("__d", aggregate(
-        zip_with(col("__nv"), col("__cv"), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v))
+      // dimension guard: zip_with null-pads a length mismatch, turning the
+      // distance NULL and the argmin silently wrong — fail loudly instead
+      .withColumn("__d", when(size(col("__nv")) === size(col("__cv")),
+        aggregate(
+          zip_with(col("__nv"), col("__cv"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v))
+        .otherwise(raise_error(concat(
+          lit("clusterBalanced: embedding dim "), size(col("__nv")),
+          lit(" != centroid dim "), size(col("__cv"))))))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("cell"))
     topKPerGroup(assigned, col("cell"), col("vec_id"), k)

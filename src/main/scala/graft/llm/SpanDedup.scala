@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   * flagged-hash set joins back to the window table on the hash key. No
   * all-pairs stage, no per-key state beyond counts. The window hash is
   * the engine-portable poly hash ([[graft.functions.TokenWindowHashesExpr]])
-  * so the oracle restates the WHOLE pipeline — full hash-match, no twin. */
+  * so the oracle restates the WHOLE pipeline — full hash-match, no twin.
+  *
+  * Collision guard: every stage keys on the PAIR (h, h2) — the 31-bit
+  * oracle hash plus an independent 41-bit hash (different base AND
+  * modulus). A 31-bit hash alone collides past ~55k distinct windows
+  * (birthday bound), and a false window match CUTS REAL TEXT from an
+  * innocent document; the pair pushes the first expected collision past
+  * ~2³⁶ windows. Both hashes are plain 64-bit folds DuckDB restates, so
+  * the oracle still covers the exact production semantics. */
 object SpanDedup {
 
   /** Window width in tokens. Lee et al. use 50-token spans; 8 keeps the
@@ -46,16 +54,15 @@ object SpanDedup {
     * count) and the cut is a per-row coverage filter — no text ever joins
     * against text. */
   def dedupApply(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val wins = docs.select(id.as("doc_id"),
-        posexplode(graft.functions.TokenWindowHashesExpr.hashes(
-          TextAnalysis.flatTokens(text), W)).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("h"))
-    val owners = wins.groupBy(col("h"))
+    val wins = windows(docs, id, text)
+      .select(col("doc_id"), col("s"), col("h"), col("h2"))
+    val owners = wins.groupBy(col("h"), col("h2"))
       .agg(min(struct(col("doc_id"), col("s"))).as("own"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
-      .select(col("h"), col("own.doc_id").as("own_doc"), col("own.s").as("own_s"))
-    val flagged = wins.join(owners, Seq("h"))
+      .select(col("h"), col("h2"),
+        col("own.doc_id").as("own_doc"), col("own.s").as("own_s"))
+    val flagged = wins.join(owners, Seq("h", "h2"))
       .filter(!(col("doc_id") === col("own_doc") && col("s") === col("own_s")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("s"))).as("cuts"))
@@ -82,23 +89,34 @@ object SpanDedup {
     * against the shared set, and folds BOTH report sums in ONE
     * conditional aggregation per doc — no third pass, no outer-join
     * null-filter asymmetry to defeat exchange reuse. */
+  /** Shared window extraction: (doc_id, s, h, h2) per w-token window,
+    * both hashes off ONE token-array pass (tokens materialize once). */
+  private def windows(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.flatTokens(text).as("t"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(
+          graft.functions.TokenWindowHashesExpr.hashes(col("t"), W).as("h"),
+          graft.functions.TokenWindowHashesExpr.hashes2(col("t"), W).as("h2")))
+          .as(Seq("p0", "hz")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"),
+        col("hz.h").as("h"), col("hz.h2").as("h2"))
+
   def report(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val wins = docs.select(id.as("doc_id"),
-        explode(graft.functions.TokenWindowHashesExpr.hashes(
-          TextAnalysis.flatTokens(text), W)).as("h"))
-    // hashes seen in >= 2 distinct docs (the (doc, h) distinct collapses
-    // first, so the count is exact and map-side combined)
+    val wins = windows(docs, id, text)
+      .select(col("doc_id"), col("h"), col("h2"))
+    // hash pairs seen in >= 2 distinct docs (the (doc, h, h2) distinct
+    // collapses first, so the count is exact and map-side combined)
     val shared = wins.distinct()
-      .groupBy(col("h"))
+      .groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .select(col("h"), lit(true).as("dup"))
-    wins.groupBy(col("doc_id"), col("h"))
+      .select(col("h"), col("h2"), lit(true).as("dup"))
+    wins.groupBy(col("doc_id"), col("h"), col("h2"))
       .agg(count(lit(1)).as("n_occ"))
       // un-hinted: AQE sizes the shared set at runtime (a crawl-scale
       // corpus can carry a broadcast-hostile number of shared spans —
       // the dedup-apply r11 lesson)
-      .join(shared, Seq("h"), "left")
+      .join(shared, Seq("h", "h2"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_windows"),
         sum(when(col("dup"), col("n_occ")).otherwise(0L)).as("n_dup"))

@@ -121,13 +121,16 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Cluster-balanced subsample: integer-L2 cells over the stride
-    // centroids (the SemDeDup assignment contract), ≤10 members per cell
-    // in deterministic scrambled-id order — the topic-balance pass.
+    // Cluster-balanced subsample: integer-L2 cells over the CAPPED stride
+    // centroids (fixed 16-slot budget, the PQ-codebook pattern — an
+    // uncapped stride grows |centroids| with the corpus and the broadcast
+    // argmin goes quadratic), ≤10 members per cell in deterministic
+    // scrambled-id order — the topic-balance pass.
     "q_sample_cluster" -> ((s, d) => {
       graft.llm.Sampling.clusterBalanced(
           Tables.embeddings(s, d),
-          Tables.embeddings(s, d).filter(col("vec_id") % 101 === 0),
+          Tables.embeddings(s, d).filter(col("vec_id") % 101 === 0 &&
+            col("vec_id") < 1616),
           k = 10)
         .select(col("cell"), col("vec_id"))
         .orderBy(col("cell"), col("vec_id"))
@@ -135,12 +138,15 @@ object CurationQueries {
 
   /** Poly-hash SQL fold over the code points of `gramExpr` — the DuckDB
     * restatement of the WinnowFingerprintExpr-family hash for
-    * variable-length strings (list_reduce with a zero seed). */
-  private def polyHashSql(gramExpr: String): String =
+    * variable-length strings (list_reduce with a zero seed). The (b, p)
+    * pair defaults to the 31-bit contract; span-dedup's collision-guard
+    * second hash passes (B2, P2) — p < 2⁴¹ keeps `h·b + c` inside
+    * DuckDB's signed BIGINT, matching the engine fold exactly. */
+  private def polyHashSql(gramExpr: String, b: Long = B, p: Long = P): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |             list_transform(string_split($gramExpr, ''),
        |               ch -> CAST(ord(ch) AS BIGINT))),
-       |           (h, c) -> (h * $B + c) % $P)""".stripMargin
+       |           (h, c) -> (h * $b + c) % $p)""".stripMargin
 
   /** Shared DSIR CTE chain: tokens → bucket ids → per-corpus bucket counts
     * (all NB buckets, absent = 0) → integer weights → per-doc sums. */
@@ -201,10 +207,14 @@ object CurationQueries {
        |          FROM tcg JOIN bcg ON substr(tri, 1, 2) = bg
        |          ORDER BY cnt DESC, tri LIMIT ${LmTrain.TopM})""".stripMargin
 
-  /** Span-dedup CTE chain over the fixture: window hashes → per-(doc,
-    * hash) occurrences → cross-doc shared hashes → per-doc report. */
+  /** Span-dedup CTE chain over the fixture: window hash PAIRS (h 31-bit,
+    * h2 41-bit collision guard) → per-(doc, pair) occurrences → cross-doc
+    * shared pairs → per-doc report — the identical two-hash keying the
+    * engine runs, so the oracle covers the guard itself. */
   private lazy val SpanCtes: String = {
     val w = SpanDedup.W
+    val b2 = graft.functions.TokenWindowHashesExpr.B2
+    val p2 = graft.functions.TokenWindowHashesExpr.P2
     s"""WITH sfx AS (SELECT doc_id, text FROM documents
        |             UNION ALL
        |             SELECT doc_id + 700000 AS doc_id,
@@ -218,12 +228,14 @@ object CurationQueries {
        |wh AS (SELECT doc_id,
        |         unnest(generate_series(1, len(t) - ${w - 1})) AS s,
        |         unnest(list_transform(generate_series(1, len(t) - ${w - 1}),
-       |           i -> ${polyHashSql(s"array_to_string(t[i:i+${w - 1}], ' ')")})) AS h
+       |           i -> ${polyHashSql(s"array_to_string(t[i:i+${w - 1}], ' ')")})) AS h,
+       |         unnest(list_transform(generate_series(1, len(t) - ${w - 1}),
+       |           i -> ${polyHashSql(s"array_to_string(t[i:i+${w - 1}], ' ')", b2, p2)})) AS h2
        |       FROM tok WHERE len(t) >= $w),
-       |pd AS (SELECT doc_id, h, count(*) AS n_occ FROM wh GROUP BY 1, 2),
-       |sh AS (SELECT h FROM pd GROUP BY h HAVING count(*) >= 2),
+       |pd AS (SELECT doc_id, h, h2, count(*) AS n_occ FROM wh GROUP BY 1, 2, 3),
+       |sh AS (SELECT h, h2 FROM pd GROUP BY h, h2 HAVING count(*) >= 2),
        |nd AS (SELECT pd.doc_id, sum(pd.n_occ) AS n_dup
-       |       FROM pd JOIN sh USING (h) GROUP BY 1),
+       |       FROM pd JOIN sh USING (h, h2) GROUP BY 1),
        |nw AS (SELECT doc_id, count(*) AS n_windows FROM wh GROUP BY 1)""".stripMargin
   }
 
@@ -327,9 +339,9 @@ object CurationQueries {
       s"""$SpanCtes,
          |flag AS (SELECT doc_id, s FROM (
          |           SELECT doc_id, s,
-         |                  row_number() OVER (PARTITION BY h
+         |                  row_number() OVER (PARTITION BY h, h2
          |                                     ORDER BY doc_id, s) AS rk,
-         |                  count(*) OVER (PARTITION BY h) AS n
+         |                  count(*) OVER (PARTITION BY h, h2) AS n
          |           FROM wh) WHERE n >= 2 AND rk > 1),
          |cuts AS (SELECT doc_id, list_sort(list(s)) AS cs FROM flag GROUP BY 1),
          |kept AS (SELECT t.doc_id, t.t,
@@ -353,7 +365,7 @@ object CurationQueries {
         |cb AS (SELECT vec_id AS cell,
         |         list_transform(CAST(embedding AS DOUBLE[]),
         |           x -> CAST(floor(x * 100) AS BIGINT)) AS cv
-        |       FROM embeddings WHERE vec_id % 101 = 0),
+        |       FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < 1616),
         |da AS (SELECT q.vec_id, c.cell,
         |         CAST(list_sum(list_transform(generate_series(1, len(q.nv)),
         |           t -> (q.nv[t] - c.cv[t]) * (q.nv[t] - c.cv[t]))) AS BIGINT) AS d

@@ -273,9 +273,17 @@ object LlmQueries {
     * expression. */
   private def mergeSymsWrapSql(symExpr: String, lExpr: String, rExpr: String): String = {
     val sep = "chr(30)"
-    s"""replace($sep || replace($symExpr, $sep, $sep || $sep) || $sep,
+    // NULL-guarded: when the round's merge table is EMPTY (training
+    // exhausted early — fewer distinct pairs than rounds) the LEFT JOIN
+    // feeds NULL l/r, and a NULL inside replace() would NULL the whole
+    // symbol string and empty the oracle; the CASE passes the wrapped
+    // symbols through unchanged instead, matching the engine's "no more
+    // merges" behavior.
+    s"""CASE WHEN $lExpr IS NULL
+       |     THEN $sep || replace($symExpr, $sep, $sep || $sep) || $sep
+       |     ELSE replace($sep || replace($symExpr, $sep, $sep || $sep) || $sep,
        |                $sep || $lExpr || $sep || $sep || $rExpr || $sep,
-       |                $sep || $lExpr || $rExpr || $sep)""".stripMargin
+       |                $sep || $lExpr || $rExpr || $sep) END""".stripMargin
   }
 
   private def mergeSymsUnwrapSql(wsExpr: String): String = {
@@ -302,7 +310,7 @@ object LlmQueries {
          |w${k + 1} AS (SELECT ${mergeSymsUnwrapSql("ws")} AS sym, freq
          |        FROM (SELECT freq,
          |                ${mergeSymsWrapSql("sym", "m.l", "m.r")} AS ws
-         |              FROM w$k, m$k m))""".stripMargin
+         |              FROM w$k LEFT JOIN m$k m ON TRUE))""".stripMargin
     }.mkString
     init + roundCtes
   }
@@ -326,7 +334,7 @@ object LlmQueries {
          |s${k + 1} AS (SELECT doc_id, ${mergeSymsUnwrapSql("ws")} AS sym
          |       FROM (SELECT doc_id,
          |               ${mergeSymsWrapSql("sym", "m.l", "m.r")} AS ws
-         |             FROM s$k, m$k m))""".stripMargin
+         |             FROM s$k LEFT JOIN m$k m ON TRUE))""".stripMargin
     }.mkString
     s"""${bpeTrainCtes(rounds)},
        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1208,7 +1216,7 @@ object LlmQueries {
     "q_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          centroids = emb.filter(col("vec_id") % 101 === 0),
+          centroids = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           dim = 64, m = 4, topK = 5, nprobe = 3)
         .select(col("pid"), col("nid"), col("adist"),
@@ -1224,7 +1232,7 @@ object LlmQueries {
     "q_ann_ivfpq_rerank" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          centroids = emb.filter(col("vec_id") % 101 === 0),
+          centroids = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           dim = 64, m = 4, topK = 5, nprobe = 3, refine = 4)
         .select(col("pid"), col("nid"), col("dist"), col("adist"),
@@ -1244,14 +1252,17 @@ object LlmQueries {
         .orderBy(col("pid"), col("rank"))
     }),
 
-    // IVF ANN: deterministic coarse quantizer (corpus stride as centroids),
+    // IVF ANN: deterministic coarse quantizer (capped corpus stride —
+    // a FIXED 16-centroid budget like the PQ codebook: a proportional
+    // centroid set makes the corpus×centroids assignment quadratic),
     // nprobe=3 cells per probe, exact re-rank. Cell assignment is
     // float-argmax-sensitive → rows-only; equivalence to brute force when
     // probing all cells is asserted in LlmSpec.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          centroids = emb.filter(col("vec_id") % 101 === 0), k = 5, nprobe = 3)
+          centroids = emb.filter(col("vec_id") % 101 === 0 &&
+            col("vec_id") < 1616), k = 5, nprobe = 3)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("pid"), col("rank"))
@@ -1265,7 +1276,8 @@ object LlmQueries {
     "q_ann_ivf_kmeans" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cent = graft.llm.Similarity.kmeansCentroids(emb,
-        emb.filter(col("vec_id") % 101 === 0), iters = 2)
+        emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
+        iters = 2)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), cent,
           k = 5, nprobe = 3)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
@@ -1283,7 +1295,8 @@ object LlmQueries {
     "q_ann_ivf_kmeans_det" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.kmeansDetCentroids(emb,
-          emb.filter(col("vec_id") % 101 === 0), iters = 2)
+          emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
+          iters = 2)
         .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "c")))
         .select(col("cell"), col("pos").cast("long").as("pos"), col("c"))
         .orderBy(col("cell"), col("pos"))
@@ -1297,7 +1310,8 @@ object LlmQueries {
     "q_ann_ivf_all" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          centroids = emb.filter(col("vec_id") % 101 === 0), k = 5,
+          centroids = emb.filter(col("vec_id") % 101 === 0 &&
+            col("vec_id") < 1616), k = 5,
           nprobe = Int.MaxValue)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
@@ -2215,13 +2229,13 @@ object LlmQueries {
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin),
 
     // IVF-PQ: the PQ CTEs plus the coarse integer-L2 cell layer — corpus
-    // cells by argmin over the (unbounded) stride centroids, probe visits
-    // its nprobe=3 nearest cells, ADC restricted to candidates
+    // cells by argmin over the capped (16-slot) stride centroids, probe
+    // visits its nprobe=3 nearest cells, ADC restricted to candidates
     "q_ann_ivfpq" -> (PqCtes + ", " +
       """qcent AS (SELECT vec_id AS cell,
         |            list_transform(CAST(embedding AS DOUBLE[]),
         |              x -> CAST(floor(x * 100) AS BIGINT)) AS qv
-        |          FROM embeddings WHERE vec_id % 101 = 0),
+        |          FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < 1616),
         |ncell AS (SELECT nid, cell FROM (
         |            SELECT n.nid, c.cell,
         |                   row_number() OVER (PARTITION BY n.nid ORDER BY
@@ -2258,7 +2272,7 @@ object LlmQueries {
       """qcent AS (SELECT vec_id AS cell,
         |            list_transform(CAST(embedding AS DOUBLE[]),
         |              x -> CAST(floor(x * 100) AS BIGINT)) AS qv
-        |          FROM embeddings WHERE vec_id % 101 = 0),
+        |          FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < 1616),
         |ncell AS (SELECT nid, cell FROM (
         |            SELECT n.nid, c.cell,
         |                   row_number() OVER (PARTITION BY n.nid ORDER BY
@@ -2325,7 +2339,8 @@ object LlmQueries {
         |            list_transform(CAST(embedding AS DOUBLE[]),
         |              x -> CAST(floor(x * 100) AS BIGINT)) AS v
         |           FROM embeddings),
-        |c0 AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id % 101 = 0),
+        |c0 AS (SELECT vec_id AS cell, v AS cv FROM q
+        |       WHERE vec_id % 101 = 0 AND vec_id < 1616),
         |${round("c0", "c1", 1)},
         |${round("c1", "c2", 2)}
         |SELECT cell, CAST(g.i - 1 AS BIGINT) AS pos, cv[g.i] AS c

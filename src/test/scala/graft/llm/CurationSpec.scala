@@ -302,6 +302,49 @@ class CurationSpec extends SparkSpec {
       "within-doc repetition keeps only the first occurrence")
   }
 
+  test("span dedup apply: a forced 31-bit collision never cuts innocent text") {
+    val s = spark
+    import s.implicits._
+    // Two DISTINCT 8-token windows whose 31-bit poly hashes collide
+    // (birthday search over random last tokens, seed 17) — single-hash
+    // keying would flag windowB as a duplicate of windowA and cut all of
+    // doc 2. The independent 41-bit hash splits them.
+    val winA = "alpha beta gamma delta epsilon zeta eta pgnudtil"
+    val winB = "alpha beta gamma delta epsilon zeta eta nqwhycux"
+    assert(ph(winA) === ph(winB), "fixture drift: 31-bit hashes must collide")
+    def ph2(str: String): Long = {
+      val B2 = graft.functions.TokenWindowHashesExpr.B2
+      val P2 = graft.functions.TokenWindowHashesExpr.P2
+      var h = 0L; var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        h = (h * B2 + cp) % P2
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    assert(ph2(winA) !== ph2(winB), "second hashes must differ")
+    // engine parity for the second hash (same brute, B2/P2 constants)
+    val h2s = Seq(winA, winB).toDF("text")
+      .select(graft.functions.TokenWindowHashesExpr.hashes2(
+        TextAnalysis.flatTokens(col("text")), SpanDedup.W).as("hs"))
+      .collect().map(_.getSeq[Long](0).head)
+    assert(h2s.toSeq === Seq(ph2(winA), ph2(winB)))
+    // doc 3 is a TRUE copy of windowA: it must still be cut in full
+    val docs = Seq((1L, winA), (2L, winB), (3L, winA)).toDF("doc_id", "text")
+    val got = SpanDedup.dedupApply(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((8L, 8L, winA)), "owner keeps its text")
+    assert(got(2L) === ((8L, 8L, winB)),
+      "the colliding-but-distinct window must survive un-cut")
+    assert(got(3L) === ((8L, 0L, "")), "the real duplicate is still cut")
+    // the report sees exactly one shared pair (winA x2), not the collision
+    val rep = SpanDedup.report(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep === Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("span dedup apply on an all-distinct corpus is the identity") {
     val s = spark
     import s.implicits._

@@ -29,8 +29,9 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_dedup_winnow_apply" -> 2,
     "q_dedup_clusters" -> 2,
     // production LSH chain: candidate generation runs eagerly inside
-    // components() (checkpointed), so the returned plan re-reads only the
-    // two fixture branches for the anti-join
+    // components() (checkpointed). clusters_lsh's returned plan is just
+    // the checkpoint scan — its 2 is slack headroom; apply_lsh's 2 covers
+    // the anti-join's re-read of the two fixture branches
     "q_dedup_clusters_lsh" -> 2,
     "q_dedup_apply_lsh" -> 2,
     // base + quoting branch of the paragraphed-corpus fixture
@@ -52,7 +53,9 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_ann_topk" -> 2,
     "q_ann_lsh" -> 2,
     "q_ann_lsh_mp" -> 2,
+    "q_ann_lsh_all" -> 2,
     "q_ann_ivf" -> 3,
+    "q_ann_ivf_all" -> 3,
     "q_ann_ivf_kmeans" -> 3,
     // corpus + codebook stride + probe stride over the same table
     "q_ann_pq" -> 3,
@@ -82,6 +85,14 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_quality_cut_by_lang" -> 2,
     // same derive-then-filter shape on the LM perplexity signal
     "q_lm_cut_by_lang" -> 2,
+    // exact-percentile verify twins: same derive-then-filter shape
+    "q_quality_cut_det" -> 2,
+    "q_quality_cut_by_lang_det" -> 2,
+    "q_lm_cut_by_lang_det" -> 2,
+    // two-branch planted-duplicate fixture, det-signature verify twins
+    "q_dedup_minhash_det" -> 2,
+    "q_dedup_simhash_det" -> 2,
+    "q_dedup_apply_lsh_det" -> 2,
     // derive-the-total-then-join over the |sources|-row weight relation
     // (exchange reuse may collapse it to 1; 2 is the structural bound)
     "q_mix_temperature" -> 2,
@@ -117,12 +128,15 @@ class PlanScanBudgetSpec extends SparkSpec {
     // to save the narrow 2-column count scan would cost more at 100 TB)
     "q_sample_mixture" -> 2)
 
-  private val benched: Seq[String] =
+  // verify-only queries are still EXECUTED by Verify every round — a scan
+  // regression there costs correctness-gate wall-clock even though it never
+  // touches the bench signal, so they get budgets too (r16 ADVICE: moving
+  // the exact chain to verifyOnly had silently dropped its coverage)
+  private val audited: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(graft.SparkEntry.verifyOnly)
 
-  test("no benched query exceeds its physical scan budget") {
-    val over = benched.flatMap { name =>
+  test("no registered query exceeds its physical scan budget") {
+    val over = audited.flatMap { name =>
       try {
         val budget = budgets.getOrElse(name, 1)
         val dup = PlanAudit.overBudgetScans(
