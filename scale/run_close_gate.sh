@@ -1,18 +1,38 @@
 #!/bin/bash
+# Round-close gate: full suite, correctness at sf0.01 + sf0.1, bench at
+# sf0.1, the 10x scale replica, and the per-query 10x/1x ratio gate
+# (r15 #7 — round 16 shipped its scale fix without re-running 10x; this
+# script is why that can't happen silently again). Exits non-zero if any
+# stage fails, INCLUDING a ratio-gate breach.
 set -x
 cd /root/repo
-sbt -batch test > /tmp/r15c_test.log 2>&1; echo "TEST_RC=$?" >> /tmp/r15c_status.log
-sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/r15c_v001" > /tmp/r15c_v001.log 2>&1; echo "V001_RC=$?" >> /tmp/r15c_status.log
-python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/r15c_v001 > /tmp/r15c_o001.log 2>&1; echo "O001_RC=$? $(tail -1 /tmp/r15c_o001.log)" >> /tmp/r15c_status.log
-sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/r15c_v01" > /tmp/r15c_v01.log 2>&1; echo "V01_RC=$?" >> /tmp/r15c_status.log
-python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/r15c_v01 > /tmp/r15c_o01.log 2>&1; echo "O01_RC=$? $(tail -1 /tmp/r15c_o01.log)" >> /tmp/r15c_status.log
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/r15c_bench.log 2>&1; echo "BENCH_RC=$?" >> /tmp/r15c_status.log
-grep '"metric":"total"' /tmp/r15c_bench.log | tail -1 > scale/bench_sf0.1_r15_close.json
-cp scale/bench_detail_sf0.1.json scale/bench_detail_sf0.1_r15_close.json 2>/dev/null
-sbt -batch "runMain graft.ScaleGen" > /tmp/r15c_scalegen.log 2>&1; echo "SCALEGEN_RC=$?" >> /tmp/r15c_status.log
-SPARK_GRAFT_SF_DIR=/root/repo/scale10x SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/r15c_bench10x.log 2>&1; echo "BENCH10X_RC=$?" >> /tmp/r15c_status.log
-grep '"metric":"total"' /tmp/r15c_bench10x.log | tail -1 > scale/bench_10x_r15_close.json
-cp scale/bench_detail_scale10x.json scale/bench_detail_10x_r15_close.json 2>/dev/null
-sbt -batch "runMain graft.Verify /root/repo/scale10x /tmp/r15c_v10x" > /tmp/r15c_v10x.log 2>&1; echo "V10X_RC=$?" >> /tmp/r15c_status.log
-python3 tools/oracle_check.py /root/repo/scale10x /tmp/r15c_v10x > /tmp/r15c_o10x.log 2>&1; echo "O10X_RC=$? $(tail -1 /tmp/r15c_o10x.log)" >> /tmp/r15c_status.log
-echo DONE >> /tmp/r15c_status.log
+R=r17
+RC_ALL=0
+step() { echo "STEP_$1_RC=$2" >> /tmp/${R}c_status.log; [ "$2" -ne 0 ] && RC_ALL=1; }
+
+sbt -batch test > /tmp/${R}c_test.log 2>&1; step TEST $?
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/${R}c_v001" > /tmp/${R}c_v001.log 2>&1; step V001 $?
+python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/${R}c_v001 > /tmp/${R}c_o001.log 2>&1; step O001 $?
+tail -1 /tmp/${R}c_o001.log >> /tmp/${R}c_status.log
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/${R}c_v01" > /tmp/${R}c_v01.log 2>&1; step V01 $?
+python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/${R}c_v01 > /tmp/${R}c_o01.log 2>&1; step O01 $?
+tail -1 /tmp/${R}c_o01.log >> /tmp/${R}c_status.log
+
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/${R}c_bench.log 2>&1; step BENCH $?
+grep '"metric":"total"' /tmp/${R}c_bench.log | tail -1 > scale/bench_sf0.1_${R}_close.json
+cp scale/bench_detail_sf0.1.json scale/bench_detail_sf0.1_${R}_close.json 2>/dev/null
+
+sbt -batch "runMain graft.ScaleGen" > /tmp/${R}c_scalegen.log 2>&1; step SCALEGEN $?
+SPARK_GRAFT_SF_DIR=/root/repo/scale10x SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/${R}c_bench10x.log 2>&1; step BENCH10X $?
+grep '"metric":"total"' /tmp/${R}c_bench10x.log | tail -1 > scale/bench_10x_${R}_close.json
+cp scale/bench_detail_scale10x.json scale/bench_detail_10x_${R}_close.json 2>/dev/null
+
+# the per-query scale-ratio gate: 10x data must not cost >8x time on any
+# query with a >=0.5s base — a breach is a named super-linear term
+python3 tools/scale_ratio_gate.py \
+  scale/bench_detail_sf0.1_${R}_close.json \
+  scale/bench_detail_10x_${R}_close.json > scale/ratios_${R}_close.txt 2>&1; step RATIO $?
+tail -3 scale/ratios_${R}_close.txt >> /tmp/${R}c_status.log
+
+echo "DONE RC_ALL=$RC_ALL" >> /tmp/${R}c_status.log
+exit $RC_ALL
