@@ -315,6 +315,27 @@ object DocumentsApp {
       .partitionBy("shard")
       .parquet(outDir)
 
+  /** [[exportShards]] with the tokenizer applied — every row additionally
+    * carries `ids`, the learned-BPE token-id sequence of `text`
+    * ([[graft.llm.Bpe.tokenizeIds]]), so the shard files are directly
+    * trainer-consumable. Tokenization is a scan-speed generated-code
+    * projection riding the same single-move export plan (the merges and
+    * vocab are driver-side literals, no extra pass, no extra shuffle);
+    * determinism is the text's — same corpus, same merges, same vocab ⇒
+    * byte-identical id shards (ExportShardsSpec pins it). */
+  def exportTokenShards(corpus: org.apache.spark.sql.DataFrame,
+      id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+      nShards: Int, outDir: String,
+      merges: Seq[(String, String)], vocab: Seq[String]): Unit =
+    graft.llm.Sampling.shardShuffle(corpus, id, nShards)
+      .withColumn("ids", graft.llm.Bpe.tokenizeIds(
+        graft.llm.TextAnalysis.tokens(text), merges, vocab))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+
   def main(args: Array[String]): Unit = {
     val cfg = load(args.headOption.getOrElse(
       throw new IllegalArgumentException("usage: DocumentsApp <config.properties>")))

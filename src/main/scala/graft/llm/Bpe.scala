@@ -211,6 +211,37 @@ object Bpe {
       merges: Seq[(String, String)]): Column =
     graft.functions.LearnedBpeCountExpr.count(toks, merges)
 
+  /** Deterministic id vocabulary for [[tokenizeIds]]: the corpus' sorted
+    * distinct single-code-point base symbols (ids 0..B−1 — UTF-8 binary
+    * sort, identical in Spark and DuckDB), then each merge's output symbol
+    * in rank order (ids B..B+rounds−1). When a later entry collides with
+    * an earlier string (two merge paths producing the same symbol) the
+    * FIRST id wins — [[graft.functions.LearnedBpeIdsExpr]] and the
+    * oracle's min(id) agree on that.
+    *
+    * The distinct-chars collect is bounded by the corpus ALPHABET (a
+    * vocabulary, not data) — the same driver-side-model class as
+    * [[trainMerges]]' argmax rows. */
+  def idVocab(docs: org.apache.spark.sql.DataFrame, text: Column,
+      merges: Seq[(String, String)]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val base = docs
+      .select(explode(TextAnalysis.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("ch"))
+      .distinct().orderBy(col("ch"))
+      .collect().map(_.getString(0)).toSeq
+    base ++ merges.map { case (l, r) => l + r }
+  }
+
+  /** Token-id sequence under a learned merge list + id vocabulary — the
+    * trainer-facing tokenize step ([[graft.functions.LearnedBpeIdsExpr]]):
+    * per non-empty token, the merge walk's surviving symbols map to their
+    * vocab ids (UNK = −1), concatenated across the token array in order. */
+  def tokenizeIds(toks: Column, merges: Seq[(String, String)],
+      vocab: Seq[String]): Column =
+    graft.functions.LearnedBpeIdsExpr.ids(toks, merges, vocab)
+
   /** HOF twin of [[learnedSubwordCount]] — the engine-portable wrapped-
     * replace chain the DuckDB oracle restates verbatim; BpeSpec pins the
     * native form equal. */

@@ -352,6 +352,56 @@ object LlmQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q_tokenize_ids restated: the SAME training CTEs, the SAME per-token
+    * merge replay as [[bpeTrainApplySql]] but with token position carried
+    * (ids are a SEQUENCE — order is the contract), then every surviving
+    * symbol mapped through the id vocabulary: sorted distinct base chars
+    * (row_number − 1) then merge outputs at base-size + rank, first id
+    * winning a string collision (min), unknown → −1. */
+  private def tokenizeIdsSql(rounds: Int): String = {
+    val sep = "chr(30)"
+    val applyCtes = (0 until rounds).map { k =>
+      s""",
+         |i${k + 1} AS (SELECT doc_id, tpos, ${mergeSymsUnwrapSql("ws")} AS sym
+         |       FROM (SELECT doc_id, tpos,
+         |               ${mergeSymsWrapSql("sym", "m.l", "m.r")} AS ws
+         |             FROM i$k LEFT JOIN m$k m ON TRUE))""".stripMargin
+    }.mkString
+    val mergeUnion = (0 until rounds).map(k =>
+      s"SELECT merge_rank, l, r FROM m$k").mkString(" UNION ALL ")
+    s"""${bpeTrainCtes(rounds)},
+       |vb AS (SELECT ch AS sym,
+       |              CAST(row_number() OVER (ORDER BY ch) - 1 AS BIGINT) AS id
+       |       FROM (SELECT DISTINCT unnest(string_split(tok, '')) AS ch
+       |             FROM t WHERE len(tok) > 0)),
+       |mv AS (SELECT l || r AS sym,
+       |              (SELECT count(*) FROM vb) + merge_rank AS id
+       |       FROM ($mergeUnion)),
+       |voc AS (SELECT sym, min(id) AS id
+       |        FROM (SELECT * FROM vb UNION ALL SELECT * FROM mv) GROUP BY sym),
+       |dt0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |dt AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS tpos, tk
+       |       FROM dt0),
+       |i0 AS (SELECT doc_id, tpos,
+       |              array_to_string(string_split(tk[tpos], ''), $sep) AS sym
+       |       FROM dt WHERE len(tk[tpos]) > 0)$applyCtes,
+       |sy AS (SELECT doc_id, tpos, string_split(sym, $sep) AS ss
+       |       FROM i$rounds),
+       |ex AS (SELECT doc_id, tpos,
+       |              unnest(generate_series(1, len(ss))) AS spos, ss
+       |       FROM sy),
+       |idr AS (SELECT e.doc_id, e.tpos, e.spos,
+       |               coalesce(v.id, CAST(-1 AS BIGINT)) AS id
+       |        FROM ex e LEFT JOIN voc v ON v.sym = e.ss[e.spos]),
+       |per AS (SELECT doc_id, list(id ORDER BY tpos, spos) AS ids
+       |        FROM idr GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(len(p.ids), 0) AS BIGINT) AS n_ids,
+       |       coalesce(p.ids, CAST([] AS BIGINT[])) AS ids
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Shared plan for q_quality_cut and its det twin — only the threshold
     * aggregate differs (approx_percentile in production, exact percentile in
     * the oracle instrument). The broadcast hint is safe here unlike
@@ -1074,6 +1124,28 @@ object LlmQueries {
         .select(col("doc_id"),
           size(col("__tk")).cast("long").as("n_tok"),
           graft.llm.Bpe.learnedSubwordCount(col("__tk"), merges).as("n_sub"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenize-to-ids (r16 verdict #5 — the write-path last mile): the
+    // corpus-trained merges replayed per token, surviving symbols mapped
+    // to vocabulary ids (sorted base chars, then merge outputs by rank;
+    // UNK = -1), one id SEQUENCE per document — the thing a trainer
+    // actually consumes, exported per shard by DocumentsApp
+    // .exportTokenShards. FULL oracle: vocab, merge walk, and id mapping
+    // are all integer/string-deterministic in both engines.
+    "q_tokenize_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.llm.Bpe.trainMerges(docs, col("text"), BpeTrainRounds)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.llm.Bpe.idVocab(docs, col("text"), merges)
+      docs
+        .select(col("doc_id"),
+          graft.llm.Bpe.tokenizeIds(TextAnalysis.tokens(col("text")),
+            merges, vocab).as("ids"))
+        .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+          col("ids"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2439,6 +2511,8 @@ object LlmQueries {
 
     // learned-merge tokenization: training CTEs + rank-order replay
     "q_bpe_train_apply" -> bpeTrainApplySql(BpeTrainRounds),
+
+    "q_tokenize_ids" -> tokenizeIdsSql(BpeTrainRounds),
 
     // chunking: identical integer window arithmetic — chunk i slices
     // [i*24+1, i*24+32], list slicing clamps at the end in both engines

@@ -52,4 +52,36 @@ class ExportShardsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(first === second)
   }
+
+  test("exportTokenShards: ids ride the same export, deterministic across runs") {
+    val out = Files.createTempDirectory("graft-export-ids").toFile
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val merges = graft.llm.Bpe.trainMerges(docs, col("text"), rounds = 3)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.llm.Bpe.idVocab(docs, col("text"), merges)
+    DocumentsApp.exportTokenShards(docs, col("doc_id"), col("text"),
+      nShards = 4, out.getPath, merges, vocab)
+    // every exported row's ids == a direct tokenize of its text (the
+    // export column is the same expression, not a copy that can drift)
+    val exported = spark.read.parquet(out.getPath)
+      .select(col("doc_id"), col("text"), col("ids"))
+    val direct = docs.select(col("doc_id").as("d2"),
+      graft.llm.Bpe.tokenizeIds(
+        graft.llm.TextAnalysis.tokens(col("text")), merges, vocab).as("ids2"))
+    val mismatched = exported.join(direct, col("doc_id") === col("d2"))
+      .filter(col("ids") =!= col("ids2")).count()
+    assert(mismatched === 0L)
+    assert(exported.count() === docs.count())
+    // byte-stable: re-export yields the identical (shard, pos, ids-hash) map
+    val sig1 = spark.read.parquet(out.getPath)
+      .select(col("shard"), col("pos"), xxhash64(col("ids")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    DocumentsApp.exportTokenShards(docs, col("doc_id"), col("text"),
+      nShards = 4, out.getPath, merges, vocab)
+    val sig2 = spark.read.parquet(out.getPath)
+      .select(col("shard"), col("pos"), xxhash64(col("ids")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(sig1 === sig2)
+  }
 }

@@ -187,6 +187,56 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenizeIds: id sequence matches a by-hand walk; UNK; count parity") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    // vocab: base chars a,b,c,d -> 0..3; merges "ab" -> 4, "abc" -> 5
+    val vocab = Seq("a", "b", "c", "d") ++ merges.map { case (l, r) => l + r }
+    val got = Seq(
+      "abc d",      // [abc] [d] -> 5, 3
+      "ab ba cab",  // [ab]=4, b=1 a=0, c=2 [ab]=4
+      "zq",         // unknown chars -> -1 -1
+      "a  b"        // empty token between: emits nothing
+    ).toDF("text")
+      .select(col("text"),
+        Bpe.tokenizeIds(TextAnalysis.tokens(col("text")), merges, vocab)
+          .as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("abc d") === Seq(5L, 3L))
+    assert(got("ab ba cab") === Seq(4L, 1L, 0L, 2L, 4L))
+    assert(got("zq") === Seq(-1L, -1L))
+    assert(got("a  b") === Seq(0L, 1L))
+    // first-wins on a vocab string collision
+    val dupVocab = Seq("a", "b", "ab", "ab")
+    val dup = Seq("ab").toDF("text")
+      .select(Bpe.tokenizeIds(TextAnalysis.tokens(col("text")),
+        Seq(("a", "b")), dupVocab).as("ids"))
+      .collect()(0).getSeq[Long](0)
+    assert(dup === Seq(2L))
+    // count parity on the corpus: docs here have no empty tokens, so
+    // |ids| must equal learnedSubwordCount exactly
+    val corpusMerges = Bpe.trainMerges(Tables.documents(spark, Sf),
+        col("text"), rounds = 3)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val corpusVocab = Bpe.idVocab(Tables.documents(spark, Sf), col("text"),
+      corpusMerges)
+    assert(corpusVocab.distinct.length >= corpusVocab.length - corpusMerges.length,
+      "base segment must be duplicate-free")
+    val rows = Tables.documents(spark, Sf)
+      .select(
+        size(Bpe.tokenizeIds(TextAnalysis.tokens(col("text")),
+          corpusMerges, corpusVocab)).cast("long").as("n_ids"),
+        Bpe.learnedSubwordCount(TextAnalysis.tokens(col("text")),
+          corpusMerges).as("n_sub"))
+      .agg(sum(when(col("n_ids") =!= col("n_sub"), 1).otherwise(0)).as("bad"),
+        min(col("n_ids")).as("mn"))
+      .collect()(0)
+    assert(rows.getLong(0) === 0L, "every doc: |ids| == subword count")
+    assert(rows.getLong(1) > 0L)
+  }
+
   test("trainMerges fuzz: 12 random corpora match the reference trainer") {
     val rnd = new scala.util.Random(41)
     for (n <- 1 to 12) {
