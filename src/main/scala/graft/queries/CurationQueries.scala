@@ -32,6 +32,19 @@ object CurationQueries {
     * frequencies, so scores genuinely rank. */
   private val Bm25Terms = Seq("spark", "query", "window")
 
+  /** Text→embedding fixture for the end-to-end semantic dedup: the corpus
+    * plus exact-copy plants (every 7th doc re-appears at id+900000 with
+    * IDENTICAL text ⇒ identical hashed embedding ⇒ cosine exactly 1), all
+    * embedded by the engine-native hashed-bigram projector. */
+  private def docsEmbFix(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base.unionAll(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      .select(col("doc_id").as("vec_id"),
+        graft.llm.Embed.hashedEmbedding(col("text")).as("embedding"))
+  }
+
   /** HTML fixture: every doc wrapped in markup with script/style payloads
     * (carrying <, >, && — the tag-regex traps), a comment spanning lines,
     * and an entity battery including the &amp;amp; double-decode trap. */
@@ -119,6 +132,44 @@ object CurationQueries {
     "q_dedup_substring_apply" -> ((s, d) => {
       SpanDedup.dedupApply(docsSpanFix(s, d), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Engine-native document embedder (r16 verdict #6): fixed-dim
+    // hashed-bigram count vector per doc — the no-model baseline that
+    // feeds the whole embedding stack from a raw text column. Integer
+    // counts ⇒ full oracle on the vector itself.
+    "q_embed_hashed" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.Embed.hashedEmbedding(col("text")).as("embedding"))
+        .select(col("doc_id"),
+          aggregate(col("embedding"), lit(0L), (a, v) => a + v).as("n_grams"),
+          col("embedding"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end semantic dedup from TEXT: embed (hashed bigrams) →
+    // normalize → stride cells → within-cell cosine → survivors, one
+    // plan, no pre-supplied embeddings table. Exact-copy plants embed
+    // identically (cosine exactly 1) and drop; the full chain is
+    // integer/identical-IEEE-op arithmetic, so the oracle recomputes
+    // embeddings, cells, pairs, and survivors from scratch. Centroids
+    // keep the q_dedup_semdedup parameterization (uncapped stride): for
+    // WITHIN-CELL pair work, |cells| must grow with the corpus or the
+    // per-cell quadratic term does — the opposite tradeoff from the
+    // argmin-only operators whose strides are capped.
+    "q_dedup_semdedup_text" -> ((s, d) => {
+      // centroids come off the BASE table directly (one pruned scan) —
+      // filtering the union fixture would re-read the plant branch just
+      // to discard it (id+900000 < 900000 isn't folded away)
+      val cent = Tables.documents(s, d)
+        .filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("vec_id"),
+          graft.llm.Embed.hashedEmbedding(col("text")).as("embedding"))
+      graft.llm.Similarity.semDeDupSurvivors(docsEmbFix(s, d),
+          centroids = cent, tau = 0.999, nBits = 0)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
     }),
 
     // Cluster-balanced subsample: integer-L2 cells over the CAPPED stride
@@ -354,6 +405,81 @@ object CurationQueries {
          |       coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '),
          |                '') AS kept_text
          |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // the embedder restated: same token stream, same bigram poly hash
+    // mod dim, per-slot occurrence counts
+    "q_embed_hashed" -> {
+      val dim = graft.llm.Embed.Dim
+      s"""WITH tok AS (SELECT doc_id,
+         |         list_filter(string_split(replace(text, chr(10), ' '), ' '),
+         |                     x -> len(x) > 0) AS t
+         |       FROM documents),
+         |bk AS (SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 1),
+         |           i -> ${polyHashSql("t[i] || ' ' || t[i+1]")} % $dim) AS bks
+         |       FROM tok)
+         |SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
+         |       list_transform(generate_series(0, ${dim - 1}),
+         |         j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT))
+         |         AS embedding
+         |FROM bk ORDER BY doc_id""".stripMargin
+    },
+
+    // the full text→embed→semdedup chain recomputed from scratch: the
+    // embedder CTEs over the plant fixture, then the q_dedup_semdedup
+    // oracle's normalize/quantize/argmin/pair/anti chain verbatim
+    "q_dedup_semdedup_text" -> {
+      val dim = graft.llm.Embed.Dim
+      s"""WITH sfx AS (SELECT doc_id, text FROM documents
+         |             UNION ALL
+         |             SELECT doc_id + 900000 AS doc_id, text
+         |             FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id,
+         |         list_filter(string_split(replace(text, chr(10), ' '), ' '),
+         |                     x -> len(x) > 0) AS t
+         |       FROM sfx),
+         |bk AS (SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 1),
+         |           i -> ${polyHashSql("t[i] || ' ' || t[i+1]")} % $dim) AS bks
+         |       FROM tok),
+         |e2 AS (SELECT doc_id AS vec_id,
+         |         list_transform(generate_series(0, ${dim - 1}),
+         |           j -> CAST(len(list_filter(bks, b -> b = j)) AS DOUBLE)) AS v
+         |       FROM bk),
+         |nrm AS (SELECT vec_id, v,
+         |               list_reduce(list_transform(v, x -> x * x),
+         |                 (a, b) -> a + b) AS n2
+         |        FROM e2),
+         |q AS (SELECT vec_id,
+         |             CASE WHEN n2 > 0
+         |                  THEN list_transform(v, x -> x / sqrt(n2))
+         |                  ELSE v END AS nv
+         |      FROM nrm),
+         |qq AS (SELECT vec_id, nv,
+         |              list_transform(nv, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+         |       FROM q),
+         |cent AS (SELECT vec_id AS cell, qv AS cqv FROM qq
+         |         WHERE vec_id < 900000 AND vec_id % 101 = 0),
+         |asg AS (SELECT qq.vec_id, cent.cell,
+         |               list_reduce(list_transform(generate_series(1, len(qv)),
+         |                 i -> (qv[i] - cqv[i]) * (qv[i] - cqv[i])),
+         |                 (a, b) -> a + b) AS il2
+         |        FROM qq, cent),
+         |cells AS (SELECT vec_id, cell FROM asg
+         |          QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                                     ORDER BY il2, cell) = 1),
+         |losers AS (
+         |  SELECT DISTINCT b.vec_id AS loser
+         |  FROM cells a
+         |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN qq qa ON qa.vec_id = a.vec_id
+         |  JOIN qq qb ON qb.vec_id = b.vec_id
+         |  WHERE list_reduce(list_transform(generate_series(1, len(qa.nv)),
+         |          i -> qa.nv[i] * qb.nv[i]), (x, y) -> x + y) >= 0.999)
+         |SELECT vec_id FROM e2
+         |WHERE vec_id NOT IN (SELECT loser FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // integer-quantized argmin assignment (ties → lowest cell), then the
     // per-cell scramble-key top-10 (the q_sample_capped rank restatement)

@@ -47,6 +47,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     // assignment, cell keying, final anti-join — the standard
     // derive-then-filter shape, uncached by doctrine) + centroid stride
     "q_dedup_semdedup" -> 7,
+    // same chain with the text→embed fixture's two branches
+    "q_dedup_semdedup_text" -> 7,
     // three strided scans: the two batch branches + the snapshot side
     "q_dedup_incremental" -> 3,
     // probe stride + corpus (+ centroid stride for IVF)
