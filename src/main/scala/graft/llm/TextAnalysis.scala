@@ -252,6 +252,100 @@ object TextAnalysis {
       .drop("__gtoks", "__glines")
   }
 
+  /** Per-language Gopher rule seeds (r16 verdict #7): the stopword list,
+    * letter-class regex, stopword floor, and word-length bounds a
+    * language's rule battery actually needs — English seeds score garbage
+    * on a German or Russian doc (zero [A-Za-z]-free stop hits), so a
+    * multilingual corpus keyed these off the [[LangId]] stamp or threw
+    * away every non-English page.
+    *
+    * Seeds are hand-pinned functional words per language (the same
+    * original-prose discipline as [[LangId.Seeds]]); ja/zh have no
+    * space-delimited stopwords, so their floor is 0 and their word-length
+    * bound is effectively waived (unsegmented text is one "word").
+    * `letterRe` uses literal code-point ranges only — no escapes — so the
+    * Java regex and DuckDB's RE2 read the identical class. */
+  final case class LangRules(stops: Seq[String], letterRe: String,
+      minStopHits: Int, wordLenLo: Double, wordLenHi: Double)
+
+  val GopherRulesByLang: Map[String, LangRules] = Map(
+    "en" -> LangRules(GopherStopwords, "[A-Za-z]", 2, 3.0, 10.0),
+    "de" -> LangRules(Seq("der", "die", "und", "das", "mit", "von", "nicht",
+      "ist"), "[A-Za-zÄÖÜäöüß]", 2, 3.0, 12.0),
+    "es" -> LangRules(Seq("el", "la", "de", "que", "y", "los", "por",
+      "con"), "[A-Za-zÁÉÍÓÚÑÜáéíóúñü]", 2, 3.0, 10.0),
+    "fr" -> LangRules(Seq("le", "la", "de", "et", "les", "des", "que",
+      "une"), "[A-Za-zÀÂÆÇÉÈÊËÎÏÔŒÙÛÜàâæçéèêëîïôœùûü]", 2, 3.0, 10.0),
+    "it" -> LangRules(Seq("il", "la", "di", "che", "e", "per", "con",
+      "del"), "[A-Za-zÀÈÉÌÒÙàèéìòù]", 2, 3.0, 10.0),
+    "pt" -> LangRules(Seq("o", "a", "de", "que", "e", "do", "da", "com"),
+      "[A-Za-zÁÂÃÀÇÉÊÍÓÔÕÚáâãàçéêíóôõú]", 2, 3.0, 10.0),
+    "ru" -> LangRules(Seq("и", "в", "не", "на", "что", "с", "по", "как"),
+      "[А-Яа-яЁё]", 2, 3.0, 12.0),
+    "ar" -> LangRules(Seq("في", "من", "على", "أن", "إلى", "عن", "هذا",
+      "كان"), "[ء-ي]", 2, 2.0, 12.0),
+    "ja" -> LangRules(Seq.empty, "[ぁ-ヶー一-龯]", 0, 1.0, 1000000.0),
+    "zh" -> LangRules(Seq.empty, "[一-龯]", 0, 1.0, 1000000.0))
+
+  /** Rules for an unstamped or unknown language ('und', nulls, anything
+    * outside the seed set): the English battery — the Gopher paper's own
+    * posture. */
+  val DefaultLangRules: LangRules = GopherRulesByLang("en")
+
+  /** [[withGopherSignals]] with the stopword list, letter class, stopword
+    * floor, and word-length bounds keyed by `lang` (the [[LangId]] stamp
+    * or the source's own tag). Structure-only signals (symbol_ratio,
+    * bullet/ellipsis fractions) stay language-blind. Each per-lang arm is
+    * a literal-seeded expression picked by one CASE chain — still a
+    * per-row scan-speed projection, zero shuffle, restated verbatim by
+    * the oracle's CASE. */
+  def withGopherSignalsByLang(df: DataFrame, text: Column,
+      lang: Column): DataFrame = {
+    val toks = col("__gtoks")
+    val ls = col("__glines")
+    val n = size(toks)
+    def overN(c: Column): Column =
+      when(n > 0, c.cast("double") / n).otherwise(lit(0.0))
+    val sumTokLen =
+      length(text) - size(split(translate(text, "\n", " "), " ")) + lit(1)
+    val langKey = coalesce(lang, lit("und"))
+    val ordered = GopherRulesByLang.toSeq.sortBy(_._1)
+    def byLang(f: LangRules => Column): Column =
+      ordered.foldRight(f(DefaultLangRules)) { case ((l, r), acc) =>
+        when(langKey === l, f(r)).otherwise(acc)
+      }
+    def stopHits(r: LangRules): Column =
+      if (r.stops.isEmpty) lit(0L)
+      else size(filter(array(r.stops.map(lit): _*),
+        w => array_contains(toks, w))).cast("long")
+    df.withColumn("__gtoks", flatTokens(text))
+      .withColumn("__glines", docLines(text))
+      .withColumns(Map(
+        "n_words" -> n.cast("long"),
+        "mean_word_len" -> overN(sumTokLen),
+        "symbol_ratio" ->
+          overN(size(filter(toks, t => t === "#" || t.contains("...")))),
+        "bullet_frac" ->
+          (size(filter(ls, l => l.startsWith("- ") || l.startsWith("* ")))
+            .cast("double") / size(ls)),
+        "ellipsis_frac" ->
+          (size(filter(ls, l => l.endsWith("...")))
+            .cast("double") / size(ls)),
+        "alpha_frac" ->
+          byLang(r => overN(size(filter(toks, t => t.rlike(r.letterRe))))),
+        "stop_hits" -> byLang(stopHits)))
+      .withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+          byLang(r =>
+            col("mean_word_len").between(r.wordLenLo, r.wordLenHi) &&
+              col("stop_hits") >= r.minStopHits.toLong) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8)
+      .drop("__gtoks", "__glines")
+  }
+
   /** C4's line keep-rule (Raffel et al. 2020, §2.2): terminal punctuation,
     * at least five words, no "javascript". */
   def c4KeepLine(l: Column): Column =

@@ -206,6 +206,32 @@ object LlmQueries {
       |               array_to_string(string_split(text, ' ')[1:12], ' ') AS p1
       |        FROM documents WHERE doc_id % 17 = 0))""".stripMargin
 
+  /** Non-English plant prose for the by-lang rule battery: each passes its
+    * OWN language's rules (≥2 native stop hits, native letter class, sane
+    * word lengths) and fails the English battery (zero en stop hits; the
+    * Russian one also zeroes en alpha_frac) — the planted mutants the
+    * per-lang seeds exist to keep. */
+  private val DePlant: String = Seq.fill(3)(
+    "der kleine hund läuft schnell über die grüne wiese und die katze " +
+      "schläft ruhig neben dem warmen ofen im alten haus").mkString(" ")
+  private val RuPlant: String = Seq.fill(3)(
+    "маленькая собака бежит быстро по зелёному полю и кошка спит тихо " +
+      "возле тёплой печки в старом доме под высоким небом").mkString(" ")
+
+  /** By-lang rules fixture: the corpus with its lang stamps plus the
+    * non-English plants (de at id+800000/%17, ru at id+820000/%19). */
+  def docsLangFix(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    base
+      .unionAll(base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          lit(DePlant).as("text"), lit("de").as("lang")))
+      .unionAll(base.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 820000L).as("doc_id"),
+          lit(RuPlant).as("text"), lit("ru").as("lang")))
+  }
+
   /** [[docsGopherFix]] restated as `gdq(doc_id, text)`. */
   private val GopherCte = s"$PBaseCte,\n" +
     """gdq AS (
@@ -228,6 +254,72 @@ object LlmQueries {
       |  UNION ALL
       |  SELECT doc_id + 600000 AS doc_id, text || ' # # # # # # # #' AS text
       |  FROM pb WHERE doc_id % 23 = 0)""".stripMargin
+
+  /** q_gopher_rules_by_lang restated: the same fixture plants, then every
+    * lang-keyed signal as a CASE chain GENERATED from the same
+    * [[TextAnalysis.GopherRulesByLang]] map the engine folds — no literal
+    * that can drift. Arm order and the en fallback mirror the engine's
+    * sorted foldRight exactly. */
+  private lazy val GopherByLangSql: String = {
+    def sq1(s: String) = "'" + s.replace("'", "''") + "'"
+    val ordered = TextAnalysis.GopherRulesByLang.toSeq.sortBy(_._1)
+    val dflt = TextAnalysis.DefaultLangRules
+    def cases(f: TextAnalysis.LangRules => String): String =
+      ordered.map { case (l, r) => s"WHEN lk = ${sq1(l)} THEN ${f(r)}" }
+        .mkString("CASE ", " ", s" ELSE ${f(dflt)} END")
+    def stopsSql(r: TextAnalysis.LangRules): String =
+      if (r.stops.isEmpty) "CAST(0 AS BIGINT)"
+      else s"CAST(len(list_filter([${r.stops.map(sq1).mkString(", ")}], " +
+        "w -> list_contains(t, w))) AS BIGINT)"
+    def alphaSql(r: TextAnalysis.LangRules): String =
+      "CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> " +
+        s"regexp_matches(x, ${sq1(r.letterRe)}))) * 1.0 / len(t) " +
+        "ELSE 0.0 END"
+    def passSql(r: TextAnalysis.LangRules): String =
+      s"((mean_word_len BETWEEN ${r.wordLenLo} AND ${r.wordLenHi}) " +
+        s"AND stop_hits >= ${r.minStopHits})"
+    s"""WITH ldq AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 800000 AS doc_id, ${sq1(DePlant)} AS text,
+       |         'de' AS lang
+       |  FROM documents WHERE doc_id % 17 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 820000 AS doc_id, ${sq1(RuPlant)} AS text,
+       |         'ru' AS lang
+       |  FROM documents WHERE doc_id % 19 = 0),
+       |sig AS (SELECT doc_id, lang, coalesce(lang, 'und') AS lk,
+       |               list_filter(
+       |                 string_split(replace(text, chr(10), ' '), ' '),
+       |                 x -> len(x) > 0) AS t,
+       |               string_split(text, chr(10)) AS ls
+       |        FROM ldq),
+       |m AS (SELECT doc_id, lang, lk, len(t) AS n_words,
+       |             CASE WHEN len(t) > 0 THEN coalesce(
+       |               list_sum(list_transform(t, x -> len(x))), 0)
+       |               * 1.0 / len(t) ELSE 0.0 END AS mean_word_len,
+       |             CASE WHEN len(t) > 0 THEN
+       |               len(list_filter(t, x -> x = '#' OR contains(x, '...')))
+       |               * 1.0 / len(t) ELSE 0.0 END AS symbol_ratio,
+       |             len(list_filter(ls, l -> starts_with(l, '- ')
+       |               OR starts_with(l, '* '))) * 1.0 / len(ls) AS bullet_frac,
+       |             len(list_filter(ls, l -> ends_with(l, '...')))
+       |               * 1.0 / len(ls) AS ellipsis_frac,
+       |             ${cases(alphaSql)} AS alpha_frac,
+       |             ${cases(stopsSql)} AS stop_hits
+       |      FROM sig)
+       |SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       |       round(mean_word_len, 6) AS mean_word_len,
+       |       round(symbol_ratio, 6) AS symbol_ratio,
+       |       round(alpha_frac, 6) AS alpha_frac,
+       |       CAST(stop_hits AS BIGINT) AS stop_hits,
+       |       (n_words BETWEEN 50 AND 100000)
+       |         AND ${cases(passSql)}
+       |         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |         AS gopher_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 
   /** [[docsC4Fix]] restated as `cdq(doc_id, text)`. */
   private val C4Cte = s"$PBaseCte,\n" +
@@ -979,6 +1071,22 @@ object LlmQueries {
           round(col("symbol_ratio"), 6).as("symbol_ratio"),
           round(col("bullet_frac"), 6).as("bullet_frac"),
           round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("stop_hits"), col("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher rules keyed by language (r16 verdict #7): stopword list,
+    // letter class, stopword floor, and word-length bounds all selected
+    // by the lang stamp — the de/ru plants pass their OWN batteries and
+    // would fail the English one. Full oracle: every per-lang arm is a
+    // literal-seeded CASE both engines restate.
+    "q_gopher_rules_by_lang" -> ((s, d) => {
+      TextAnalysis.withGopherSignalsByLang(docsLangFix(s, d), col("text"),
+          col("lang"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
           round(col("alpha_frac"), 6).as("alpha_frac"),
           col("stop_hits"), col("gopher_pass"))
         .orderBy(col("doc_id"))
@@ -2075,6 +2183,8 @@ object LlmQueries {
         |         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
         |         AND stop_hits >= 2 AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin),
+
+    "q_gopher_rules_by_lang" -> GopherByLangSql,
 
     // C4 cleaning: the identical line keep-rule as a list_filter lambda,
     // doc keep-rule over the raw text + kept count

@@ -123,6 +123,46 @@ class GopherSpec extends SparkSpec {
       "one stopword is not enough")
   }
 
+  test("by-lang rules: native prose passes its own battery, fails the en one") {
+    val s = spark
+    import s.implicits._
+    val de = Seq.fill(3)(
+      "der kleine hund läuft schnell über die grüne wiese und die katze " +
+        "schläft ruhig neben dem warmen ofen im alten haus").mkString(" ")
+    val ru = Seq.fill(3)(
+      "маленькая собака бежит быстро по зелёному полю и кошка спит тихо " +
+        "возле тёплой печки в старом доме под высоким небом").mkString(" ")
+    val docs = Seq((1L, de, "de"), (2L, ru, "ru"), (3L, de, "en"),
+      (4L, ru, "en")).toDF("doc_id", "text", "lang")
+    val byLang = TextAnalysis.withGopherSignalsByLang(docs, col("text"),
+        col("lang"))
+      .select(col("doc_id"), col("gopher_pass"), col("stop_hits"),
+        col("alpha_frac"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byLang(1L)._1, "German prose passes under de rules")
+    assert(byLang(1L)._2 >= 2L, "de stop hits found")
+    assert(byLang(2L)._1, "Russian prose passes under ru rules")
+    assert(byLang(2L)._3 === 1.0, "every Cyrillic token matches the ru class")
+    // the SAME prose stamped 'en' fails: zero en stop hits; the Russian
+    // one also zeroes en alpha_frac
+    assert(!byLang(3L)._1 && byLang(3L)._2 === 0L)
+    assert(!byLang(4L)._1 && byLang(4L)._3 === 0.0)
+    // and the legacy en-only battery agrees with byLang on en-stamped rows
+    val en = TextAnalysis.withGopherSignals(docs.filter(col("lang") === "en"),
+        col("text"))
+      .select(col("doc_id"), col("gopher_pass"), col("stop_hits")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(en(3L) === ((byLang(3L)._1, byLang(3L)._2)))
+    assert(en(4L) === ((byLang(4L)._1, byLang(4L)._2)))
+    // unknown lang falls back to the en battery
+    val und = TextAnalysis.withGopherSignalsByLang(
+        Seq((9L, de, "xx")).toDF("doc_id", "text", "lang"),
+        col("text"), col("lang"))
+      .select(col("stop_hits")).collect()(0).getLong(0)
+    assert(und === 0L)
+  }
+
   test("gopher signals ignore whitespace runs (the paper's word definition)") {
     // double space + space-adjacent newline: 6 real words, no empties
     val g = signals("aa  bbb cc \ndd ee ffff")

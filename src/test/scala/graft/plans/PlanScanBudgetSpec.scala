@@ -41,6 +41,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     // paragraphed base + three rule-tripping plant branches (bullets,
     // ellipses, symbol spam), each with its own pushed stride filter
     "q_gopher_rules" -> 4,
+    // corpus base + the two non-English plant strides (de, ru)
+    "q_gopher_rules_by_lang" -> 3,
     // dotted base + three plant branches (bad lines, lorem, braces)
     "q_c4_clean" -> 4,
     // scaled-duplicate fixture (2 branches) × three corpus passes (cell
