@@ -257,9 +257,12 @@ object DocumentsApp {
     * appending to it. Reads with schema merge (the mixed-schema dir is
     * exactly why the guard fails fast), drops whatever stamp subset is
     * present, re-stamps everything, and swaps directories with a
-    * keep-the-old-until-the-new-landed rename so a crash never leaves
-    * less data than it found (at worst: corpus + a stale
-    * `corpus__backfill_tmp`/`__old` to clean up).
+    * keep-the-old-until-the-new-landed rename so a crash never LOSES
+    * data: outside the swap the worst case is corpus + a stale
+    * `corpus__backfill_tmp`/`__old` to clean up, and a crash INSIDE the
+    * two-rename swap (corpus moved aside, new not yet landed) self-heals
+    * at the next run's entry by restoring `__old` and redoing the
+    * backfill from it.
     *
     * 100 TB posture: one read → scan-speed stamp projections → one
     * partitioned write; no shuffle beyond the writer's partitioning. A
@@ -267,6 +270,16 @@ object DocumentsApp {
     * committer; the stamping plan is unchanged. */
   def backfillStamps(spark: SparkSession, storageDir: String): Unit = {
     val corpus = new java.io.File(s"$storageDir/corpus")
+    val oldDir = new java.io.File(s"$storageDir/corpus__backfill_old")
+    // crash recovery (r16 ADVICE): a previous run died INSIDE the swap —
+    // after the corpus moved aside but before the new one landed — leaving
+    // NO corpus directory. Restore the original and redo the backfill from
+    // it (the tmp may be complete but is unverified; the original is the
+    // only copy we can trust unconditionally).
+    if (!corpus.isDirectory && oldDir.isDirectory)
+      require(oldDir.renameTo(corpus),
+        s"could not restore ${oldDir.getPath} to ${corpus.getPath} after an " +
+          "interrupted swap — resolve manually")
     require(corpus.isDirectory, s"no corpus at ${corpus.getPath}")
     val df = spark.read.option("mergeSchema", "true").parquet(corpus.getPath)
     val present = StampedCols.filter(df.schema.fieldNames.contains)

@@ -140,6 +140,46 @@ object IngestQueries {
       val (clean, _) = graft.sources.DocumentSource.quarantine(
         graft.sources.DocumentSource.jsonl(s, dir))
       clean.orderBy(col("doc_id"))
+    }),
+
+    // WARC source (r16 verdict #8): every doc wrapped as a real
+    // WARC/1.0 response record (HTTP message payload, byte-exact
+    // Content-Length), records concatenated into 20 multi-record streams
+    // in doc_id order, plus one TRUNCATED single-record stream per 13th
+    // doc (Content-Length lying past EOF). The streams parse through the
+    // same byte-walk the file reader uses; the truncated plants must
+    // quarantine, so a clean-side hash match against the raw documents
+    // table proves extraction AND corruption isolation at once.
+    "q_src_warc" -> ((s, d) => {
+      val docs = graft.model.Tables.documents(s, d)
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        col("text"))
+      def rec(lenShift: Int) = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "http://example.com/"), col("doc_id"),
+        lit("\r\nContent-Length: "),
+        (octet_length(http) + lenShift).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val good = docs
+        .select((col("doc_id") % 20).cast("string").as("src"),
+          struct(col("doc_id"), rec(0).as("rec")).as("p"))
+        .groupBy(col("src"))
+        .agg(array_join(transform(array_sort(collect_list(col("p"))),
+          x => x.getField("rec")), "").as("stream"))
+      val bad = docs.filter(col("doc_id") % 13 === 0)
+        .select(concat(lit("bad-"), col("doc_id")).as("src"),
+          rec(7).as("stream"))
+      val parsed = graft.sources.WarcSource.parseWarc(
+        good.unionAll(bad).select(col("src"),
+          encode(col("stream"), "UTF-8").as("content")))
+      val (clean, _) = graft.sources.WarcSource.quarantine(parsed)
+      clean.select(
+          substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("http_status"),
+          length(col("body")).cast("long").as("n_chars"),
+          col("body").as("text"))
+        .orderBy(col("doc_id"))
     }))
 
   import OracleDefs.EvtCte
@@ -167,6 +207,13 @@ object IngestQueries {
   def oracles: Map[String, String] = Map(
     "q_src_jsonl" ->
       """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the WARC round-trip's expected clean side: every document exactly
+    // once (truncated plants quarantine and contribute nothing)
+    "q_src_warc" ->
+      """SELECT doc_id, 'response' AS warc_type, 200 AS http_status,
+        |       CAST(len(text) AS BIGINT) AS n_chars, text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_s3_per_type" -> s"""$WireCte

@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC — the crawl's first-mile container format (ISO 28500; what Common
+  * Crawl actually ships). A WARC file is a sequence of records, each a
+  * `WARC/1.0` header block (CRLF-separated `Name: value` lines, terminated
+  * by a blank line), `Content-Length` octets of payload, and a CRLF CRLF
+  * separator. `response` records wrap an HTTP message whose body is the
+  * fetched page — the input [[graft.llm.Html.toText]] exists to clean.
+  *
+  * Parse posture (the [[graft.llm.Multimodal]] byte-walk discipline):
+  * a hand-walked, dependency-free parser over the raw bytes; any
+  * malformation — bad magic, unparsable Content-Length, truncated
+  * payload, missing record separator — stops the walk and the REMAINDER
+  * of that file quarantines with a reason (never an exception, never a
+  * silently-skipped record: a mid-file length lie means nothing after it
+  * can be trusted). Records parsed before the corruption are kept.
+  *
+  * 100 TB shape: parallelism is per FILE — crawls ship thousands of ~1 GB
+  * segments and gzip is not splittable, so one-task-per-file IS the
+  * industry-standard granule; `binaryFile` gives exactly that (plus
+  * pushed path filters), and the walk is one linear pass per file with no
+  * allocation beyond the emitted rows. Row width stays bounded by
+  * `maxBodyChars` so a hostile 2 GB record cannot balloon an executor. */
+object WarcSource {
+
+  /** One parsed record (or one quarantined remainder): when `corrupt` is
+    * set every content field is None and the walk of that file stopped. */
+  final case class WarcRow(src: String, rec_idx: Int,
+      warc_type: Option[String], uri: Option[String],
+      http_status: Option[Int], body: Option[String],
+      corrupt: Option[String])
+
+  /** Per-record body cap (chars, post-decode) — the MetricsSink row-width
+    * doctrine: a single runaway record must not own an executor. */
+  val MaxBodyChars: Int = 4 * 1024 * 1024
+
+  private val Crlf2 = "\r\n\r\n".getBytes("US-ASCII")
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Walk one file's bytes into records + an optional corrupt remainder. */
+  private[sources] def walk(src: String, bytes: Array[Byte]): Seq[WarcRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
+    var pos = 0
+    var idx = 0
+    def corrupt(reason: String): Unit =
+      out += WarcRow(src, idx, None, None, None, None,
+        Some(s"$reason at offset $pos"))
+    var stop = false
+    while (!stop && pos < bytes.length) {
+      // lenient: skip stray CRLFs between records
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+      if (pos >= bytes.length) stop = true
+      else {
+        val hdrEnd = indexOf(bytes, Crlf2, pos)
+        if (hdrEnd < 0) { corrupt("unterminated header block"); stop = true }
+        else {
+          val hdr = new String(bytes, pos, hdrEnd - pos, "US-ASCII")
+          val lines = hdr.split("\r\n", -1)
+          if (!lines.head.startsWith("WARC/")) {
+            corrupt("bad record magic"); stop = true
+          } else {
+            def header(name: String): Option[String] = lines.tail
+              .find(_.toLowerCase.startsWith(name.toLowerCase + ":"))
+              .map(l => l.substring(l.indexOf(':') + 1).trim)
+            header("Content-Length").flatMap(_.toLongOption) match {
+              case None => corrupt("missing or non-numeric Content-Length"); stop = true
+              case Some(len) =>
+                val payloadStart = hdrEnd + 4
+                if (len < 0 || payloadStart + len > bytes.length) {
+                  corrupt("truncated payload"); stop = true
+                } else {
+                  val pEnd = payloadStart + len.toInt
+                  // the record separator is mandatory unless the record
+                  // ends the file exactly
+                  val sepOk = pEnd == bytes.length ||
+                    indexOf(bytes, Crlf2, pEnd) == pEnd
+                  if (!sepOk) { corrupt("missing record separator"); stop = true }
+                  else {
+                    val wtype = header("WARC-Type")
+                    val payload = new String(bytes, payloadStart, len.toInt, "UTF-8")
+                    // response records wrap an HTTP message: status line,
+                    // headers, blank line, body
+                    val (status, body) =
+                      if (wtype.contains("response") &&
+                          payload.startsWith("HTTP/")) {
+                        val cut = payload.indexOf("\r\n\r\n")
+                        val st = payload.linesIterator.nextOption()
+                          .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
+                        val b = if (cut < 0) "" else payload.substring(cut + 4)
+                        (st, b)
+                      } else (None, payload)
+                    out += WarcRow(src, idx, wtype, header("WARC-Target-URI"),
+                      status, Some(body.take(MaxBodyChars)), None)
+                    idx += 1
+                    pos = pEnd
+                  }
+                }
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Parse a (src string, content binary) frame of whole WARC files into
+    * record rows — the shared core of [[warc]] and the fixture queries
+    * (which synthesize their streams in-plan). */
+  def parseWarc(streams: DataFrame): DataFrame = {
+    val spark = streams.sparkSession
+    import spark.implicits._
+    streams.select(col("src").cast("string"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (src, bytes) => walk(src, bytes) })
+      .toDF()
+  }
+
+  /** Read a directory/glob of WARC files: one task per file (the gzip
+    * granule), records + quarantined remainders as rows. */
+  def warc(spark: SparkSession, path: String): DataFrame =
+    parseWarc(spark.read.format("binaryFile").load(path)
+      .select(col("path").as("src"), col("content")))
+
+  /** Split parsed records into (clean rows, quarantined remainders) —
+    * the [[DocumentSource.quarantine]] contract for the WARC side. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = (
+    df.filter(col("corrupt").isNull).drop("corrupt"),
+    df.filter(col("corrupt").isNotNull)
+      .select(col("src"), col("rec_idx"), col("corrupt").as("reason")))
+}

@@ -248,6 +248,37 @@ class DocumentsAppSpec extends SparkSpec {
     assert(corpus.columns.count(_ == "lang_pred") === 1, "no duplicate column")
   }
 
+  test("backfillStamps recovers the mid-swap crash state (no corpus, __old present)") {
+    val root = Files.createTempDirectory("graft_docs_backfill3")
+    val store = root.resolve("store")
+    spark.range(3).selectExpr("id as doc_id",
+        "concat('some words for doc ', cast(id as string)) as text")
+      .write.parquet(store.resolve("corpus").toString)
+    // simulate the kill point INSIDE the swap: corpus moved aside, the
+    // new directory never landed (a stale tmp may also exist)
+    val corpus = store.resolve("corpus").toFile
+    val old = store.resolve("corpus__backfill_old").toFile
+    assert(corpus.renameTo(old))
+    Files.createDirectory(store.resolve("corpus__backfill_tmp"))
+    assert(!corpus.exists() && old.exists(), "crash state armed")
+    // the next run must self-heal: restore __old, redo the backfill,
+    // leave a complete stamped corpus and no swap residue
+    DocumentsApp.backfillStamps(spark, store.toString)
+    val healed = spark.read.parquet(s"$store/corpus")
+    assert(healed.count() === 3)
+    DocumentsApp.StampedCols.foreach(c =>
+      assert(healed.columns.contains(c), s"missing column $c after recovery"))
+    assert(!old.exists(), "swap residue __old must be cleaned")
+    assert(!store.resolve("corpus__backfill_tmp").toFile.exists() ||
+      spark.read.parquet(s"$store/corpus").count() === 3)
+    // ambiguous state (corpus AND __old both present) still fails fast
+    spark.range(1).selectExpr("id as doc_id", "'x' as text")
+      .write.parquet(store.resolve("corpus__backfill_old").toString)
+    intercept[IllegalStateException] {
+      DocumentsApp.backfillStamps(spark, store.toString)
+    }
+  }
+
   test("landing lifecycle: consumed crawl drops delete (source.clean)") {
     val root = Files.createTempDirectory("graft_docs_app")
     val src = Files.createDirectory(root.resolve("landing"))

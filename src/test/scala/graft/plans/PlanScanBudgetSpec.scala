@@ -43,6 +43,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_gopher_rules" -> 4,
     // corpus base + the two non-English plant strides (de, ru)
     "q_gopher_rules_by_lang" -> 3,
+    // WARC fixture: the good-stream branch + the truncated-plant stride
+    "q_src_warc" -> 2,
     // dotted base + three plant branches (bad lines, lorem, braces)
     "q_c4_clean" -> 4,
     // scaled-duplicate fixture (2 branches) × three corpus passes (cell

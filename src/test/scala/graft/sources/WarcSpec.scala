@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WARC source: the real binaryFile read path over hand-written record
+  * bytes — extraction per record type, byte-exact Content-Length (UTF-8
+  * bodies), and the quarantine contract (records before a corruption
+  * survive; everything after is one quarantined remainder, never an
+  * exception). */
+class WarcSpec extends SparkSpec {
+
+  private def record(uri: String, body: String,
+      warcType: String = "response", lenShift: Int = 0,
+      http: Boolean = true): Array[Byte] = {
+    val payload =
+      if (http) s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$body"
+      else body
+    val pBytes = payload.getBytes("UTF-8")
+    (s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${pBytes.length + lenShift}\r\n\r\n").getBytes("US-ASCII") ++
+      pBytes ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  test("warc file read: response + resource records, unicode bodies, order") {
+    val dir = Files.createTempDirectory("graft-warc").toFile
+    val f1 = record("http://a/1", "hello world page one") ++
+      record("http://a/2", "über straße maß", http = true) ++
+      record("http://a/3", "raw resource payload", warcType = "resource",
+        http = false)
+    Files.write(new java.io.File(dir, "seg1.warc").toPath, f1)
+    val rows = WarcSource.warc(spark, dir.getPath)
+      .orderBy(col("src"), col("rec_idx")).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.isNullAt(6)), "no quarantine on a clean file")
+    val r1 = rows(0)
+    assert(r1.getString(2) === "response" && r1.getString(3) === "http://a/1")
+    assert(r1.getInt(4) === 200 && r1.getString(5) === "hello world page one")
+    // unicode: Content-Length counted BYTES, the body decodes intact
+    assert(rows(1).getString(5) === "über straße maß")
+    // resource record: no HTTP framing, payload IS the body, status null
+    assert(rows(2).getString(2) === "resource")
+    assert(rows(2).isNullAt(4))
+    assert(rows(2).getString(5) === "raw resource payload")
+  }
+
+  test("quarantine: records before a corruption survive, remainder flagged") {
+    val dir = Files.createTempDirectory("graft-warc-bad").toFile
+    // good record, then one whose Content-Length lies past EOF
+    val f = record("http://b/1", "good first record") ++
+      record("http://b/2", "never fully written", lenShift = 500)
+    Files.write(new java.io.File(dir, "seg2.warc").toPath, f)
+    // and a file corrupted at record 0 (bad magic)
+    Files.write(new java.io.File(dir, "seg3.warc").toPath,
+      "WORC/1.0\r\nContent-Length: 5\r\n\r\nxxxxx\r\n\r\n".getBytes("US-ASCII"))
+    val parsed = WarcSource.warc(spark, dir.getPath)
+    val (clean, quarantined) = WarcSource.quarantine(parsed)
+    val cleanRows = clean.collect()
+    assert(cleanRows.length === 1)
+    assert(cleanRows(0).getAs[String]("uri") === "http://b/1")
+    val q = quarantined.collect().map(r =>
+      (r.getString(0).split('/').last, r.getString(2)))
+    assert(q.length === 2)
+    assert(q.exists(p => p._1 == "seg2.warc" && p._2.contains("truncated")))
+    assert(q.exists(p => p._1 == "seg3.warc" && p._2.contains("bad record magic")))
+  }
+
+  test("walk edges: empty file, missing separator, non-numeric length") {
+    assert(WarcSource.walk("s", Array.emptyByteArray).isEmpty)
+    val noSep = record("http://c/1", "body").dropRight(4) ++
+      "XXWARC/1.0".getBytes("US-ASCII")
+    val r1 = WarcSource.walk("s", noSep)
+    assert(r1.exists(_.corrupt.exists(_.contains("missing record separator"))))
+    val badLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: many\r\n\r\n").getBytes("US-ASCII")
+    val r2 = WarcSource.walk("s", badLen)
+    assert(r2.exists(_.corrupt.exists(_.contains("non-numeric Content-Length"))))
+    // a record ending the file exactly (no trailing separator) is legal
+    val exact = record("http://c/2", "tail body").dropRight(4)
+    val r3 = WarcSource.walk("s", exact)
+    assert(r3.length === 1 && r3.head.corrupt.isEmpty)
+    assert(r3.head.body.contains("tail body"))
+  }
+}
