@@ -80,9 +80,12 @@ object Bench {
 
     // production paths only — the verify-only oracle twins are correctness
     // instruments, not operators a user would run (see SparkEntry.verifyOnly)
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows a local iteration
+    // run; the driver never sets it, so driver rounds bench everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val benched = SparkEntry.queries.filterNot {
       case (name, _) => SparkEntry.verifyOnly(name)
-    }
+    }.filter { case (name, _) => only.forall(_.contains(name)) }
     val results = benched.map { case (name, fn) =>
       // settle the JVM before the first sample: without this, a prior
       // query's garbage ages into the next query's GC pauses — r7 measured

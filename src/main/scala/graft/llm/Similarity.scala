@@ -26,7 +26,15 @@ object Similarity {
 
   /** Dot product of two array<double> columns (sequential left fold —
     * the same associativity the oracle's list_dot_product uses). */
+  /** Dot product via the codegen'd expression (fp-identical to [[dotHof]],
+    * pinned by DotProductExprSpec) — the hot op of the SemDeDup pair stage
+    * and every normalize step. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.dot(a, b)
+
+  /** Readable HOF reference shape of [[dot]] — the form the DuckDB oracles
+    * restate (left fold from 0.0 in index order). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
@@ -34,7 +42,8 @@ object Similarity {
 
   /** Readable HOF reference shape; production paths use [[cosine]] (native,
     * fp-identical — pinned by CosineSimilarityExprSpec). */
-  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (norm(a) * norm(b))
 
   /** Cosine similarity via the codegen'd expression — the per-candidate hot
     * op of every ANN/near-dup join. */
