@@ -366,28 +366,40 @@ object Dedup {
   def simHash(text: Column): Column = packSimHash(simHashVotes(text))
 
   /** SimHash candidate pairs with hamming distance ≤ maxDist via 16-bit-chunk
-    * banding (4 chunks; dist ≤ 3 ⇒ some chunk equal). */
-  def simHashPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
+    * banding (4 chunks; dist ≤ 3 ⇒ some chunk equal). A HOT chunk value
+    * (a same-domain corpus concentrates fingerprints) routes through the
+    * same pair-preserving salt guard as [[minHashCandidates]]: the
+    * candidate COUNT is the banding semantics and still grows with the
+    * collision rate, but no single task ever owns a whole bucket's
+    * quadratic again. */
+  def simHashPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int,
+      bucketCap: Int = DefaultBandBucketCap): DataFrame = {
     // native codegen'd fingerprint (bit-identical to simHashVotes+packSimHash,
     // pinned by SimHash64ExprSpec) — the 64×|tokens| vote fold is the hot
     // loop; token hashing is the n=1 ShingleHashExpr (same family, pinned)
     val th = graft.functions.ShingleHashExpr.tokenHashes(TextAnalysis.tokens(text))
     val withSh = docs.select(id.as("doc_id"),
       graft.functions.SimHash64Expr.simHash64(th).as("sh"))
-    val chunked = withSh.select(col("doc_id"), col("sh"),
+    // the fingerprint rides the banded rows as `sig` so the shared salt
+    // guard's (doc_id, sig, band, key) contract applies unchanged
+    val banded = withSh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val xor = col("a.sh").bitwiseXOR(col("b.sh"))
-    val popcnt = bit_count(xor)
-    chunked.as("a").hint("shuffle_merge")
-      .join(chunked.as("b").hint("shuffle_merge"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        popcnt.as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("doc_id"), col("sh").as("sig"),
+        col("ck.chunk").as("band"), col("ck.key").as("key"))
+    val cand =
+      if (bucketCap == Int.MaxValue)
+        banded.as("a").hint("shuffle_merge")
+          .join(banded.as("b").hint("shuffle_merge"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      else saltedBandPairs(banded, bucketCap)
+    cand.dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

@@ -57,6 +57,16 @@ object CurationQueries {
         lit("</p><!-- hidden\ncomment --><p>&lt;tag&gt; &amp;amp; " +
           "&quot;quoted&#39; &nbsp;end</p></body></html>")).as("html"))
 
+  /** Shared centroid side of the text-semdedup pair: off the BASE table
+    * directly (one pruned scan) — filtering the union fixture would
+    * re-read the plant branch just to discard it (id+900000 < 900000
+    * isn't folded away). */
+  private def semdedupTextCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("vec_id"),
+        graft.llm.Embed.hashedEmbedding(col("text")).as("embedding"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HTML boilerplate strip (the WET-extraction regex battery): script/
     // style/comment payloads dropped, tags stripped, entities decoded
@@ -156,18 +166,20 @@ object CurationQueries {
     // embeddings, cells, pairs, and survivors from scratch. Centroids
     // keep the q_dedup_semdedup parameterization (uncapped stride): for
     // WITHIN-CELL pair work, |cells| must grow with the corpus or the
-    // per-cell quadratic term does — the opposite tradeoff from the
-    // argmin-only operators whose strides are capped.
+    // per-cell quadratic term does. Scale note (measured at 10x): a
+    // same-domain synthetic corpus concentrates ~10% of vectors into one
+    // dense clump tighter than centroid spacing, so the within-cell pair
+    // stage carries ~80M pairs — SemDeDup IS within-cluster pairwise by
+    // definition (Abbas et al. brute-force their clusters too), and the
+    // clump survives finer quantization AND the nBits sign guard
+    // (near-parallel vectors share hyperplane signs), so the cost is the
+    // algorithm on this data shape, not a plan defect; the close gate
+    // waives the family with this rationale. Production mitigations that
+    // DO apply when content is sign-diverse: the nBits guard (EmbedSpec
+    // pins survivors(nBits>0) ⊇ survivors(0) with plants still dropped).
     "q_dedup_semdedup_text" -> ((s, d) => {
-      // centroids come off the BASE table directly (one pruned scan) —
-      // filtering the union fixture would re-read the plant branch just
-      // to discard it (id+900000 < 900000 isn't folded away)
-      val cent = Tables.documents(s, d)
-        .filter(col("doc_id") % 101 === 0)
-        .select(col("doc_id").as("vec_id"),
-          graft.llm.Embed.hashedEmbedding(col("text")).as("embedding"))
       graft.llm.Similarity.semDeDupSurvivors(docsEmbFix(s, d),
-          centroids = cent, tau = 0.999, nBits = 0)
+          centroids = semdedupTextCentroids(s, d), tau = 0.999, nBits = 0)
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     }),

@@ -144,9 +144,11 @@ object IngestQueries {
 
     // WARC source (r16 verdict #8): every doc wrapped as a real
     // WARC/1.0 response record (HTTP message payload, byte-exact
-    // Content-Length), records concatenated into 20 multi-record streams
-    // in doc_id order, plus one TRUNCATED single-record stream per 13th
-    // doc (Content-Length lying past EOF). The streams parse through the
+    // Content-Length), records concatenated into multi-record streams of
+    // ≤25 docs in doc_id order (floor(id/25) — stream COUNT grows with
+    // the corpus, stream SIZE stays bounded, the shape real crawls ship),
+    // plus one TRUNCATED single-record stream per 13th doc
+    // (Content-Length lying past EOF). The streams parse through the
     // same byte-walk the file reader uses; the truncated plants must
     // quarantine, so a clean-side hash match against the raw documents
     // table proves extraction AND corruption isolation at once.
@@ -162,7 +164,7 @@ object IngestQueries {
         (octet_length(http) + lenShift).cast("string"),
         lit("\r\n\r\n"), http, lit("\r\n\r\n"))
       val good = docs
-        .select((col("doc_id") % 20).cast("string").as("src"),
+        .select(floor(col("doc_id") / 25).cast("string").as("src"),
           struct(col("doc_id"), rec(0).as("rec")).as("p"))
         .groupBy(col("src"))
         .agg(array_join(transform(array_sort(collect_list(col("p"))),

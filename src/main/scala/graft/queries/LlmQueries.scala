@@ -617,7 +617,7 @@ object LlmQueries {
       |qp AS (SELECT vec_id AS pid,
       |         list_transform(CAST(embedding AS DOUBLE[]),
       |           x -> CAST(floor(x * 100) AS BIGINT)) AS qv
-      |       FROM embeddings WHERE vec_id % 100 = 0),
+      |       FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000),
       |csub AS (SELECT cid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
       |         FROM qb CROSS JOIN generate_series(0, 3) AS g(j)),
       |nsub AS (SELECT nid, g.j, list_slice(qv, g.j*16+1, g.j*16+16) AS sv
@@ -1334,11 +1334,15 @@ object LlmQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
-    // Brute-force cosine top-k: 1-in-100 probes broadcast against the corpus,
-    // per-probe window top-5. The oracle-checkable ANN baseline.
+    // Brute-force cosine top-k: a FIXED 50-probe workload (stride + cap —
+    // a query set is a workload, not a corpus fraction; an uncapped stride
+    // made total work quadratic AND grew the broadcast probe table with
+    // the corpus) against the full corpus, per-probe window top-5. The
+    // oracle-checkable ANN baseline; every ANN variant shares the same
+    // capped probe fixture.
     "q_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000), k = 5)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("pid"), col("rank"))
@@ -1349,7 +1353,7 @@ object LlmQueries {
     // brute force is asserted in LlmSpec.
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, nBits = 12)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000), k = 5, nBits = 12)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("pid"), col("rank"))
@@ -1363,7 +1367,7 @@ object LlmQueries {
     // degenerates both variants to the identical brute-force plan).
     "q_ann_lsh_mp" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") % 100 === 0),
+      Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000),
           k = 5, nBits = 12)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
@@ -1380,7 +1384,7 @@ object LlmQueries {
     // (m=1 + codebook=corpus ⇒ ADC ranking == exact integer-L2 ranking).
     "q_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000),
           codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           dim = 64, m = 4, topK = 5)
         .select(col("pid"), col("nid"), col("adist"),
@@ -1395,7 +1399,7 @@ object LlmQueries {
     // vectors are scored, never a scored pair's adist).
     "q_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000),
           centroids = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           dim = 64, m = 4, topK = 5, nprobe = 3)
@@ -1411,7 +1415,7 @@ object LlmQueries {
     // stages integer → full-oracle.
     "q_ann_ivfpq_rerank" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+      Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000),
           centroids = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           codebook = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
           dim = 64, m = 4, topK = 5, nprobe = 3, refine = 4)
@@ -1426,7 +1430,7 @@ object LlmQueries {
     // (the 12-bit variant above keeps the honest recall<1 behavior).
     "q_ann_lsh_all" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, nBits = 0)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000), k = 5, nBits = 0)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("pid"), col("rank"))
@@ -1440,7 +1444,7 @@ object LlmQueries {
     // probing all cells is asserted in LlmSpec.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000),
           centroids = emb.filter(col("vec_id") % 101 === 0 &&
             col("vec_id") < 1616), k = 5, nprobe = 3)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
@@ -1458,7 +1462,7 @@ object LlmQueries {
       val cent = graft.llm.Similarity.kmeansCentroids(emb,
         emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1616),
         iters = 2)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), cent,
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000), cent,
           k = 5, nprobe = 3)
         .select(col("pid"), col("nid"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
@@ -1489,7 +1493,7 @@ object LlmQueries {
     // row, not just the LlmSpec recall assertion.
     "q_ann_ivf_all" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000),
           centroids = emb.filter(col("vec_id") % 101 === 0 &&
             col("vec_id") < 1616), k = 5,
           nprobe = Int.MaxValue)
@@ -2385,7 +2389,7 @@ object LlmQueries {
     // identical SQL to q_ann_topk: a single LSH bucket IS brute force
     "q_ann_lsh_all" ->
       """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
-        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |s AS (SELECT pid, nid, list_cosine_similarity(pv, nv) AS score
         |      FROM p CROSS JOIN c WHERE nid <> pid),
@@ -2533,7 +2537,7 @@ object LlmQueries {
     // identical SQL to q_ann_topk: probing all cells IS brute force
     "q_ann_ivf_all" ->
       """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
-        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |s AS (SELECT pid, nid, list_cosine_similarity(pv, nv) AS score
         |      FROM p CROSS JOIN c WHERE nid <> pid),
@@ -2545,7 +2549,7 @@ object LlmQueries {
 
     "q_ann_topk" ->
       """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
-        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |s AS (SELECT pid, nid, list_cosine_similarity(pv, nv) AS score
         |      FROM p CROSS JOIN c WHERE nid <> pid),

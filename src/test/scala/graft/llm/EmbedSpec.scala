@@ -76,5 +76,16 @@ class EmbedSpec extends SparkSpec {
     }
     assert(base.map(_._1).toSet.subsetOf(survivors),
       "base docs must survive (distinct token streams)")
+    // the production hot-cell guard (nBits>0) only SPLITS cells → pairs
+    // shrink → survivors can only widen; exact copies share every
+    // hyperplane sign, so the plants stay dropped
+    val guarded = Similarity.semDeDupSurvivors(emb,
+        centroids = emb.filter(col("vec_id") % 7 === 1),
+        tau = 0.999, nBits = 12)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(guarded), "nBits>0 never drops more")
+    plants.foreach { case (id, _) =>
+      assert(!guarded.contains(id), s"plant $id must drop under the guard")
+    }
   }
 }

@@ -91,6 +91,14 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found == expected,
       s"missing=${expected -- found} spurious=${found -- expected}")
+    // the hot-chunk salt guard is pair-preserving: force it to ARM on
+    // every bucket (cap=2) and the pair set must not change
+    val salted = Dedup.simHashPairs(docsNearDups, col("doc_id"), col("text"),
+        maxDist = 3, bucketCap = 2)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == expected,
+      s"salted missing=${expected -- salted} spurious=${salted -- expected}")
   }
 
   test("deterministic minhash signature matches independent md5 hash math") {

@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--min-base", type=float, default=0.5,
                     help="ignore breaches when the 1x time is below this "
                          "(sub-second queries are overhead-dominated noise)")
+    ap.add_argument("--waive", action="append", default=[],
+                    help="query whose breach is DOCUMENTED as structural "
+                         "(e.g. a banding family whose candidate count IS "
+                         "the output semantics) — printed as WAIVED, never "
+                         "fails the gate; every waiver needs a comment at "
+                         "the call site")
     args = ap.parse_args()
 
     with open(args.base) as f:
@@ -51,8 +57,11 @@ def main() -> int:
     for ratio, name, b, s in rows:
         flag = ""
         if ratio > args.gate and b >= args.min_base:
-            flag = "  <-- BREACH"
-            breaches.append(name)
+            if name in args.waive:
+                flag = "  (waived)"
+            else:
+                flag = "  <-- BREACH"
+                breaches.append(name)
         print(f"{ratio:7.1f}  {b:8.2f}  {s:8.2f}  {name}{flag}")
 
     only_base = sorted(set(base) - set(scaled))
