@@ -425,7 +425,10 @@ object Scratch {
       }
     } else {
       Seq("q_read_path", "q_join_agg", "q_dedup_minhash", "q_a1_rollup_1m",
-        "q_p4_matchers", "q_ann_ivf", "q_sink_roundtrip").foreach(audit)
+        "q_p4_matchers", "q_ann_ivf", "q_sink_roundtrip",
+        // r17 additions: the new operator families
+        "q_tokenize_ids", "q_embed_hashed", "q_dedup_semdedup_text",
+        "q_gopher_rules_by_lang", "q_src_warc").foreach(audit)
     }
     spark.stop()
   }

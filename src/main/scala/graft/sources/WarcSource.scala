@@ -34,7 +34,12 @@ object WarcSource {
       corrupt: Option[String])
 
   /** Per-record body cap (chars, post-decode) — the MetricsSink row-width
-    * doctrine: a single runaway record must not own an executor. */
+    * doctrine: a single runaway record must not own an executor. The walk
+    * also caps the DECODE itself (4·cap bytes covers any UTF-8 body of cap
+    * chars plus HTTP framing), so a hostile 2 GB record never materializes
+    * as a full String before truncation; the record boundary still
+    * advances by the declared Content-Length, so subsequent records parse
+    * normally. */
   val MaxBodyChars: Int = 4 * 1024 * 1024
 
   private val Crlf2 = "\r\n\r\n".getBytes("US-ASCII")
@@ -51,8 +56,10 @@ object WarcSource {
     -1
   }
 
-  /** Walk one file's bytes into records + an optional corrupt remainder. */
-  private[sources] def walk(src: String, bytes: Array[Byte]): Seq[WarcRow] = {
+  /** Walk one file's bytes into records + an optional corrupt remainder.
+    * `maxBodyChars` is a test seam; production callers take the default. */
+  private[sources] def walk(src: String, bytes: Array[Byte],
+      maxBodyChars: Int = MaxBodyChars): Seq[WarcRow] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
     var pos = 0
     var idx = 0
@@ -92,7 +99,14 @@ object WarcSource {
                   if (!sepOk) { corrupt("missing record separator"); stop = true }
                   else {
                     val wtype = header("WARC-Type")
-                    val payload = new String(bytes, payloadStart, len.toInt, "UTF-8")
+                    // bounded decode: never materialize more than the body
+                    // cap can keep (4 bytes/char worst case + HTTP framing
+                    // headroom); the walk still advances by the full
+                    // declared length below
+                    val decLen = math.min(len,
+                      maxBodyChars.toLong * 4 + 8192).toInt
+                    val payload =
+                      new String(bytes, payloadStart, decLen, "UTF-8")
                     // response records wrap an HTTP message: status line,
                     // headers, blank line, body
                     val (status, body) =
@@ -105,7 +119,7 @@ object WarcSource {
                         (st, b)
                       } else (None, payload)
                     out += WarcRow(src, idx, wtype, header("WARC-Target-URI"),
-                      status, Some(body.take(MaxBodyChars)), None)
+                      status, Some(body.take(maxBodyChars)), None)
                     idx += 1
                     pos = pEnd
                   }
@@ -135,6 +149,40 @@ object WarcSource {
   def warc(spark: SparkSession, path: String): DataFrame =
     parseWarc(spark.read.format("binaryFile").load(path)
       .select(col("path").as("src"), col("content")))
+
+  /** Streaming twin of [[warc]] — tail a crawl landing zone of WARC
+    * segments as fetchers drop them ([[DocumentSource.jsonlStream]]'s
+    * lifecycle contract: `maxFilesPerTrigger` bounds a micro-batch so one
+    * big drop can't stall the cadence, `cleanSource` keeps the listing
+    * from becoming the bottleneck at sustained crawl volume, the
+    * checkpoint keeps exactly-once). The parse is the same stateless
+    * per-file byte-walk, so [[quarantine]] and the downstream
+    * clean/dedup/stamp chain compose unchanged on the stream. */
+  def warcStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 4,
+      cleanSource: String = "off",
+      archiveDir: Option[String] = None): DataFrame = {
+    // binaryFile's fixed schema, pinned explicitly — streaming file
+    // sources refuse to infer (the DocumentSource explicit-schema rule
+    // applies doubly here: inference would stat every existing segment)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val base = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", cleanSource)
+    parseWarc(
+      archiveDir.foldLeft(base)((b, d) => b.option("sourceArchiveDir", d))
+        .load(path)
+        .select(col("path").as("src"), col("content")))
+  }
 
   /** Split parsed records into (clean rows, quarantined remainders) —
     * the [[DocumentSource.quarantine]] contract for the WARC side. */

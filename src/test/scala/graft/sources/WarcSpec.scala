@@ -68,6 +68,43 @@ class WarcSpec extends SparkSpec {
     assert(q.exists(p => p._1 == "seg3.warc" && p._2.contains("bad record magic")))
   }
 
+  test("bounded decode: an over-cap record truncates, the NEXT record still parses") {
+    val big = "x" * 4000
+    val f = record("http://d/1", big) ++ record("http://d/2", "after the giant")
+    // cap below the big body: the decode is bounded and the body truncates,
+    // but the walk advances by the DECLARED length so record 2 is intact
+    val rows = WarcSource.walk("s", f, maxBodyChars = 100)
+    assert(rows.length === 2)
+    assert(rows(0).corrupt.isEmpty)
+    assert(rows(0).body.get.length === 100)
+    assert(rows(0).body.get === "x" * 100)
+    assert(rows(1).body.contains("after the giant"))
+    // default cap leaves normal records untouched
+    val full = WarcSource.walk("s", f)
+    assert(full(0).body.get === big)
+  }
+
+  test("warcStream: the landing-zone tail parses arriving segments") {
+    val dir = Files.createTempDirectory("graft-warc-stream").toFile
+    val ckpt = Files.createTempDirectory("graft-warc-ckpt").toFile
+    Files.write(new java.io.File(dir, "seg1.warc").toPath,
+      record("http://s/1", "streamed body one"))
+    Files.write(new java.io.File(dir, "seg2.warc").toPath,
+      record("http://s/2", "streamed body two") ++
+        record("http://s/3", "streamed body three"))
+    val q = WarcSource.warcStream(spark, dir.getPath)
+      .writeStream.format("memory").queryName("warc_stream_rows")
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("warc_stream_rows")
+      .select(col("uri"), col("body"), col("corrupt")).collect()
+    assert(got.length === 3)
+    assert(got.forall(_.isNullAt(2)))
+    assert(got.map(_.getString(0)).sorted.toSeq ===
+      Seq("http://s/1", "http://s/2", "http://s/3"))
+  }
+
   test("walk edges: empty file, missing separator, non-numeric length") {
     assert(WarcSource.walk("s", Array.emptyByteArray).isEmpty)
     val noSep = record("http://c/1", "body").dropRight(4) ++
