@@ -18,14 +18,20 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/${R}c_v01" > /tmp/${R
 python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/${R}c_v01 > /tmp/${R}c_o01.log 2>&1; step O01 $?
 tail -1 /tmp/${R}c_o01.log >> /tmp/${R}c_status.log
 
+# remove the detail target first: Bench writes it best-effort, and a stale
+# leftover from a prior run must fail the cp below, not masquerade as fresh
+rm -f scale/bench_detail_sf0.1.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/${R}c_bench.log 2>&1; step BENCH $?
 grep '"metric":"total"' /tmp/${R}c_bench.log | tail -1 > scale/bench_sf0.1_${R}_close.json
-cp scale/bench_detail_sf0.1.json scale/bench_detail_sf0.1_${R}_close.json 2>/dev/null
+# unchecked cp would let the ratio gate compare a STALE committed detail
+# from a prior round and still print "gate clean" — fail the step instead
+cp scale/bench_detail_sf0.1.json scale/bench_detail_sf0.1_${R}_close.json; step DETAIL1X $?
 
 sbt -batch "runMain graft.ScaleGen" > /tmp/${R}c_scalegen.log 2>&1; step SCALEGEN $?
+rm -f scale/bench_detail_scale10x.json
 SPARK_GRAFT_SF_DIR=/root/repo/scale10x SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/${R}c_bench10x.log 2>&1; step BENCH10X $?
 grep '"metric":"total"' /tmp/${R}c_bench10x.log | tail -1 > scale/bench_10x_${R}_close.json
-cp scale/bench_detail_scale10x.json scale/bench_detail_10x_${R}_close.json 2>/dev/null
+cp scale/bench_detail_scale10x.json scale/bench_detail_10x_${R}_close.json; step DETAIL10X $?
 
 # the per-query scale-ratio gate: 10x data must not cost >8x time on any
 # query with a >=0.5s base — a breach is a named super-linear term.

@@ -64,8 +64,13 @@ object HashedEmbeddingExpr {
       var i = 0
       var prev: String = null
       while (i < n) {
-        val t = if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
-        if (prev != null) {
+        // empty/null tokens BREAK the pair chain (the HashedBigramBuckets
+        // contract: "empty tokens never hash") — they must not form
+        // phantom grams with their neighbors when a caller passes an
+        // unfiltered split
+        val t0 = if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
+        val t = if (t0.isEmpty) null else t0
+        if (prev != null && t != null) {
           var h = 0L
           var k = 0
           while (k < prev.length) {

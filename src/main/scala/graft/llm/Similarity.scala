@@ -24,16 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential left fold —
-    * the same associativity the oracle's list_dot_product uses). */
   /** Dot product via the codegen'd expression (fp-identical to [[dotHof]],
     * pinned by DotProductExprSpec) — the hot op of the SemDeDup pair stage
     * and every normalize step. */
   def dot(a: Column, b: Column): Column =
     graft.functions.DotProductExpr.dot(a, b)
 
-  /** Readable HOF reference shape of [[dot]] — the form the DuckDB oracles
-    * restate (left fold from 0.0 in index order). */
+  /** Readable HOF reference shape of [[dot]] — the sequential left fold
+    * from 0.0 in index order, the same associativity the DuckDB oracles
+    * restate. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

@@ -261,12 +261,17 @@ object TextAnalysis {
     *
     * Seeds are hand-pinned functional words per language (the same
     * original-prose discipline as [[LangId.Seeds]]); ja/zh have no
-    * space-delimited stopwords, so their floor is 0 and their word-length
-    * bound is effectively waived (unsegmented text is one "word").
+    * space-delimited stopwords, so their floor is 0, their word-length
+    * bound is effectively waived (unsegmented text is one "word"), and —
+    * the same reasoning one level up — their DOCUMENT-SIZE rule counts
+    * CHARACTERS, not words: a 2,000-character single-paragraph Japanese
+    * page is a real document even though it space-tokenizes to a handful
+    * of "words", so the language-blind n_words ≥ 50 floor would reject it.
     * `letterRe` uses literal code-point ranges only — no escapes — so the
     * Java regex and DuckDB's RE2 read the identical class. */
   final case class LangRules(stops: Seq[String], letterRe: String,
-      minStopHits: Int, wordLenLo: Double, wordLenHi: Double)
+      minStopHits: Int, wordLenLo: Double, wordLenHi: Double,
+      sizeByChars: Boolean = false)
 
   val GopherRulesByLang: Map[String, LangRules] = Map(
     "en" -> LangRules(GopherStopwords, "[A-Za-z]", 2, 3.0, 10.0),
@@ -284,8 +289,10 @@ object TextAnalysis {
       "[А-Яа-яЁё]", 2, 3.0, 12.0),
     "ar" -> LangRules(Seq("في", "من", "على", "أن", "إلى", "عن", "هذا",
       "كان"), "[ء-ي]", 2, 2.0, 12.0),
-    "ja" -> LangRules(Seq.empty, "[ぁ-ヶー一-龯]", 0, 1.0, 1000000.0),
-    "zh" -> LangRules(Seq.empty, "[一-龯]", 0, 1.0, 1000000.0))
+    "ja" -> LangRules(Seq.empty, "[ぁ-ヶー一-龯]", 0, 1.0, 1000000.0,
+      sizeByChars = true),
+    "zh" -> LangRules(Seq.empty, "[一-龯]", 0, 1.0, 1000000.0,
+      sizeByChars = true))
 
   /** Rules for an unstamped or unknown language ('und', nulls, anything
     * outside the seed set): the English battery — the Gopher paper's own
@@ -335,10 +342,11 @@ object TextAnalysis {
           byLang(r => overN(size(filter(toks, t => t.rlike(r.letterRe))))),
         "stop_hits" -> byLang(stopHits)))
       .withColumn("gopher_pass",
-        col("n_words").between(50L, 100000L) &&
-          byLang(r =>
+        byLang(r =>
+          (if (r.sizeByChars) length(text).cast("long") else col("n_words"))
+            .between(50L, 100000L) &&
             col("mean_word_len").between(r.wordLenLo, r.wordLenHi) &&
-              col("stop_hits") >= r.minStopHits.toLong) &&
+            col("stop_hits") >= r.minStopHits.toLong) &&
           col("symbol_ratio") <= 0.1 &&
           col("bullet_frac") <= 0.9 &&
           col("ellipsis_frac") <= 0.3 &&

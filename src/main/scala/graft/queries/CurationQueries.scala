@@ -471,7 +471,8 @@ object CurationQueries {
          |              list_transform(nv, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
          |       FROM q),
          |cent AS (SELECT vec_id AS cell, qv AS cqv FROM qq
-         |         WHERE vec_id < 900000 AND vec_id % 101 = 0),
+         |         WHERE vec_id IN (SELECT doc_id FROM documents
+         |                          WHERE doc_id % 101 = 0)),
          |asg AS (SELECT qq.vec_id, cent.cell,
          |               list_reduce(list_transform(generate_series(1, len(qv)),
          |                 i -> (qv[i] - cqv[i]) * (qv[i] - cqv[i])),

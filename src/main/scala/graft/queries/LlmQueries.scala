@@ -217,9 +217,15 @@ object LlmQueries {
   private val RuPlant: String = Seq.fill(3)(
     "маленькая собака бежит быстро по зелёному полю и кошка спит тихо " +
       "возле тёплой печки в старом доме под высоким небом").mkString(" ")
+  /** Unsegmented Japanese — ONE space-token, so only the ja arm's
+    * char-counted size rule can pass it. */
+  private val JaPlant: String = Seq.fill(2)(
+    "今朝の天気は晴れで空気は冷たく店が開く前の通りはとても静かだった" +
+      "彼女は川沿いを歩きながら水面に変わる光を眺めて一日の始まりを楽しんだ").mkString
 
   /** By-lang rules fixture: the corpus with its lang stamps plus the
-    * non-English plants (de at id+800000/%17, ru at id+820000/%19). */
+    * non-English plants (de at id+800000/%17, ru at id+820000/%19, and
+    * unsegmented ja at id+840000/%23 — the char-size-rule case). */
   def docsLangFix(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"))
@@ -230,6 +236,9 @@ object LlmQueries {
       .unionAll(base.filter(col("doc_id") % 19 === 0)
         .select((col("doc_id") + 820000L).as("doc_id"),
           lit(RuPlant).as("text"), lit("ru").as("lang")))
+      .unionAll(base.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 840000L).as("doc_id"),
+          lit(JaPlant).as("text"), lit("ja").as("lang")))
   }
 
   /** [[docsGopherFix]] restated as `gdq(doc_id, text)`. */
@@ -275,9 +284,12 @@ object LlmQueries {
       "CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> " +
         s"regexp_matches(x, ${sq1(r.letterRe)}))) * 1.0 / len(t) " +
         "ELSE 0.0 END"
-    def passSql(r: TextAnalysis.LangRules): String =
-      s"((mean_word_len BETWEEN ${r.wordLenLo} AND ${r.wordLenHi}) " +
+    def passSql(r: TextAnalysis.LangRules): String = {
+      val sizeCol = if (r.sizeByChars) "n_chars" else "n_words"
+      s"(($sizeCol BETWEEN 50 AND 100000) " +
+        s"AND (mean_word_len BETWEEN ${r.wordLenLo} AND ${r.wordLenHi}) " +
         s"AND stop_hits >= ${r.minStopHits})"
+    }
     s"""WITH ldq AS (
        |  SELECT doc_id, text, lang FROM documents
        |  UNION ALL
@@ -287,14 +299,19 @@ object LlmQueries {
        |  UNION ALL
        |  SELECT doc_id + 820000 AS doc_id, ${sq1(RuPlant)} AS text,
        |         'ru' AS lang
-       |  FROM documents WHERE doc_id % 19 = 0),
+       |  FROM documents WHERE doc_id % 19 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 840000 AS doc_id, ${sq1(JaPlant)} AS text,
+       |         'ja' AS lang
+       |  FROM documents WHERE doc_id % 23 = 0),
        |sig AS (SELECT doc_id, lang, coalesce(lang, 'und') AS lk,
+       |               len(text) AS n_chars,
        |               list_filter(
        |                 string_split(replace(text, chr(10), ' '), ' '),
        |                 x -> len(x) > 0) AS t,
        |               string_split(text, chr(10)) AS ls
        |        FROM ldq),
-       |m AS (SELECT doc_id, lang, lk, len(t) AS n_words,
+       |m AS (SELECT doc_id, lang, lk, n_chars, len(t) AS n_words,
        |             CASE WHEN len(t) > 0 THEN coalesce(
        |               list_sum(list_transform(t, x -> len(x))), 0)
        |               * 1.0 / len(t) ELSE 0.0 END AS mean_word_len,
@@ -313,8 +330,7 @@ object LlmQueries {
        |       round(symbol_ratio, 6) AS symbol_ratio,
        |       round(alpha_frac, 6) AS alpha_frac,
        |       CAST(stop_hits AS BIGINT) AS stop_hits,
-       |       (n_words BETWEEN 50 AND 100000)
-       |         AND ${cases(passSql)}
+       |       ${cases(passSql)}
        |         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
        |         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
        |         AS gopher_pass

@@ -53,6 +53,13 @@ class EmbedSpec extends SparkSpec {
         .split(" ", -1).count(_.nonEmpty)
       assert(r.getSeq[Long](1).sum === math.max(0, toks - 1).toLong)
     }
+    // direct (unfiltered) callers: empty tokens break the pair chain —
+    // ["a", "", "b"] hashes NO grams, never phantom "a "/" b" pairs
+    val raw = Seq("a  b").toDF("text")
+      .select(graft.functions.HashedEmbeddingExpr.embed(
+        split(col("text"), " "), dim).as("v"))
+      .collect()(0).getSeq[Long](0)
+    assert(raw.sum === 0L, "empty token must not form grams with neighbors")
   }
 
   test("text -> embed -> semdedup drops exactly the planted exact copies") {

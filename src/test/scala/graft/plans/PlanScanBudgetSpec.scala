@@ -41,8 +41,8 @@ class PlanScanBudgetSpec extends SparkSpec {
     // paragraphed base + three rule-tripping plant branches (bullets,
     // ellipses, symbol spam), each with its own pushed stride filter
     "q_gopher_rules" -> 4,
-    // corpus base + the two non-English plant strides (de, ru)
-    "q_gopher_rules_by_lang" -> 3,
+    // corpus base + the three non-English plant strides (de, ru, ja)
+    "q_gopher_rules_by_lang" -> 4,
     // WARC fixture: the good-stream branch + the truncated-plant stride
     "q_src_warc" -> 2,
     // dotted base + three plant branches (bad lines, lorem, braces)

@@ -56,7 +56,11 @@ def main() -> int:
     print(f"{'ratio':>7}  {'1x(s)':>8}  {'10x(s)':>8}  query")
     for ratio, name, b, s in rows:
         flag = ""
-        if ratio > args.gate and b >= args.min_base:
+        # the min-base filter exists to ignore overhead-dominated noise,
+        # not to exempt a genuinely super-linear query whose 1x base is
+        # merely small — a material absolute 10x time re-arms the check
+        material = b >= args.min_base or s >= args.gate * args.min_base
+        if ratio > args.gate and material:
             if name in args.waive:
                 flag = "  (waived)"
             else:
