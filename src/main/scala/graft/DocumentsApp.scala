@@ -281,6 +281,13 @@ object DocumentsApp {
         s"could not restore ${oldDir.getPath} to ${corpus.getPath} after an " +
           "interrupted swap — resolve manually")
     require(corpus.isDirectory, s"no corpus at ${corpus.getPath}")
+    // ambiguous state (corpus AND __old both present) fails fast HERE,
+    // before the full re-read/re-stamp/tmp-write is burned (r17 ADVICE:
+    // the check used to sit after the expensive work, so every retry paid
+    // the whole backfill before aborting)
+    if (oldDir.exists())
+      throw new IllegalStateException(
+        s"stale ${oldDir.getPath} from an interrupted backfill — resolve first")
     val df = spark.read.option("mergeSchema", "true").parquet(corpus.getPath)
     val present = StampedCols.filter(df.schema.fieldNames.contains)
     val stamped = stampStats(df.drop(present: _*))
@@ -288,19 +295,15 @@ object DocumentsApp {
     val w = stamped.write.mode("overwrite")
     (if (stamped.columns.contains("p_date")) w.partitionBy("p_date") else w)
       .parquet(tmp.getPath)
-    val old = new java.io.File(s"$storageDir/corpus__backfill_old")
-    if (old.exists())
-      throw new IllegalStateException(
-        s"stale ${old.getPath} from an interrupted backfill — resolve first")
-    require(corpus.renameTo(old), s"could not move ${corpus.getPath} aside")
+    require(corpus.renameTo(oldDir), s"could not move ${corpus.getPath} aside")
     require(tmp.renameTo(corpus),
-      s"could not land ${tmp.getPath}; ORIGINAL preserved at ${old.getPath}")
+      s"could not land ${tmp.getPath}; ORIGINAL preserved at ${oldDir.getPath}")
     // the new corpus is in place; the old copy is now disposable
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    rm(old)
+    rm(oldDir)
   }
 
   /** Training export — the pipeline's last mile: the curated corpus, split

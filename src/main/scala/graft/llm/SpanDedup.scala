@@ -80,15 +80,6 @@ object SpanDedup {
         concat_ws(" ", col("kept")).as("kept_text"))
   }
 
-  /** Per-doc span-duplication report: (id, n_windows, n_dup, dup_frac).
-    *
-    * Two corpus passes, the derive-then-flag shape (q_quality_cut's
-    * doctrine): pass 1 derives the cross-doc shared-hash set (distinct
-    * (doc, h) then ≥2-docs filter — vocabulary-grain output); pass 2
-    * re-aggregates (doc, h) occurrence counts, broadcast-flags each hash
-    * against the shared set, and folds BOTH report sums in ONE
-    * conditional aggregation per doc — no third pass, no outer-join
-    * null-filter asymmetry to defeat exchange reuse. */
   /** Shared window extraction: (doc_id, s, h, h2) per w-token window,
     * both hashes off ONE token-array pass (tokens materialize once). */
   private def windows(docs: DataFrame, id: Column, text: Column): DataFrame =
@@ -101,6 +92,15 @@ object SpanDedup {
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"),
         col("hz.h").as("h"), col("hz.h2").as("h2"))
 
+  /** Per-doc span-duplication report: (id, n_windows, n_dup, dup_frac).
+    *
+    * Two corpus passes, the derive-then-flag shape (q_quality_cut's
+    * doctrine): pass 1 derives the cross-doc shared-hash set (distinct
+    * (doc, h) then ≥2-docs filter — vocabulary-grain output); pass 2
+    * re-aggregates (doc, h) occurrence counts, broadcast-flags each hash
+    * against the shared set, and folds BOTH report sums in ONE
+    * conditional aggregation per doc — no third pass, no outer-join
+    * null-filter asymmetry to defeat exchange reuse. */
   def report(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val wins = windows(docs, id, text)
       .select(col("doc_id"), col("h"), col("h2"))

@@ -147,14 +147,16 @@ object CurationQueries {
     // Engine-native document embedder (r16 verdict #6): fixed-dim
     // hashed-bigram count vector per doc — the no-model baseline that
     // feeds the whole embedding stack from a raw text column. Integer
-    // counts ⇒ full oracle on the vector itself.
+    // counts ⇒ full oracle on the vector itself, serialized to a CSV
+    // string (registered queries emit atomic columns only — the driver's
+    // canonicalizer cannot hash array cells; r17 verdict #1).
     "q_embed_hashed" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
           graft.llm.Embed.hashedEmbedding(col("text")).as("embedding"))
         .select(col("doc_id"),
           aggregate(col("embedding"), lit(0L), (a, v) => a + v).as("n_grams"),
-          col("embedding"))
+          concat_ws(",", col("embedding")).as("embedding_csv"))
         .orderBy(col("doc_id"))
     }),
 
@@ -419,7 +421,7 @@ object CurationQueries {
          |FROM kept ORDER BY doc_id""".stripMargin,
 
     // the embedder restated: same token stream, same bigram poly hash
-    // mod dim, per-slot occurrence counts
+    // mod dim, per-slot occurrence counts, same CSV serialization
     "q_embed_hashed" -> {
       val dim = graft.llm.Embed.Dim
       s"""WITH tok AS (SELECT doc_id,
@@ -431,9 +433,9 @@ object CurationQueries {
          |           i -> ${polyHashSql("t[i] || ' ' || t[i+1]")} % $dim) AS bks
          |       FROM tok)
          |SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
-         |       list_transform(generate_series(0, ${dim - 1}),
-         |         j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT))
-         |         AS embedding
+         |       array_to_string(list_transform(generate_series(0, ${dim - 1}),
+         |         j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT)), ',')
+         |         AS embedding_csv
          |FROM bk ORDER BY doc_id""".stripMargin
     },
 

@@ -465,7 +465,9 @@ object LlmQueries {
     * (ids are a SEQUENCE — order is the contract), then every surviving
     * symbol mapped through the id vocabulary: sorted distinct base chars
     * (row_number − 1) then merge outputs at base-size + rank, first id
-    * winning a string collision (min), unknown → −1. */
+    * winning a string collision (min), unknown → −1. Output is one
+    * (doc_id, pos, id) row per sequence element — pos 0-based over
+    * (tpos, spos), matching Spark's posexplode. */
   private def tokenizeIdsSql(rounds: Int): String = {
     val sep = "chr(30)"
     val applyCtes = (0 until rounds).map { k =>
@@ -500,14 +502,12 @@ object LlmQueries {
        |       FROM sy),
        |idr AS (SELECT e.doc_id, e.tpos, e.spos,
        |               coalesce(v.id, CAST(-1 AS BIGINT)) AS id
-       |        FROM ex e LEFT JOIN voc v ON v.sym = e.ss[e.spos]),
-       |per AS (SELECT doc_id, list(id ORDER BY tpos, spos) AS ids
-       |        FROM idr GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |       CAST(coalesce(len(p.ids), 0) AS BIGINT) AS n_ids,
-       |       coalesce(p.ids, CAST([] AS BIGINT[])) AS ids
-       |FROM documents d LEFT JOIN per p USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |        FROM ex e LEFT JOIN voc v ON v.sym = e.ss[e.spos])
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY tpos, spos) - 1 AS BIGINT) AS pos,
+       |       id
+       |FROM idr ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Shared plan for q_quality_cut and its det twin — only the threshold
@@ -1257,7 +1257,10 @@ object LlmQueries {
     // UNK = -1), one id SEQUENCE per document — the thing a trainer
     // actually consumes, exported per shard by DocumentsApp
     // .exportTokenShards. FULL oracle: vocab, merge walk, and id mapping
-    // are all integer/string-deterministic in both engines.
+    // are all integer/string-deterministic in both engines. The sequence
+    // is posexploded to one (doc_id, pos, id) row per id — order becomes
+    // explicit checked data, and the output stays atomic-typed (the
+    // driver's canonicalizer cannot hash array cells; r17 verdict #1).
     "q_tokenize_ids" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = graft.llm.Bpe.trainMerges(docs, col("text"), BpeTrainRounds)
@@ -1266,11 +1269,10 @@ object LlmQueries {
       val vocab = graft.llm.Bpe.idVocab(docs, col("text"), merges)
       docs
         .select(col("doc_id"),
-          graft.llm.Bpe.tokenizeIds(TextAnalysis.tokens(col("text")),
-            merges, vocab).as("ids"))
-        .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
-          col("ids"))
-        .orderBy(col("doc_id"))
+          posexplode(graft.llm.Bpe.tokenizeIds(TextAnalysis.tokens(col("text")),
+            merges, vocab)).as(Seq("pos", "id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("id"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // Overlapping context-window chunking (size 32, overlap 8): the

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * fetched page — the input [[graft.llm.Html.toText]] exists to clean.
   *
   * Parse posture (the [[graft.llm.Multimodal]] byte-walk discipline):
-  * a hand-walked, dependency-free parser over the raw bytes; any
+  * a hand-walked, dependency-free parser over the raw bytes — `.warc.gz`
+  * segments (the form crawls actually ship: one gzip member per record,
+  * members concatenated) are detected by magic and inflated per file
+  * under a decompressed-size cap before the walk; any
   * malformation — bad magic, unparsable Content-Length, truncated
   * payload, missing record separator — stops the walk and the REMAINDER
   * of that file quarantines with a reason (never an exception, never a
@@ -42,7 +45,56 @@ object WarcSource {
     * normally. */
   val MaxBodyChars: Int = 4 * 1024 * 1024
 
+  /** Per-file decompressed-size cap for `.warc.gz` input — the gzip-bomb
+    * posture: a crawl segment is ~1 GB compressed / ~4-5 GB raw, so 1 GiB
+    * of decompressed bytes per local-mode file is a config ceiling, not a
+    * data ceiling (a real cluster shards by file anyway). Past the cap the
+    * already-inflated prefix still parses; the remainder quarantines. */
+  val MaxGunzipBytes: Int = 1 << 30
+
   private val Crlf2 = "\r\n\r\n".getBytes("US-ASCII")
+
+  private def looksGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Bounded multi-member gunzip. Common Crawl writes each WARC record as
+    * its own gzip member and concatenates them (that is what makes
+    * per-record random access possible server-side); `GZIPInputStream`
+    * walks concatenated members natively. Returns the inflated bytes plus
+    * an optional quarantine reason: the cap tripping (inflation stops AT
+    * the cap — a bomb never materializes) or a corrupt member (the prefix
+    * inflated before the corruption is kept, per the walk discipline). */
+  private[sources] def gunzip(bytes: Array[Byte],
+      cap: Int = MaxGunzipBytes): (Array[Byte], Option[String]) = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(bytes.length.toLong * 4, 64 * 1024L), cap.toLong).toInt)
+    var reason: Option[String] = None
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0 && reason.isEmpty) {
+          val room = cap - out.size
+          if (n > room) {
+            out.write(buf, 0, room)
+            reason = Some(s"gzip expansion over $cap-byte cap")
+          } else {
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        }
+      } finally in.close()
+    } catch {
+      // constructor = bad header right after the magic; mid-stream = a
+      // corrupt member or trailer — either way keep what inflated
+      case e: java.io.IOException =>
+        reason = Some(s"corrupt gzip stream (${e.getMessage}) " +
+          s"after ${out.size} inflated bytes")
+    }
+    (out.toByteArray, reason)
+  }
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
@@ -57,9 +109,23 @@ object WarcSource {
   }
 
   /** Walk one file's bytes into records + an optional corrupt remainder.
-    * `maxBodyChars` is a test seam; production callers take the default. */
+    * Detects the gzip magic first and inflates (bounded) — a `.warc.gz`
+    * crawl segment and a plain `.warc` file parse identically past this
+    * point. `maxBodyChars` is a test seam; production callers take the
+    * default. */
   private[sources] def walk(src: String, bytes: Array[Byte],
       maxBodyChars: Int = MaxBodyChars): Seq[WarcRow] = {
+    if (looksGzip(bytes)) {
+      val (plain, gzReason) = gunzip(bytes)
+      val rows = walk(src, plain, maxBodyChars)
+      return gzReason.fold(rows) { r =>
+        // drop the walk's own tail-truncation row (the cap/corruption cut
+        // mid-record, and the gzip reason names the real cause), then
+        // quarantine the remainder under that reason
+        val parsed = rows.takeWhile(_.corrupt.isEmpty)
+        parsed :+ WarcRow(src, parsed.size, None, None, None, None, Some(r))
+      }
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
     var pos = 0
     var idx = 0

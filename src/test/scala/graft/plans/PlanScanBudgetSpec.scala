@@ -141,6 +141,13 @@ class PlanScanBudgetSpec extends SparkSpec {
   private val audited: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sorted
 
+  test("every budget entry names a registered query (no dead entries)") {
+    // a budget key that outlives its query is silently unaudited while
+    // still reading as covered (r16 ADVICE) — fail fast instead
+    val dead = budgets.keySet -- graft.SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"budget entries for unregistered queries: $dead")
+  }
+
   test("no registered query exceeds its physical scan budget") {
     val over = audited.flatMap { name =>
       try {

@@ -121,4 +121,49 @@ class WarcSpec extends SparkSpec {
     assert(r3.length === 1 && r3.head.corrupt.isEmpty)
     assert(r3.head.body.contains("tail body"))
   }
+
+  private def gzipMember(plain: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    bos.toByteArray
+  }
+
+  test(".warc.gz: multi-member (Common Crawl shape) inflates and parses") {
+    // one gzip member PER RECORD, concatenated — the form crawls ship
+    val f = gzipMember(record("http://g/1", "gz page one")) ++
+      gzipMember(record("http://g/2", "gz päge twö"))
+    val rows = WarcSource.walk("s.warc.gz", f)
+    assert(rows.length === 2)
+    assert(rows.forall(_.corrupt.isEmpty))
+    assert(rows.map(_.uri.get) === Seq("http://g/1", "http://g/2"))
+    assert(rows(1).body.get === "gz päge twö")
+    // and through the real binaryFile read path
+    val dir = Files.createTempDirectory("graft-warc-gz").toFile
+    Files.write(new java.io.File(dir, "seg.warc.gz").toPath, f)
+    assert(WarcSource.warc(spark, dir.getPath).count() === 2)
+  }
+
+  test(".warc.gz: corrupt member keeps the inflated prefix, quarantines rest") {
+    val good = gzipMember(record("http://g/1", "survives"))
+    val bad = gzipMember(record("http://g/2", "lost")).updated(14, 0xEE.toByte)
+    val rows = WarcSource.walk("s", good ++ bad)
+    assert(rows.head.uri.contains("http://g/1") && rows.head.corrupt.isEmpty)
+    assert(rows.last.corrupt.exists(_.contains("corrupt gzip stream")))
+    // garbage right after the gzip magic: nothing parses, one quarantine row
+    val r2 = WarcSource.walk("s", Array(0x1f, 0x8b, 0x00, 0x00).map(_.toByte))
+    assert(r2.length === 1 && r2.head.corrupt.exists(_.contains("gzip")))
+  }
+
+  test(".warc.gz: expansion cap trips as a quarantined remainder (bomb posture)") {
+    val f = gzipMember(record("http://g/1", "small")) ++
+      gzipMember(record("http://g/2", "y" * 100000))
+    val cap = WarcSource.gunzip(f, cap = 300)
+    assert(cap._2.exists(_.contains("over 300-byte cap")))
+    assert(cap._1.length === 300, "inflation stops AT the cap")
+    // uncapped: both members inflate, both records parse
+    val (plain, none) = WarcSource.gunzip(f)
+    assert(none.isEmpty)
+    assert(WarcSource.walk("s", plain).count(_.corrupt.isEmpty) === 2)
+  }
 }

@@ -19,6 +19,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class NonAtomicColumn(Exception):
+    pass
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -31,8 +35,16 @@ def canon(rows, cols):
                     v = "NaN"
                 else:
                     v = f"{v:.6g}"
-            elif isinstance(v, (list, tuple)):
-                v = json.dumps(v, default=str)
+            elif isinstance(v, (list, tuple, dict, set)):
+                # The driver's pandas canonicalizer crashes on array cells
+                # (sort_values: unhashable ndarray) — the local stand-in
+                # must be at least as strict, not silently more lenient
+                # (round 17: q_embed_hashed/q_tokenize_ids passed here and
+                # hard-errored in CORRECTNESS_r17).
+                raise NonAtomicColumn(
+                    f"non-atomic value in column '{cols[i]}' "
+                    f"({type(v).__name__}) — the driver cannot hash this; "
+                    "explode to rows or serialize to a string")
             else:
                 v = str(v)
             vals.append(v)
@@ -69,8 +81,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        oc, ocols = canon(o_rows, o_cols)
-        sc, scols = canon(s_rows, s_cols)
+        try:
+            oc, ocols = canon(o_rows, o_cols)
+            sc, scols = canon(s_rows, s_cols)
+        except NonAtomicColumn as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if ocols != scols:
             print(f"FAIL {name}: schema {scols} vs oracle {ocols}")
             n_fail += 1

@@ -36,6 +36,13 @@ def main() -> int:
                          "the output semantics) — printed as WAIVED, never "
                          "fails the gate; every waiver needs a comment at "
                          "the call site")
+    ap.add_argument("--allow-missing", action="store_true",
+                    help="tolerate queries present in only one artifact "
+                         "(deliberate narrowed runs); WITHOUT this flag a "
+                         "one-sided query FAILS the gate — a silently "
+                         "absent query (stale artifact, SPARK_GRAFT_BENCH_"
+                         "ONLY leak) could otherwise drop exactly the "
+                         "super-linear query and still print 'gate clean'")
     args = ap.parse_args()
 
     with open(args.base) as f:
@@ -70,6 +77,7 @@ def main() -> int:
 
     only_base = sorted(set(base) - set(scaled))
     only_scaled = sorted(set(scaled) - set(base))
+    missing_fails = not args.allow_missing and (only_base or only_scaled)
     if only_base:
         print(f"missing at 10x: {', '.join(only_base)}")
     if only_scaled:
@@ -81,6 +89,11 @@ def main() -> int:
           f"common queries; gate {args.gate}x on base >= {args.min_base}s")
     if breaches:
         print(f"GATE BREACH ({len(breaches)}): {', '.join(breaches)}")
+        return 1
+    if missing_fails:
+        print("GATE BREACH: queries missing from one artifact (see above); "
+              "re-run both benches over the full registry or pass "
+              "--allow-missing for a deliberate narrowed run")
         return 1
     print("gate clean")
     return 0
