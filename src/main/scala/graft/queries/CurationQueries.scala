@@ -199,7 +199,85 @@ object CurationQueries {
           k = 10)
         .select(col("cell"), col("vec_id"))
         .orderBy(col("cell"), col("vec_id"))
+    }),
+
+    // URL canonicalization (r17 verdict #4 — the crawl's first mile):
+    // fragment stripped, scheme+authority lowercased, default port
+    // dropped, tracking params removed. The fixture synthesizes per-doc
+    // URLs with planted twins: of every 3 consecutive docs, variant 0
+    // (upper-case authority + :80 + #frag) and variant 1 (utm-only query)
+    // canonicalize IDENTICALLY; variant 2 keeps a real param and stays
+    // distinct. Every step is a codegen'd RE2-subset regex / HOF filter —
+    // one scan, zero shuffle, restated verbatim in DuckDB.
+    "q_url_canon" -> ((s, d) => {
+      docsUrlFix(s, d)
+        .select(col("doc_id"), col("url"),
+          graft.llm.UrlCuration.canonicalize(col("url")).as("url_canon"))
+        .withColumn("host", graft.llm.UrlCuration.host(col("url_canon")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL dedup keep-first-fetch: one map-side-combined groupBy on the
+    // canon key — the cheapest dedup a crawl runs, BEFORE any text parse.
+    // At crawl scale the canon key is near-unique, so the combine carries
+    // little dup weight and the shuffle is the irreducible one a global
+    // dedup needs (no window, no join-back).
+    "q_url_dedup" -> ((s, d) => {
+      docsUrlFix(s, d)
+        .select(graft.llm.UrlCuration.canonicalize(col("url"))
+          .as("url_canon"), col("doc_id"))
+        .groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_fetches"))
+        .orderBy(col("url_canon"))
+    }),
+
+    // URL blocklist filter (the C4 badlist / RefinedWeb URL-filter pass):
+    // exact-or-dot-suffix domain match + pattern match, both against the
+    // CANONICAL url, as literal codegen'd predicates (a blocklist is
+    // config, not data — no join). The fixture's host pool plants one
+    // exact-blocked domain, two suffix-blocked ones, and a /casino/
+    // pattern arm; the dot-suffix rule must NOT catch notbad-style
+    // siblings (UrlCurationSpec pins that boundary).
+    "q_url_filter" -> ((s, d) => {
+      val canon = docsUrlFix(s, d)
+        .select(col("doc_id"),
+          graft.llm.UrlCuration.canonicalize(col("url")).as("url_canon"))
+        .withColumn("host", graft.llm.UrlCuration.host(col("url_canon")))
+      graft.llm.UrlCuration.blocklistFilter(canon, col("url_canon"))
+        .select(col("doc_id"), col("host"), col("url_canon"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** URL fixture host pool — position 2 is mixed-case (canonicalization
+    * must lowercase it), 3 exact-blocked, 4 and 7 suffix-blocked by
+    * `bad.example`. Shared with the oracle CTE via [[urlHostsSqlList]]. */
+  private val UrlHosts = Seq("news.example.com", "Blog.Example.org",
+    "ads.tracker.example", "spam.bad.example", "shop.example.net",
+    "wiki.example.org", "forum.bad.example")
+
+  private def urlHostsSqlList: String =
+    UrlHosts.map(h => s"'$h'").mkString("[", ", ", "]")
+
+  /** Per-doc synthetic URL battery (see q_url_canon's scaladoc): groups
+    * of 3 consecutive doc_ids share host+path; the variant arm decides
+    * the canonicalization noise. Every 13th group's path carries the
+    * /casino/ blocked-pattern arm. */
+  private def docsUrlFix(s: SparkSession, d: String): DataFrame = {
+    val g = floor(col("doc_id") / 3).cast("long")
+    val host = element_at(array(UrlHosts.map(lit): _*),
+      (pmod(g, lit(7)) + 1).cast("int"))
+    val path = concat(lit("/p/"), g.cast("string"),
+      when(pmod(g, lit(13)) === 0, lit("/casino/slots")).otherwise(lit("")))
+    val url = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("HTTP://"), upper(host), lit(":80"), path, lit("#frag")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("http://"), host, path,
+          lit("?utm_source=feed&utm_campaign=c")))
+      .otherwise(concat(lit("http://"), host, path,
+        lit("?id=7&utm_medium="), col("doc_id").cast("string")))
+    Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+  }
 
   /** Poly-hash SQL fold over the code points of `gramExpr` — the DuckDB
     * restatement of the WinnowFingerprintExpr-family hash for
@@ -523,5 +601,74 @@ object CurationQueries {
         |  SELECT cell, vec_id,
         |         row_number() OVER (PARTITION BY cell ORDER BY sk, vec_id) AS rk
         |  FROM sk) WHERE rk <= 10
-        |ORDER BY cell, vec_id""".stripMargin)
+        |ORDER BY cell, vec_id""".stripMargin,
+
+    "q_url_canon" -> s"""$UrlCanonCtes
+       |SELECT doc_id, url, url_canon,
+       |       regexp_extract(url_canon,
+       |         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+       |FROM cn ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" -> s"""$UrlCanonCtes
+       |SELECT url_canon, min(doc_id) AS keeper_id, count(*) AS n_fetches
+       |FROM cn GROUP BY 1 ORDER BY url_canon""".stripMargin,
+
+    "q_url_filter" -> {
+      val dom = graft.llm.UrlCuration.DefaultBlockedDomains.map(dd =>
+        s"host = '$dd' OR ends_with(host, '.$dd')").mkString(" OR ")
+      val pat = graft.llm.UrlCuration.DefaultBlockedPatterns.map(p =>
+        s"regexp_matches(url_canon, '$p')").mkString(" OR ")
+      s"""$UrlCanonCtes,
+         |hh AS (SELECT doc_id, url_canon,
+         |         regexp_extract(url_canon,
+         |           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+         |       FROM cn)
+         |SELECT doc_id, host, url_canon FROM hh
+         |WHERE NOT ($dom) AND NOT ($pat)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** The url fixture + canonicalization chain restated: same host pool,
+    * same variant arms, then the exact [[graft.llm.UrlCuration]] steps —
+    * fragment strip, authority extract+lowercase+deport, query split,
+    * tracking-param list_filter, reassembly. */
+  private lazy val UrlCanonCtes: String =
+    s"""WITH uf AS (
+       |  SELECT doc_id, doc_id // 3 AS g,
+       |         ($urlHostsSqlList)[CAST((doc_id // 3) % 7 + 1 AS INT)] AS host
+       |  FROM documents),
+       |up AS (SELECT doc_id, g, host,
+       |         '/p/' || CAST(g AS VARCHAR) ||
+       |           CASE WHEN g % 13 = 0 THEN '/casino/slots' ELSE '' END AS path
+       |       FROM uf),
+       |u AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 3 = 0
+       |               THEN 'HTTP://' || upper(host) || ':80' || path || '#frag'
+       |             WHEN doc_id % 3 = 1
+       |               THEN 'http://' || host || path ||
+       |                    '?utm_source=feed&utm_campaign=c'
+       |             ELSE 'http://' || host || path ||
+       |                  '?id=7&utm_medium=' || CAST(doc_id AS VARCHAR)
+       |        END AS url
+       |      FROM up),
+       |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u0 FROM u),
+       |c2 AS (SELECT *, regexp_extract(u0,
+       |         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS pre FROM c1),
+       |c3 AS (SELECT *, substr(u0, len(pre) + 1) AS rest,
+       |         regexp_replace(regexp_replace(lower(pre),
+       |           '^(http://[^/:?#]+):80$$', '\\1'),
+       |           '^(https://[^/:?#]+):443$$', '\\1') AS pre2 FROM c2),
+       |c4 AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS pth FROM c3),
+       |c5 AS (SELECT *, substr(rest, len(pth) + 2) AS qs FROM c4),
+       |c6 AS (SELECT *, list_filter(string_split(qs, '&'),
+       |         q -> q <> '' AND NOT regexp_matches(q,
+       |           '${graft.llm.UrlCuration.TrackingParamRe}')) AS ps FROM c5),
+       |cn AS (SELECT doc_id, url,
+       |         CASE WHEN pre = '' THEN url
+       |              ELSE pre2 || pth ||
+       |                CASE WHEN len(ps) > 0
+       |                     THEN '?' || array_to_string(ps, '&')
+       |                     ELSE '' END
+       |         END AS url_canon
+       |       FROM c6)""".stripMargin
 }
