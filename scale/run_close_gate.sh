@@ -40,16 +40,12 @@ cp scale/bench_detail_scale10x.json scale/bench_detail_10x_${R}_close.json; step
 # chunks, so candidates (and wall-clock) grow ~quadratically with corpus by
 # construction. The salt guard bounds per-task work (no straggler), and the
 # ~10x ratio at 10x data is the collision rate, not a plan defect.
-# WAIVED: q_dedup_semdedup(_text) — SemDeDup is within-cluster pairwise by
-# definition (the paper brute-forces its clusters); the synthetic corpus
-# concentrates ~10% of embeddings into one clump tighter than centroid
-# spacing, which survives finer quantization and the nBits sign guard
-# (near-parallel vectors share hyperplane signs). The ~80M-pair stage at
-# 10x is the algorithm on this data shape; see the q_dedup_semdedup_text
-# scaladoc for the measurements.
+# (r17's q_dedup_semdedup(_text) waivers RETIRED in r18: the benched rows
+# now run the anchorCap=64 production guard — exact collapse + per-cell
+# anchor pairs, linear in clump size; the paper's all-pairs form moved to
+# the verify-only _full twins, which the bench does not run.)
 python3 tools/scale_ratio_gate.py \
   --waive q_dedup_simhash \
-  --waive q_dedup_semdedup --waive q_dedup_semdedup_text \
   scale/bench_detail_sf0.1_${R}_close.json \
   scale/bench_detail_10x_${R}_close.json > scale/ratios_${R}_close.txt 2>&1; step RATIO $?
 tail -3 scale/ratios_${R}_close.txt >> /tmp/${R}c_status.log

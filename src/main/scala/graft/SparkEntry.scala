@@ -38,6 +38,12 @@ object SparkEntry {
     // hot shingle (21-27x at 10x data) — it is the VERIFY twin of the
     // banded LSH chain above, which is what a 100 TB corpus actually runs
     "q_dedup_jaccard", "q_dedup_clusters", "q_dedup_apply",
+    // the paper's uncapped all-pairs SemDeDup (r17 verdict #3): within-cell
+    // quadratic on a dense near-parallel clump (the measured 10x waiver) —
+    // the anchorCap=64 production rows are what the bench measures now;
+    // these stay as the full-oracle semantics pins (EmbedSpec: capped ⊇
+    // uncapped, equal when every cell fits under the cap)
+    "q_dedup_semdedup_full", "q_dedup_semdedup_text_full",
     // exact-percentile twins of q_quality_cut / q_quality_cut_by_lang /
     // q_lm_cut_by_lang: the all-values-in-one-buffer aggregate is the
     // oracle instrument, never the benched production path

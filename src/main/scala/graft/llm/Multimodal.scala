@@ -66,13 +66,18 @@ object Multimodal {
     * chunk (odd sizes carry the RIFF pad byte). Parseable by any WAV
     * reader; parameters derive from the data length so the oracle can pin
     * the parse against the construction. */
-  private[llm] def wavBytes(data: Array[Byte]): Array[Byte] = {
+  private[llm] def wavBytes(data: Array[Byte],
+      extraChunk: Boolean = false): Array[Byte] = {
     val channels = wavChannels(data.length.toLong)
     val rate = wavSampleRate(data.length.toLong)
     val blockAlign = channels // 8-bit mono/stereo: one byte per channel
     val byteRate = rate * blockAlign
     val pad = data.length % 2 // RIFF chunks are word-aligned
-    val riffSize = 4 + 24 + 8 + data.length + pad
+    // optional junk metadata chunk (a LIST/INFO stub) between fmt and
+    // data — the container re-encode every tag editor produces: same
+    // samples, different bytes. Every RIFF reader must skip it.
+    val junk = if (extraChunk) 8 + 8 else 0
+    val riffSize = 4 + 24 + junk + 8 + data.length + pad
     val out = java.nio.ByteBuffer.allocate(8 + riffSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
@@ -81,6 +86,9 @@ object Multimodal {
       .putShort(1.toShort) // PCM
       .putShort(channels.toShort).putInt(rate).putInt(byteRate)
       .putShort(blockAlign.toShort).putShort(8.toShort) // 8 bits/sample
+    if (extraChunk)
+      out.put("LIST".getBytes("US-ASCII")).putInt(8)
+        .put("INFOgnft".getBytes("US-ASCII"))
     out.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
     if (pad == 1) out.put(0.toByte)
     out.array()
@@ -113,8 +121,14 @@ object Multimodal {
     * an exception. Returns (channels, sampleRate, bits, dataBytes,
     * nSamples = dataBytes/blockAlign, sum of first min([[WavSumK]],
     * dataBytes) unsigned sample bytes — None when the stream is empty). */
-  private[llm] def parseWav(bytes: Array[Byte]):
-      Option[(Long, Long, Long, Long, Long, Option[Long])] = {
+  /** Shared RIFF chunk walk under [[parseWav]] and [[wavEnvelopeHash]]:
+    * RIFF magic + WAVE form type, then the word-aligned chunk list (every
+    * RIFF reader skips unknown chunks — that is WHY a metadata re-encode
+    * never changes the decoded samples), requiring one canonical PCM-8
+    * fmt chunk BEFORE data. Returns (channels, rate, blockAlign, bits,
+    * dataStart, dataBytes) or None for anything malformed / unsupported. */
+  private def wavPcmData(bytes: Array[Byte]):
+      Option[(Int, Long, Int, Int, Int, Int)] = {
     def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
     def le32(i: Int): Long =
       (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
@@ -143,10 +157,20 @@ object Multimodal {
           blockAlign != channels) return None
         fmt = Some((channels, rate, blockAlign, bits))
       } else if (id == "data") {
-        val f = fmt.getOrElse(return None) // fmt must precede data
-        val (channels, rate, blockAlign, bits) = f
-        val dataBytes = size
-        val k = math.min(WavSumK.toLong, dataBytes).toInt
+        val (channels, rate, blockAlign, bits) =
+          fmt.getOrElse(return None) // fmt must precede data
+        return Some((channels, rate, blockAlign, bits, body, size.toInt))
+      }
+      i = body + size.toInt + (size % 2).toInt // word alignment pad
+    }
+    None // no data chunk
+  }
+
+  private[llm] def parseWav(bytes: Array[Byte]):
+      Option[(Long, Long, Long, Long, Long, Option[Long])] =
+    wavPcmData(bytes).map {
+      case (channels, rate, blockAlign, bits, body, dataBytes) =>
+        val k = math.min(WavSumK.toLong, dataBytes.toLong).toInt
         val sum0 =
           if (k <= 0) None
           else {
@@ -155,12 +179,80 @@ object Multimodal {
             while (j < k) { s += bytes(body + j) & 0xff; j += 1 }
             Some(s)
           }
-        return Some((channels.toLong, rate, bits.toLong, dataBytes,
-          dataBytes / blockAlign, sum0))
-      }
-      i = body + size.toInt + (size % 2).toInt // word alignment pad
+        (channels.toLong, rate, bits.toLong, dataBytes.toLong,
+          dataBytes.toLong / blockAlign, sum0)
     }
-    None // no data chunk
+
+  /** Envelope dHash-64 for audio — [[ppmDHash]]'s sibling over the PCM
+    * byte stream: 65 time-normalized frames (byte i → frame i·65 div n),
+    * per-frame energy Σ|b−128| (8-bit PCM's unsigned midpoint), bit f set
+    * iff e(f+1) > e(f). Integer-only and engine-portable.
+    *
+    * Invariant by construction under the transforms that defeat byte-
+    * exact dedup while keeping the signal: container re-encodes (chunk
+    * layout/metadata — the walk skips them before the hash ever sees a
+    * byte) and polarity inversion (|(256−b)%256 − 128| = |b−128| for all
+    * b). NOT invariant under resampling: a duration change moves the
+    * integer frame boundaries (the image dHash's floor identity needs
+    * 2-D dims-addressed sampling, which a 1-D interleaved stream lacks);
+    * a production audio fingerprint time-normalizes with overlapping
+    * spectral windows — out of scope without codecs. */
+  private[llm] def wavEnvelopeHash(bytes: Array[Byte]): Option[Long] =
+    wavPcmData(bytes).map { case (_, _, _, _, start, n) =>
+      val e = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        e((i.toLong * 65 / n).toInt) += math.abs((bytes(start + i) & 0xff) - 128)
+        i += 1
+      }
+      var hsh = 0L
+      var f = 0
+      while (f < 64) {
+        if (e(f + 1) > e(f)) hsh |= 1L << f
+        f += 1
+      }
+      hsh
+    }
+
+  /** Per-clip perceptual hash: (doc_id, payload) → (doc_id, dhash) — the
+    * [[dHashPpm]] shape for audio; feeds [[dHashPairs]] unchanged. */
+  def envelopeHashWav(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        PHash(id, wavEnvelopeHash(bytes))
+      })
+      .toDF()
+  }
+
+  /** [[asWav]] with a junk LIST/INFO chunk between fmt and data — the
+    * metadata re-encode plant: same samples, different container bytes. */
+  def asWavReencoded(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, wavBytes(Option(t).getOrElse("").getBytes("UTF-8"),
+          extraChunk = true))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[asWav]] over the polarity-inverted sample stream (b → (256−b) mod
+    * 256) — the phase flip that changes every data byte but no energy. */
+  def asWavInverted(df: DataFrame, id: Column, payloadText: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, wavBytes(Option(t).getOrElse("").getBytes("UTF-8")
+          .map(b => ((256 - (b & 0xff)) % 256).toByte)))
+      })
+      .toDF("doc_id", "payload")
   }
 
   /** Partition-parallel WAV decode — same mapPartitions batch shape as
@@ -313,11 +405,12 @@ object Multimodal {
       .toDF()
   }
 
-  /** The parser itself — total, allocation-free walk over the bytes.
-    * Returns (width, height, maxval, raster_bytes, sum of the first
-    * min(3·width, raster_bytes) raster bytes). */
-  private[llm] def parsePpm(bytes: Array[Byte]):
-      Option[(Long, Long, Long, Long, Option[Long])] = {
+  /** Shared header walk: magic + three ASCII ints per the Netpbm spec
+    * (whitespace/comment skipping, the single raster-separator byte).
+    * Returns (width, height, maxval, raster start offset) or None on any
+    * malformation. */
+  private[llm] def parsePpmHeader(bytes: Array[Byte]):
+      Option[(Long, Long, Long, Int)] = {
     var i = 0
     def isWs(b: Byte): Boolean =
       b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 11 || b == 12
@@ -348,18 +441,123 @@ object Multimodal {
       // exactly ONE whitespace byte separates maxval from the raster — a
       // raster beginning with 0x20 is data, not skippable whitespace
       if (i < bytes.length && isWs(bytes(i))) i += 1
-      val dataBytes = (bytes.length - i).toLong
+      (w, h, m, i)
+    }
+  }
+
+  /** The parser itself — total, allocation-free walk over the bytes.
+    * Returns (width, height, maxval, raster_bytes, sum of the first
+    * min(3·width, raster_bytes) raster bytes). */
+  private[llm] def parsePpm(bytes: Array[Byte]):
+      Option[(Long, Long, Long, Long, Option[Long])] = {
+    parsePpmHeader(bytes).map { case (w, h, m, start) =>
+      val dataBytes = (bytes.length - start).toLong
       val k = math.min(3L * w, dataBytes).toInt
       val sum0 =
         if (k <= 0) None
         else {
           var s = 0L
           var j = 0
-          while (j < k) { s += bytes(i + j) & 0xff; j += 1 }
+          while (j < k) { s += bytes(start + j) & 0xff; j += 1 }
           Some(s)
         }
       (w, h, m, dataBytes, sum0)
     }
+  }
+
+  /** dHash-64 (difference hash) over a decoded P6 raster — the perceptual
+    * fingerprint that makes image dedup survive re-encoding: a header
+    * rewrite, a comment, or a nearest-neighbor resize leaves the sampled
+    * luminance grid (and therefore every difference bit) unchanged, while
+    * byte-exact dedup sees a different blob.
+    *
+    * Integer-only, engine-portable recipe (restated verbatim by the
+    * DuckDB oracle):
+    *   - 9×8 nearest-neighbor sample grid: pixel (x·w div 9, y·h div 8)
+    *     for x∈[0,9), y∈[0,8) — integer division, so a 2× upscaled raster
+    *     samples EXACTLY the original pixels (floor(floor(2xw/9)/2) =
+    *     floor(xw/9));
+    *   - luminance = r+g+b (monotone in any fixed-weight gray transform,
+    *     and exact — difference bits only need the ORDER);
+    *   - bit y·8+x set iff gray(x+1, y) > gray(x, y) (9 columns → 8
+    *     differences per row);
+    *   - raster bytes beyond the payload read 0 (the PNG zero-padding
+    *     convention — a truncated image still hashes deterministically).
+    * Dimensions above 2^20 are rejected as hostile headers (the offset
+    * product must stay in Long). */
+  private[llm] def ppmDHash(bytes: Array[Byte]): Option[Long] =
+    parsePpmHeader(bytes).flatMap { case (w, h, _, start) =>
+      if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20)) None
+      else {
+        val n = bytes.length
+        def gray(sx: Long, sy: Long): Int = {
+          val off = start + 3L * (sy * w + sx)
+          var g = 0
+          var c = 0
+          while (c < 3) {
+            val p = off + c
+            if (p < n) g += bytes(p.toInt) & 0xff
+            c += 1
+          }
+          g
+        }
+        val gs = Array.tabulate(8, 9)((y, x) => gray(x * w / 9, y * h / 8))
+        var hsh = 0L
+        var b = 0
+        while (b < 64) {
+          val x = b % 8
+          val y = b / 8
+          if (gs(y)(x + 1) > gs(y)(x)) hsh |= 1L << b
+          b += 1
+        }
+        Some(hsh)
+      }
+    }
+
+  case class PHash(doc_id: Long, dhash: Option[Long])
+
+  /** Per-image perceptual hash: (doc_id, payload) → (doc_id, dhash).
+    * Same partition-parallel shape as [[decodePpm]] — mapPartitions, rows
+    * 1:1, no shuffle; malformed payloads yield null, never an exception. */
+  def dHashPpm(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => PHash(id, ppmDHash(bytes)) })
+      .toDF()
+  }
+
+  /** Perceptual near-dup candidate pairs: hamming distance ≤ `maxDist`
+    * over the dHash via 16-bit-chunk banding — [[Dedup.simHashPairs]]'s
+    * exact discipline (4 chunks; dist ≤ 3 ⇒ some chunk equal by
+    * pigeonhole), including the pair-preserving hot-bucket salt guard, so
+    * a meme re-shared a million times never puts one bucket's quadratic
+    * through a single task. Input: [[dHashPpm]] output; null hashes
+    * (undecodable blobs) drop out before banding. */
+  def dHashPairs(hashed: DataFrame, maxDist: Int,
+      bucketCap: Int = Dedup.DefaultBandBucketCap): DataFrame = {
+    val banded = hashed.filter(col("dhash").isNotNull)
+      .select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("dhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
+          .as("ck"))
+      .select(col("doc_id"), col("dhash").as("sig"),
+        col("ck.chunk").as("band"), col("ck.key").as("key"))
+    val cand =
+      if (bucketCap == Int.MaxValue)
+        banded.as("a").hint("shuffle_merge")
+          .join(banded.as("b").hint("shuffle_merge"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      else Dedup.saltedBandPairs(banded, bucketCap)
+    cand.dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
   }
 
   private val PngSig: Array[Byte] =

@@ -529,29 +529,89 @@ object Similarity {
     * 100 TB posture: |centroids| is the caller's N/cluster-size knob (the
     * paper runs k ≈ √N to |N|/10k; assignment cost is the linear-scan
     * N·k·dim integer product every IVF variant here pays), per-cell work
-    * is (cluster size)² bounded below the nBits sub-bucketing. */
+    * is (cluster size)² bounded below the nBits sub-bucketing — UNLESS the
+    * corpus concentrates a dense near-parallel clump tighter than both the
+    * quantization and the hyperplane signs (measured on the 10x replica:
+    * ~10% of hashed-bigram vectors in one clump → ~80M within-cell pairs).
+    * `anchorCap > 0` arms the production guard against exactly that shape,
+    * in two linear stages:
+    *   a. exact collapse — identical NORMALIZED vectors (an exact copy, a
+    *      positively-scaled re-embed, a token-repeated twin) group on
+    *      xxhash64(nv) BEFORE cell assignment; only the lowest-id
+    *      representative proceeds, the rest are losers outright (their
+    *      mutual cosine is exactly 1 ≥ τ and co-cellmates by construction,
+    *      so this is a subset of the paper's own losers — zero-norm
+    *      vectors, whose self-dot is 0 < τ, get a per-row key and never
+    *      collapse). At crawl scale exact duplicates are the BULK of the
+    *      near-dup mass, and they now cost one map-side-combined groupBy
+    *      instead of |group|² pairs — and skip the N·k·dim argmin too.
+    *   b. anchor cap — within each (cell, bucket), a representative is
+    *      compared only against the `anchorCap` lowest-id representatives
+    *      (one row_number window on the join key, then the same equi-join
+    *      with the a-side capped): per-cell pair work drops from n² to
+    *      n·cap, linear. The dfCap=64 winnowing discipline transplanted:
+    *      recall against a lower-id partner OUTSIDE the anchor set is
+    *      traded away explicitly — but a dense clump is within τ of the
+    *      cell's first anchors by definition, so the clump that motivates
+    *      the cap is exactly what the cap still catches.
+    * Survivors(anchorCap > 0) ⊇ survivors(0) (capped losers need a
+    * lower-id witness the uncapped form also sees), with equality whenever
+    * every cell fits under the cap — both pinned by EmbedSpec. anchorCap=0
+    * keeps the paper's pure all-pairs form (the verify twin the oracles
+    * restate without the rank CTE). */
   def semDeDupSurvivors(emb: DataFrame, centroids: DataFrame, tau: Double,
-      nBits: Int = 0): DataFrame = {
-    val n = normalized(emb)
+      nBits: Int = 0, anchorCap: Int = 0): DataFrame = {
     val cent = normalized(centroids)
       .select(col("vec_id").as("cell"), col("qv").as("cqv"))
-    val cells = n.select(col("vec_id"), col("qv"))
+    def assign(n: DataFrame): DataFrame = n.select(col("vec_id"), col("qv"))
       .crossJoin(broadcast(cent))
       .withColumn("il2", l2sq(col("qv"), col("cqv")))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cell"), struct(col("il2"), col("cell"))).as("cell"))
-    val keyed = n.join(cells, "vec_id")
+    def keyOf(n: DataFrame): DataFrame = n.join(assign(n), "vec_id")
       .withColumn("bucket",
         if (nBits == 0) lit(0L) else lshBucket(col("nv"), nBits))
       .select(col("vec_id"), col("cell"), col("bucket"), col("nv"))
-    val losers = keyed.as("a").hint("shuffle_merge")
-      .join(keyed.as("b").hint("shuffle_merge"),
-        col("a.cell") === col("b.cell") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .filter(dot(col("a.nv"), col("b.nv")) >= tau)
-      .select(col("b.vec_id").as("loser")).distinct()
-    emb.join(losers, emb("vec_id") === losers("loser"), "left_anti")
+    def pairs(aSide: DataFrame, bSide: DataFrame): DataFrame =
+      aSide.as("a").hint("shuffle_merge")
+        .join(bSide.as("b").hint("shuffle_merge"),
+          col("a.cell") === col("b.cell") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.nv"), col("b.nv")) >= tau)
+        .select(col("b.vec_id").as("loser")).distinct()
+    val n0 = normalized(emb)
+    if (anchorCap <= 0) {
+      // the paper's literal form: all-pairs within (cell, bucket)
+      val keyed = keyOf(n0)
+      val losers = pairs(keyed, keyed)
+      emb.join(losers, emb("vec_id") === losers("loser"), "left_anti")
+    } else {
+      // stage a: exact collapse to one representative per unit vector —
+      // ONE map-side-combined groupBy, no join-back (losers fall out as
+      // the ids that simply aren't representatives). Zero-norm rows get a
+      // unique per-row key: cosine can never drop them, so neither may
+      // the collapse.
+      val reps = n0
+        .withColumn("hk",
+          when(dot(col("nv"), col("nv")) > 0d, xxhash64(col("nv")))
+            .otherwise(-col("vec_id")))
+        .groupBy(col("hk"))
+        .agg(min(col("vec_id")).as("vec_id"),
+          min_by(struct(col("nv"), col("qv")), col("vec_id")).as("s"))
+        .select(col("vec_id"), col("s.nv").as("nv"), col("s.qv").as("qv"))
+      val keyed = keyOf(reps)
+      // stage b: a-side capped to the per-(cell, bucket) anchor set
+      val anchors = keyed
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cell"), col("bucket")).orderBy(col("vec_id"))))
+        .filter(col("rk") <= anchorCap)
+        .select(col("vec_id"), col("cell"), col("bucket"), col("nv"))
+      val nearLosers = pairs(anchors, keyed)
+      val survivorIds = reps.select(col("vec_id"))
+        .join(nearLosers, col("vec_id") === col("loser"), "left_anti")
+      emb.join(survivorIds, Seq("vec_id"), "left_semi")
+    }
   }
 
   /** Embedding-cosine near-dup pairs — the embedding-space twin of

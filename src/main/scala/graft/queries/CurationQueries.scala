@@ -161,25 +161,32 @@ object CurationQueries {
     }),
 
     // End-to-end semantic dedup from TEXT: embed (hashed bigrams) →
-    // normalize → stride cells → within-cell cosine → survivors, one
-    // plan, no pre-supplied embeddings table. Exact-copy plants embed
-    // identically (cosine exactly 1) and drop; the full chain is
-    // integer/identical-IEEE-op arithmetic, so the oracle recomputes
-    // embeddings, cells, pairs, and survivors from scratch. Centroids
-    // keep the q_dedup_semdedup parameterization (uncapped stride): for
-    // WITHIN-CELL pair work, |cells| must grow with the corpus or the
-    // per-cell quadratic term does. Scale note (measured at 10x): a
-    // same-domain synthetic corpus concentrates ~10% of vectors into one
-    // dense clump tighter than centroid spacing, so the within-cell pair
-    // stage carries ~80M pairs — SemDeDup IS within-cluster pairwise by
-    // definition (Abbas et al. brute-force their clusters too), and the
-    // clump survives finer quantization AND the nBits sign guard
-    // (near-parallel vectors share hyperplane signs), so the cost is the
-    // algorithm on this data shape, not a plan defect; the close gate
-    // waives the family with this rationale. Production mitigations that
-    // DO apply when content is sign-diverse: the nBits guard (EmbedSpec
-    // pins survivors(nBits>0) ⊇ survivors(0) with plants still dropped).
+    // normalize → exact-collapse → stride cells → anchor-capped
+    // within-cell cosine → survivors, one plan, no pre-supplied
+    // embeddings table. Exact-copy plants embed identically (normalized
+    // vectors bit-identical) and drop in the LINEAR exact stage; the full
+    // chain is integer/identical-IEEE-op arithmetic, so the oracle
+    // recomputes embeddings, collapse, cells, capped pairs, and survivors
+    // from scratch. anchorCap=64 is the r17-verdict-#3 production guard:
+    // the 10x replica's measured quadratic (a same-domain corpus
+    // concentrates ~10% of hashed-bigram vectors in one dense clump →
+    // ~80M within-cell pairs under the paper's all-pairs form, which
+    // survives finer quantization AND the nBits sign guard) becomes
+    // n·64 per cell — linear. q_dedup_semdedup_text_full keeps the
+    // paper's uncapped form as the verify-only twin; EmbedSpec pins
+    // capped ⊇ uncapped with plants dropped in both.
     "q_dedup_semdedup_text" -> ((s, d) => {
+      graft.llm.Similarity.semDeDupSurvivors(docsEmbFix(s, d),
+          centroids = semdedupTextCentroids(s, d), tau = 0.999, nBits = 0,
+          anchorCap = 64)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The paper's literal all-pairs form over the same text→embed chain —
+    // verify-only (its within-cell quadratic on the clumped corpus is the
+    // retired 10x waiver); stays as the full-oracle semantics pin.
+    "q_dedup_semdedup_text_full" -> ((s, d) => {
       graft.llm.Similarity.semDeDupSurvivors(docsEmbFix(s, d),
           centroids = semdedupTextCentroids(s, d), tau = 0.999, nBits = 0)
         .select(col("vec_id"))
@@ -230,6 +237,24 @@ object CurationQueries {
         .agg(min(col("doc_id")).as("keeper_id"),
           count(lit(1)).as("n_fetches"))
         .orderBy(col("url_canon"))
+    }),
+
+    // Per-domain cap (r18): the crawl-balance pass after URL dedup — no
+    // host may contribute more than k pages, keepers chosen by the
+    // deterministic scramble-key rank (the q_sample_capped discipline:
+    // uniform pseudo-random, engine-restatable, and the two-phase salted
+    // top-k means no task ever sorts a whole mega-domain). Chain: canon →
+    // first-fetch keeper per URL → host key → capped top-k.
+    "q_url_domain_cap" -> ((s, d) => {
+      val kept = docsUrlFix(s, d)
+        .select(graft.llm.UrlCuration.canonicalize(col("url"))
+          .as("url_canon"), col("doc_id"))
+        .groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .withColumn("host", graft.llm.UrlCuration.host(col("url_canon")))
+      graft.llm.Sampling.topKPerGroup(kept, col("host"), col("doc_id"), k = 10)
+        .select(col("host"), col("doc_id"))
+        .orderBy(col("host"), col("doc_id"))
     }),
 
     // URL blocklist filter (the C4 badlist / RefinedWeb URL-filter pass):
@@ -518,9 +543,77 @@ object CurationQueries {
     },
 
     // the full text→embed→semdedup chain recomputed from scratch: the
-    // embedder CTEs over the plant fixture, then the q_dedup_semdedup
-    // oracle's normalize/quantize/argmin/pair/anti chain verbatim
+    // embedder CTEs over the plant fixture, then the capped q_dedup_semdedup
+    // oracle's collapse/argmin/anchor-pair/anti chain verbatim
     "q_dedup_semdedup_text" -> {
+      val dim = graft.llm.Embed.Dim
+      s"""WITH sfx AS (SELECT doc_id, text FROM documents
+         |             UNION ALL
+         |             SELECT doc_id + 900000 AS doc_id, text
+         |             FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id,
+         |         list_filter(string_split(replace(text, chr(10), ' '), ' '),
+         |                     x -> len(x) > 0) AS t
+         |       FROM sfx),
+         |bk AS (SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 1),
+         |           i -> ${polyHashSql("t[i] || ' ' || t[i+1]")} % $dim) AS bks
+         |       FROM tok),
+         |e2 AS (SELECT doc_id AS vec_id,
+         |         list_transform(generate_series(0, ${dim - 1}),
+         |           j -> CAST(len(list_filter(bks, b -> b = j)) AS DOUBLE)) AS v
+         |       FROM bk),
+         |nrm AS (SELECT vec_id, v,
+         |               list_reduce(list_transform(v, x -> x * x),
+         |                 (a, b) -> a + b) AS n2
+         |        FROM e2),
+         |q AS (SELECT vec_id, n2,
+         |             CASE WHEN n2 > 0
+         |                  THEN list_transform(v, x -> x / sqrt(n2))
+         |                  ELSE v END AS nv
+         |      FROM nrm),
+         |qq AS (SELECT vec_id, n2, nv,
+         |              list_transform(nv, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+         |       FROM q),
+         |mn AS (SELECT vec_id, nv, qv,
+         |              min(vec_id) OVER (PARTITION BY
+         |                CASE WHEN n2 > 0 THEN nv
+         |                     ELSE [CAST(-(vec_id + 1) AS DOUBLE)] END) AS mn
+         |       FROM qq),
+         |reps AS (SELECT vec_id, nv, qv FROM mn WHERE vec_id = mn),
+         |exl AS (SELECT vec_id AS loser FROM mn WHERE vec_id > mn),
+         |cent AS (SELECT vec_id AS cell, qv AS cqv FROM qq
+         |         WHERE vec_id IN (SELECT doc_id FROM documents
+         |                          WHERE doc_id % 101 = 0)),
+         |asg AS (SELECT r.vec_id, cent.cell,
+         |               list_reduce(list_transform(generate_series(1, len(r.qv)),
+         |                 i -> (r.qv[i] - cqv[i]) * (r.qv[i] - cqv[i])),
+         |                 (a, b) -> a + b) AS il2
+         |        FROM reps r, cent),
+         |cells AS (SELECT vec_id, cell FROM asg
+         |          QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                                     ORDER BY il2, cell) = 1),
+         |k2 AS (SELECT c.vec_id, c.cell, r.nv
+         |       FROM cells c JOIN reps r ON r.vec_id = c.vec_id),
+         |anc AS (SELECT vec_id, cell, nv FROM (
+         |          SELECT vec_id, cell, nv,
+         |                 row_number() OVER (PARTITION BY cell
+         |                                    ORDER BY vec_id) AS rk
+         |          FROM k2) WHERE rk <= 64),
+         |nls AS (
+         |  SELECT DISTINCT b.vec_id AS loser
+         |  FROM anc a
+         |  JOIN k2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_transform(generate_series(1, len(a.nv)),
+         |          i -> a.nv[i] * b.nv[i]), (x, y) -> x + y) >= 0.999)
+         |SELECT vec_id FROM e2
+         |WHERE vec_id NOT IN (SELECT loser FROM exl
+         |                     UNION SELECT loser FROM nls)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // the uncapped all-pairs twin (verify-only): the r17 oracle verbatim
+    "q_dedup_semdedup_text_full" -> {
       val dim = graft.llm.Embed.Dim
       s"""WITH sfx AS (SELECT doc_id, text FROM documents
          |             UNION ALL
@@ -612,6 +705,22 @@ object CurationQueries {
     "q_url_dedup" -> s"""$UrlCanonCtes
        |SELECT url_canon, min(doc_id) AS keeper_id, count(*) AS n_fetches
        |FROM cn GROUP BY 1 ORDER BY url_canon""".stripMargin,
+
+    // keeper per canon URL → host → scramble-key rank ≤ 10 per host (the
+    // q_sample_capped scramble restated)
+    "q_url_domain_cap" -> s"""$UrlCanonCtes,
+       |kp AS (SELECT url_canon, min(doc_id) AS doc_id FROM cn GROUP BY 1),
+       |hh AS (SELECT doc_id,
+       |         regexp_extract(url_canon,
+       |           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+       |         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS sk
+       |       FROM kp),
+       |r AS (SELECT host, doc_id,
+       |             row_number() OVER (PARTITION BY host
+       |                                ORDER BY sk, doc_id) AS rk
+       |      FROM hh)
+       |SELECT host, doc_id FROM r WHERE rk <= 10
+       |ORDER BY host, doc_id""".stripMargin,
 
     "q_url_filter" -> {
       val dom = graft.llm.UrlCuration.DefaultBlockedDomains.map(dd =>

@@ -182,6 +182,43 @@ object IngestQueries {
           length(col("body")).cast("long").as("n_chars"),
           col("body").as("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // First-mile HTTP response gate (r18): response records carry varied
+    // status lines (200/404/301 by doc_id % 5) and Content-Type headers
+    // (text/html;charset / TEXT/PLAIN / application/pdf by doc_id % 3 —
+    // the upper-case arm pins case-insensitive media normalization);
+    // responseFilter must keep exactly the 200 ∩ {text/html, text/plain}
+    // intersection. Same multi-record stream construction as q_src_warc,
+    // so the gate is exercised THROUGH the real byte-walk, not on a
+    // hand-built frame.
+    "q_warc_response_filter" -> ((s, d) => {
+      val docs = graft.model.Tables.documents(s, d)
+      val status = element_at(array(lit("200 OK"), lit("404 Not Found"),
+        lit("200 OK"), lit("301 Moved Permanently"), lit("200 OK")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      val ctype = element_at(array(lit("text/html; charset=UTF-8"),
+        lit("TEXT/PLAIN"), lit("application/pdf")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val http = concat(lit("HTTP/1.1 "), status,
+        lit("\r\nContent-Type: "), ctype, lit("\r\n\r\n"), col("text"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "http://example.com/"), col("doc_id"),
+        lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val streams = docs
+        .select(floor(col("doc_id") / 25).cast("string").as("src"),
+          struct(col("doc_id"), rec.as("rec")).as("p"))
+        .groupBy(col("src"))
+        .agg(array_join(transform(array_sort(collect_list(col("p"))),
+          x => x.getField("rec")), "").as("stream"))
+      val parsed = graft.sources.WarcSource.parseWarc(
+        streams.select(col("src"), encode(col("stream"), "UTF-8").as("content")))
+      graft.sources.WarcSource.responseFilter(parsed)
+        .select(substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+          col("media_type"), length(col("body")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
     }))
 
   import OracleDefs.EvtCte
@@ -217,6 +254,18 @@ object IngestQueries {
       """SELECT doc_id, 'response' AS warc_type, 200 AS http_status,
         |       CAST(len(text) AS BIGINT) AS n_chars, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the response gate's expected survivors: the status arm (200 ⇔
+    // doc_id % 5 ∈ {0,2,4}) ∩ the media arm (allowlisted ⇔ doc_id % 3 ∈
+    // {0,1}), media type normalized to lowercase-before-';'
+    "q_warc_response_filter" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+        |            ELSE 'text/plain' END AS media_type,
+        |       CAST(len(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id % 5 IN (0, 2, 4) AND doc_id % 3 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_s3_per_type" -> s"""$WireCte
       |SELECT event_id, kind,

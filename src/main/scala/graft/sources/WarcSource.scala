@@ -33,8 +33,8 @@ object WarcSource {
     * set every content field is None and the walk of that file stopped. */
   final case class WarcRow(src: String, rec_idx: Int,
       warc_type: Option[String], uri: Option[String],
-      http_status: Option[Int], body: Option[String],
-      corrupt: Option[String])
+      http_status: Option[Int], content_type: Option[String],
+      body: Option[String], corrupt: Option[String])
 
   /** Per-record body cap (chars, post-decode) — the MetricsSink row-width
     * doctrine: a single runaway record must not own an executor. The walk
@@ -123,14 +123,15 @@ object WarcSource {
         // mid-record, and the gzip reason names the real cause), then
         // quarantine the remainder under that reason
         val parsed = rows.takeWhile(_.corrupt.isEmpty)
-        parsed :+ WarcRow(src, parsed.size, None, None, None, None, Some(r))
+        parsed :+ WarcRow(src, parsed.size, None, None, None, None, None,
+          Some(r))
       }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
     var pos = 0
     var idx = 0
     def corrupt(reason: String): Unit =
-      out += WarcRow(src, idx, None, None, None, None,
+      out += WarcRow(src, idx, None, None, None, None, None,
         Some(s"$reason at offset $pos"))
     var stop = false
     while (!stop && pos < bytes.length) {
@@ -174,18 +175,24 @@ object WarcSource {
                     val payload =
                       new String(bytes, payloadStart, decLen, "UTF-8")
                     // response records wrap an HTTP message: status line,
-                    // headers, blank line, body
-                    val (status, body) =
+                    // headers (Content-Type surfaced raw — the filter,
+                    // not the parser, normalizes it), blank line, body
+                    val (status, ctype, body) =
                       if (wtype.contains("response") &&
                           payload.startsWith("HTTP/")) {
                         val cut = payload.indexOf("\r\n\r\n")
+                        val head =
+                          if (cut < 0) payload else payload.substring(0, cut)
                         val st = payload.linesIterator.nextOption()
                           .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
+                        val ct = head.split("\r\n", -1).drop(1)
+                          .find(_.toLowerCase.startsWith("content-type:"))
+                          .map(l => l.substring(l.indexOf(':') + 1).trim)
                         val b = if (cut < 0) "" else payload.substring(cut + 4)
-                        (st, b)
-                      } else (None, payload)
+                        (st, ct, b)
+                      } else (None, None, payload)
                     out += WarcRow(src, idx, wtype, header("WARC-Target-URI"),
-                      status, Some(body.take(maxBodyChars)), None)
+                      status, ctype, Some(body.take(maxBodyChars)), None)
                     idx += 1
                     pos = pEnd
                   }
@@ -256,4 +263,25 @@ object WarcSource {
     df.filter(col("corrupt").isNull).drop("corrupt"),
     df.filter(col("corrupt").isNotNull)
       .select(col("src"), col("rec_idx"), col("corrupt").as("reason")))
+
+  /** First-mile HTTP response gate — the filter every crawl curation runs
+    * BEFORE any text parse: keep WARC-Type=response records that answered
+    * HTTP 200 with a media type in `okTypes` (the Content-Type parameter
+    * before any ';', lowercased and trimmed — `TEXT/HTML; charset=UTF-8`
+    * passes a `text/html` allowlist). Everything is a codegen'd predicate
+    * over the parsed frame: no UDF, no shuffle, and the normalized
+    * `media_type` column rides along for per-type routing downstream.
+    * Corrupt remainders are excluded here too, so the gate composes with
+    * or without a prior [[quarantine]] split. */
+  def responseFilter(parsed: DataFrame,
+      okTypes: Seq[String] = Seq("text/html", "text/plain")): DataFrame = {
+    val media = trim(element_at(split(lower(col("content_type")), ";"), 1))
+    val notCorrupt = // quarantine's clean side has already dropped the column
+      if (parsed.columns.contains("corrupt")) col("corrupt").isNull else lit(true)
+    parsed.filter(notCorrupt &&
+        col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        media.isin(okTypes: _*))
+      .withColumn("media_type", media)
+  }
 }

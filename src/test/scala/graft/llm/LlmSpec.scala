@@ -654,6 +654,85 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dHash: bit packing, re-encode/resize invariance, garbage safety") {
+    import Multimodal.ppmDHash
+    def b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // w=9, h=8: the sample grid IS the pixel grid (x·9/9 = x, y·8/8 = y).
+    // A strictly increasing raster sets every difference bit → hash -1;
+    // strictly decreasing clears them all → hash 0.
+    val inc = Array.tabulate(216)(_.toByte)
+    assert(ppmDHash(b("P6 9 8 255\n") ++ inc) === Some(-1L))
+    assert(ppmDHash(b("P6 9 8 255\n") ++ inc.reverse) === Some(0L))
+    // invariance: a header re-encode (comment, same raster) and a true 2×
+    // nearest-neighbor upscale hash IDENTICALLY — the whole point of a
+    // perceptual hash. Raster deliberately truncated (n < 3wh) so the
+    // zero-fill arm is exercised on both sides.
+    val rnd = new scala.util.Random(77)
+    val raster = Array.fill(250)(rnd.nextInt(256).toByte) // 3wh = 270 > 250
+    val base = ppmDHash(b("P6 10 9 255\n") ++ raster)
+    assert(base.isDefined)
+    assert(ppmDHash(b("P6 # re-encoded\n10 9 255\n") ++ raster) === base)
+    val full = raster ++ Array.fill(270 - 250)(0.toByte)
+    val up = Array.tabulate(4 * 270) { i2 =>
+      val p2 = i2 / 3; val c = i2 % 3
+      val x2 = p2 % 20; val y2 = p2 / 20
+      full(3 * ((y2 / 2) * 10 + x2 / 2) + c)
+    }
+    assert(ppmDHash(b("P6 20 18 255\n") ++ up) === base)
+    // hostile dims rejected before the offset product can wrap
+    assert(ppmDHash(b("P6 99999999 99999999 255\nxx")) === None)
+    assert(ppmDHash(Array.empty[Byte]) === None)
+    // totality fuzz, the parsePpm discipline
+    for (_ <- 1 to 1000) {
+      val len = rnd.nextInt(64)
+      val arr = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (rnd.nextBoolean() && len >= 2) { arr(0) = 'P'; arr(1) = '6' }
+      ppmDHash(arr) // must be total
+    }
+  }
+
+  test("dHashPairs bands planted perceptual dups together, separates opposites") {
+    val s = spark
+    import s.implicits._
+    def b(str: String): Array[Byte] = str.getBytes("ISO-8859-1")
+    val inc = Array.tabulate(216)(_.toByte)
+    val media = Seq(
+      (1L, b("P6 9 8 255\n") ++ inc),              // hash -1
+      (2L, b("P6 # twin\n9 8 255\n") ++ inc),      // same image re-encoded
+      (3L, b("P6 9 8 255\n") ++ inc.reverse),      // hash 0 — hamming 64
+      (4L, b("not an image"))                      // null hash: must drop out
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.dHashPairs(Multimodal.dHashPpm(media), maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0)))
+  }
+
+  test("audio envelope hash: re-encode/polarity invariance, frame math, safety") {
+    import Multimodal.{wavBytes, wavEnvelopeHash}
+    val rnd = new scala.util.Random(99)
+    val data = Array.fill(300)(rnd.nextInt(256).toByte)
+    val base = wavEnvelopeHash(wavBytes(data))
+    assert(base.isDefined)
+    // container re-encode (junk LIST chunk): same samples, same hash
+    assert(wavEnvelopeHash(wavBytes(data, extraChunk = true)) === base)
+    // polarity inversion: every byte changes, no |b-128| energy term does
+    val inv = data.map(b => ((256 - (b & 0xff)) % 256).toByte)
+    assert(inv.toSeq !== data.toSeq)
+    assert(wavEnvelopeHash(wavBytes(inv)) === base)
+    // frame math: n=325 puts byte i in frame i/5 exactly; value 128+f per
+    // frame makes e(f) = 5f strictly increasing — every difference bit
+    // sets; the reversed ramp clears them all
+    val ramp = Array.tabulate(325)(i => (128 + i / 5).toByte)
+    assert(wavEnvelopeHash(wavBytes(ramp)) === Some(-1L))
+    assert(wavEnvelopeHash(wavBytes(ramp.reverse)) === Some(0L))
+    // empty data: a silent clip hashes to 0, not an exception
+    assert(wavEnvelopeHash(wavBytes(Array.emptyByteArray)) === Some(0L))
+    // garbage safety
+    assert(wavEnvelopeHash(Array.emptyByteArray) === None)
+    assert(wavEnvelopeHash("RIFFxxxxWAVEjunk".getBytes("US-ASCII")) === None)
+  }
+
   test("PNG parser: roundtrip, all five filters, CRC/zlib/garbage safety") {
     import Multimodal.{parsePng, pngBytes, pngEncode}
     // canonical construction round-trips through CRC check + INFLATE +

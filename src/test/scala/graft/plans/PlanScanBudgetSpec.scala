@@ -45,6 +45,14 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_gopher_rules_by_lang" -> 4,
     // WARC fixture: the good-stream branch + the truncated-plant stride
     "q_src_warc" -> 2,
+    // PPM perceptual-hash fixture: base + re-encode + 2×-resize branches,
+    // each its own pruned scan; the banded pair self-join reuses the
+    // hashed exchange, so the pair query costs the same three
+    "q_mm_phash" -> 3,
+    "q_mm_dedup_phash" -> 3,
+    // WAV perceptual fixture: base + re-encode + polarity-invert branches
+    "q_mm_ahash" -> 3,
+    "q_mm_dedup_ahash" -> 3,
     // dotted base + three plant branches (bad lines, lorem, braces)
     "q_c4_clean" -> 4,
     // scaled-duplicate fixture (2 branches) × three corpus passes (cell
@@ -53,6 +61,10 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_dedup_semdedup" -> 7,
     // same chain with the text→embed fixture's two branches
     "q_dedup_semdedup_text" -> 7,
+    // the uncapped all-pairs verify twins keep the r17 shape (same scan
+    // anatomy as the capped rows: fixture branches × corpus passes)
+    "q_dedup_semdedup_full" -> 7,
+    "q_dedup_semdedup_text_full" -> 7,
     // three strided scans: the two batch branches + the snapshot side
     "q_dedup_incremental" -> 3,
     // probe stride + corpus (+ centroid stride for IVF)

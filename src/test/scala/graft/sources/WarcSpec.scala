@@ -35,16 +35,19 @@ class WarcSpec extends SparkSpec {
     val rows = WarcSource.warc(spark, dir.getPath)
       .orderBy(col("src"), col("rec_idx")).collect()
     assert(rows.length === 3)
-    assert(rows.forall(_.isNullAt(6)), "no quarantine on a clean file")
+    assert(rows.forall(_.isNullAt(7)), "no quarantine on a clean file")
     val r1 = rows(0)
     assert(r1.getString(2) === "response" && r1.getString(3) === "http://a/1")
-    assert(r1.getInt(4) === 200 && r1.getString(5) === "hello world page one")
+    assert(r1.getInt(4) === 200 && r1.getString(6) === "hello world page one")
+    // the HTTP Content-Type header surfaces raw (the filter normalizes)
+    assert(r1.getString(5) === "text/plain")
     // unicode: Content-Length counted BYTES, the body decodes intact
-    assert(rows(1).getString(5) === "über straße maß")
-    // resource record: no HTTP framing, payload IS the body, status null
+    assert(rows(1).getString(6) === "über straße maß")
+    // resource record: no HTTP framing, payload IS the body, status and
+    // content type null
     assert(rows(2).getString(2) === "resource")
-    assert(rows(2).isNullAt(4))
-    assert(rows(2).getString(5) === "raw resource payload")
+    assert(rows(2).isNullAt(4) && rows(2).isNullAt(5))
+    assert(rows(2).getString(6) === "raw resource payload")
   }
 
   test("quarantine: records before a corruption survive, remainder flagged") {
@@ -66,6 +69,32 @@ class WarcSpec extends SparkSpec {
     assert(q.length === 2)
     assert(q.exists(p => p._1 == "seg2.warc" && p._2.contains("truncated")))
     assert(q.exists(p => p._1 == "seg3.warc" && p._2.contains("bad record magic")))
+  }
+
+  test("responseFilter keeps 200 + allowlisted media, normalizes the type") {
+    val s = spark
+    import s.implicits._
+    def rec(uri: String, status: String, ctype: String): Array[Byte] = {
+      val payload = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\nbody"
+        .getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+        payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val stream = rec("http://f/1", "200 OK", "text/html; charset=UTF-8") ++
+      rec("http://f/2", "404 Not Found", "text/html") ++
+      rec("http://f/3", "200 OK", "application/pdf") ++
+      rec("http://f/4", "200 OK", "TEXT/PLAIN") ++
+      record("http://f/5", "no http framing", warcType = "resource", http = false)
+    val parsed = WarcSource.parseWarc(
+      Seq(("s1", stream)).toDF("src", "content"))
+    val kept = WarcSource.responseFilter(parsed)
+      .select(col("uri"), col("media_type")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept === Set(("http://f/1", "text/html"), ("http://f/4", "text/plain")))
+    // composes with quarantine's clean side (corrupt column already gone)
+    val (clean, _) = WarcSource.quarantine(parsed)
+    assert(WarcSource.responseFilter(clean).count() === 2)
   }
 
   test("bounded decode: an over-cap record truncates, the NEXT record still parses") {
