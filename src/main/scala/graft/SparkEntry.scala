@@ -44,6 +44,12 @@ object SparkEntry {
     // these stay as the full-oracle semantics pins (EmbedSpec: capped ⊇
     // uncapped, equal when every cell fits under the cap)
     "q_dedup_semdedup_full", "q_dedup_semdedup_text_full",
+    // the image near-dup PAIR list (r18 close): quadratic output on a
+    // clustered corpus by definition (m re-encodes = m(m-1)/2 pairs, 9.4x
+    // at 10x) — it stays as the full-oracle banding instrument while the
+    // benched production form is q_mm_dedup_phash_apply (linear survivor
+    // set, anchor-capped work)
+    "q_mm_dedup_phash",
     // exact-percentile twins of q_quality_cut / q_quality_cut_by_lang /
     // q_lm_cut_by_lang: the all-values-in-one-buffer aggregate is the
     // oracle instrument, never the benched production path

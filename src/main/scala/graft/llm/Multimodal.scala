@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -535,9 +536,10 @@ object Multimodal {
     * a meme re-shared a million times never puts one bucket's quadratic
     * through a single task. Input: [[dHashPpm]] output; null hashes
     * (undecodable blobs) drop out before banding. */
-  def dHashPairs(hashed: DataFrame, maxDist: Int,
-      bucketCap: Int = Dedup.DefaultBandBucketCap): DataFrame = {
-    val banded = hashed.filter(col("dhash").isNotNull)
+  /** 4 × 16-bit chunk banding rows for a (doc_id, dhash) frame — the
+    * shared candidate key of [[dHashPairs]] and [[dHashDedupApply]]. */
+  private def dHashBanded(hashed: DataFrame): DataFrame =
+    hashed.filter(col("dhash").isNotNull)
       .select(col("doc_id"), col("dhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),
@@ -545,6 +547,10 @@ object Multimodal {
           .as("ck"))
       .select(col("doc_id"), col("dhash").as("sig"),
         col("ck.chunk").as("band"), col("ck.key").as("key"))
+
+  def dHashPairs(hashed: DataFrame, maxDist: Int,
+      bucketCap: Int = Dedup.DefaultBandBucketCap): DataFrame = {
+    val banded = dHashBanded(hashed)
     val cand =
       if (bucketCap == Int.MaxValue)
         banded.as("a").hint("shuffle_merge")
@@ -558,6 +564,47 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Perceptual near-dup APPLY — the production form of [[dHashPairs]]:
+    * drop every image whose hash lies within `maxDist` of a LOWER-ID
+    * image sharing a band key; keep the rest. "List all pairs" output is
+    * quadratic in a clustered corpus by definition (a meme re-shared m
+    * times is m(m−1)/2 pairs — the r18-close 10x breach), so the pairs
+    * form retires to verify-only oracle instrument and THIS is what the
+    * bench measures: survivors are linear, and the anchor cap (the
+    * [[Similarity.semDeDupSurvivors]] stage-b discipline) bounds the work
+    * per band bucket at n·cap — each image compares only against the cap
+    * lowest-id members of its buckets. Recall against a lower-id partner
+    * outside the anchor set is traded away explicitly; a dense cluster is
+    * exactly what the anchors still catch.
+    *
+    * Skew posture: anchors come from a two-phase salted top-k (no task
+    * ever sorts a whole hot bucket — the topKPerGroup doctrine), and the
+    * loser join salts the b-side (anchors, ≤cap per bucket, replicate to
+    * every salt; result set unchanged) so the hottest bucket spreads over
+    * nSalts tasks. */
+  def dHashDedupApply(hashed: DataFrame, maxDist: Int,
+      anchorCap: Int = 64, nSalts: Int = 32): DataFrame = {
+    val banded = dHashBanded(hashed)
+    val salt = pmod(Sampling.scrambleKey(col("doc_id")), lit(nSalts.toLong))
+    val anchors = banded
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("band"), col("key"), salt).orderBy(col("doc_id"))))
+      .filter(col("rk1") <= anchorCap)
+      .withColumn("rk2", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+      .filter(col("rk2") <= anchorCap)
+      .select(col("doc_id"), col("sig"), col("band"), col("key"),
+        explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)).as("slt"))
+    val bSide = banded.withColumn("slt", salt)
+    val losers = anchors.as("a")
+      .join(bSide.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.slt") === col("b.slt") && col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxDist)
+      .select(col("b.doc_id").as("loser")).distinct()
+    hashed.join(losers, hashed("doc_id") === losers("loser"), "left_anti")
   }
 
   private val PngSig: Array[Byte] =

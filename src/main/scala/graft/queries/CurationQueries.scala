@@ -60,10 +60,16 @@ object CurationQueries {
   /** Shared centroid side of the text-semdedup pair: off the BASE table
     * directly (one pruned scan) — filtering the union fixture would
     * re-read the plant branch just to discard it (id+900000 < 900000
-    * isn't folded away). */
+    * isn't folded away). CAPPED stride (≤16 slots, the q_sample_cluster /
+    * PQ-codebook budget): under the r18 anchorCap guard the pair stage no
+    * longer needs |cells| to grow with the corpus (per-cell work is
+    * n·cap, not n²), so an uncapped stride would only make the broadcast
+    * argmin quadratic — the exact 10x breach the r17-close measured. The
+    * verify-only _full twin keeps the uncapped stride (its all-pairs form
+    * is what still needs cells to scale). */
   private def semdedupTextCentroids(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(col("doc_id") % 101 === 0)
+      .filter(col("doc_id") % 101 === 0 && col("doc_id") < 1616)
       .select(col("doc_id").as("vec_id"),
         graft.llm.Embed.hashedEmbedding(col("text")).as("embedding"))
 
@@ -188,7 +194,11 @@ object CurationQueries {
     // retired 10x waiver); stays as the full-oracle semantics pin.
     "q_dedup_semdedup_text_full" -> ((s, d) => {
       graft.llm.Similarity.semDeDupSurvivors(docsEmbFix(s, d),
-          centroids = semdedupTextCentroids(s, d), tau = 0.999, nBits = 0)
+          centroids = Tables.documents(s, d)
+            .filter(col("doc_id") % 101 === 0)
+            .select(col("doc_id").as("vec_id"),
+              graft.llm.Embed.hashedEmbedding(col("text")).as("embedding")),
+          tau = 0.999, nBits = 0)
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     }),
@@ -584,7 +594,7 @@ object CurationQueries {
          |exl AS (SELECT vec_id AS loser FROM mn WHERE vec_id > mn),
          |cent AS (SELECT vec_id AS cell, qv AS cqv FROM qq
          |         WHERE vec_id IN (SELECT doc_id FROM documents
-         |                          WHERE doc_id % 101 = 0)),
+         |                          WHERE doc_id % 101 = 0 AND doc_id < 1616)),
          |asg AS (SELECT r.vec_id, cent.cell,
          |               list_reduce(list_transform(generate_series(1, len(r.qv)),
          |                 i -> (r.qv[i] - cqv[i]) * (r.qv[i] - cqv[i])),

@@ -1806,10 +1806,26 @@ object LlmQueries {
     // only on genuine near-collisions, which the oracle reproduces
     // exactly (banding is complete for dist ≤ 3 by pigeonhole, so the
     // SQL restatement is a plain hamming filter over band-key matches).
+    // VERIFY-ONLY (r18 close): a pair list is quadratic in a clustered
+    // image corpus by definition — 9.4× at 10x — so the benched
+    // production form is q_mm_dedup_phash_apply below.
     "q_mm_dedup_phash" -> ((s, d) => {
       Multimodal.dHashPairs(Multimodal.dHashPpm(ppmDupFix(s, d)), maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Image near-dup APPLY — the production form: drop every image within
+    // hamming 3 of a lower-id anchor (cap-lowest ids per band bucket),
+    // keep the rest. Output is the survivor set (linear); work per bucket
+    // is n·cap (the semdedup anchor discipline). The plants drop; the
+    // whole chain — decode, hash, banding, anchors, losers — restates in
+    // the oracle.
+    "q_mm_dedup_phash_apply" -> ((s, d) => {
+      Multimodal.dHashDedupApply(Multimodal.dHashPpm(ppmDupFix(s, d)),
+          maxDist = 3)
+        .select(col("doc_id"), col("dhash"))
+        .orderBy(col("doc_id"))
     }),
 
     // Audio envelope hash: decode every WAV of the plant fixture through
@@ -3093,6 +3109,25 @@ object LlmQueries {
       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY id_a, id_b""".stripMargin,
+
+    // banding + cap-lowest-id anchors + hamming losers + NOT IN — the
+    // apply restated end to end
+    "q_mm_dedup_phash_apply" -> s"""$PhashCtes,
+      |ck AS (SELECT doc_id, dhash, band,
+      |              (dhash >> CAST(16 * band AS INT)) & 65535 AS key
+      |       FROM all3 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |anc AS (SELECT band, key, doc_id, dhash FROM (
+      |          SELECT band, key, doc_id, dhash,
+      |                 row_number() OVER (PARTITION BY band, key
+      |                                    ORDER BY doc_id) AS rk
+      |          FROM ck) WHERE rk <= 64),
+      |ls AS (SELECT DISTINCT y.doc_id AS loser
+      |       FROM anc x JOIN ck y ON x.band = y.band AND x.key = y.key
+      |                           AND x.doc_id < y.doc_id
+      |       WHERE bit_count(xor(x.dhash, y.dhash)) <= 3)
+      |SELECT doc_id, dhash FROM all3
+      |WHERE doc_id NOT IN (SELECT loser FROM ls)
+      |ORDER BY doc_id""".stripMargin,
 
     "q_mm_ahash" -> s"""$AhashCtes
       |SELECT doc_id, dhash FROM all3 ORDER BY doc_id""".stripMargin,

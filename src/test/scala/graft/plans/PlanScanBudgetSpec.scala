@@ -53,6 +53,10 @@ class PlanScanBudgetSpec extends SparkSpec {
     // WAV perceptual fixture: base + re-encode + polarity-invert branches
     "q_mm_ahash" -> 3,
     "q_mm_dedup_ahash" -> 3,
+    // apply form: the 3 fixture branches × 3 banded-frame consumers
+    // (anchor chain, b-side, final anti-join) — the standard uncached
+    // derive-then-filter shape; exchange reuse dedupes the shuffles
+    "q_mm_dedup_phash_apply" -> 9,
     // dotted base + three plant branches (bad lines, lorem, braces)
     "q_c4_clean" -> 4,
     // scaled-duplicate fixture (2 branches) × three corpus passes (cell
