@@ -33,7 +33,10 @@ import org.apache.spark.sql.types._
 case class TokenWindowHashesExpr(child: Expression, w: Int,
     b: Long = WinnowFingerprintExpr.B, p: Long = WinnowFingerprintExpr.P)
     extends UnaryExpression {
-  require(w >= 2, s"window width must be >= 2 (got $w)")
+  // w = 1 degenerates to the plain per-token code-point fold (no ' '
+  // joiner ever fires) — the portable single-string hash the host-keyed
+  // split rides; restated by the same polyHashSql list_reduce
+  require(w >= 1, s"window width must be >= 1 (got $w)")
   require(p > 1 && (p - 1) <= (Long.MaxValue - 0x10FFFF) / b,
     s"modulus $p overflows 64-bit fold with base $b")
 

@@ -267,6 +267,27 @@ object CurationQueries {
         .orderBy(col("host"), col("doc_id"))
     }),
 
+    // Group-aware train/val/test split (r18): the leakage guard every
+    // dedup paper recommends — split by HOST, not by document, so the
+    // near-duplicates a domain inevitably carries can never straddle the
+    // eval boundary. The host's portable poly hash (the winnow-family
+    // code-point fold, restated verbatim in DuckDB) feeds the same
+    // scramble-key split arithmetic q_split uses; output proves the
+    // invariant in data — every host lands in exactly ONE split row.
+    "q_split_by_host" -> ((s, d) => {
+      docsUrlFix(s, d)
+        .select(col("doc_id"),
+          graft.llm.UrlCuration.host(
+            graft.llm.UrlCuration.canonicalize(col("url"))).as("host"))
+        .withColumn("hkey", element_at(
+          graft.functions.TokenWindowHashesExpr.hashes(array(col("host")), 1), 1))
+        .withColumn("split", graft.llm.Sampling.splitLabel(col("hkey"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy(col("host"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("host"))
+    }),
+
     // URL blocklist filter (the C4 badlist / RefinedWeb URL-filter pass):
     // exact-or-dot-suffix domain match + pattern match, both against the
     // CANONICAL url, as literal codegen'd predicates (a blocklist is
@@ -731,6 +752,27 @@ object CurationQueries {
        |      FROM hh)
        |SELECT host, doc_id FROM r WHERE rk <= 10
        |ORDER BY host, doc_id""".stripMargin,
+
+    // host poly hash → scramble → the q_split bound arithmetic (floor of
+    // the cumulative-fraction ladder over 2^32, computed in Scala double
+    // math and restated as the exact literals)
+    "q_split_by_host" -> s"""$UrlCanonCtes,
+       |hh AS (SELECT doc_id,
+       |         regexp_extract(url_canon,
+       |           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+       |       FROM cn),
+       |hk AS (SELECT doc_id, host,
+       |         ${polyHashSql("host")} AS hkey
+       |       FROM hh),
+       |sp AS (SELECT doc_id, host,
+       |         CASE WHEN ((hkey % 2147483648) * 2654435761) % 4294967296
+       |                   < 3435973836 THEN 'train'
+       |              WHEN ((hkey % 2147483648) * 2654435761) % 4294967296
+       |                   < 3865470566 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM hk)
+       |SELECT host, split, count(*) AS n_docs
+       |FROM sp GROUP BY 1, 2 ORDER BY host""".stripMargin,
 
     "q_url_filter" -> {
       val dom = graft.llm.UrlCuration.DefaultBlockedDomains.map(dd =>

@@ -134,6 +134,38 @@ class WarcSpec extends SparkSpec {
       Seq("http://s/1", "http://s/2", "http://s/3"))
   }
 
+  test("streaming first-mile: landing zone → response gate → URL dedup across batches") {
+    val dir = Files.createTempDirectory("graft-warc-fm").toFile
+    val ckpt = Files.createTempDirectory("graft-warc-fm-ckpt").toFile
+    // batch 1: two fetches whose URLs canonicalize apart
+    Files.write(new java.io.File(dir, "seg1.warc").toPath,
+      record("http://A.example/x?utm_source=feed", "page one", http = true) ++
+        record("http://b.example/y", "page two", http = true))
+    val gated = graft.llm.UrlCuration.canonicalize(col("uri"))
+    val q = WarcSource.responseFilter(WarcSource.warcStream(spark, dir.getPath))
+      .withColumn("url_canon", gated)
+      .select(col("url_canon"), col("body"))
+      .dropDuplicates("url_canon")
+      .writeStream.format("memory").queryName("warc_first_mile")
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a RE-FETCH of page one under a different spelling of the
+      // same canonical URL (+ one genuinely new page) — the stateful dedup
+      // must drop it in a LATER micro-batch, i.e. state survived
+      Files.write(new java.io.File(dir, "seg2.warc").toPath,
+        record("HTTP://A.EXAMPLE:80/x#frag", "page one refetch", http = true) ++
+          record("http://c.example/z", "page three", http = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("warc_first_mile").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.keySet === Set("http://a.example/x", "http://b.example/y",
+      "http://c.example/z"))
+    assert(got("http://a.example/x") === "page one", "first fetch must win")
+  }
+
   test("walk edges: empty file, missing separator, non-numeric length") {
     assert(WarcSource.walk("s", Array.emptyByteArray).isEmpty)
     val noSep = record("http://c/1", "body").dropRight(4) ++
