@@ -1447,8 +1447,15 @@ object LlmQueries {
       val kept = stats
         .filter(col("quality") >= 0.5 && col("en_like") === "en-like")
         .persist()
-      val pairs = Dedup.jaccardPairs(kept.select(col("doc_id"), col("text")),
-        col("doc_id"), col("text"), n = 3, threshold = 0.6)
+      // near-dup stage = the WINNOW chain (r18 close): the exact-Jaccard
+      // chain this pipeline originally embedded is quadratic on a hot
+      // shingle (the reason q_dedup_jaccard itself is verify-only), and
+      // at 10x it owned the pipeline's 9× ratio breach; winnowPairs is
+      // the production fingerprint pass — dfCap-bounded, ~2× at 10x —
+      // and restates in the oracle verbatim (poly hash, not xxhash)
+      val pairs = Dedup.winnowPairs(kept.select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), k = WinnowK, w = WinnowW, dfCap = 64,
+        threshold = 0.5)
       Dedup.dropNearDups(kept, col("doc_id"),
           Dedup.components(pairs, col("id_a"), col("id_b")))
         .select(col("doc_id"), round(col("quality"), 6).as("quality"))
@@ -2859,34 +2866,22 @@ object LlmQueries {
         |SELECT pid, nid, round(score, 6) AS score, rank
         |FROM r WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
 
-    "q_clean_pipeline" -> s"""${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")},
-      |st AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM d3),
-      |kept AS (SELECT doc_id, text,
+    // quality/en-like gate, then the WINNOW near-dup chain (the
+    // q_dedup_winnow_apply CTEs parameterized on the kept subset) +
+    // transitive components — the production pipeline restated end to end
+    "q_clean_pipeline" -> (s"${NearDupCte.replace("WITH d3", "WITH RECURSIVE d3")}, " +
+      """st AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM d3),
+      |kq AS (SELECT doc_id, text,
       |       (least(len(t) / 100.0, 1.0)
       |        + least(len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) * 10.0, 1.0)
       |        + len(list_distinct(t)) * 1.0 / len(t)) / 3.0 AS quality,
       |       len(list_filter(t, x -> x IN ('the', 'a'))) * 1.0 / len(t) AS sr
       |       FROM st),
-      |k2 AS (SELECT doc_id, text, quality FROM kept
-      |       WHERE quality >= 0.5 AND sr >= 0.06),
-      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM k2),
-      |sh AS (SELECT doc_id,
-      |              list_distinct(list_transform(generate_series(1, len(t) - 2),
-      |                i -> array_to_string(t[i:i+2], ' '))) AS s
-      |       FROM tk WHERE len(t) >= 3),
-      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-      |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
-      |          FROM inv a JOIN inv b
-      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT id_a, id_b
-      |          FROM inter
-      |          JOIN sz sa ON sa.doc_id = id_a
-      |          JOIN sz sb ON sb.doc_id = id_b
-      |          WHERE n_int * 1.0 / (sa.n_sh + sb.n_sh - n_int) >= 0.6),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |k2 AS (SELECT doc_id, text, quality FROM kq
+      |       WHERE quality >= 0.5 AND sr >= 0.06), """.stripMargin +
+      s"${winnowFpsCtes("k2")}, $WinnowPairCtes, " +
+      """e AS (SELECT id_a AS src, id_b AS dst FROM wp
+      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM wp),
       |reach AS (
       |  SELECT src, dst FROM e
       |  UNION
@@ -2895,7 +2890,7 @@ object LlmQueries {
       |         FROM reach GROUP BY src)
       |SELECT doc_id, round(quality, 6) AS quality FROM k2
       |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
-      |ORDER BY doc_id""".stripMargin,
+      |ORDER BY doc_id""".stripMargin),
 
     "q_sample_capped" ->
       """WITH t AS (SELECT doc_id % 7 AS domain, doc_id,
