@@ -44,4 +44,25 @@ object Html {
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** The two attribute orderings of a robots opt-out meta tag — shared
+    * verbatim with the DuckDB oracle (RE2-subset: inline flags, \b, no
+    * backrefs; identical semantics in Java regex and RE2). `noindex` or
+    * `none` must appear as a token INSIDE the content attribute's quoted
+    * value (the `[^'"]*` bound), so `content="nofollow"` or a page that
+    * merely mentions the word stays indexable. */
+  def robotsPatterns(agent: String): Seq[String] = Seq(
+    s"(?is)<meta[^>]*name\\s*=\\s*['\"]?$agent['\"]?[^>]*" +
+      "content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b",
+    s"(?is)<meta[^>]*content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b" +
+      s"[^'\"]*['\"][^>]*name\\s*=\\s*['\"]?$agent['\"]?")
+
+  /** Robots meta opt-out gate — TRUE when the page asks not to be indexed:
+    * a `<meta name="robots" content="... noindex/none ...">` in either
+    * attribute order, case-insensitive. The publisher-opt-out pass a
+    * responsible crawl curation runs BEFORE keeping any text; `agent`
+    * narrows to a named crawler's tag (`googlebot`-style) when a pipeline
+    * honors per-agent directives. Codegen'd rlike — no UDF, no shuffle. */
+  def robotsNoindex(html: Column, agent: String = "robots"): Column =
+    robotsPatterns(agent).map(html.rlike).reduce(_ || _)
 }

@@ -591,15 +591,18 @@ object Similarity {
       // ONE map-side-combined groupBy, no join-back (losers fall out as
       // the ids that simply aren't representatives). Zero-norm rows get a
       // unique per-row key: cosine can never drop them, so neither may
-      // the collapse.
+      // the collapse. Only nv rides the collapse shuffle; qv is a pure
+      // function of nv (the floor(·100) quantization), so recomputing it
+      // post-agg prunes a dim-long array from every shuffled row.
       val reps = n0
+        .select(col("vec_id"), col("nv"))
         .withColumn("hk",
           when(dot(col("nv"), col("nv")) > 0d, xxhash64(col("nv")))
             .otherwise(-col("vec_id")))
         .groupBy(col("hk"))
         .agg(min(col("vec_id")).as("vec_id"),
-          min_by(struct(col("nv"), col("qv")), col("vec_id")).as("s"))
-        .select(col("vec_id"), col("s.nv").as("nv"), col("s.qv").as("qv"))
+          min_by(col("nv"), col("vec_id")).as("nv"))
+        .select(col("vec_id"), col("nv"), quant(col("nv"), 100).as("qv"))
       val keyed = keyOf(reps)
       // stage b: a-side capped to the per-(cell, bucket) anchor set
       val anchors = keyed

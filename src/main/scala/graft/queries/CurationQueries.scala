@@ -86,6 +86,29 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Robots meta opt-out gate (r18): the publisher-opt-out pass a
+    // responsible curation runs before keeping any text. Five fixture
+    // arms: blocked via name-first NOINDEX (case), blocked via
+    // content-first 'none' with an unquoted name attr, kept index/follow,
+    // kept noindex-for-ANOTHER-agent (googlebot ≠ robots), kept no-meta.
+    // The oracle re-runs the SAME two RE2-subset patterns in DuckDB over
+    // the reconstructed html (the redactPii shared-pattern discipline).
+    "q_html_robots_gate" -> ((s, d) => {
+      val arm = pmod(col("doc_id"), lit(5))
+      val meta = when(arm === 0,
+          lit("<meta name=\"ROBOTS\" content=\"NOINDEX, follow\">"))
+        .when(arm === 1, lit("<meta content='none' name=robots>"))
+        .when(arm === 2, lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .when(arm === 3, lit("<meta name=\"googlebot\" content=\"noindex\">"))
+        .otherwise(lit(""))
+      Tables.documents(s, d)
+        .withColumn("html", concat(lit("<html><head>"), meta,
+          lit("</head><body><p>"), col("text"), lit("</p></body></html>")))
+        .filter(!graft.llm.Html.robotsNoindex(col("html")))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(5)).cast("long").as("arm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 targeted mining: top-50 docs for the literal term query,
     // ranked on the 6-dp-rounded score (engine-stable boundary).
     "q_bm25_mine" -> ((s, d) => {
@@ -726,6 +749,26 @@ object CurationQueries {
         |         row_number() OVER (PARTITION BY cell ORDER BY sk, vec_id) AS rk
         |  FROM sk) WHERE rk <= 10
         |ORDER BY cell, vec_id""".stripMargin,
+
+    // the same two robots patterns, SQL-quoted, over the same arm fixture
+    "q_html_robots_gate" -> {
+      val Seq(p1, p2) = graft.llm.Html.robotsPatterns("robots")
+        .map(_.replace("'", "''"))
+      s"""WITH h AS (SELECT doc_id, doc_id % 5 AS arm,
+         |  '<html><head>' ||
+         |  CASE doc_id % 5
+         |    WHEN 0 THEN '<meta name="ROBOTS" content="NOINDEX, follow">'
+         |    WHEN 1 THEN '<meta content=''none'' name=robots>'
+         |    WHEN 2 THEN '<meta name="robots" content="index, follow">'
+         |    WHEN 3 THEN '<meta name="googlebot" content="noindex">'
+         |    ELSE '' END ||
+         |  '</head><body><p>' || text || '</p></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id, arm FROM h
+         |WHERE NOT (regexp_matches(html, '$p1')
+         |           OR regexp_matches(html, '$p2'))
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_url_canon" -> s"""$UrlCanonCtes
        |SELECT doc_id, url, url_canon,

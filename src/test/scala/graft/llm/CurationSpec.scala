@@ -195,6 +195,31 @@ class CurationSpec extends SparkSpec {
 
   // ---- html strip ----
 
+  test("robotsNoindex: both attr orders, case, quoting, token and agent bounds") {
+    val s = spark
+    import s.implicits._
+    def blocked(h: String, agent: String = "robots"): Boolean =
+      Seq(h).toDF("h").select(Html.robotsNoindex(col("h"), agent).as("v"))
+        .collect()(0).getBoolean(0)
+    assert(blocked("""<meta name="robots" content="noindex, follow">"""))
+    assert(blocked("""<META NAME="ROBOTS" CONTENT="NOINDEX">"""))
+    assert(blocked("""<meta content='none' name=robots>"""))
+    assert(blocked("""<meta name='robots' content='nofollow, noindex'>"""))
+    // content token bound: nofollow alone, or 'noindexing' as a longer
+    // word, must NOT block
+    assert(!blocked("""<meta name="robots" content="nofollow">"""))
+    assert(!blocked("""<meta name="robots" content="noindexing">"""))
+    // a page that merely MENTIONS noindex in prose stays indexable
+    assert(!blocked("<p>set robots to noindex to hide a page</p>"))
+    // agent bound: another crawler's directive is not ours...
+    assert(!blocked("""<meta name="googlebot" content="noindex">"""))
+    // ...unless the pipeline asks for that agent
+    assert(blocked("""<meta name="googlebot" content="noindex">""",
+      agent = "googlebot"))
+    assert(!blocked("""<meta name="robots" content="index, follow">"""))
+    assert(!blocked("plain text, no markup"))
+  }
+
   test("htmlToText: blocks dropped, tags stripped, entities decoded in order") {
     val s = spark
     import s.implicits._
