@@ -42,7 +42,8 @@ object Bench {
       failed.map { k => s"\"" + k + "\":\"ERR\"" })
       .mkString("{", ",", "}")
 
-  def headline(ok: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
+  def headline(ok: Seq[(String, Double)], failed: Seq[String], sfDir: String,
+      env: String = ""): String = {
     // adaptive precision on the ONE driver-parsed line: centiseconds below
     // 100 s, whole seconds above — a 100+ s query is a dead round, not
     // something needing centisecond resolution
@@ -58,10 +59,21 @@ object Bench {
     // sf as basename: the directory prefix is constant and the line budget
     // is the scarce resource
     val sf = sfBase(sfDir)
-    s"""{"metric":"total","value":${cs(total)},"unit":"sec","failed":${failed.size},"n_benched":${ok.size + failed.size},"queries":$qs,"detail":"${detailFileName(sfDir)}","sf":"$sf"}"""
+    s"""{"metric":"total","value":${cs(total)},"unit":"sec","failed":${failed.size},"n_benched":${ok.size + failed.size},"queries":$qs,"detail":"${detailFileName(sfDir)}","sf":"$sf"$env}"""
+  }
+
+  /** Run-environment fields for the headline — process wall-clock and the
+    * 1-minute OS load average (r18 verdict #3: the driver round's whole
+    * bench ran ~1.4× slow vs the same-code close-gate run; with wall+load
+    * ON the parsed line, a loaded machine is distinguishable from a real
+    * regression without re-running anything). */
+  def envJson(wallSec: Double, loadAvg: Double): String = {
+    val load = if (loadAvg < 0) "null" else ms(loadAvg)
+    s""","wall":${ms(wallSec)},"load":$load"""
   }
 
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     // neutral JVM/codegen warmup so the first timed query doesn't absorb
@@ -138,13 +150,20 @@ object Bench {
       // min of two runs is the stable per-query signal. When the two samples
       // disagree badly the min itself is likely still noise-inflated — one
       // adaptive third sample damps it without tripling every query's cost.
-      val s1 = once(); val s2 = once()
-      val best2 = if (s1.total <= s2.total) s1 else s2
+      // The dedup family gets min-of-3 unconditionally (r18 verdict #3/#5:
+      // q_dedup_apply_lsh swung 4.7× between the driver bench and the
+      // close-gate run on an untouched code path — iterative-components and
+      // wide-shuffle queries carry enough JIT/GC state that two samples can
+      // BOTH land inflated without tripping the spread guard).
+      val minReps = if (name.contains("dedup")) 3 else 2
+      val samples = Seq.fill(minReps)(once())
+      val bestN = samples.minBy(_.total)
+      val spread = samples.map(_.total).max - bestN.total
       val best =
-        if (math.abs(s1.total - s2.total) / best2.total > 0.3) {
-          val s3 = once()
-          if (s3.total < best2.total) s3 else best2
-        } else best2
+        if (spread / bestN.total > 0.3) {
+          val sx = once()
+          if (sx.total < bestN.total) sx else bestN
+        } else bestN
       name -> best
     }
     // OUTPUT CONTRACT (r10 postmortem): the driver parses ONLY the final
@@ -182,8 +201,11 @@ object Bench {
     }
     // final line: the headline the driver parses — failed queries appear as
     // the string "ERR" so they can never masquerade as a fast timing
+    val env = envJson((System.nanoTime() - wall0) / 1e9,
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage)
     println(headline(ok.toSeq.map { case (k, s) => (k, s.total) },
-      failed.keys.toSeq.sorted, sfDir))
+      failed.keys.toSeq.sorted, sfDir, env))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

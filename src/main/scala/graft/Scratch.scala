@@ -352,6 +352,33 @@ object Scratch {
         } finally graft.CacheHygiene.releaseAll(spark)
       }
       println("[scratch] scans_ab sweep complete")
+    } else if (args.headOption.contains("span_ab")) {
+      // SpanDedup.dedupApply stage decomposition (r18 verdict #3: 4.8x at
+      // 10x) — which stage grows superlinearly: the owners agg, the flagged
+      // join + collect_list, or the per-doc coverage filter?
+      import org.apache.spark.sql.DataFrame
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      // the REGISTERED fixture (base ∪ span plants), not plain documents —
+      // plus the registered query itself, so the sort/fixture overhead vs
+      // the chain stages is visible in one decomposition
+      val p1 = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+      val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val docs = base.unionAll(
+        base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(p1, lit(" spanfix trailer tokens x y z q r s t u")).as("text")))
+      for (_ <- 1 to 2) {
+        time("registered query (sorted)")(noop(
+          graft.SparkEntry.queries("q_dedup_substring_apply")(spark, d)))
+        time("full apply")(noop(
+          graft.llm.SpanDedup.dedupApply(docs, col("doc_id"), col("text"))))
+        time("cuts only (no coverage filter)")(noop(
+          graft.llm.SpanDedup.probeCuts(docs, col("doc_id"), col("text"))))
+        time("owners only")(noop(
+          graft.llm.SpanDedup.probeOwners(docs, col("doc_id"), col("text"))))
+        CacheHygiene.releaseAll(spark)
+      }
     } else if (args.headOption.contains("reuse_ab")) {
       // control: does a plain self-join reuse its exchange in this session?
       val t = spark.range(100000).select(col("id"),

@@ -232,54 +232,96 @@ object Dedup {
         b.as("band"),
         xxhash64(array_join(slice(sig, b * rows + lit(1), lit(rows)), ",")).as("key")))
 
-  /** Near-dup candidate pairs via MinHash LSH: signature → bands → equi-join
-    * on (band, key) → dedupe pairs → estimate Jaccard as the fraction of
-    * agreeing signature positions; keep pairs ≥ threshold.
+  /** Near-dup candidate pairs via MinHash LSH: signature → bands → df cut →
+    * equi-join on (band, key) → dedupe id pairs → join signatures back →
+    * estimate Jaccard as the fraction of agreeing positions; keep ≥ threshold.
     *
-    * `bucketCap` arms the skew guard ([[saltedBandPairs]]): buckets larger
-    * than the cap are salted into bounded sub-cells before the self-join.
-    * AUTO-ARMED by default ([[DefaultBandBucketCap]]) — r12 verdict: a
-    * 100 TB crawl must not rely on the caller knowing to set it, and a
-    * degenerate band bucket (near-identical short docs, an adversarial
-    * shingle) is exactly the input dedup exists for. Buckets at or under
-    * the cap still take the single-cell path (S = 1), i.e. the exact
-    * unsalted join per bucket; pass `Int.MaxValue` explicitly to force the
-    * plain two-sided join (the equality-spec instrument). */
+    * Two 100 TB disciplines beyond the classic b×r chain:
+    *
+    *   - '''df cut''' (`bandDfCap`, the [[winnowPairs]] lesson transplanted —
+    *     r18 verdict #1): a band key present in more than `bandDfCap`
+    *     documents is dropped BEFORE pair fan-out. Such a key is a ≥cap-sized
+    *     clump of documents whose signatures agree on a whole band — an
+    *     exact/near-exact duplicate swarm or degenerate boilerplate, whose m²
+    *     pair fan-out is exactly the superlinear term the 10× gate measures
+    *     (band collisions grow quadratically with clump size). Its content is
+    *     exact-dedup's and substring-dedup's job; every TRUE near-dup pair it
+    *     would witness is re-witnessed by the pair's rarer bands unless the
+    *     pair sits inside a ≥cap clump in all 16 bands — i.e. is an exact-dup
+    *     cluster. ABSOLUTE cap, not a corpus fraction (a fraction re-opens
+    *     the quadratic door as the corpus grows). Recall vs an uncapped
+    *     positive control is pinned by LlmSpec. The cut is one
+    *     map-side-combined aggregation; only the (rare) hot keys flow into
+    *     the un-hinted anti-join (AQE broadcasts when actually small).
+    *
+    *   - '''id-only pair shuffle''': the band self-join and the pair
+    *     dropDuplicates carry (id_a, id_b) ONLY — 16 bytes — and the k-long
+    *     signatures join back per SURVIVING pair. The previous shape rode
+    *     both 64-long signatures through the join (≈1 KB/row): on a dup-heavy
+    *     corpus every cluster collides in ~all bands, so the pre-dedup pair
+    *     stream is ~bands× the deduped one, and hauling signatures through it
+    *     was a ~60× wider shuffle than needed — the dominant term of the r18
+    *     10× ratios (5.7× on q_dedup_minhash). The signature relation is
+    *     persisted: it feeds banding and both join-backs.
+    *
+    * `bucketCap` arms the skew guard ([[saltedBandPairs]]) — only reachable
+    * when the df cut is disabled (`bandDfCap = Int.MaxValue`), since any
+    * surviving bucket is otherwise ≤ bandDfCap ≤ bucketCap rows; kept for
+    * the guard's spec instruments and df-cut-off callers. Pass
+    * `bucketCap = Int.MaxValue` to force the plain two-sided join. */
   def minHashCandidates(docs: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      bucketCap: Int = DefaultBandBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBandBucketCap,
+      bandDfCap: Int = DefaultBandDfCap): DataFrame = {
     val rows = k / bands
     // token-count pre-filter, not size(sh) > 0 — see jaccardPairs: a filter
     // on the projected column pushes below the projection and doubles the
-    // shingle derivation in the scan
+    // shingle derivation in the scan.
+    // PERSISTED (CacheHygiene contract, as jaccardPairs' sh): feeds the
+    // banding branch and the two per-pair signature join-backs.
     val sig = docs.filter(size(TextAnalysis.tokens(text)) >= shingleN)
       .select(id.as("doc_id"), shingleHashesNative(text, shingleN).as("sh"))
       .select(col("doc_id"),
         graft.functions.MinHashSignatureExpr.signature(col("sh"), k).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+      .persist()
+    val banded = sig.select(col("doc_id"),
         explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand =
-      (if (bucketCap == Int.MaxValue) {
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val kept =
+      if (bandDfCap == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > bandDfCap)
+          .select(col("band"), col("key")),
+        Seq("band", "key"), "left_anti")
+    val idPairs =
+      (if (bucketCap == Int.MaxValue || bandDfCap <= bucketCap) {
         // shuffle_merge self-join: one exchange, read twice (see jaccardPairs)
-        banded.as("a").hint("shuffle_merge")
-          .join(banded.as("b").hint("shuffle_merge"),
+        kept.as("a").hint("shuffle_merge")
+          .join(kept.as("b").hint("shuffle_merge"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      } else saltedBandPairs(banded, bucketCap))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      } else saltedBandPairs(kept, bucketCap))
       .dropDuplicates("id_a", "id_b")
-    // native agreement count — evaluated per candidate pair, the widest
-    // intermediate of the pipeline (ArrayEqCountExpr, pinned vs the HOF
-    // size(filter(zip_with(...))) shape by its spec)
-    cand.withColumn("est_jaccard",
+    // native agreement count — evaluated once per SURVIVING pair
+    // (ArrayEqCountExpr, pinned vs the HOF size(filter(zip_with(...)))
+    // shape by its spec)
+    idPairs
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
         graft.functions.ArrayEqCountExpr.eqCount(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
+
+  /** Default band-key document-frequency cap — same constant class as
+    * winnowing's dfCap: a band key shared by more than 64 documents is a
+    * duplicate swarm, not near-dup evidence (see [[minHashCandidates]]).
+    * 64 bounds any surviving bucket's pair fan-out at 64²/2 ≈ 2k forever. */
+  val DefaultBandDfCap = 64
 
   /** Skew guard: the pair-preserving salted self-join over (band, key)
     * buckets — the salt the file-header note promises.
@@ -314,6 +356,10 @@ object Dedup {
 
   private[llm] def saltedBandPairs(banded: DataFrame, cap: Int): DataFrame = {
     require(cap > 0, "bucketCap must be positive")
+    // id-only rows through the salted join (r19): the signature/fingerprint
+    // no longer rides the replicated cells — callers join it back per
+    // deduplicated pair, so the S-fold replication multiplies 16-byte rows,
+    // not k-long arrays.
     val oversized = oversizedBandBuckets(banded, cap)
     val salted = banded.join(broadcast(oversized), Seq("band", "key"), "left")
       .withColumn("nsalt",
@@ -323,8 +369,7 @@ object Dedup {
         sequence(lit(0), col("nsalt") - 1),
         t => struct(least(t, col("salt")).as("ci"),
           greatest(t, col("salt")).as("cj")))))
-      .select(col("doc_id"), col("sig"), col("band"), col("key"),
-        col("salt"), col("cell"))
+      .select(col("doc_id"), col("band"), col("key"), col("salt"), col("cell"))
     salted.as("a").hint("shuffle_merge")
       .join(salted.as("b").hint("shuffle_merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -332,8 +377,7 @@ object Dedup {
           least(col("a.salt"), col("b.salt")) === col("a.cell").getField("ci") &&
           greatest(col("a.salt"), col("b.salt")) === col("a.cell").getField("cj") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
   }
 
   /** One literal mask per bit position — lets the vote fold test bits with
@@ -378,26 +422,31 @@ object Dedup {
     // pinned by SimHash64ExprSpec) — the 64×|tokens| vote fold is the hot
     // loop; token hashing is the n=1 ShingleHashExpr (same family, pinned)
     val th = graft.functions.ShingleHashExpr.tokenHashes(TextAnalysis.tokens(text))
+    // PERSISTED (CacheHygiene contract): the 8-byte fingerprint relation
+    // feeds banding and the two per-pair join-backs — id-only pairs through
+    // the chunk join + dropDuplicates, fingerprints re-attached after (the
+    // minHashCandidates shuffle-width discipline; for SimHash the carried
+    // payload was only 8 bytes, but the banded pre-dedup stream is ~4× the
+    // deduped pair set on a dup-heavy corpus, so the re-attach still wins).
     val withSh = docs.select(id.as("doc_id"),
       graft.functions.SimHash64Expr.simHash64(th).as("sh"))
-    // the fingerprint rides the banded rows as `sig` so the shared salt
-    // guard's (doc_id, sig, band, key) contract applies unchanged
-    val banded = withSh.select(col("doc_id"), col("sh"),
+      .persist()
+    val banded = withSh.select(col("doc_id"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("sh").as("sig"),
-        col("ck.chunk").as("band"), col("ck.key").as("key"))
+      .select(col("doc_id"), col("ck.chunk").as("band"), col("ck.key").as("key"))
     val cand =
       if (bucketCap == Int.MaxValue)
         banded.as("a").hint("shuffle_merge")
           .join(banded.as("b").hint("shuffle_merge"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       else saltedBandPairs(banded, bucketCap)
     cand.dropDuplicates("id_a", "id_b")
+      .join(withSh.select(col("doc_id").as("id_a"), col("sh").as("sig_a")), "id_a")
+      .join(withSh.select(col("doc_id").as("id_b"), col("sh").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
@@ -434,29 +483,41 @@ object Dedup {
 
   def minHashDetCandidates(docs: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bandDfCap: Int = DefaultBandDfCap): DataFrame = {
     require(k % bands == 0, "k must split evenly into bands")
     val rows = k / bands
-    val sig = minHashDetSignatures(docs, id, text, shingleN, k)
-    val banded = sig.select(col("doc_id"), col("sig"),
+    // same r19 disciplines as the production path ([[minHashCandidates]]):
+    // band-key df cut before fan-out, id-only pairs through the self-join
+    // and dropDuplicates, signatures joined back per surviving pair — the
+    // DuckDB oracle's own cand/est shape, restated verbatim in SQL.
+    val sig = minHashDetSignatures(docs, id, text, shingleN, k).persist()
+    val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map(j =>
           struct(lit(j).as("band"),
             concat_ws("_", (0 until rows).map(r =>
               element_at(col("sig"), j * rows + r + 1).cast("string")): _*)
               .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val kept =
+      if (bandDfCap == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > bandDfCap)
+          .select(col("band"), col("key")),
+        Seq("band", "key"), "left_anti")
     val agree = (0 until k).map(i =>
         when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
           1).otherwise(0))
       .reduce((a: Column, b: Column) => a + b)
-    banded.as("a").hint("shuffle_merge")
-      .join(banded.as("b").hint("shuffle_merge"),
+    kept.as("a").hint("shuffle_merge")
+      .join(kept.as("b").hint("shuffle_merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

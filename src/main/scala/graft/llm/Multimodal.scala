@@ -550,17 +550,28 @@ object Multimodal {
 
   def dHashPairs(hashed: DataFrame, maxDist: Int,
       bucketCap: Int = Dedup.DefaultBandBucketCap): DataFrame = {
-    val banded = dHashBanded(hashed)
+    // id-only pairs through the chunk join + dropDuplicates, hashes joined
+    // back per surviving pair (the r19 saltedBandPairs contract — see
+    // Dedup.simHashPairs). `hashed` is usually a LAZY decode product
+    // (dHashPpm / envelopeHashWav), so the 16-byte (doc_id, dhash) relation
+    // is persisted here — banding and both join-backs read the cache, and
+    // the payload bytes decode exactly once (CacheHygiene releases it).
+    val keyed = hashed.filter(col("dhash").isNotNull)
+      .select(col("doc_id"), col("dhash"))
+      .persist()
+    val banded = dHashBanded(keyed)
+      .select(col("doc_id"), col("band"), col("key"))
     val cand =
       if (bucketCap == Int.MaxValue)
         banded.as("a").hint("shuffle_merge")
           .join(banded.as("b").hint("shuffle_merge"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       else Dedup.saltedBandPairs(banded, bucketCap)
     cand.dropDuplicates("id_a", "id_b")
+      .join(keyed.select(col("doc_id").as("id_a"), col("dhash").as("sig_a")), "id_a")
+      .join(keyed.select(col("doc_id").as("id_b"), col("dhash").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)

@@ -333,8 +333,17 @@ object Similarity {
     transform(c.cast("array<double>"),
       x => floor(x * lit(scale.toDouble)).cast("long"))
 
-  /** Integer squared-L2 over two array<long> columns. */
+  /** Integer squared-L2 over two array<long> columns — native codegen'd
+    * loop ([[graft.functions.L2SqExpr]]; integer arithmetic, so the value
+    * is fold-order-exact regardless). The HOF twin below stays as the
+    * readable reference shape and the L2SqExprSpec pin. */
   private[llm] def l2sq(a: Column, b: Column): Column =
+    graft.functions.L2SqExpr.l2sq(a, b)
+
+  /** Readable HOF reference shape of [[l2sq]] (interpreted — its per-pair
+    * lambda dispatch across the N·k assignment crossJoin was the measured
+    * superlinear term of q_dedup_semdedup's r18 10× ratio). */
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
@@ -589,28 +598,57 @@ object Similarity {
     } else {
       // stage a: exact collapse to one representative per unit vector —
       // ONE map-side-combined groupBy, no join-back (losers fall out as
-      // the ids that simply aren't representatives). Zero-norm rows get a
-      // unique per-row key: cosine can never drop them, so neither may
-      // the collapse. Only nv rides the collapse shuffle; qv is a pure
-      // function of nv (the floor(·100) quantization), so recomputing it
-      // post-agg prunes a dim-long array from every shuffled row.
+      // the ids that simply aren't representatives). The group key is the
+      // nv ARRAY itself (r19, the r18 advice item): Spark groups array
+      // keys natively, the shuffle already carried nv, and the exact list
+      // key removes the xxhash64-collision arm where two DISTINCT unit
+      // vectors silently merged (expected events near ~2³² rows) — and it
+      // now matches the oracle's PARTITION BY nv verbatim. Zero-norm rows
+      // take vec_id as a disjoint-by-construction second key column (the
+      // oracle's [-(vec_id+1)] arm): cosine can never drop them, so
+      // neither may the collapse. qv is a pure function of nv (the
+      // floor(·100) quantization), recomputed post-agg so no second
+      // dim-long array rides the shuffle.
       val reps = n0
         .select(col("vec_id"), col("nv"))
-        .withColumn("hk",
-          when(dot(col("nv"), col("nv")) > 0d, xxhash64(col("nv")))
-            .otherwise(-col("vec_id")))
-        .groupBy(col("hk"))
-        .agg(min(col("vec_id")).as("vec_id"),
-          min_by(col("nv"), col("vec_id")).as("nv"))
+        .withColumn("zk",
+          when(dot(col("nv"), col("nv")) > 0d, lit(0L)).otherwise(col("vec_id")))
+        .groupBy(col("nv"), col("zk"))
+        .agg(min(col("vec_id")).as("vec_id"))
         .select(col("vec_id"), col("nv"), quant(col("nv"), 100).as("qv"))
       val keyed = keyOf(reps)
-      // stage b: a-side capped to the per-(cell, bucket) anchor set
+      // stage b: a-side capped to the per-(cell, bucket) anchor set.
+      // Skew posture (r18 advice): the dense hot cell — the exact shape
+      // that motivates anchorCap — must not sort or join in one task, so
+      // the anchor selection is the two-phase salted top-k
+      // ([[graft.llm.Multimodal.dHashDedupApply]]'s discipline): phase 1
+      // ranks within (cell, bucket, salt) — a row with global rank r ≤ cap
+      // has < r lower ids in its own salt cell, so the global top-cap all
+      // survive and phase 2 ranks ≤ nSalts·cap rows per (cell, bucket) —
+      // and the pair join salts the b-side with anchors replicated across
+      // salts (≤ cap·nSalts rows per cell; pair set unchanged — every
+      // (anchor, b) pair meets in exactly the b-row's own salt cell).
+      val nSalts = 32
+      val salt = pmod(Sampling.scrambleKey(col("vec_id")), lit(nSalts.toLong))
       val anchors = keyed
-        .withColumn("rk", row_number().over(
+        .withColumn("rk1", row_number().over(
+          Window.partitionBy(col("cell"), col("bucket"), salt)
+            .orderBy(col("vec_id"))))
+        .filter(col("rk1") <= anchorCap)
+        .withColumn("rk2", row_number().over(
           Window.partitionBy(col("cell"), col("bucket")).orderBy(col("vec_id"))))
-        .filter(col("rk") <= anchorCap)
-        .select(col("vec_id"), col("cell"), col("bucket"), col("nv"))
-      val nearLosers = pairs(anchors, keyed)
+        .filter(col("rk2") <= anchorCap)
+        .select(col("vec_id"), col("cell"), col("bucket"), col("nv"),
+          explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)).as("slt"))
+      val bSide = keyed.withColumn("slt", salt)
+      val nearLosers = anchors.as("a").hint("shuffle_merge")
+        .join(bSide.as("b").hint("shuffle_merge"),
+          col("a.cell") === col("b.cell") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.slt") === col("b.slt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.nv"), col("b.nv")) >= tau)
+        .select(col("b.vec_id").as("loser")).distinct()
       val survivorIds = reps.select(col("vec_id"))
         .join(nearLosers, col("vec_id") === col("loser"), "left_anti")
       emb.join(survivorIds, Seq("vec_id"), "left_semi")

@@ -80,6 +80,35 @@ object SpanDedup {
         concat_ws(" ", col("kept")).as("kept_text"))
   }
 
+  /** Dev probes for the Scratch `span_ab` stage decomposition — the apply
+    * chain truncated before (probeOwners) and after (probeCuts) the flagged
+    * join, so the superlinear stage can be named from timings. */
+  private[graft] def probeOwners(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val wins = windows(docs, id, text)
+      .select(col("doc_id"), col("s"), col("h"), col("h2"))
+    wins.groupBy(col("h"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("own"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("h2"),
+        col("own.doc_id").as("own_doc"), col("own.s").as("own_s"))
+  }
+
+  private[graft] def probeCuts(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val wins = windows(docs, id, text)
+      .select(col("doc_id"), col("s"), col("h"), col("h2"))
+    val owners = wins.groupBy(col("h"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("own"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("h2"),
+        col("own.doc_id").as("own_doc"), col("own.s").as("own_s"))
+    wins.join(owners, Seq("h", "h2"))
+      .filter(!(col("doc_id") === col("own_doc") && col("s") === col("own_s")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("cuts"))
+  }
+
   /** Shared window extraction: (doc_id, s, h, h2) per w-token window,
     * both hashes off ONE token-array pass (tokens materialize once). */
   private def windows(docs: DataFrame, id: Column, text: Column): DataFrame =

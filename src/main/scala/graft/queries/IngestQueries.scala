@@ -219,6 +219,52 @@ object IngestQueries {
         .select(substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
           col("media_type"), length(col("body")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X-Robots-Tag opt-out gate (r18 verdict gap #2): the HEADER form of
+    // the robots opt-out, OR-composed with the meta-tag gate — compliance
+    // means honoring BOTH. Six fixture arms through the real byte-walk:
+    // blocked via unscoped header 'noindex', kept via a header scoped to
+    // ANOTHER agent (googlebot ≠ robots — the non-over-blocking bound),
+    // blocked via our-agent-scoped 'none', blocked via the meta tag with
+    // no header (the OR-composition proof), kept 'nofollow' (no opt-out
+    // token), kept bare. The surfaced header value rides the output
+    // verbatim, so the hash also pins the walk's header extraction.
+    "q_warc_robots_header" -> ((s, d) => {
+      val docs = graft.model.Tables.documents(s, d)
+      val arm = pmod(col("doc_id"), lit(6))
+      val xr = when(arm === 0, lit("noindex"))
+        .when(arm === 1, lit("googlebot: noindex, nofollow"))
+        .when(arm === 2, lit("robots: none"))
+        .when(arm === 4, lit("nofollow"))
+      val body = when(arm === 3, concat(
+          lit("<html><head><meta name=\"robots\" content=\"noindex\">" +
+            "</head><body>"), col("text"), lit("</body></html>")))
+        .otherwise(col("text"))
+      val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        when(xr.isNotNull, concat(lit("X-Robots-Tag: "), xr, lit("\r\n")))
+          .otherwise(lit("")),
+        lit("\r\n"), body)
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "http://example.com/"), col("doc_id"),
+        lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val streams = docs
+        .select(floor(col("doc_id") / 25).cast("string").as("src"),
+          struct(col("doc_id"), rec.as("rec")).as("p"))
+        .groupBy(col("src"))
+        .agg(array_join(transform(array_sort(collect_list(col("p"))),
+          x => x.getField("rec")), "").as("stream"))
+      val parsed = graft.sources.WarcSource.parseWarc(
+        streams.select(col("src"), encode(col("stream"), "UTF-8").as("content")))
+      graft.sources.WarcSource.responseFilter(parsed)
+        .filter(!graft.llm.Html.robotsHeaderNoindex(col("x_robots_tag")) &&
+          !graft.llm.Html.robotsNoindex(col("body")))
+        .select(substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+          (substring_index(col("uri"), "/", -1).cast("long") % 6).as("arm"),
+          col("x_robots_tag"))
+        .orderBy(col("doc_id"))
     }))
 
   import OracleDefs.EvtCte
@@ -266,6 +312,32 @@ object IngestQueries {
         |FROM documents
         |WHERE doc_id % 5 IN (0, 2, 4) AND doc_id % 3 IN (0, 1)
         |ORDER BY doc_id""".stripMargin,
+
+    // the robots-header gate re-runs the SHARED patterns (the
+    // q_html_robots_gate discipline) over the reconstructed header and
+    // body — survivors are the other-agent-scoped, token-less, and bare
+    // arms
+    "q_warc_robots_header" -> {
+      val hp = graft.llm.Html.robotsHeaderPattern("robots").replace("'", "''")
+      val Seq(p1, p2) = graft.llm.Html.robotsPatterns("robots")
+        .map(_.replace("'", "''"))
+      s"""WITH h AS (SELECT doc_id, doc_id % 6 AS arm,
+         |  CASE doc_id % 6
+         |    WHEN 0 THEN 'noindex'
+         |    WHEN 1 THEN 'googlebot: noindex, nofollow'
+         |    WHEN 2 THEN 'robots: none'
+         |    WHEN 4 THEN 'nofollow' END AS x_robots_tag,
+         |  CASE WHEN doc_id % 6 = 3
+         |       THEN '<html><head><meta name="robots" content="noindex">' ||
+         |            '</head><body>' || text || '</body></html>'
+         |       ELSE text END AS body
+         |  FROM documents)
+         |SELECT doc_id, arm, x_robots_tag FROM h
+         |WHERE NOT coalesce(regexp_matches(x_robots_tag, '$hp'), false)
+         |  AND NOT (regexp_matches(body, '$p1')
+         |           OR regexp_matches(body, '$p2'))
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_s3_per_type" -> s"""$WireCte
       |SELECT event_id, kind,

@@ -577,6 +577,69 @@ object LlmQueries {
        |FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
+  /** Driver rounds × merges-per-round for q_bpe_train_batched — 16×8: the
+    * conservative disjoint rule keeps ~5 of 8 slots per round on this
+    * corpus, so 16 rounds lands ≥ 64 actual merges (the scale the r18
+    * verdict asked the trainer to reach inside the ratio gate) from 16
+    * corpus aggregations instead of 64+. */
+  private val BpeBatchRounds = 16
+  private val BpeBatchK = 8
+
+  /** DuckDB restatement of [[graft.llm.Bpe.trainMergesBatched]]: per
+    * driver round — ranked candidates (LIMIT [[graft.llm.Bpe.BatchCandidateFactor]]·batch),
+    * the non-recursive disjointness filter (NOT EXISTS against
+    * higher-ranked candidates), first `batch` kept, then one NULL-guarded
+    * wrapped replace per merge SLOT (scalar subqueries feed each slot's
+    * pair; an unused slot passes through via the wrap helper's CASE).
+    * Global merge_rank = row_number over (round, pos) − 1. */
+  private def bpeTrainBatchedSql(rounds: Int, batch: Int): String = {
+    val sep = "chr(30)"
+    val limit = graft.llm.Bpe.BatchCandidateFactor * batch
+    val init =
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |b0 AS MATERIALIZED (SELECT array_to_string(string_split(tok, ''), $sep) AS sym,
+         |              count(*) AS freq
+         |       FROM t WHERE len(tok) > 0 GROUP BY 1)""".stripMargin
+    val roundCtes = (0 until rounds).map { k =>
+      val pairs =
+        s""",
+           |bp$k AS (SELECT l, r, sum(freq) AS cnt FROM (
+           |         SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+           |           i -> {'l': s[i], 'r': s[i+1]}), recursive := true)
+           |         FROM (SELECT freq, string_split(sym, $sep) AS s FROM b$k))
+           |       GROUP BY l, r),
+           |bc$k AS MATERIALIZED (SELECT l, r, cnt,
+           |                row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+           |         FROM bp$k ORDER BY cnt DESC, l, r LIMIT $limit),
+           |bk$k AS (SELECT l, r, cnt, row_number() OVER (ORDER BY rk) AS pos
+           |         FROM bc$k a
+           |         WHERE NOT EXISTS (SELECT 1 FROM bc$k b WHERE b.rk < a.rk
+           |           AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r))),
+           |bm$k AS MATERIALIZED (SELECT l, r, cnt, pos FROM bk$k WHERE pos <= $batch)""".stripMargin
+      val slots = (1 to batch).map { j =>
+        val src = if (j == 1) s"b$k" else s"b${k}_${j - 1}"
+        val lq = s"(SELECT l FROM bm$k WHERE pos = $j)"
+        val rq = s"(SELECT r FROM bm$k WHERE pos = $j)"
+        s""",
+           |b${k}_$j AS (SELECT ${mergeSymsUnwrapSql("ws")} AS sym, freq
+           |        FROM (SELECT freq,
+           |                ${mergeSymsWrapSql("sym", lq, rq)} AS ws
+           |              FROM $src))""".stripMargin
+      }.mkString
+      pairs + slots +
+        s""",
+           |b${k + 1} AS MATERIALIZED (SELECT sym, freq FROM b${k}_$batch)""".stripMargin
+    }.mkString
+    val union = (0 until rounds)
+      .map(k => s"SELECT $k AS rnd, pos, l, r, cnt FROM bm$k")
+      .mkString(" UNION ALL ")
+    s"""$init$roundCtes,
+       |ball AS ($union)
+       |SELECT row_number() OVER (ORDER BY rnd, pos) - 1 AS merge_rank,
+       |       l AS sym_l, r AS sym_r, CAST(cnt AS BIGINT) AS pair_count
+       |FROM ball ORDER BY merge_rank""".stripMargin
+  }
+
   /** q_bpe_train_apply restated: the SAME training CTEs, then every
     * document token re-segmented by replaying the learned merges in rank
     * order (one `replace` per round, same non-overlapping semantics). */
@@ -1379,6 +1442,21 @@ object LlmQueries {
         .orderBy(col("merge_rank"))
     }),
 
+    // BATCHED BPE training at a real vocabulary scale (r18 verdict #6):
+    // 8 driver rounds × up to 8 merges each — up to 64 merges from 8
+    // corpus aggregations instead of 64 (trainMerges' one-job-per-merge
+    // wall at production vocab sizes). Selection is the deterministic
+    // top-ranked pairwise-disjoint rule (Bpe.trainMergesBatched scaladoc),
+    // which the oracle restates per round WITHOUT recursion: ranked
+    // candidates LIMIT 4·batch, a NOT EXISTS disjointness filter against
+    // higher-ranked candidates, positions ≤ batch, then per-slot
+    // NULL-guarded wrapped replaces.
+    "q_bpe_train_batched" -> ((s, d) => {
+      graft.llm.Bpe.trainMergesBatched(Tables.documents(s, d), col("text"),
+          rounds = BpeBatchRounds, batch = BpeBatchK)
+        .orderBy(col("merge_rank"))
+    }),
+
     // Train→tokenize loop closure: the 4 learned merges re-segment every
     // document (per-doc learned-subword counts) — the fit is the
     // driver-side single-row collects above, the apply is one scan-speed
@@ -1699,9 +1777,17 @@ object LlmQueries {
     // normalize bit-identically, so the exact stage drops them at ANY
     // cell size. q_dedup_semdedup_full is the paper's uncapped all-pairs
     // form, kept as the verify-only twin.
+    // Centroid BUDGET (r19): the stride alone made |centroids| grow with
+    // the corpus, so the N·k·dim assignment stage was quadratic by fixture
+    // construction — the residual superlinearity r18 measured. Production
+    // SemDeDup runs a FIXED cluster count independent of corpus size; the
+    // vec_id < 101·64 bound pins k at the 64-cell budget (a no-op at the
+    // shipped SFs, where every stride id already falls under it — same
+    // pattern as semdedupTextCentroids' 1616 bound).
     "q_dedup_semdedup" -> ((s, d) => {
       Similarity.semDeDupSurvivors(embScaledDups(s, d),
-          centroids = Tables.embeddings(s, d).filter(col("vec_id") % 101 === 0),
+          centroids = Tables.embeddings(s, d)
+            .filter(col("vec_id") % 101 === 0 && col("vec_id") < 101 * 64),
           tau = 0.999, nBits = 0, anchorCap = 64)
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
@@ -1713,7 +1799,8 @@ object LlmQueries {
     // full-oracle semantics pin (EmbedSpec pins capped ⊇ uncapped).
     "q_dedup_semdedup_full" -> ((s, d) => {
       Similarity.semDeDupSurvivors(embScaledDups(s, d),
-          centroids = Tables.embeddings(s, d).filter(col("vec_id") % 101 === 0),
+          centroids = Tables.embeddings(s, d)
+            .filter(col("vec_id") % 101 === 0 && col("vec_id") < 101 * 64),
           tau = 0.999, nBits = 0)
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
@@ -1965,8 +2052,11 @@ object LlmQueries {
       |band AS (SELECT doc_id, i // 4 AS band,
       |                string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS key
       |         FROM sig GROUP BY doc_id, i // 4),
+      |bandc AS (SELECT band, key FROM band
+      |          GROUP BY band, key HAVING count(*) <= 64),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM band a JOIN band b
+      |         FROM band a JOIN bandc c ON a.band = c.band AND a.key = c.key
+      |         JOIN band b
       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
       |est AS (SELECT c.id_a, c.id_b,
       |               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0 AS e
@@ -2035,7 +2125,7 @@ object LlmQueries {
         |reps AS (SELECT vec_id, nv, qv FROM mn WHERE vec_id = mn),
         |exl AS (SELECT vec_id AS loser FROM mn WHERE vec_id > mn),
         |cent AS (SELECT vec_id AS cell, qv AS cqv FROM qq
-        |         WHERE vec_id < 200000 AND vec_id % 101 = 0),
+        |         WHERE vec_id < 200000 AND vec_id % 101 = 0 AND vec_id < 101 * 64),
         |asg AS (SELECT r.vec_id, cent.cell,
         |               list_reduce(list_transform(generate_series(1, len(r.qv)),
         |                 i -> (r.qv[i] - cqv[i]) * (r.qv[i] - cqv[i])),
@@ -2086,7 +2176,7 @@ object LlmQueries {
         |              list_transform(nv, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
         |       FROM q),
         |cent AS (SELECT vec_id AS cell, qv AS cqv FROM qq
-        |         WHERE vec_id < 200000 AND vec_id % 101 = 0),
+        |         WHERE vec_id < 200000 AND vec_id % 101 = 0 AND vec_id < 101 * 64),
         |asg AS (SELECT qq.vec_id, cent.cell,
         |               list_reduce(list_transform(generate_series(1, len(qv)),
         |                 i -> (qv[i] - cqv[i]) * (qv[i] - cqv[i])),
@@ -2917,6 +3007,7 @@ object LlmQueries {
     // BPE training: the identical rounds unrolled — pair counts from
     // adjacent symbols, (cnt DESC, l, r) argmax, non-overlapping replace
     "q_bpe_train" -> bpeTrainSql(BpeTrainRounds),
+    "q_bpe_train_batched" -> bpeTrainBatchedSql(BpeBatchRounds, BpeBatchK),
 
     // learned-merge tokenization: training CTEs + rank-order replay
     "q_bpe_train_apply" -> bpeTrainApplySql(BpeTrainRounds),

@@ -34,7 +34,8 @@ object WarcSource {
   final case class WarcRow(src: String, rec_idx: Int,
       warc_type: Option[String], uri: Option[String],
       http_status: Option[Int], content_type: Option[String],
-      body: Option[String], corrupt: Option[String])
+      x_robots_tag: Option[String], body: Option[String],
+      corrupt: Option[String])
 
   /** Per-record body cap (chars, post-decode) — the MetricsSink row-width
     * doctrine: a single runaway record must not own an executor. The walk
@@ -124,14 +125,14 @@ object WarcSource {
         // quarantine the remainder under that reason
         val parsed = rows.takeWhile(_.corrupt.isEmpty)
         parsed :+ WarcRow(src, parsed.size, None, None, None, None, None,
-          Some(r))
+          None, Some(r))
       }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
     var pos = 0
     var idx = 0
     def corrupt(reason: String): Unit =
-      out += WarcRow(src, idx, None, None, None, None, None,
+      out += WarcRow(src, idx, None, None, None, None, None, None,
         Some(s"$reason at offset $pos"))
     var stop = false
     while (!stop && pos < bytes.length) {
@@ -175,9 +176,10 @@ object WarcSource {
                     val payload =
                       new String(bytes, payloadStart, decLen, "UTF-8")
                     // response records wrap an HTTP message: status line,
-                    // headers (Content-Type surfaced raw — the filter,
-                    // not the parser, normalizes it), blank line, body
-                    val (status, ctype, body) =
+                    // headers (Content-Type and X-Robots-Tag surfaced raw —
+                    // the filter/gate, not the parser, normalizes them),
+                    // blank line, body
+                    val (status, ctype, xrobots, body) =
                       if (wtype.contains("response") &&
                           payload.startsWith("HTTP/")) {
                         val cut = payload.indexOf("\r\n\r\n")
@@ -185,14 +187,16 @@ object WarcSource {
                           if (cut < 0) payload else payload.substring(0, cut)
                         val st = payload.linesIterator.nextOption()
                           .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
-                        val ct = head.split("\r\n", -1).drop(1)
-                          .find(_.toLowerCase.startsWith("content-type:"))
+                        val hs = head.split("\r\n", -1).drop(1)
+                        def httpHeader(name: String): Option[String] = hs
+                          .find(_.toLowerCase.startsWith(name + ":"))
                           .map(l => l.substring(l.indexOf(':') + 1).trim)
                         val b = if (cut < 0) "" else payload.substring(cut + 4)
-                        (st, ct, b)
-                      } else (None, None, payload)
+                        (st, httpHeader("content-type"),
+                          httpHeader("x-robots-tag"), b)
+                      } else (None, None, None, payload)
                     out += WarcRow(src, idx, wtype, header("WARC-Target-URI"),
-                      status, ctype, Some(body.take(maxBodyChars)), None)
+                      status, ctype, xrobots, Some(body.take(maxBodyChars)), None)
                     idx += 1
                     pos = pEnd
                   }

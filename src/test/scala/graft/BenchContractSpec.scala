@@ -23,9 +23,10 @@ class BenchContractSpec extends AnyFunSuite {
     val benched = SparkEntry.queries.keys.toSeq
       .filterNot(SparkEntry.verifyOnly)
     // worst plausible case: every query at a 4-digit-seconds timing (a
-    // 5-digit-seconds query is a dead round, not a formatting problem)
+    // 5-digit-seconds query is a dead round, not a formatting problem),
+    // including the wall/load env fields at their widest plausible render
     val line = Bench.headline(benched.map(_ -> 9999.99), Nil,
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", Bench.envJson(99999.999, 128.125))
     assert(line.length <= LineBudget,
       s"headline is ${line.length} chars for ${benched.size} benched queries " +
         s"— over the $LineBudget budget; shorten names or precision")

@@ -248,4 +248,52 @@ class BpeSpec extends SparkSpec {
       assert(trainSpark(docs, 3) === trainBrute(docs, 3), s"case $n: $docs")
     }
   }
+
+  private def trainBatchedSpark(docs: Seq[String], rounds: Int,
+      batch: Int): Seq[(Long, String, String, Long)] = {
+    val s = spark
+    import s.implicits._
+    Bpe.trainMergesBatched(docs.toDF("text"), col("text"), rounds, batch)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("trainMergesBatched at batch=1 IS the sequential trainer") {
+    // the disjointness filter is vacuous at batch=1 (rank 1 always kept),
+    // so round-per-merge batched training must equal trainMerges exactly
+    val rnd = new scala.util.Random(47)
+    val corpora = Seq(
+      Seq(("low " * 5).trim, ("lower " * 2).trim,
+        ("newest " * 6).trim, ("widest " * 3).trim),
+      Seq("aaaa"),
+      Seq(("ab " * 5).trim, ("bc " * 4).trim, "abc")) ++
+      Seq.fill(5)(Seq.fill(3)(
+        Seq.fill(8)(Seq.fill(1 + rnd.nextInt(5))(
+          ('a' + rnd.nextInt(4)).toChar).mkString).mkString(" ")))
+    corpora.foreach { docs =>
+      assert(trainBatchedSpark(docs, 3, 1) === trainSpark(docs, 3),
+        s"batch=1 diverged on $docs")
+    }
+  }
+
+  test("trainMergesBatched: disjoint selection, chained apply, progress") {
+    // freqs chosen so the top candidates interact: 'ab'×6, 'bc'×5, 'cd'×4
+    // over words that chain them. Ranked pairs round 0 over
+    // {abcd×3, ab×3, bc×2, cd×1}: (a,b)=6, (b,c)=5, (c,d)=4 — (b,c)
+    // conflicts with (a,b) (shares b) and is SKIPPED; (c,d) conflicts with
+    // (b,c) among CANDIDATES (shares c), so the conservative rule skips it
+    // too (sequential greedy would keep it — that's the documented
+    // difference); round 0 keeps exactly [(a,b)].
+    val docs = Seq(("abcd " * 3).trim, ("ab " * 3).trim,
+      ("bc " * 2).trim, "cd")
+    val got = trainBatchedSpark(docs, 2, 4)
+    assert(got.head === ((0L, "a", "b", 6L)))
+    // round 0 kept ONLY (a,b), so rank 1 comes from round 1's recount
+    // AFTER the apply: abcd → [ab, c, d] leaves (c,d)=3+1=4 over
+    // (ab,c)=3 — proving the apply ran before the second selection
+    assert(got(1) === ((1L, "c", "d", 4L)))
+    // merges stay internally consistent: ranks are 0..n-1 dense
+    assert(got.map(_._1) === got.indices.map(_.toLong))
+  }
 }

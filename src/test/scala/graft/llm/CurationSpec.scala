@@ -218,6 +218,40 @@ class CurationSpec extends SparkSpec {
       agent = "googlebot"))
     assert(!blocked("""<meta name="robots" content="index, follow">"""))
     assert(!blocked("plain text, no markup"))
+    // agent name is bounded on BOTH sides (r18 advice): a LONGER name
+    // sharing our prefix is a different agent — blocking on it would
+    // over-block pages that opted out someone else
+    assert(!blocked("""<meta name="robotsxyz" content="noindex">"""))
+    assert(!blocked("""<meta name="googlebot-news" content="noindex">""",
+      agent = "googlebot"))
+    // a metacharacter-bearing agent is rejected loudly, not misparsed
+    intercept[IllegalArgumentException](Html.robotsPatterns("ro.bots"))
+  }
+
+  test("robotsHeaderNoindex: X-Robots-Tag scoping, token bound, null safety") {
+    val s = spark
+    import s.implicits._
+    def blocked(h: String, agent: String = "robots"): Boolean =
+      Seq(Option(h)).toDF("h")
+        .select(Html.robotsHeaderNoindex(col("h"), agent).as("v"))
+        .collect()(0).getBoolean(0)
+    // unscoped directives apply to every agent
+    assert(blocked("noindex"))
+    assert(blocked("noindex, nofollow"))
+    assert(blocked("NONE"))
+    assert(blocked("nofollow, noindex"))
+    // our-agent scope
+    assert(blocked("robots: noindex"))
+    assert(blocked("googlebot: nofollow, noindex", agent = "googlebot"))
+    // ANOTHER agent's scope must not fire ours (the colon bound)
+    assert(!blocked("googlebot: noindex"))
+    assert(!blocked("googlebot-news: noindex", agent = "googlebot"))
+    // token bound: nofollow/noindexing are not opt-outs
+    assert(!blocked("nofollow"))
+    assert(!blocked("noindexing"))
+    // null header keeps the page (coalesce arm)
+    assert(!blocked(null))
+    intercept[IllegalArgumentException](Html.robotsHeaderPattern("a|b"))
   }
 
   test("htmlToText: blocks dropped, tags stripped, entities decoded in order") {

@@ -31,16 +31,52 @@ class LlmSpec extends SparkSpec {
   test("skew guard is auto-armed by default and changes no pairs") {
     // r13: bucketCap defaults to DefaultBandBucketCap — the default-arg
     // call must route through the salted join and still emit exactly the
-    // forced-unsalted pair set
+    // forced-unsalted pair set. (Since r19 the default df cut subsumes the
+    // salt guard — dfCap ≤ bucketCap routes the plain join — so the salted
+    // leg here disables the cut explicitly to keep the guard exercised.)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6))
         .collect().map(_.toString).sorted.toSeq
-    val auto = pairs(Dedup.minHashCandidates(docsNearDups, col("doc_id"),
-      col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5))
+    val salted = pairs(Dedup.minHashCandidates(docsNearDups, col("doc_id"),
+      col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5,
+      bandDfCap = Int.MaxValue))
     val unsalted = pairs(Dedup.minHashCandidates(docsNearDups, col("doc_id"),
       col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5,
-      bucketCap = Int.MaxValue))
-    assert(auto.nonEmpty && auto === unsalted)
+      bucketCap = Int.MaxValue, bandDfCap = Int.MaxValue))
+    assert(salted.nonEmpty && salted === unsalted)
+    // and the default call (df cut armed) emits the same set on this
+    // fixture: no band key reaches DefaultBandDfCap docs here, so the cut
+    // must be a no-op — a diff means the cut fired on innocent keys
+    val auto = pairs(Dedup.minHashCandidates(docsNearDups, col("doc_id"),
+      col("text"), shingleN = 3, k = 64, bands = 16, threshold = 0.5))
+    assert(auto === unsalted)
+  }
+
+  test("band df cap drops duplicate-swarm fan-out and changes no other pair") {
+    val s = spark
+    import s.implicits._
+    // 3 × DefaultBandDfCap identical docs: a duplicate swarm whose every
+    // band key has df = 192 > 64 — the boilerplate shape the cut exists
+    // for (uncapped it alone contributes 192·191/2 ≈ 18k candidate pairs)
+    val swarm = (0 until 3 * Dedup.DefaultBandDfCap)
+      .map(i => (900000L + i, "swarm boilerplate header tokens repeated verbatim across mirror hosts"))
+      .toDF("doc_id", "text")
+    val docs = docsNearDups.unionByName(swarm)
+    def pairs(dfCap: Int): Set[(Long, Long)] =
+      Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+          shingleN = 3, k = 64, bands = 16, threshold = 0.5, bandDfCap = dfCap)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(Dedup.DefaultBandDfCap)
+    val uncapped = pairs(Int.MaxValue)
+    // positive control: uncapped DOES see the swarm's quadratic pair set
+    val swarmPairs = uncapped.filter { case (a, b) => a >= 900000L && b >= 900000L }
+    assert(swarmPairs.size == 192 * 191 / 2, s"control: ${swarmPairs.size}")
+    // the cut removes exactly the swarm fan-out, nothing else
+    assert(capped.forall { case (a, b) => a < 900000L && b < 900000L },
+      "capped set still contains swarm pairs")
+    assert(capped === (uncapped -- swarmPairs),
+      "df cut changed pairs outside the swarm")
   }
 
   test("skew guard FIRES on a degenerate bucket and keeps the exact pair set") {

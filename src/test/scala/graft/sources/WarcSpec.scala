@@ -35,19 +35,21 @@ class WarcSpec extends SparkSpec {
     val rows = WarcSource.warc(spark, dir.getPath)
       .orderBy(col("src"), col("rec_idx")).collect()
     assert(rows.length === 3)
-    assert(rows.forall(_.isNullAt(7)), "no quarantine on a clean file")
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("corrupt"))),
+      "no quarantine on a clean file")
     val r1 = rows(0)
     assert(r1.getString(2) === "response" && r1.getString(3) === "http://a/1")
-    assert(r1.getInt(4) === 200 && r1.getString(6) === "hello world page one")
+    assert(r1.getInt(4) === 200 &&
+      r1.getString(r1.fieldIndex("body")) === "hello world page one")
     // the HTTP Content-Type header surfaces raw (the filter normalizes)
     assert(r1.getString(5) === "text/plain")
     // unicode: Content-Length counted BYTES, the body decodes intact
-    assert(rows(1).getString(6) === "über straße maß")
+    assert(rows(1).getString(rows(1).fieldIndex("body")) === "über straße maß")
     // resource record: no HTTP framing, payload IS the body, status and
     // content type null
     assert(rows(2).getString(2) === "resource")
     assert(rows(2).isNullAt(4) && rows(2).isNullAt(5))
-    assert(rows(2).getString(6) === "raw resource payload")
+    assert(rows(2).getString(rows(2).fieldIndex("body")) === "raw resource payload")
   }
 
   test("quarantine: records before a corruption survive, remainder flagged") {
