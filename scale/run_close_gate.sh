@@ -6,7 +6,7 @@
 # stage fails, INCLUDING a ratio-gate breach.
 set -x
 cd /root/repo
-R=r18
+R=r19
 RC_ALL=0
 step() { echo "STEP_$1_RC=$2" >> /tmp/${R}c_status.log; [ "$2" -ne 0 ] && RC_ALL=1; }
 
@@ -40,10 +40,13 @@ cp scale/bench_detail_scale10x.json scale/bench_detail_10x_${R}_close.json; step
 # chunks, so candidates (and wall-clock) grow ~quadratically with corpus by
 # construction. The salt guard bounds per-task work (no straggler), and the
 # ~10x ratio at 10x data is the collision rate, not a plan defect.
-# (r17's q_dedup_semdedup(_text) waivers RETIRED in r18: the benched rows
-# now run the anchorCap=64 production guard — exact collapse + per-cell
-# anchor pairs, linear in clump size; the paper's all-pairs form moved to
-# the verify-only _full twins, which the bench does not run.)
+# (r17's q_dedup_semdedup(_text) waivers RETIRED in r18; r19 retired the
+# rest of the dedup-family superlinearity by engineering, not waivers:
+# id-only pair shuffles + band dfCap for MinHash-LSH, fixed centroid
+# budget + native L2 + salted anchors for SemDeDup. q_dedup_minhash's
+# residual ~5x ratio is OUTPUT-driven — the 10x replica genuinely has
+# ~50x more near-dup pairs and the query LISTS them; the production
+# cluster/apply chain is ≤3x — and sits well inside the 8x gate.)
 python3 tools/scale_ratio_gate.py \
   --waive q_dedup_simhash \
   scale/bench_detail_sf0.1_${R}_close.json \
