@@ -350,6 +350,18 @@ object Multimodal {
             case None =>
               MediaDecoded(id, None, None, None, None, None, None, None)
           }
+        else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8)
+          parseJpegRaster(bytes) match {
+            case Some((w, h, raster)) =>
+              var s0 = 0L
+              var c = 0
+              while (c < w) { s0 += raster(c) & 0xff; c += 1 }
+              MediaDecoded(id, Some("jpeg"), Some(w.toLong), Some(h.toLong),
+                Some(1L), None, Some(w.toLong * h), Some(s0))
+            case None =>
+              MediaDecoded(id, None, None, None, None, None, None, None)
+          }
         else MediaDecoded(id, None, None, None, None, None, None, None)
       })
       .toDF()
@@ -486,34 +498,90 @@ object Multimodal {
     *     convention — a truncated image still hashes deterministically).
     * Dimensions above 2^20 are rejected as hostile headers (the offset
     * product must stay in Long). */
+  /** Shared dHash core over ANY decoded raster (r19: the verdict-#2
+    * refactor that lets PNG and JPEG rasters route into the same
+    * fingerprint): 9×8 integer-div sample grid over a caller-supplied
+    * luminance accessor, 64 packed difference bits. Dimension bounds guard
+    * hostile headers (the offset product must stay in Long). */
+  private[llm] def grayDHash(w: Long, h: Long,
+      gray: (Long, Long) => Int): Option[Long] =
+    if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20)) None
+    else {
+      val gs = Array.tabulate(8, 9)((y, x) => gray(x * w / 9, y * h / 8))
+      var hsh = 0L
+      var b = 0
+      while (b < 64) {
+        val x = b % 8
+        val y = b / 8
+        if (gs(y)(x + 1) > gs(y)(x)) hsh |= 1L << b
+        b += 1
+      }
+      Some(hsh)
+    }
+
   private[llm] def ppmDHash(bytes: Array[Byte]): Option[Long] =
     parsePpmHeader(bytes).flatMap { case (w, h, _, start) =>
-      if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20)) None
-      else {
-        val n = bytes.length
-        def gray(sx: Long, sy: Long): Int = {
-          val off = start + 3L * (sy * w + sx)
-          var g = 0
-          var c = 0
-          while (c < 3) {
-            val p = off + c
-            if (p < n) g += bytes(p.toInt) & 0xff
-            c += 1
-          }
-          g
+      val n = bytes.length
+      grayDHash(w, h, (sx, sy) => {
+        val off = start + 3L * (sy * w + sx)
+        var g = 0
+        var c = 0
+        while (c < 3) {
+          val p = off + c
+          if (p < n) g += bytes(p.toInt) & 0xff
+          c += 1
         }
-        val gs = Array.tabulate(8, 9)((y, x) => gray(x * w / 9, y * h / 8))
-        var hsh = 0L
-        var b = 0
-        while (b < 64) {
-          val x = b % 8
-          val y = b / 8
-          if (gs(y)(x + 1) > gs(y)(x)) hsh |= 1L << b
-          b += 1
-        }
-        Some(hsh)
-      }
+        g
+      })
     }
+
+  /** PNG dHash: the defiltered raster through [[grayDHash]] — luminance is
+    * the channel sum (1 channel: the gray byte; 3: r+g+b, the ppm
+    * convention; monotone in any fixed-weight gray transform, which is all
+    * the difference bits need). */
+  private[llm] def pngDHash(bytes: Array[Byte]): Option[Long] =
+    parsePngRaster(bytes).flatMap { case (w, h, ch, raster) =>
+      grayDHash(w, h, (sx, sy) => {
+        val off = (sy * w + sx) * ch
+        var g = 0
+        var c = 0
+        while (c < ch) { g += raster((off + c).toInt) & 0xff; c += 1 }
+        g
+      })
+    }
+
+  /** JPEG dHash: the decoded grayscale raster through [[grayDHash]]. */
+  private[llm] def jpegDHash(bytes: Array[Byte]): Option[Long] =
+    parseJpegRaster(bytes).flatMap { case (w, h, raster) =>
+      grayDHash(w.toLong, h.toLong,
+        (sx, sy) => raster((sy * w + sx).toInt) & 0xff)
+    }
+
+  /** Format-dispatched perceptual hash — [[dHashPpm]] generalized over the
+    * raster family (the r18 "image near-dup covers only PPM" gap): sniff
+    * the magic, decode with the real parser, hash the DECODED raster.
+    * Unrecognizable or malformed payloads yield null, never an
+    * exception. */
+  def dHashMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val h =
+          if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+            ppmDHash(bytes)
+          else if (bytes.length >= 8 && bytes(0) == PngSig(0) &&
+            bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+            pngDHash(bytes)
+          else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+            (bytes(1) & 0xff) == 0xd8)
+            jpegDHash(bytes)
+          else None
+        PHash(id, h)
+      })
+      .toDF()
+  }
 
   case class PHash(doc_id: Long, dhash: Option[Long])
 
@@ -597,7 +665,12 @@ object Multimodal {
     * nSalts tasks. */
   def dHashDedupApply(hashed: DataFrame, maxDist: Int,
       anchorCap: Int = 64, nSalts: Int = 32): DataFrame = {
-    val banded = dHashBanded(hashed)
+    // PERSISTED (r19, the dHashPairs contract): `hashed` is usually a lazy
+    // decode product and this chain reads it three times (anchor chain,
+    // b-side, final anti-join) — uncached, the payload bytes would decode
+    // 3× (21 fixture scans on the mixed corpus; CacheHygiene releases it).
+    val keyed = hashed.persist()
+    val banded = dHashBanded(keyed)
     val salt = pmod(Sampling.scrambleKey(col("doc_id")), lit(nSalts.toLong))
     val anchors = banded
       .withColumn("rk1", row_number().over(
@@ -615,7 +688,7 @@ object Multimodal {
           col("a.slt") === col("b.slt") && col("a.doc_id") < col("b.doc_id"))
       .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxDist)
       .select(col("b.doc_id").as("loser")).distinct()
-    hashed.join(losers, hashed("doc_id") === losers("loser"), "left_anti")
+    keyed.join(losers, keyed("doc_id") === losers("loser"), "left_anti")
   }
 
   private val PngSig: Array[Byte] =
@@ -726,7 +799,20 @@ object Multimodal {
     * deflate bomb cannot balloon memory — the parser allocates exactly the
     * raster it validated. */
   private[llm] def parsePng(bytes: Array[Byte]):
-      Option[(Long, Long, Long, Long, Option[Long])] = {
+      Option[(Long, Long, Long, Long, Option[Long])] =
+    parsePngRaster(bytes).map { case (w, h, channels, out) =>
+      val stride = (w * channels).toInt
+      var s0 = 0L
+      var c = 0
+      while (c < stride) { s0 += out(c) & 0xff; c += 1 }
+      (w, h, channels.toLong, w.toLong * channels * h, Some(s0))
+    }
+
+  /** The decode core of [[parsePng]] — exposed raster form (r19), so the
+    * perceptual hash fingerprints the DEFILTERED pixels, not the IDAT
+    * bytes. Returns (width, height, channels, row-major raster). */
+  private[llm] def parsePngRaster(bytes: Array[Byte]):
+      Option[(Long, Long, Int, Array[Byte])] = {
     try {
       if (bytes.length < 8) return None
       var i = 0
@@ -823,13 +909,513 @@ object Multimodal {
         }
         r += 1
       }
-      var s0 = 0L
-      var c = 0
-      while (c < stride) { s0 += out(c) & 0xff; c += 1 }
-      Some((w, h, channels.toLong, w * channels * h, Some(s0)))
+      Some((w, h, channels, out))
     } catch {
       case _: java.util.zip.DataFormatException => None
     }
+  }
+
+  // ==================== JPEG (baseline, grayscale) ====================
+
+  /** ITU T.81 Figure A.6 zig-zag order: JpegZigzag(k) = natural (row-major)
+    * index of the k-th coefficient in transmission order. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** ITU T.81 Annex K standard luminance Huffman tables as (BITS, HUFFVAL):
+    * BITS(l) = number of codes of length l (1-indexed, lengths 1..16). The
+    * house encoder always writes these; the decoder builds its tables from
+    * whatever DHT segments the file declares. */
+  private val JpegDcBits: Array[Int] =
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals: Array[Int] = (0 to 11).toArray
+  private val JpegAcBits: Array[Int] =
+    Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman codebook from (BITS, HUFFVAL) — T.81 Annex C:
+    * symbol → (code, length), for the encoder. */
+  private def jpegHuffEncodeTable(bits: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var code = 0
+    var vi = 0
+    var l = 1
+    while (l <= 16) {
+      var n = bits(l)
+      while (n > 0) {
+        out += vals(vi) -> ((code, l))
+        code += 1; vi += 1; n -= 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  /** MSB-first bit writer with JPEG byte stuffing (0xFF → 0xFF 0x00) and
+    * 1-padding at flush, per T.81 B.1.1.5 / F.1.2.3. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) {
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  /** Amplitude size category (T.81 F.1.2.1.1): smallest s with |v| < 2^s. */
+  private def jpegCategory(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Assemble a baseline grayscale JPEG from QUANTIZED coefficient blocks
+    * (each 64 ints in ZIG-ZAG order, blocks in raster order): SOI, DQT
+    * (`qtab` in zig-zag order), SOF0 (8-bit, one component, 1×1 sampling),
+    * the two Annex-K DHTs, SOS, entropy-coded data (DC diffs + run-length
+    * AC with ZRL/EOB, byte-stuffed), EOI. Split from [[jpegBytes]] so
+    * specs can hand-craft arbitrary coefficient blocks (nonzero AC, ZRL
+    * runs) against an independent IDCT. */
+  private[llm] def jpegEncode(w: Int, h: Int, qtab: Array[Int],
+      blocks: Array[Array[Int]]): Array[Byte] = {
+    require(qtab.length == 64 && qtab.forall(q => q >= 1 && q <= 255),
+      "qtab must be 64 entries in [1, 255]")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(b => out.write(b & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, 0 +: qtab) // DQT: Pq=0/Tq=0 + 64 zig-zag entries
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      1, 1, 0x11, 0)) // SOF0: precision 8, 1 component id=1, 1×1, Tq=0
+    seg(0xc4, (0x00 +: JpegDcBits.tail) ++ JpegDcVals) // DHT DC class0/id0
+    seg(0xc4, (0x10 +: JpegAcBits.tail) ++ JpegAcVals) // DHT AC class1/id0
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: 1 comp, Td=0/Ta=0
+    val dcT = jpegHuffEncodeTable(JpegDcBits, JpegDcVals)
+    val acT = jpegHuffEncodeTable(JpegAcBits, JpegAcVals)
+    val bw = new JpegBitWriter(out)
+    var pred = 0
+    blocks.foreach { zz =>
+      require(zz.length == 64, "each block is 64 zig-zag coefficients")
+      val diff = zz(0) - pred
+      pred = zz(0)
+      val s = jpegCategory(diff)
+      val (c, l) = dcT(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = zz(k)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
+          }
+          val sz = jpegCategory(v)
+          val (ac, al) = acT((run << 4) | sz)
+          bw.put(ac, al)
+          bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acT(0x00); bw.put(ec, el) } // EOB
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture JPEG block-grid arithmetic (the pngWidth pattern): blocks
+    * across from the byte length, 8 px per block. */
+  private[llm] def jpegBlocksW(n: Long): Int = (n % 5 + 3).toInt
+  private[llm] def jpegBlocksH(n: Long): Int = {
+    val bw = jpegBlocksW(n)
+    math.max(((n + bw - 1) / bw).toInt, 1)
+  }
+
+  /** Wrap `data` as a DC-EXACT baseline grayscale JPEG: one 8×8 CONSTANT
+    * block per data byte (block (by,bx) = data(by·bw+bx); missing tail
+    * bytes → 0). A constant block has only a DC coefficient, 8·(v−128) is
+    * divisible by any `dcQ` dividing 8, and the IDCT of a DC-only block is
+    * the constant back — so the lossy-DCT pipeline is exactly invertible
+    * for THIS content while the decode still exercises the full
+    * marker/Huffman/dequant/IDCT machinery, and the oracle restates the
+    * decoded raster as pure integer arithmetic on the text (no Huffman in
+    * SQL). Different `dcQ` values are the re-quantization plant: different
+    * quant table, different Huffman stream, identical decoded raster. */
+  private[llm] def jpegBytes(data: Array[Byte], dcQ: Int = 8): Array[Byte] = {
+    require(dcQ >= 1 && dcQ <= 8 && 8 % dcQ == 0, "dcQ must divide 8")
+    val bw = jpegBlocksW(data.length.toLong)
+    val bh = jpegBlocksH(data.length.toLong)
+    val qtab = Array.fill(64)(1)
+    qtab(0) = dcQ
+    val blocks = Array.tabulate(bw * bh) { bi =>
+      val v = if (bi < data.length) data(bi) & 0xff else 0
+      val zz = new Array[Int](64)
+      zz(0) = 8 * (v - 128) / dcQ
+      zz
+    }
+    jpegEncode(bw * 8, bh * 8, qtab, blocks)
+  }
+
+  /** Wrap the text column as a REAL baseline JPEG — the [[asPng]] pattern
+    * for the lossy format (DC-exact constant blocks, see [[jpegBytes]]). */
+  def asJpeg(df: DataFrame, id: Column, payloadText: Column,
+      dcQ: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, jpegBytes(Option(t).getOrElse("").getBytes("UTF-8"), dcQ))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[asPng]] with SUB-filtered scanlines (filter 1) — same raster,
+    * different IDAT bytes: the defilter-invariance plant for the
+    * perceptual hash. */
+  def asPngSubFiltered(df: DataFrame, id: Column,
+      payloadText: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        val data = Option(t).getOrElse("").getBytes("UTF-8")
+        val w = pngWidth(data.length.toLong)
+        val h = pngHeight(data.length.toLong)
+        val raster = java.util.Arrays.copyOf(data, w * h)
+        val scan = new Array[Byte]((w + 1) * h)
+        var r = 0
+        while (r < h) {
+          scan(r * (w + 1)) = 1 // filter: Sub
+          var c = 0
+          while (c < w) {
+            val left = if (c > 0) raster(r * w + c - 1) & 0xff else 0
+            scan(r * (w + 1) + 1 + c) =
+              (((raster(r * w + c) & 0xff) - left) & 0xff).toByte
+            c += 1
+          }
+          r += 1
+        }
+        (i, pngEncode(w, h, 0, scan))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    * -1 signals a marker or end of input. */
+  private final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def align(): Unit = nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) return -1
+        var b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) return -1
+          val b2 = bytes(pos) & 0xff
+          if (b2 == 0x00) pos += 1
+          else { pos -= 1; return -1 } // a real marker
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bit()
+        if (b < 0) return -1
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Huffman decode tables from (BITS, HUFFVAL) — mincode/maxcode/valptr
+    * per T.81 F.2.2.3. */
+  private final class JpegHuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var vi = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valPtr(l) = vi
+          minCode(l) = code
+          code += bits(l); vi += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Next symbol, or -1 on marker/corruption. */
+    def decode(r: JpegBitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        val b = r.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+        if (maxCode(l) >= code && code >= minCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+      }
+      -1
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map s received bits to a signed amplitude. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** 8-point IDCT basis, C(u)/2 pre-multiplied: B(x)(u) =
+    * ½·C(u)·cos((2x+1)uπ/16). */
+  private lazy val JpegIdctBasis: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (x, u) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** A REAL dependency-free baseline JPEG decoder — grayscale (one
+    * component, 8-bit, 1×1 sampling), the static subset the crawl
+    * pipeline's perceptual pass needs. Markers walked by their length
+    * fields; APPn/COM skipped; DQT/DHT accepted wherever a writer puts
+    * them (multiple tables per segment included); DRI/RSTn honored (DC
+    * predictor reset + byte alignment). Progressive (SOF2), multi-
+    * component color, 12/16-bit, and arithmetic coding yield None — never
+    * an exception or a junk raster (the parsePng subset discipline).
+    * Dimensions bound the raster allocation up front (the bomb posture).
+    * Returns (width, height, row-major raster). */
+  private[llm] def parseJpegRaster(bytes: Array[Byte]):
+      Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return None
+      var pos = 2
+      var w = 0
+      var h = 0
+      var restartInterval = 0
+      val qtabs = new Array[Array[Int]](4)
+      val dcTabs = new Array[JpegHuffDecoder](4)
+      val acTabs = new Array[JpegHuffDecoder](4)
+      var compQ = 0
+      var sofSeen = false
+      def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      while (pos + 2 <= bytes.length) {
+        if ((bytes(pos) & 0xff) != 0xff) return None
+        val m = bytes(pos + 1) & 0xff
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+        else if (m == 0xd9) return None // EOI before any SOS decoded
+        else {
+          if (pos + 4 > bytes.length) return None
+          val len = u16(pos + 2)
+          if (len < 2 || pos + 2 + len > bytes.length) return None
+          val body = pos + 4
+          val bodyLen = len - 2
+          m match {
+            case 0xdb => // DQT: one or more (PqTq + 64 entries) tables
+              var o = body
+              while (o < body + bodyLen) {
+                val pq = (bytes(o) & 0xf0) >> 4
+                val tq = bytes(o) & 0x0f
+                if (pq != 0 || tq > 3 || o + 65 > body + bodyLen) return None
+                qtabs(tq) = Array.tabulate(64)(k => bytes(o + 1 + k) & 0xff)
+                o += 65
+              }
+            case 0xc4 => // DHT: one or more tables
+              var o = body
+              while (o < body + bodyLen) {
+                val tc = (bytes(o) & 0xf0) >> 4
+                val th = bytes(o) & 0x0f
+                if (tc > 1 || th > 3 || o + 17 > body + bodyLen) return None
+                val bl = Array.tabulate(17)(l =>
+                  if (l == 0) 0 else bytes(o + l) & 0xff)
+                val n = bl.sum
+                if (o + 17 + n > body + bodyLen) return None
+                val vl = Array.tabulate(n)(k => bytes(o + 17 + k) & 0xff)
+                val d = new JpegHuffDecoder(bl, vl)
+                if (tc == 0) dcTabs(th) = d else acTabs(th) = d
+                o += 17 + n
+              }
+            case 0xc0 => // SOF0 baseline
+              if (sofSeen || bodyLen < 9) return None
+              if ((bytes(body) & 0xff) != 8) return None
+              h = u16(body + 1); w = u16(body + 3)
+              val nc = bytes(body + 5) & 0xff
+              if (nc != 1 || w <= 0 || h <= 0 ||
+                w.toLong * h.toLong > (1L << 26)) return None
+              if ((bytes(body + 7) & 0xff) != 0x11) return None
+              compQ = bytes(body + 8) & 0xff
+              if (compQ > 3) return None
+              sofSeen = true
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                0xcb | 0xcd | 0xce | 0xcf =>
+              return None // non-baseline SOF / arithmetic coding
+            case 0xdd => // DRI
+              if (bodyLen != 2) return None
+              restartInterval = u16(body)
+            case 0xda => // SOS → entropy-coded data follows
+              if (!sofSeen || bodyLen < 6) return None
+              if ((bytes(body) & 0xff) != 1) return None
+              val td = (bytes(body + 2) & 0xf0) >> 4
+              val ta = bytes(body + 2) & 0x0f
+              if (td > 3 || ta > 3) return None
+              val q = qtabs(compQ)
+              val dcT = dcTabs(td)
+              val acT = acTabs(ta)
+              if (q == null || dcT == null || acT == null) return None
+              val bw = (w + 7) / 8
+              val bh = (h + 7) / 8
+              val raster = new Array[Byte](w * h)
+              val r = new JpegBitReader(bytes, pos + 2 + len)
+              var pred = 0
+              var bi = 0
+              val coef = new Array[Int](64)
+              val tmp = new Array[Double](64)
+              while (bi < bw * bh) {
+                if (restartInterval > 0 && bi > 0 &&
+                  bi % restartInterval == 0) {
+                  r.align()
+                  val p = r.pos
+                  if (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+                    (bytes(p + 1) & 0xff) >= 0xd0 &&
+                    (bytes(p + 1) & 0xff) <= 0xd7) r.pos = p + 2
+                  else return None
+                  pred = 0
+                }
+                java.util.Arrays.fill(coef, 0)
+                val s = dcT.decode(r)
+                if (s < 0 || s > 11) return None
+                if (s > 0) {
+                  val raw = r.bits(s)
+                  if (raw < 0) return None
+                  pred += jpegExtend(raw, s)
+                }
+                coef(0) = pred * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = acT.decode(r)
+                  if (rs < 0) return None
+                  if (rs == 0x00) eob = true
+                  else if (rs == 0xf0) k += 16
+                  else {
+                    k += (rs >> 4)
+                    val sz = rs & 0x0f
+                    if (k > 63 || sz == 0) return None
+                    val raw = r.bits(sz)
+                    if (raw < 0) return None
+                    coef(JpegZigzag(k)) = jpegExtend(raw, sz) * q(k)
+                    k += 1
+                  }
+                }
+                // separable 2D IDCT: rows over v, then columns over u
+                var yy = 0
+                while (yy < 8) {
+                  var u = 0
+                  while (u < 8) {
+                    var acc = 0.0
+                    var v = 0
+                    while (v < 8) {
+                      acc += JpegIdctBasis(yy)(v) * coef(v * 8 + u)
+                      v += 1
+                    }
+                    tmp(yy * 8 + u) = acc
+                    u += 1
+                  }
+                  yy += 1
+                }
+                val by0 = (bi / bw) * 8
+                val bx0 = (bi % bw) * 8
+                var py = 0
+                while (py < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var acc = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      acc += JpegIdctBasis(x)(u) * tmp(py * 8 + u)
+                      u += 1
+                    }
+                    val v = math.round(acc + 128.0).toInt
+                    val cl = if (v < 0) 0 else if (v > 255) 255 else v
+                    val gx = bx0 + x
+                    val gy = by0 + py
+                    if (gx < w && gy < h) raster(gy * w + gx) = cl.toByte
+                    x += 1
+                  }
+                  py += 1
+                }
+                bi += 1
+              }
+              return Some((w, h, raster))
+            case _ => // APPn, COM, anything else with a length: skip
+          }
+          pos += 2 + len
+        }
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
   /** Frame-sampling shape: explode n_frames into (doc_id, frame_idx) rows,

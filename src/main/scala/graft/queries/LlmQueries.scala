@@ -91,6 +91,41 @@ object LlmQueries {
     base.unionAll(reenc).unionAll(resized)
   }
 
+  /** Mixed-format perceptual-hash fixture (r19 verdict #2): [[ppmDupFix]]
+    * plus a PNG arm and a JPEG arm, each with its own re-encode plant, so
+    * ONE query drives every raster format through the magic dispatch into
+    * the shared grayDHash core:
+    *   - PNG base at +2000000 (sanitized text as an 8-bit grayscale PNG,
+    *     filter-0 scanlines); every 3rd doc re-encoded at +2500000 with
+    *     SUB-filtered scanlines — different IDAT bytes, identical
+    *     defiltered raster, identical hash (defilter invariance);
+    *   - JPEG base at +3000000 (DC-exact constant-block baseline grayscale,
+    *     dcQ=8); every 3rd doc re-quantized at +3500000 with dcQ=4 —
+    *     different quant table and Huffman stream, identical decoded
+    *     raster, identical hash (requant invariance).
+    * Sanitized to printable ASCII like ppmDupFix so the oracle's ord()
+    * sees the same bytes the encoders consumed. */
+  def mediaPhashFix(s: SparkSession, d: String): DataFrame = {
+    val san = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), "[^\\x20-\\x7e]", ".").as("t"))
+    val png = Multimodal.asPng(
+      san.select((col("doc_id") + 2000000L).as("doc_id"), col("t")),
+      col("doc_id"), col("t"))
+    val pngSub = Multimodal.asPngSubFiltered(
+      san.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2500000L).as("doc_id"), col("t")),
+      col("doc_id"), col("t"))
+    val jpg = Multimodal.asJpeg(
+      san.select((col("doc_id") + 3000000L).as("doc_id"), col("t")),
+      col("doc_id"), col("t"), dcQ = 8)
+    val jpgRe = Multimodal.asJpeg(
+      san.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3500000L).as("doc_id"), col("t")),
+      col("doc_id"), col("t"), dcQ = 4)
+    ppmDupFix(s, d).unionAll(png).unionAll(pngSub)
+      .unionAll(jpg).unionAll(jpgRe)
+  }
+
   /** WAV payload fixture with PERCEPTUAL plants — [[ppmDupFix]]'s audio
     * twin: every doc's printable-ASCII-sanitized text becomes the 8-bit
     * PCM sample stream; every 3rd doc re-appears twice —
@@ -167,6 +202,68 @@ object LlmQueries {
       |         UNION ALL
       |         SELECT doc_id + 600000 AS doc_id, dhash FROM ph
       |         WHERE doc_id % 3 = 0)""".stripMargin
+
+  /** The 64-bit dHash pack over a 72-long 1-indexed `gs` grid list —
+    * PhashCtes' ph stage factored so the PNG/JPEG arms share it
+    * verbatim. */
+  private def dhashPackSql(src: String): String =
+    s"""SELECT doc_id,
+       |         CAST(list_sum(list_transform(generate_series(0, 63), b ->
+       |           CASE WHEN gs[CAST((b // 8) * 9 + (b % 8) + 2 AS INT)] >
+       |                     gs[CAST((b // 8) * 9 + (b % 8) + 1 AS INT)]
+       |                THEN CASE WHEN b = 63
+       |                          THEN CAST(-9223372036854775808 AS BIGINT)
+       |                          ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END
+       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+       |       FROM $src""".stripMargin
+
+  /** PNG arm of the mixed q_mm_phash oracle: w = n%64+1,
+    * h = max(⌈n/w⌉, 1), single-channel raster = the text bytes zero-padded
+    * — gray(x, y) is one ord() lookup; base rows at +2000000, SUB-filtered
+    * plants (identical raster ⇒ identical hash) at +2500000. */
+  private lazy val PngPhashCtes: String =
+    s"""pm AS (SELECT doc_id, t, n, w, greatest((n + w - 1) // w, 1) AS h
+       |      FROM (SELECT doc_id, t, CAST(strlen(t) AS BIGINT) AS n,
+       |                   CAST(strlen(t) % 64 + 1 AS BIGINT) AS w
+       |            FROM san)),
+       |pgr AS (SELECT doc_id,
+       |         list_transform(generate_series(0, 71), gi ->
+       |           CASE WHEN ((gi // 9) * h // 8) * w + ((gi % 9) * w // 9) + 1 <= n
+       |                THEN ord(substr(t,
+       |                       CAST(((gi // 9) * h // 8) * w
+       |                            + ((gi % 9) * w // 9) + 1 AS INT), 1))
+       |                ELSE 0 END) AS gs
+       |       FROM pm),
+       |pph AS (${dhashPackSql("pgr")}),
+       |pall AS (SELECT doc_id + 2000000 AS doc_id, dhash FROM pph
+       |         UNION ALL
+       |         SELECT doc_id + 2500000 AS doc_id, dhash FROM pph
+       |         WHERE doc_id % 3 = 0)""".stripMargin
+
+  /** JPEG arm of the mixed q_mm_phash oracle: bw = n%5+3,
+    * bh = max(⌈n/bw⌉, 1), image 8bw × 8bh of CONSTANT 8×8 blocks — the
+    * decoded raster is DC-exact by fixture construction, so
+    * gray(x, y) = text byte at block (y÷8)·bw + (x÷8) (0 past n); base
+    * rows at +3000000, requantized plants at +3500000. */
+  private lazy val JpegPhashCtes: String =
+    s"""jm AS (SELECT doc_id, t, n, bw, greatest((n + bw - 1) // bw, 1) AS bh
+       |      FROM (SELECT doc_id, t, CAST(strlen(t) AS BIGINT) AS n,
+       |                   CAST(strlen(t) % 5 + 3 AS BIGINT) AS bw
+       |            FROM san)),
+       |jgr AS (SELECT doc_id,
+       |         list_transform(generate_series(0, 71), gi ->
+       |           CASE WHEN (((gi // 9) * (8 * bh) // 8) // 8) * bw
+       |                     + (((gi % 9) * (8 * bw) // 9) // 8) + 1 <= n
+       |                THEN ord(substr(t,
+       |                       CAST((((gi // 9) * (8 * bh) // 8) // 8) * bw
+       |                            + (((gi % 9) * (8 * bw) // 9) // 8) + 1 AS INT), 1))
+       |                ELSE 0 END) AS gs
+       |       FROM jm),
+       |jph AS (${dhashPackSql("jgr")}),
+       |jall AS (SELECT doc_id + 3000000 AS doc_id, dhash FROM jph
+       |         UNION ALL
+       |         SELECT doc_id + 3500000 AS doc_id, dhash FROM jph
+       |         WHERE doc_id % 3 = 0)""".stripMargin
 
   /** Shared audio-envelope CTE chain for the q_mm_ahash oracles: sanitized
     * text as the PCM stream → byte i lands in frame i·65 div n → per-frame
@@ -1883,14 +1980,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Perceptual image hash (r17 verdict #5): decode every P6 payload of
-    // the plant fixture and emit its dHash-64. The oracle recomputes each
-    // BASE hash from the construction arithmetic (integer-div sampling +
-    // ord-addressed raster bytes) and asserts the plants' hashes EQUAL
-    // their original's — the invariant the whole feature exists for: a
-    // re-encode or 2× resize must not move the fingerprint.
+    // Perceptual image hash (r17 verdict #5; r19 mixed-format): decode
+    // every payload of the MIXED plant fixture — PPM raw rasters, PNG
+    // through CRC+INFLATE+defilter, JPEG through Huffman+dequant+IDCT —
+    // via the magic dispatch, and emit its dHash-64 off the DECODED
+    // raster. The oracle recomputes each BASE hash from the construction
+    // arithmetic (integer-div sampling + ord-addressed bytes; the PNG
+    // raster is the text bytes, the JPEG raster is DC-exact by fixture
+    // construction) and asserts every plant's hash EQUALS its original's:
+    // PPM re-encode/2× resize, PNG refilter, JPEG requantization — none
+    // may move the fingerprint.
     "q_mm_phash" -> ((s, d) => {
-      Multimodal.dHashPpm(ppmDupFix(s, d))
+      Multimodal.dHashMedia(mediaPhashFix(s, d))
         .orderBy(col("doc_id"))
     }),
 
@@ -1904,7 +2005,7 @@ object LlmQueries {
     // image corpus by definition — 9.4× at 10x — so the benched
     // production form is q_mm_dedup_phash_apply below.
     "q_mm_dedup_phash" -> ((s, d) => {
-      Multimodal.dHashPairs(Multimodal.dHashPpm(ppmDupFix(s, d)), maxDist = 3)
+      Multimodal.dHashPairs(Multimodal.dHashMedia(mediaPhashFix(s, d)), maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1916,7 +2017,7 @@ object LlmQueries {
     // whole chain — decode, hash, banding, anchors, losers — restates in
     // the oracle.
     "q_mm_dedup_phash_apply" -> ((s, d) => {
-      Multimodal.dHashDedupApply(Multimodal.dHashPpm(ppmDupFix(s, d)),
+      Multimodal.dHashDedupApply(Multimodal.dHashMedia(mediaPhashFix(s, d)),
           maxDist = 3)
         .select(col("doc_id"), col("dhash"))
         .orderBy(col("doc_id"))
@@ -3178,16 +3279,25 @@ object LlmQueries {
     // two's-complement literal — DuckDB's 1<<63 overflows). The plant rows
     // assert the INVARIANT: a re-encode (id+500000) and a 2× nearest-
     // neighbor resize (id+600000) hash identically to their original.
-    "q_mm_phash" -> s"""$PhashCtes
-      |SELECT doc_id, dhash FROM all3 ORDER BY doc_id""".stripMargin,
+    "q_mm_phash" -> s"""$PhashCtes,
+      |$PngPhashCtes,
+      |$JpegPhashCtes
+      |SELECT doc_id, dhash FROM (
+      |  SELECT * FROM all3 UNION ALL SELECT * FROM pall
+      |  UNION ALL SELECT * FROM jall)
+      |ORDER BY doc_id""".stripMargin,
 
     // band-key matches (4 × 16-bit chunks; arithmetic >> matches Spark's
     // shiftright on negative hashes, the & 65535 mask makes them equal),
     // then the exact hamming filter — complete for dist ≤ 3 by pigeonhole
     "q_mm_dedup_phash" -> s"""$PhashCtes,
+      |$PngPhashCtes,
+      |$JpegPhashCtes,
+      |allm AS (SELECT * FROM all3 UNION ALL SELECT * FROM pall
+      |         UNION ALL SELECT * FROM jall),
       |ck AS (SELECT doc_id, dhash, band,
       |              (dhash >> CAST(16 * band AS INT)) & 65535 AS key
-      |       FROM all3 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |       FROM allm CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
       |                x.dhash AS ha, y.dhash AS hb
       |         FROM ck x JOIN ck y ON x.band = y.band AND x.key = y.key
@@ -3199,9 +3309,13 @@ object LlmQueries {
     // banding + cap-lowest-id anchors + hamming losers + NOT IN — the
     // apply restated end to end
     "q_mm_dedup_phash_apply" -> s"""$PhashCtes,
+      |$PngPhashCtes,
+      |$JpegPhashCtes,
+      |allm AS (SELECT * FROM all3 UNION ALL SELECT * FROM pall
+      |         UNION ALL SELECT * FROM jall),
       |ck AS (SELECT doc_id, dhash, band,
       |              (dhash >> CAST(16 * band AS INT)) & 65535 AS key
-      |       FROM all3 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |       FROM allm CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
       |anc AS (SELECT band, key, doc_id, dhash FROM (
       |          SELECT band, key, doc_id, dhash,
       |                 row_number() OVER (PARTITION BY band, key
@@ -3211,7 +3325,7 @@ object LlmQueries {
       |       FROM anc x JOIN ck y ON x.band = y.band AND x.key = y.key
       |                           AND x.doc_id < y.doc_id
       |       WHERE bit_count(xor(x.dhash, y.dhash)) <= 3)
-      |SELECT doc_id, dhash FROM all3
+      |SELECT doc_id, dhash FROM allm
       |WHERE doc_id NOT IN (SELECT loser FROM ls)
       |ORDER BY doc_id""".stripMargin,
 

@@ -952,4 +952,160 @@ class LlmSpec extends SparkSpec {
       assert(viaDouble == exact + 1, s"fixture no longer bites: byte_len=$bl")
     }
   }
+
+  // spec-local zig-zag copy — deliberately NOT the decoder's table, so a
+  // transposition there cannot self-confirm
+  private val SpecZigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Independent reference: direct (non-separable) 2D IDCT of one
+    * dequantized block — shares no code with the decoder's separable
+    * form. */
+  private def refIdct(zz: Array[Int], q: Array[Int]): Array[Int] = {
+    val f = new Array[Double](64)
+    for (k <- 0 until 64) f(SpecZigzag(k)) = zz(k).toDouble * q(k)
+    Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var acc = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        acc += 0.25 * cu * cv * f(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      math.min(255, math.max(0, math.round(acc + 128.0).toInt))
+    }
+  }
+
+  test("JPEG codec: DC-exact round trip, requant invariance, garbage safety") {
+    import Multimodal.{jpegBytes, jpegBlocksW, jpegBlocksH, parseJpegRaster}
+    val d = Array.tabulate(11)(i => (i * 23 + 7).toByte)
+    val bw = jpegBlocksW(11); val bh = jpegBlocksH(11)
+    assert(bw == 4 && bh == 3)
+    val Some((w, h, raster)) = parseJpegRaster(jpegBytes(d, dcQ = 8))
+    assert(w == 32 && h == 24)
+    // every pixel equals its block's source byte (missing tail blocks → 0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bi = (y / 8) * bw + (x / 8)
+      val want = if (bi < d.length) d(bi) & 0xff else 0
+      assert((raster(y * w + x) & 0xff) == want, s"pixel ($x,$y)")
+    }
+    // requantization plant: dcQ=4 → different bytes, identical raster
+    val re = jpegBytes(d, dcQ = 4)
+    assert(!java.util.Arrays.equals(re, jpegBytes(d, dcQ = 8)))
+    assert(parseJpegRaster(re).exists(_._3.sameElements(raster)))
+    // empty data → one zero block row (bw=3, bh=1)
+    assert(parseJpegRaster(jpegBytes(Array.emptyByteArray))
+      .exists { case (w0, h0, r0) =>
+        w0 == 24 && h0 == 8 && r0.forall(_ == 0) })
+    // garbage safety: truncation anywhere, bad magic, fuzz totality
+    val good = jpegBytes(d)
+    assert(parseJpegRaster(Array.emptyByteArray).isEmpty)
+    assert(parseJpegRaster("not a jpeg".getBytes("US-ASCII")).isEmpty)
+    for (cut <- 1 until good.length)
+      parseJpegRaster(good.take(cut)) // total; truncations mostly None
+    val rnd = new scala.util.Random(5432)
+    for (_ <- 1 to 2000) {
+      val len = rnd.nextInt(96)
+      val arr = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (rnd.nextBoolean() && len >= 2) { arr(0) = 0xff.toByte; arr(1) = 0xd8.toByte }
+      parseJpegRaster(arr) // must be total
+    }
+  }
+
+  test("JPEG decoder: AC coefficients + ZRL + DC prediction vs independent IDCT") {
+    import Multimodal.{jpegEncode, parseJpegRaster}
+    // a non-flat quant table and three adversarial blocks: dense AC,
+    // a >16-zero run (forces ZRL), negative amplitudes, DC prediction
+    // across blocks
+    val q = Array.tabulate(64)(k => 1 + (k * 5) % 16)
+    val b1 = new Array[Int](64)
+    b1(0) = -40; b1(1) = 12; b1(2) = -7; b1(5) = 3; b1(20) = -2; b1(63) = 1
+    val b2 = new Array[Int](64)
+    b2(0) = 35; b2(1) = -1; b2(30) = 4 // 28 zeros between → ZRL + run bits
+    val b3 = new Array[Int](64) // DC-only, pred walks back down
+    b3(0) = -10
+    val blocks = Array(b1, b2, b3)
+    val Some((w, h, raster)) = parseJpegRaster(jpegEncode(24, 8, q, blocks))
+    assert(w == 24 && h == 8)
+    blocks.zipWithIndex.foreach { case (zz, bi) =>
+      val want = refIdct(zz, q)
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((raster(y * 24 + bi * 8 + x) & 0xff) == want(y * 8 + x),
+          s"block $bi pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG decoder honors DRI/RSTn restart markers") {
+    import Multimodal.{jpegEncode, parseJpegRaster}
+    // two DC-only single-block images share identical entropy semantics
+    // with pred reset — splice them into one two-block scan with DRI=1 and
+    // an RST0 between: headers from a real two-block encode, entropy from
+    // the single-block encodes (restart ⇒ pred starts at 0 in both).
+    val q = Array.fill(64)(1); q(0) = 8
+    def zz(dc: Int): Array[Int] = { val a = new Array[Int](64); a(0) = dc; a }
+    def entropy(img: Array[Byte]): Array[Byte] = {
+      // bytes between the SOS segment's end and the EOI marker
+      var i = 2
+      while (!((img(i) & 0xff) == 0xff && (img(i + 1) & 0xff) == 0xda))
+        i += 2 + (((img(i + 2) & 0xff) << 8) | (img(i + 3) & 0xff))
+      val sosLen = ((img(i + 2) & 0xff) << 8) | (img(i + 3) & 0xff)
+      img.slice(i + 2 + sosLen, img.length - 2)
+    }
+    val one = jpegEncode(8, 8, q, Array(zz(-16)))   // pixel value 112
+    val two = jpegEncode(8, 8, q, Array(zz(24)))    // pixel value 152
+    val frame = jpegEncode(16, 8, q, Array(zz(-16), zz(24)))
+    // locate frame's SOS and rebuild: headers + DRI(1) + SOS..end-of-seg +
+    // entropy(one) + RST0 + entropy(two) + EOI
+    var i = 2
+    while (!((frame(i) & 0xff) == 0xff && (frame(i + 1) & 0xff) == 0xda))
+      i += 2 + (((frame(i + 2) & 0xff) << 8) | (frame(i + 3) & 0xff))
+    val sosLen = ((frame(i + 2) & 0xff) << 8) | (frame(i + 3) & 0xff)
+    val spliced =
+      frame.take(i) ++
+      Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01).map(_.toByte) ++ // DRI=1
+      frame.slice(i, i + 2 + sosLen) ++
+      entropy(one) ++ Array(0xff, 0xd0).map(_.toByte) ++ entropy(two) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val Some((w, h, raster)) = parseJpegRaster(spliced)
+    assert(w == 16 && h == 8)
+    for (y <- 0 until 8) {
+      assert((raster(y * 16) & 0xff) == 112, s"left block row $y")
+      assert((raster(y * 16 + 8) & 0xff) == 152, s"right block row $y")
+    }
+  }
+
+  test("dHashMedia: dispatch + per-format re-encode invariance") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    val text = "the quick brown fox jumps over the lazy dog 0123456789" * 3
+    val data = text.getBytes("US-ASCII")
+    def hashOf(payload: Array[Byte]): Option[Long] = {
+      val r = dHashMedia(Seq((1L, payload)).toDF("doc_id", "payload")).collect()(0)
+      if (r.isNullAt(1)) None else Some(r.getLong(1))
+    }
+    // PPM routes through ppmDHash (existing invariance pinned elsewhere)
+    val ppm = (s"P6 ${data.length % 64 + 1} " +
+      s"${math.max(data.length / (3 * (data.length % 64 + 1)), 1)} 255\n")
+      .getBytes("US-ASCII") ++ data
+    assert(hashOf(ppm).isDefined)
+    // PNG: filter-0 vs Sub-filtered — same raster, different IDAT bytes,
+    // SAME hash (the defilter-invariance plant)
+    val png0 = hashOf(pngBytes(data))
+    val pngSub = asPngSubFiltered(Seq((1L, text)).toDF("doc_id", "t"),
+      col("doc_id"), col("t")).collect()(0).getAs[Array[Byte]]("payload")
+    assert(png0.isDefined && hashOf(pngSub) === png0)
+    assert(!java.util.Arrays.equals(pngSub, pngBytes(data)))
+    // JPEG: dcQ=8 vs dcQ=4 — different quant/Huffman bytes, SAME hash
+    val j8 = hashOf(jpegBytes(data, 8))
+    assert(j8.isDefined && hashOf(jpegBytes(data, 4)) === j8)
+    // unrecognizable payloads yield null, not an exception
+    assert(hashOf("?junk".getBytes("US-ASCII")).isEmpty)
+    assert(hashOf(Array.emptyByteArray).isEmpty)
+  }
 }

@@ -45,18 +45,18 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_gopher_rules_by_lang" -> 4,
     // WARC fixture: the good-stream branch + the truncated-plant stride
     "q_src_warc" -> 2,
-    // PPM perceptual-hash fixture: base + re-encode + 2×-resize branches,
-    // each its own pruned scan; the banded pair self-join reuses the
-    // hashed exchange, so the pair query costs the same three
-    "q_mm_phash" -> 3,
-    "q_mm_dedup_phash" -> 3,
+    // MIXED perceptual-hash fixture (r19): the 3 PPM branches (base +
+    // re-encode + 2×-resize) + PNG base + SUB-filtered PNG plant + JPEG
+    // base + requantized JPEG plant — 7 pruned construction scans, one
+    // per union arm; every downstream consumer reads the persisted
+    // (doc_id, dhash) relation, so the pair and apply forms cost the
+    // same seven (decode runs exactly once)
+    "q_mm_phash" -> 7,
+    "q_mm_dedup_phash" -> 7,
+    "q_mm_dedup_phash_apply" -> 7,
     // WAV perceptual fixture: base + re-encode + polarity-invert branches
     "q_mm_ahash" -> 3,
     "q_mm_dedup_ahash" -> 3,
-    // apply form: the 3 fixture branches × 3 banded-frame consumers
-    // (anchor chain, b-side, final anti-join) — the standard uncached
-    // derive-then-filter shape; exchange reuse dedupes the shuffles
-    "q_mm_dedup_phash_apply" -> 9,
     // dotted base + three plant branches (bad lines, lorem, braces)
     "q_c4_clean" -> 4,
     // scaled-duplicate fixture (2 branches) × three corpus passes (cell
