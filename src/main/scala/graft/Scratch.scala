@@ -379,6 +379,22 @@ object Scratch {
           graft.llm.SpanDedup.probeOwners(docs, col("doc_id"), col("text"))))
         CacheHygiene.releaseAll(spark)
       }
+    } else if (args.headOption.contains("phash_ab")) {
+      // q_mm_phash cost decomposition: fixture encode vs decode+hash
+      import org.apache.spark.sql.DataFrame
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      val fix = graft.queries.LlmQueries.mediaPhashFix(spark, d)
+      for (_ <- 1 to 2) {
+        time("fixture encode only")(noop(fix))
+        time("fixture encode + byte count")(noop(
+          fix.select(col("doc_id"), length(col("payload")))))
+        time("encode + decode + hash")(noop(
+          graft.llm.Multimodal.dHashMedia(fix)))
+        time("registered (sorted)")(noop(
+          graft.SparkEntry.queries("q_mm_phash")(spark, d)))
+        CacheHygiene.releaseAll(spark)
+      }
     } else if (args.headOption.contains("reuse_ab")) {
       // control: does a plain self-join reuse its exchange in this session?
       val t = spark.range(100000).select(col("id"),

@@ -52,7 +52,20 @@ object SpanDedup {
     * owner per hash is one map-side-combined min-struct aggregate; flagged
     * (doc, start) lists fold back per doc (bounded by the doc's own window
     * count) and the cut is a per-row coverage filter — no text ever joins
-    * against text. */
+    * against text.
+    *
+    * Measured 10× scaling term (r19, warm stage decomposition on the
+    * replica): owners agg 0.7→1.8 s, flagged join + per-doc collect
+    * 0.8→3.6 s, coverage filter ~0.1 s flat, output sort 0.8→1.7 s —
+    * whole registered query 2.48→6.76 s (2.7×). The join+collect stage is
+    * the above-linear term and it is DATA-driven, not plan-driven: the
+    * replica corpus is ~90% duplicated, so the flagged fraction rises
+    * from ~0.1 to ~1.0 of all windows and every flagged occurrence must
+    * flow to its document to be cut — the work IS the output. A per-hash
+    * df cap would not shrink it here (replica hashes sit at df≈10, far
+    * under any boilerplate threshold), and fusing the owner aggregate into
+    * a per-hash collect_list would re-introduce the hot-hash straggler the
+    * two-aggregate shape exists to avoid. */
   def dedupApply(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val wins = windows(docs, id, text)
       .select(col("doc_id"), col("s"), col("h"), col("h2"))

@@ -318,14 +318,17 @@ object CurationQueries {
     // exact-blocked domain, two suffix-blocked ones, and a /casino/
     // pattern arm; the dot-suffix rule must NOT catch notbad-style
     // siblings (UrlCurationSpec pins that boundary).
-    "q_url_filter" -> ((s, d) => {
-      val canon = docsUrlFix(s, d)
+    // projectSorted, not orderBy (r19): the canonicalize+blocklist regex
+    // battery is a heavy NARROW projection, and a plain orderBy's range
+    // sampling pass would execute it twice — the RangeSort doctrine
+    "q_url_filter" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      docsUrlFix(s, d), Seq(col("doc_id"))) { base =>
+      val canon = base
         .select(col("doc_id"),
           graft.llm.UrlCuration.canonicalize(col("url")).as("url_canon"))
         .withColumn("host", graft.llm.UrlCuration.host(col("url_canon")))
       graft.llm.UrlCuration.blocklistFilter(canon, col("url_canon"))
         .select(col("doc_id"), col("host"), col("url_canon"))
-        .orderBy(col("doc_id"))
     }))
 
   /** URL fixture host pool — position 2 is mixed-case (canonicalization

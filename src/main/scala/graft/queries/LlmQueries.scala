@@ -1418,9 +1418,12 @@ object LlmQueries {
     // javascript; keep docs with ≥3 surviving lines and no lorem-ipsum /
     // code-brace markers. One filter HOF per row — the line rules never
     // explode the corpus.
-    "q_c4_clean" -> ((s, d) => {
+    // projectSorted, not orderBy (r19): the line-filter battery is a heavy
+    // narrow projection — orderBy's sampling pass would run it twice
+    "q_c4_clean" -> ((s, d) => graft.query.RangeSort.projectSorted(
+      docsC4Fix(s, d), Seq(col("doc_id"))) { base =>
       val ls = TextAnalysis.docLines(col("text"))
-      docsC4Fix(s, d)
+      base
         .select(col("doc_id"), col("text"), ls.as("ls"),
           TextAnalysis.c4KeptLines(ls).as("kept"))
         .select(col("doc_id"),
@@ -1428,7 +1431,6 @@ object LlmQueries {
           size(col("kept")).cast("long").as("n_kept"),
           length(concat_ws("\n", col("kept"))).cast("long").as("clean_chars"),
           TextAnalysis.c4DocKeep(col("text"), size(col("kept"))).as("doc_kept"))
-        .orderBy(col("doc_id"))
     }),
 
     // Incremental (cross-snapshot) dedup: tonight's crawl batch vs the
@@ -1991,7 +1993,13 @@ object LlmQueries {
     // PPM re-encode/2× resize, PNG refilter, JPEG requantization — none
     // may move the fingerprint.
     "q_mm_phash" -> ((s, d) => {
-      Multimodal.dHashMedia(mediaPhashFix(s, d))
+      // PERSISTED before the sort (r19): the decode+hash chain is narrow
+      // (no exchange for the range sampler to reuse), so a plain orderBy
+      // re-executes every codec twice; the cached relation is 16 B/row.
+      // RangeSort.projectSorted doesn't fit here — the fixture arms bake
+      // their final doc_ids inside the encode union, so no cheap pre-sort
+      // key relation exists. CacheHygiene releases the cache per query.
+      Multimodal.dHashMedia(mediaPhashFix(s, d)).persist()
         .orderBy(col("doc_id"))
     }),
 

@@ -75,10 +75,14 @@ class BpeSpec extends SparkSpec {
     * occurrences), same tie order, same left-to-right non-overlapping
     * apply — but on plain Scala collections. */
   private def trainBrute(docs: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    // CODE-POINT split (matching the r19 trainer contract) — Java's
+    // split("") cuts between code units and would shear surrogate pairs
+    def cpSplit(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
     var words: Map[Vector[String], Long] = docs.flatMap(_.split(" "))
       .filter(_.nonEmpty).groupBy(identity).view
       .mapValues(_.size.toLong).toMap
-      .map { case (w, f) => w.split("").toVector -> f }
+      .map { case (w, f) => cpSplit(w) -> f }
     val out = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 0 until rounds) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -247,6 +251,19 @@ class BpeSpec extends SparkSpec {
       }
       assert(trainSpark(docs, 3) === trainBrute(docs, 3), s"case $n: $docs")
     }
+  }
+
+  test("trainMerges splits base symbols by CODE POINT, not code unit") {
+    // a supplementary-plane corpus: '𝕒' (U+1D552) is one code point, two
+    // UTF-16 units. The most frequent pair must be the WHOLE-codepoint
+    // bigram (𝕒, x) — a code-unit split would shear the surrogate pair
+    // and train on lone-surrogate garbage symbols instead.
+    val g = new String(Character.toChars(0x1D552))
+    val docs = Seq(s"${g}x ${g}x ${g}x ${g}y")
+    val got = trainSpark(docs, 1)
+    assert(got === trainBrute(docs, 1))
+    assert(got.head._2 === g && got.head._3 === "x" && got.head._4 === 3L,
+      s"expected ($g, x) as the top merge, got ${got.head}")
   }
 
   private def trainBatchedSpark(docs: Seq[String], rounds: Int,
