@@ -689,11 +689,13 @@ object LlmQueries {
     * wrapped replace per merge SLOT (scalar subqueries feed each slot's
     * pair; an unused slot passes through via the wrap helper's CASE).
     * Global merge_rank = row_number over (round, pos) − 1. */
-  private def bpeTrainBatchedSql(rounds: Int, batch: Int): String = {
+  private def bpeTrainBatchedSql(rounds: Int, batch: Int,
+      where: String = ""): String = {
     val sep = "chr(30)"
     val limit = graft.llm.Bpe.BatchCandidateFactor * batch
     val init =
-      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |       FROM documents$where),
          |b0 AS MATERIALIZED (SELECT array_to_string(string_split(tok, ''), $sep) AS sym,
          |              count(*) AS freq
          |       FROM t WHERE len(tok) > 0 GROUP BY 1)""".stripMargin
@@ -1553,6 +1555,20 @@ object LlmQueries {
     "q_bpe_train_batched" -> ((s, d) => {
       graft.llm.Bpe.trainMergesBatched(Tables.documents(s, d), col("text"),
           rounds = BpeBatchRounds, batch = BpeBatchK)
+        .orderBy(col("merge_rank"))
+    }),
+
+    // Bounded deterministic training SAMPLE (the other half of r18
+    // verdict #6): production tokenizers train on a fixed-size sample, so
+    // corpus growth grows neither the per-round aggregation nor the
+    // driver loop. The stride ∩ id-bound sample (≤ 4096 docs FOREVER, not
+    // a corpus fraction — a fraction re-opens the growth door) is
+    // deterministic, so the oracle trains on the identical subset.
+    "q_bpe_train_sampled" -> ((s, d) => {
+      graft.llm.Bpe.trainMergesBatched(
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 7 === 0 && col("doc_id") < 7 * 4096),
+          col("text"), rounds = BpeBatchRounds, batch = BpeBatchK)
         .orderBy(col("merge_rank"))
     }),
 
@@ -3117,6 +3133,8 @@ object LlmQueries {
     // adjacent symbols, (cnt DESC, l, r) argmax, non-overlapping replace
     "q_bpe_train" -> bpeTrainSql(BpeTrainRounds),
     "q_bpe_train_batched" -> bpeTrainBatchedSql(BpeBatchRounds, BpeBatchK),
+    "q_bpe_train_sampled" -> bpeTrainBatchedSql(BpeBatchRounds, BpeBatchK,
+      " WHERE doc_id % 7 = 0 AND doc_id < 28672"),
 
     // learned-merge tokenization: training CTEs + rank-order replay
     "q_bpe_train_apply" -> bpeTrainApplySql(BpeTrainRounds),
