@@ -66,11 +66,17 @@ object Html {
     * `name=googlebot-news` no longer fires a `googlebot` gate and
     * `name=robotsxyz` no longer fires the default one — over-blocking
     * pages that opted out a DIFFERENT agent contradicts the gate's
-    * opt-out intent. */
+    * opt-out intent. The name-first pattern's terminator class excludes
+    * `>` (r19 advice): a name-first tag with a content attribute never
+    * legitimately closes right after the name, and admitting `>` let the
+    * following `[^>]*` scan BODY text past the tag close — `<meta
+    * name=robots>` followed by prose containing `content="noindex` would
+    * false-block the page. The content-first pattern keeps `>` only in
+    * its TRAILING position, where the tag genuinely ends. */
   def robotsPatterns(agent: String): Seq[String] = {
     val a = requirePlainAgent(agent)
     Seq(
-      s"(?is)<meta[^>]*name\\s*=\\s*['\"]?$a['\"\\s/>][^>]*" +
+      s"(?is)<meta[^>]*name\\s*=\\s*['\"]?$a['\"\\s/][^>]*" +
         "content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b",
       s"(?is)<meta[^>]*content\\s*=\\s*['\"][^'\"]*\\b(noindex|none)\\b" +
         s"[^'\"]*['\"][^>]*name\\s*=\\s*['\"]?$a(['\"\\s/>]|$$)")
@@ -92,12 +98,21 @@ object Html {
     * comma-separated and optionally scoped by a leading `agent:` prefix
     * (`X-Robots-Tag: googlebot: noindex, nofollow`); an UNSCOPED list
     * applies to every agent. One pattern, shared verbatim with the oracle:
-    * optional OUR-agent scope, then the directive token with no OTHER
-    * scope's colon allowed in between — so `otherbot: noindex` does not
-    * fire a `googlebot` gate (the same non-over-blocking contract as
-    * [[robotsPatterns]]). */
+    * optional OUR-agent scope, then any number of comma-TERMINATED
+    * directives, then the opt-out token. Earlier directives may carry a
+    * colon-bearing value only when they are the known value-taking forms
+    * (`unavailable_after: <date>`, `max-*: <n>`) — so `unavailable_after:
+    * 25 Jun 2026, noindex` blocks (the r19-advice recall gap: the old
+    * `[^:]*` bound could not cross ANY colon), while an unknown
+    * `word:` still reads as another agent's scope and `otherbot: noindex`
+    * keeps the page (the same non-over-blocking contract as
+    * [[robotsPatterns]]). Directives must be comma-separated per the
+    * de-facto header spec: a malformed space-separated `nofollow noindex`
+    * no longer fires. */
   def robotsHeaderPattern(agent: String): String =
-    s"(?is)^\\s*(${requirePlainAgent(agent)}\\s*:)?[^:]*\\b(noindex|none)\\b"
+    s"(?is)^\\s*(${requirePlainAgent(agent)}\\s*:)?\\s*" +
+      "((unavailable_after|max-[a-z-]+)\\s*:[^,]*,\\s*|[a-z_-]+\\s*,\\s*)*" +
+      "(noindex|none)\\b"
 
   /** TRUE when an X-Robots-Tag header value opts the page out for `agent`
     * (or for everyone). NULL-safe: a missing header (null column) keeps

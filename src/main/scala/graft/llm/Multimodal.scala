@@ -1022,6 +1022,11 @@ object Multimodal {
       blocks: Array[Array[Int]]): Array[Byte] = {
     require(qtab.length == 64 && qtab.forall(q => q >= 1 && q <= 255),
       "qtab must be 64 entries in [1, 255]")
+    // SOF0 carries dims as 16-bit fields (r19 advice): an oversized frame
+    // would silently wrap mod 65536 into a decodable-but-truncated raster
+    // whose hash diverges from the construction arithmetic — fail loudly.
+    require(w >= 1 && w <= 65535 && h >= 1 && h <= 65535,
+      s"JPEG dims must fit SOF0's 16-bit fields, got ${w}x$h")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -1107,7 +1112,11 @@ object Multimodal {
   }
 
   /** Wrap the text column as a REAL baseline JPEG — the [[asPng]] pattern
-    * for the lossy format (DC-exact constant blocks, see [[jpegBytes]]). */
+    * for the lossy format (DC-exact constant blocks, see [[jpegBytes]]).
+    * Text-length bound: h = 8·⌈n/bw⌉ must fit SOF0's 16-bit height, so
+    * texts past 65535·bw/8 bytes (≈ 24.5k chars at bw=3) fail
+    * [[jpegEncode]]'s dimension require LOUDLY rather than wrapping — the
+    * fixture corpus tops out near 600 chars, far inside the bound. */
   def asJpeg(df: DataFrame, id: Column, payloadText: Column,
       dcQ: Int = 8): DataFrame = {
     val spark = df.sparkSession

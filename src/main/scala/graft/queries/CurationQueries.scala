@@ -87,25 +87,30 @@ object CurationQueries {
     }),
 
     // Robots meta opt-out gate (r18): the publisher-opt-out pass a
-    // responsible curation runs before keeping any text. Five fixture
+    // responsible curation runs before keeping any text. Six fixture
     // arms: blocked via name-first NOINDEX (case), blocked via
     // content-first 'none' with an unquoted name attr, kept index/follow,
-    // kept noindex-for-ANOTHER-agent (googlebot ≠ robots), kept no-meta.
+    // kept noindex-for-ANOTHER-agent (googlebot ≠ robots), kept no-meta,
+    // kept cross-tag trap (r19 advice: a bare name-only tag followed by
+    // prose containing content="noindex before the next '>' must not
+    // match across the tag close).
     // The oracle re-runs the SAME two RE2-subset patterns in DuckDB over
     // the reconstructed html (the redactPii shared-pattern discipline).
     "q_html_robots_gate" -> ((s, d) => {
-      val arm = pmod(col("doc_id"), lit(5))
+      val arm = pmod(col("doc_id"), lit(6))
       val meta = when(arm === 0,
           lit("<meta name=\"ROBOTS\" content=\"NOINDEX, follow\">"))
         .when(arm === 1, lit("<meta content='none' name=robots>"))
         .when(arm === 2, lit("<meta name=\"robots\" content=\"index, follow\">"))
         .when(arm === 3, lit("<meta name=\"googlebot\" content=\"noindex\">"))
+        .when(arm === 5,
+          lit("<meta name=robots>stray prose content=\"noindex none\" trap"))
         .otherwise(lit(""))
       Tables.documents(s, d)
         .withColumn("html", concat(lit("<html><head>"), meta,
           lit("</head><body><p>"), col("text"), lit("</p></body></html>")))
         .filter(!graft.llm.Html.robotsNoindex(col("html")))
-        .select(col("doc_id"), pmod(col("doc_id"), lit(5)).cast("long").as("arm"))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(6)).cast("long").as("arm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -757,13 +762,14 @@ object CurationQueries {
     "q_html_robots_gate" -> {
       val Seq(p1, p2) = graft.llm.Html.robotsPatterns("robots")
         .map(_.replace("'", "''"))
-      s"""WITH h AS (SELECT doc_id, doc_id % 5 AS arm,
+      s"""WITH h AS (SELECT doc_id, doc_id % 6 AS arm,
          |  '<html><head>' ||
-         |  CASE doc_id % 5
+         |  CASE doc_id % 6
          |    WHEN 0 THEN '<meta name="ROBOTS" content="NOINDEX, follow">'
          |    WHEN 1 THEN '<meta content=''none'' name=robots>'
          |    WHEN 2 THEN '<meta name="robots" content="index, follow">'
          |    WHEN 3 THEN '<meta name="googlebot" content="noindex">'
+         |    WHEN 5 THEN '<meta name=robots>stray prose content="noindex none" trap'
          |    ELSE '' END ||
          |  '</head><body><p>' || text || '</p></body></html>' AS html
          |  FROM documents)

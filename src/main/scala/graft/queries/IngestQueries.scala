@@ -223,20 +223,26 @@ object IngestQueries {
 
     // X-Robots-Tag opt-out gate (r18 verdict gap #2): the HEADER form of
     // the robots opt-out, OR-composed with the meta-tag gate — compliance
-    // means honoring BOTH. Six fixture arms through the real byte-walk:
+    // means honoring BOTH. Eight fixture arms through the real byte-walk:
     // blocked via unscoped header 'noindex', kept via a header scoped to
     // ANOTHER agent (googlebot ≠ robots — the non-over-blocking bound),
     // blocked via our-agent-scoped 'none', blocked via the meta tag with
     // no header (the OR-composition proof), kept 'nofollow' (no opt-out
-    // token), kept bare. The surfaced header value rides the output
+    // token), kept bare, blocked via a colon-bearing value directive
+    // before the token (r19 advice: 'unavailable_after: <date>, noindex'
+    // — the old [^:]* bound missed it), kept when that same list is
+    // scoped to another agent. The surfaced header value rides the output
     // verbatim, so the hash also pins the walk's header extraction.
     "q_warc_robots_header" -> ((s, d) => {
       val docs = graft.model.Tables.documents(s, d)
-      val arm = pmod(col("doc_id"), lit(6))
+      val arm = pmod(col("doc_id"), lit(8))
       val xr = when(arm === 0, lit("noindex"))
         .when(arm === 1, lit("googlebot: noindex, nofollow"))
         .when(arm === 2, lit("robots: none"))
         .when(arm === 4, lit("nofollow"))
+        .when(arm === 6, lit("unavailable_after: 25 Jun 2026, noindex"))
+        .when(arm === 7,
+          lit("googlebot: unavailable_after: 25 Jun 2026, noindex"))
       val body = when(arm === 3, concat(
           lit("<html><head><meta name=\"robots\" content=\"noindex\">" +
             "</head><body>"), col("text"), lit("</body></html>")))
@@ -262,7 +268,7 @@ object IngestQueries {
         .filter(!graft.llm.Html.robotsHeaderNoindex(col("x_robots_tag")) &&
           !graft.llm.Html.robotsNoindex(col("body")))
         .select(substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
-          (substring_index(col("uri"), "/", -1).cast("long") % 6).as("arm"),
+          (substring_index(col("uri"), "/", -1).cast("long") % 8).as("arm"),
           col("x_robots_tag"))
         .orderBy(col("doc_id"))
     }))
@@ -321,13 +327,16 @@ object IngestQueries {
       val hp = graft.llm.Html.robotsHeaderPattern("robots").replace("'", "''")
       val Seq(p1, p2) = graft.llm.Html.robotsPatterns("robots")
         .map(_.replace("'", "''"))
-      s"""WITH h AS (SELECT doc_id, doc_id % 6 AS arm,
-         |  CASE doc_id % 6
+      s"""WITH h AS (SELECT doc_id, doc_id % 8 AS arm,
+         |  CASE doc_id % 8
          |    WHEN 0 THEN 'noindex'
          |    WHEN 1 THEN 'googlebot: noindex, nofollow'
          |    WHEN 2 THEN 'robots: none'
-         |    WHEN 4 THEN 'nofollow' END AS x_robots_tag,
-         |  CASE WHEN doc_id % 6 = 3
+         |    WHEN 4 THEN 'nofollow'
+         |    WHEN 6 THEN 'unavailable_after: 25 Jun 2026, noindex'
+         |    WHEN 7 THEN 'googlebot: unavailable_after: 25 Jun 2026, noindex'
+         |    END AS x_robots_tag,
+         |  CASE WHEN doc_id % 8 = 3
          |       THEN '<html><head><meta name="robots" content="noindex">' ||
          |            '</head><body>' || text || '</body></html>'
          |       ELSE text END AS body

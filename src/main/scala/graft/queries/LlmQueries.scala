@@ -1544,9 +1544,10 @@ object LlmQueries {
     }),
 
     // BATCHED BPE training at a real vocabulary scale (r18 verdict #6):
-    // 8 driver rounds × up to 8 merges each — up to 64 merges from 8
-    // corpus aggregations instead of 64 (trainMerges' one-job-per-merge
-    // wall at production vocab sizes). Selection is the deterministic
+    // BpeBatchRounds driver rounds × up to BpeBatchK merges each — a
+    // rounds·batch merge budget from `rounds` corpus aggregations instead
+    // of one job PER merge (trainMerges' wall at production vocab sizes).
+    // Selection is the deterministic
     // top-ranked pairwise-disjoint rule (Bpe.trainMergesBatched scaladoc),
     // which the oracle restates per round WITHOUT recursion: ranked
     // candidates LIMIT 4·batch, a NOT EXISTS disjointness filter against

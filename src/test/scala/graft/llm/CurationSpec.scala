@@ -224,6 +224,13 @@ class CurationSpec extends SparkSpec {
     assert(!blocked("""<meta name="robotsxyz" content="noindex">"""))
     assert(!blocked("""<meta name="googlebot-news" content="noindex">""",
       agent = "googlebot"))
+    // tag bound (r19 advice): a bare name-only meta tag followed by BODY
+    // text that happens to contain content="noindex before the next '>'
+    // must not match across the tag close
+    assert(!blocked(
+      """<meta name=robots>stray prose content="noindex none" trap<p>x</p>"""))
+    // ...while the legit unquoted name-first form still blocks
+    assert(blocked("""<meta name=robots content="noindex">"""))
     // a metacharacter-bearing agent is rejected loudly, not misparsed
     intercept[IllegalArgumentException](Html.robotsPatterns("ro.bots"))
   }
@@ -249,6 +256,14 @@ class CurationSpec extends SparkSpec {
     // token bound: nofollow/noindexing are not opt-outs
     assert(!blocked("nofollow"))
     assert(!blocked("noindexing"))
+    // colon-bearing VALUE directives before the token (r19 advice): the
+    // directive walk crosses unavailable_after/max-* values, scoped or not
+    assert(blocked("unavailable_after: 25 Jun 2026, noindex"))
+    assert(blocked("robots: unavailable_after: 25 Jun 2026, noindex"))
+    assert(blocked("max-snippet: -1, noindex"))
+    assert(blocked("noarchive, max-image-preview: large, none"))
+    // ...but an unknown word: is another agent's scope, not a value
+    assert(!blocked("googlebot: unavailable_after: 25 Jun 2026, noindex"))
     // null header keeps the page (coalesce arm)
     assert(!blocked(null))
     intercept[IllegalArgumentException](Html.robotsHeaderPattern("a|b"))
