@@ -915,7 +915,7 @@ object Multimodal {
     }
   }
 
-  // ==================== JPEG (baseline, grayscale) ====================
+  // ============== JPEG (baseline: grayscale + YCbCr color) ==============
 
   /** ITU T.81 Figure A.6 zig-zag order: JpegZigzag(k) = natural (row-major)
     * index of the k-th coefficient in transmission order. */
@@ -955,6 +955,37 @@ object Multimodal {
     0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** ITU T.81 Annex K standard CHROMINANCE Huffman tables (Tables K.4 and
+    * K.6) — written as table-id 1 by the color encoder, exercising the
+    * decoder's multi-table DHT path the way real camera output does. */
+  private val JpegDcChromaBits: Array[Int] =
+    Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val JpegDcChromaVals: Array[Int] = (0 to 11).toArray
+  private val JpegAcChromaBits: Array[Int] =
+    Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val JpegAcChromaVals: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
   /** Canonical Huffman codebook from (BITS, HUFFVAL) — T.81 Annex C:
@@ -1011,6 +1042,38 @@ object Multimodal {
     s
   }
 
+  /** Entropy-encode ONE 64-coefficient zig-zag block (DC diff + run-length
+    * AC with ZRL/EOB) against the given DC/AC codebooks; returns the new
+    * DC predictor. Shared by the grayscale and color encoders. */
+  private def jpegEncodeBlock(bw: JpegBitWriter, zz: Array[Int], pred: Int,
+      dcT: Map[Int, (Int, Int)], acT: Map[Int, (Int, Int)]): Int = {
+    require(zz.length == 64, "each block is 64 zig-zag coefficients")
+    val diff = zz(0) - pred
+    val s = jpegCategory(diff)
+    val (c, l) = dcT(s)
+    bw.put(c, l)
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = zz(k)
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
+        }
+        val sz = jpegCategory(v)
+        val (ac, al) = acT((run << 4) | sz)
+        bw.put(ac, al)
+        bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acT(0x00); bw.put(ec, el) } // EOB
+    zz(0)
+  }
+
   /** Assemble a baseline grayscale JPEG from QUANTIZED coefficient blocks
     * (each 64 ints in ZIG-ZAG order, blocks in raster order): SOI, DQT
     * (`qtab` in zig-zag order), SOF0 (8-bit, one component, 1×1 sampling),
@@ -1046,32 +1109,81 @@ object Multimodal {
     val acT = jpegHuffEncodeTable(JpegAcBits, JpegAcVals)
     val bw = new JpegBitWriter(out)
     var pred = 0
-    blocks.foreach { zz =>
-      require(zz.length == 64, "each block is 64 zig-zag coefficients")
-      val diff = zz(0) - pred
-      pred = zz(0)
-      val s = jpegCategory(diff)
-      val (c, l) = dcT(s)
-      bw.put(c, l)
-      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-      var k = 1
-      var run = 0
-      while (k < 64) {
-        val v = zz(k)
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) {
-            val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
-          }
-          val sz = jpegCategory(v)
-          val (ac, al) = acT((run << 4) | sz)
-          bw.put(ac, al)
-          bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
-          run = 0
+    blocks.foreach { zz => pred = jpegEncodeBlock(bw, zz, pred, dcT, acT) }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Assemble a baseline YCbCr COLOR JPEG from QUANTIZED zig-zag
+    * coefficient blocks: SOI; DQT with luma Tq=0 and chroma Tq=1; SOF0
+    * (8-bit, 3 components — Y sampH×sampV, Cb 1×1, Cr 1×1: 4:2:0 at the
+    * 2×2 default, 4:2:2 at 2×1, 4:4:4 at 1×1); the four Annex-K DHTs
+    * (luma id 0, chroma id 1); SOS over all three components; interleaved
+    * entropy-coded MCUs (sampH·sampV Y blocks row-major, then Cb, then
+    * Cr) with per-component DC prediction; EOI. `yBlocks` in raster order
+    * on the (sampH·mcusX × sampV·mcusY) luma block grid;
+    * `cbBlocks`/`crBlocks` one block per MCU in raster order. */
+  private[llm] def jpegColorEncode420(w: Int, h: Int, qtabY: Array[Int],
+      qtabC: Array[Int], yBlocks: Array[Array[Int]],
+      cbBlocks: Array[Array[Int]], crBlocks: Array[Array[Int]],
+      sampH: Int = 2, sampV: Int = 2): Array[Byte] = {
+    require(qtabY.length == 64 && qtabY.forall(q => q >= 1 && q <= 255) &&
+      qtabC.length == 64 && qtabC.forall(q => q >= 1 && q <= 255),
+      "quant tables must be 64 entries in [1, 255]")
+    require(w >= 1 && w <= 65535 && h >= 1 && h <= 65535,
+      s"JPEG dims must fit SOF0's 16-bit fields, got ${w}x$h")
+    require(sampH >= 1 && sampH <= 4 && sampV >= 1 && sampV <= 4,
+      "luma sampling factors must be in [1, 4]")
+    val mcusX = (w + 8 * sampH - 1) / (8 * sampH)
+    val mcusY = (h + 8 * sampV - 1) / (8 * sampV)
+    require(yBlocks.length == sampH * sampV * mcusX * mcusY,
+      s"need ${sampH * sampV * mcusX * mcusY} luma blocks, got ${yBlocks.length}")
+    require(cbBlocks.length == mcusX * mcusY && crBlocks.length == mcusX * mcusY,
+      s"need ${mcusX * mcusY} blocks per chroma plane")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(b => out.write(b & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, (0 +: qtabY) ++ (1 +: qtabC)) // DQT: Tq=0 luma, Tq=1 chroma
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      3, 1, (sampH << 4) | sampV, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, (0x00 +: JpegDcBits.tail) ++ JpegDcVals)
+    seg(0xc4, (0x10 +: JpegAcBits.tail) ++ JpegAcVals)
+    seg(0xc4, (0x01 +: JpegDcChromaBits.tail) ++ JpegDcChromaVals)
+    seg(0xc4, (0x11 +: JpegAcChromaBits.tail) ++ JpegAcChromaVals)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcY = jpegHuffEncodeTable(JpegDcBits, JpegDcVals)
+    val acY = jpegHuffEncodeTable(JpegAcBits, JpegAcVals)
+    val dcC = jpegHuffEncodeTable(JpegDcChromaBits, JpegDcChromaVals)
+    val acC = jpegHuffEncodeTable(JpegAcChromaBits, JpegAcChromaVals)
+    val bw = new JpegBitWriter(out)
+    val bwY = sampH * mcusX
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var mi = 0
+    while (mi < mcusX * mcusY) {
+      val my = mi / mcusX
+      val mx = mi % mcusX
+      var bv = 0
+      while (bv < sampV) {
+        var bu = 0
+        while (bu < sampH) {
+          predY = jpegEncodeBlock(bw,
+            yBlocks((sampV * my + bv) * bwY + sampH * mx + bu), predY, dcY, acY)
+          bu += 1
         }
-        k += 1
+        bv += 1
       }
-      if (run > 0) { val (ec, el) = acT(0x00); bw.put(ec, el) } // EOB
+      predCb = jpegEncodeBlock(bw, cbBlocks(mi), predCb, dcC, acC)
+      predCr = jpegEncodeBlock(bw, crBlocks(mi), predCr, dcC, acC)
+      mi += 1
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -1125,6 +1237,63 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions(_.map { case (i, t) =>
         (i, jpegBytes(Option(t).getOrElse("").getBytes("UTF-8"), dcQ))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Wrap `data` as a DC-EXACT baseline 4:2:0 COLOR JPEG: the [[jpegBytes]]
+    * luma grid (one constant 8×8 Y block per data byte on the bw×bh grid,
+    * zero blocks padding out to the even MCU tiling) under CONSTANT-chroma
+    * planes (`cb`, `cr`) — the decoded LUMA raster is the exact integer
+    * arithmetic of the grayscale form, so the oracle restates it
+    * UNCHANGED, while the entropy stream carries real interleaved 6-block
+    * MCUs through both Annex-K chroma codebooks. Two encodes differing
+    * only in (cb, cr) are the chroma-alteration plant: different bytes
+    * everywhere past the headers, identical luma, identical dHash. */
+  private[llm] def jpegColorBytes(data: Array[Byte], dcQ: Int = 8,
+      cb: Int = 128, cr: Int = 128): Array[Byte] = {
+    require(dcQ >= 1 && dcQ <= 8 && 8 % dcQ == 0, "dcQ must divide 8")
+    require(cb >= 0 && cb <= 255 && cr >= 0 && cr <= 255,
+      "chroma constants are sample values in [0, 255]")
+    val bwG = jpegBlocksW(data.length.toLong)
+    val bhG = jpegBlocksH(data.length.toLong)
+    val w = bwG * 8
+    val h = bhG * 8
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    val qY = Array.fill(64)(1)
+    qY(0) = dcQ
+    val qC = Array.fill(64)(1)
+    val yBlocks = Array.tabulate(4 * mcusX * mcusY) { i =>
+      val by = i / (2 * mcusX)
+      val bx = i % (2 * mcusX)
+      val v = if (bx < bwG && by < bhG && by * bwG + bx < data.length)
+        data(by * bwG + bx) & 0xff
+      else 0
+      val zz = new Array[Int](64)
+      zz(0) = 8 * (v - 128) / dcQ
+      zz
+    }
+    def chromaPlane(cv: Int): Array[Array[Int]] =
+      Array.fill(mcusX * mcusY) {
+        val zz = new Array[Int](64)
+        zz(0) = 8 * (cv - 128) // qC(0) = 1: exact, though chroma is discarded
+        zz
+      }
+    jpegColorEncode420(w, h, qY, qC, yBlocks, chromaPlane(cb), chromaPlane(cr))
+  }
+
+  /** [[asJpeg]]'s 4:2:0 COLOR twin — the chroma-plane constants select the
+    * plant arm (see [[jpegColorBytes]]). Same text-length bound as
+    * [[asJpeg]]. */
+  def asJpegColor(df: DataFrame, id: Column, payloadText: Column,
+      dcQ: Int = 8, cb: Int = 128, cr: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, jpegColorBytes(Option(t).getOrElse("").getBytes("UTF-8"), dcQ, cb, cr))
       })
       .toDF("doc_id", "payload")
   }
@@ -1245,16 +1414,24 @@ object Multimodal {
       0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
-  /** A REAL dependency-free baseline JPEG decoder — grayscale (one
-    * component, 8-bit, 1×1 sampling), the static subset the crawl
-    * pipeline's perceptual pass needs. Markers walked by their length
-    * fields; APPn/COM skipped; DQT/DHT accepted wherever a writer puts
-    * them (multiple tables per segment included); DRI/RSTn honored (DC
-    * predictor reset + byte alignment). Progressive (SOF2), multi-
-    * component color, 12/16-bit, and arithmetic coding yield None — never
-    * an exception or a junk raster (the parsePng subset discipline).
-    * Dimensions bound the raster allocation up front (the bomb posture).
-    * Returns (width, height, row-major raster). */
+  /** A REAL dependency-free baseline JPEG decoder — LUMA ONLY: grayscale
+    * (one component, 8-bit, 1×1 sampling) or 3-component YCbCr color in a
+    * single interleaved baseline scan (any 1–4 sampling factors with Y at
+    * the max — 4:4:4, 4:2:2, 4:2:0, 4:1:1 all qualify), the static subset
+    * the crawl pipeline's perceptual pass needs. dHash consumes luminance
+    * alone, so color decode walks interleaved MCUs, entropy-decodes EVERY
+    * block (the bitstream has no other way forward), but dequantizes and
+    * IDCTs only the Y blocks — chroma costs a Huffman walk, never an
+    * inverse transform (r19 verdict #1). Markers walked by their length
+    * fields; APPn/COM skipped (so JFIF/EXIF wrappers just work); DQT/DHT
+    * accepted wherever a writer puts them (multiple tables per segment
+    * included); DRI/RSTn honored (all DC predictors reset + byte
+    * alignment, interval counted in MCUs). Progressive (SOF2), 2/4-
+    * component, 12/16-bit, non-interleaved color scans, and arithmetic
+    * coding yield None — never an exception or a junk raster (the
+    * parsePng subset discipline). Dimensions bound the raster allocation
+    * up front (the bomb posture). Returns (width, height, row-major LUMA
+    * raster). */
   private[llm] def parseJpegRaster(bytes: Array[Byte]):
       Option[(Int, Int, Array[Byte])] = {
     try {
@@ -1267,7 +1444,11 @@ object Multimodal {
       val qtabs = new Array[Array[Int]](4)
       val dcTabs = new Array[JpegHuffDecoder](4)
       val acTabs = new Array[JpegHuffDecoder](4)
-      var compQ = 0
+      var nComp = 0
+      val compId = new Array[Int](3)
+      val compH = new Array[Int](3)
+      val compV = new Array[Int](3)
+      val compTq = new Array[Int](3)
       var sofSeen = false
       def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
       while (pos + 2 <= bytes.length) {
@@ -1306,16 +1487,32 @@ object Multimodal {
                 if (tc == 0) dcTabs(th) = d else acTabs(th) = d
                 o += 17 + n
               }
-            case 0xc0 => // SOF0 baseline
+            case 0xc0 => // SOF0 baseline: 1 (gray) or 3 (YCbCr) components
               if (sofSeen || bodyLen < 9) return None
               if ((bytes(body) & 0xff) != 8) return None
               h = u16(body + 1); w = u16(body + 3)
-              val nc = bytes(body + 5) & 0xff
-              if (nc != 1 || w <= 0 || h <= 0 ||
-                w.toLong * h.toLong > (1L << 26)) return None
-              if ((bytes(body + 7) & 0xff) != 0x11) return None
-              compQ = bytes(body + 8) & 0xff
-              if (compQ > 3) return None
+              nComp = bytes(body + 5) & 0xff
+              if ((nComp != 1 && nComp != 3) || w <= 0 || h <= 0 ||
+                w.toLong * h.toLong > (1L << 26) ||
+                bodyLen < 6 + 3 * nComp) return None
+              var ci = 0
+              while (ci < nComp) {
+                compId(ci) = bytes(body + 6 + 3 * ci) & 0xff
+                val hv = bytes(body + 7 + 3 * ci) & 0xff
+                compH(ci) = (hv >> 4) & 0x0f
+                compV(ci) = hv & 0x0f
+                compTq(ci) = bytes(body + 8 + 3 * ci) & 0xff
+                if (compH(ci) < 1 || compH(ci) > 4 ||
+                  compV(ci) < 1 || compV(ci) > 4 ||
+                  compTq(ci) > 3) return None
+                ci += 1
+              }
+              // gray keeps the strict 1×1 subset; color needs the FIRST
+              // component (Y) at max sampling — the luma raster is the
+              // output, and Y-at-max holds for every real YCbCr layout
+              if (nComp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+              if (compH.take(nComp).max != compH(0) ||
+                compV.take(nComp).max != compV(0)) return None
               sofSeen = true
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                 0xcb | 0xcd | 0xce | 0xcf =>
@@ -1324,98 +1521,131 @@ object Multimodal {
               if (bodyLen != 2) return None
               restartInterval = u16(body)
             case 0xda => // SOS → entropy-coded data follows
-              if (!sofSeen || bodyLen < 6) return None
-              if ((bytes(body) & 0xff) != 1) return None
-              val td = (bytes(body + 2) & 0xf0) >> 4
-              val ta = bytes(body + 2) & 0x0f
-              if (td > 3 || ta > 3) return None
-              val q = qtabs(compQ)
-              val dcT = dcTabs(td)
-              val acT = acTabs(ta)
-              if (q == null || dcT == null || acT == null) return None
-              val bw = (w + 7) / 8
-              val bh = (h + 7) / 8
+              // one interleaved scan carrying EVERY frame component, in
+              // frame order (ns = nComp; for gray this degenerates to the
+              // classic single-component scan — MCU = one block)
+              if (!sofSeen || bodyLen < 4 + 2 * nComp) return None
+              if ((bytes(body) & 0xff) != nComp) return None
+              val td = new Array[Int](nComp)
+              val ta = new Array[Int](nComp)
+              var sj = 0
+              while (sj < nComp) {
+                if ((bytes(body + 1 + 2 * sj) & 0xff) != compId(sj)) return None
+                td(sj) = (bytes(body + 2 + 2 * sj) & 0xf0) >> 4
+                ta(sj) = bytes(body + 2 + 2 * sj) & 0x0f
+                if (td(sj) > 3 || ta(sj) > 3 ||
+                  dcTabs(td(sj)) == null || acTabs(ta(sj)) == null) return None
+                sj += 1
+              }
+              val q = qtabs(compTq(0)) // luma's table — the only one used
+              if (q == null) return None
+              // comp 0 is at max sampling (SOF check), so the MCU grid in
+              // luma blocks IS the frame grid
+              val mcusX = (w + 8 * compH(0) - 1) / (8 * compH(0))
+              val mcusY = (h + 8 * compV(0) - 1) / (8 * compV(0))
               val raster = new Array[Byte](w * h)
               val r = new JpegBitReader(bytes, pos + 2 + len)
-              var pred = 0
-              var bi = 0
+              val preds = new Array[Int](nComp)
               val coef = new Array[Int](64)
               val tmp = new Array[Double](64)
-              while (bi < bw * bh) {
-                if (restartInterval > 0 && bi > 0 &&
-                  bi % restartInterval == 0) {
+              var mi = 0
+              while (mi < mcusX * mcusY) {
+                if (restartInterval > 0 && mi > 0 &&
+                  mi % restartInterval == 0) {
                   r.align()
                   val p = r.pos
                   if (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
                     (bytes(p + 1) & 0xff) >= 0xd0 &&
                     (bytes(p + 1) & 0xff) <= 0xd7) r.pos = p + 2
                   else return None
-                  pred = 0
+                  java.util.Arrays.fill(preds, 0)
                 }
-                java.util.Arrays.fill(coef, 0)
-                val s = dcT.decode(r)
-                if (s < 0 || s > 11) return None
-                if (s > 0) {
-                  val raw = r.bits(s)
-                  if (raw < 0) return None
-                  pred += jpegExtend(raw, s)
-                }
-                coef(0) = pred * q(0)
-                var k = 1
-                var eob = false
-                while (k < 64 && !eob) {
-                  val rs = acT.decode(r)
-                  if (rs < 0) return None
-                  if (rs == 0x00) eob = true
-                  else if (rs == 0xf0) k += 16
-                  else {
-                    k += (rs >> 4)
-                    val sz = rs & 0x0f
-                    if (k > 63 || sz == 0) return None
-                    val raw = r.bits(sz)
-                    if (raw < 0) return None
-                    coef(JpegZigzag(k)) = jpegExtend(raw, sz) * q(k)
-                    k += 1
-                  }
-                }
-                // separable 2D IDCT: rows over v, then columns over u
-                var yy = 0
-                while (yy < 8) {
-                  var u = 0
-                  while (u < 8) {
-                    var acc = 0.0
-                    var v = 0
-                    while (v < 8) {
-                      acc += JpegIdctBasis(yy)(v) * coef(v * 8 + u)
-                      v += 1
+                var c = 0
+                while (c < nComp) {
+                  val dcT = dcTabs(td(c))
+                  val acT = acTabs(ta(c))
+                  val isLuma = c == 0
+                  var bv = 0
+                  while (bv < compV(c)) {
+                    var bu = 0
+                    while (bu < compH(c)) {
+                      val s = dcT.decode(r)
+                      if (s < 0 || s > 11) return None
+                      if (s > 0) {
+                        val raw = r.bits(s)
+                        if (raw < 0) return None
+                        preds(c) += jpegExtend(raw, s)
+                      }
+                      if (isLuma) {
+                        java.util.Arrays.fill(coef, 0)
+                        coef(0) = preds(c) * q(0)
+                      }
+                      var k = 1
+                      var eob = false
+                      while (k < 64 && !eob) {
+                        val rs = acT.decode(r)
+                        if (rs < 0) return None
+                        if (rs == 0x00) eob = true
+                        else if (rs == 0xf0) k += 16
+                        else {
+                          k += (rs >> 4)
+                          val sz = rs & 0x0f
+                          if (k > 63 || sz == 0) return None
+                          val raw = r.bits(sz)
+                          if (raw < 0) return None
+                          // chroma: the amplitude bits must be CONSUMED
+                          // to stay in sync, but never transformed
+                          if (isLuma)
+                            coef(JpegZigzag(k)) = jpegExtend(raw, sz) * q(k)
+                          k += 1
+                        }
+                      }
+                      if (isLuma) {
+                        // separable 2D IDCT: rows over v, then cols over u
+                        var yy = 0
+                        while (yy < 8) {
+                          var u = 0
+                          while (u < 8) {
+                            var acc = 0.0
+                            var v = 0
+                            while (v < 8) {
+                              acc += JpegIdctBasis(yy)(v) * coef(v * 8 + u)
+                              v += 1
+                            }
+                            tmp(yy * 8 + u) = acc
+                            u += 1
+                          }
+                          yy += 1
+                        }
+                        val by0 = ((mi / mcusX) * compV(0) + bv) * 8
+                        val bx0 = ((mi % mcusX) * compH(0) + bu) * 8
+                        var py = 0
+                        while (py < 8) {
+                          var x = 0
+                          while (x < 8) {
+                            var acc = 0.0
+                            var u = 0
+                            while (u < 8) {
+                              acc += JpegIdctBasis(x)(u) * tmp(py * 8 + u)
+                              u += 1
+                            }
+                            val v = math.round(acc + 128.0).toInt
+                            val cl = if (v < 0) 0 else if (v > 255) 255 else v
+                            val gx = bx0 + x
+                            val gy = by0 + py
+                            if (gx < w && gy < h) raster(gy * w + gx) = cl.toByte
+                            x += 1
+                          }
+                          py += 1
+                        }
+                      }
+                      bu += 1
                     }
-                    tmp(yy * 8 + u) = acc
-                    u += 1
+                    bv += 1
                   }
-                  yy += 1
+                  c += 1
                 }
-                val by0 = (bi / bw) * 8
-                val bx0 = (bi % bw) * 8
-                var py = 0
-                while (py < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var acc = 0.0
-                    var u = 0
-                    while (u < 8) {
-                      acc += JpegIdctBasis(x)(u) * tmp(py * 8 + u)
-                      u += 1
-                    }
-                    val v = math.round(acc + 128.0).toInt
-                    val cl = if (v < 0) 0 else if (v > 255) 255 else v
-                    val gx = bx0 + x
-                    val gy = by0 + py
-                    if (gx < w && gy < h) raster(gy * w + gx) = cl.toByte
-                    x += 1
-                  }
-                  py += 1
-                }
-                bi += 1
+                mi += 1
               }
               return Some((w, h, raster))
             case _ => // APPn, COM, anything else with a length: skip

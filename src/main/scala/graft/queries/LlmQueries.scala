@@ -102,7 +102,15 @@ object LlmQueries {
     *   - JPEG base at +3000000 (DC-exact constant-block baseline grayscale,
     *     dcQ=8); every 3rd doc re-quantized at +3500000 with dcQ=4 —
     *     different quant table and Huffman stream, identical decoded
-    *     raster, identical hash (requant invariance).
+    *     raster, identical hash (requant invariance);
+    *   - COLOR JPEG base at +4000000 (r19 verdict #1: 3-component 4:2:0
+    *     YCbCr baseline, DC-exact constant Y blocks on the SAME grid as
+    *     the grayscale arm, constant chroma planes cb=90/cr=170); every
+    *     3rd doc CHROMA-ALTERED at +4500000 (cb=170/cr=90) — every
+    *     entropy byte past the headers changes, the luma raster doesn't,
+    *     so the plant hashes EQUAL (luma-only invariance). The color
+    *     arm's hash also equals the grayscale arm's for the same doc —
+    *     cross-arm evidence the interleaved MCU walk lands Y exactly.
     * Sanitized to printable ASCII like ppmDupFix so the oracle's ord()
     * sees the same bytes the encoders consumed. */
   def mediaPhashFix(s: SparkSession, d: String): DataFrame = {
@@ -122,8 +130,16 @@ object LlmQueries {
       san.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 3500000L).as("doc_id"), col("t")),
       col("doc_id"), col("t"), dcQ = 4)
+    val jpgColor = Multimodal.asJpegColor(
+      san.select((col("doc_id") + 4000000L).as("doc_id"), col("t")),
+      col("doc_id"), col("t"), dcQ = 8, cb = 90, cr = 170)
+    val jpgChroma = Multimodal.asJpegColor(
+      san.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 4500000L).as("doc_id"), col("t")),
+      col("doc_id"), col("t"), dcQ = 8, cb = 170, cr = 90)
     ppmDupFix(s, d).unionAll(png).unionAll(pngSub)
       .unionAll(jpg).unionAll(jpgRe)
+      .unionAll(jpgColor).unionAll(jpgChroma)
   }
 
   /** WAV payload fixture with PERCEPTUAL plants — [[ppmDupFix]]'s audio
@@ -244,7 +260,11 @@ object LlmQueries {
     * bh = max(⌈n/bw⌉, 1), image 8bw × 8bh of CONSTANT 8×8 blocks — the
     * decoded raster is DC-exact by fixture construction, so
     * gray(x, y) = text byte at block (y÷8)·bw + (x÷8) (0 past n); base
-    * rows at +3000000, requantized plants at +3500000. */
+    * rows at +3000000, requantized plants at +3500000. The COLOR arm
+    * (+4000000 base, +4500000 chroma-altered plants) shares the SAME
+    * luma arithmetic — constant Y blocks on the identical grid, chroma
+    * discarded by the luma-only decode — so its oracle rows are the same
+    * jph hashes under the color ids. */
   private lazy val JpegPhashCtes: String =
     s"""jm AS (SELECT doc_id, t, n, bw, greatest((n + bw - 1) // bw, 1) AS bh
        |      FROM (SELECT doc_id, t, CAST(strlen(t) AS BIGINT) AS n,
@@ -263,6 +283,11 @@ object LlmQueries {
        |jall AS (SELECT doc_id + 3000000 AS doc_id, dhash FROM jph
        |         UNION ALL
        |         SELECT doc_id + 3500000 AS doc_id, dhash FROM jph
+       |         WHERE doc_id % 3 = 0
+       |         UNION ALL
+       |         SELECT doc_id + 4000000 AS doc_id, dhash FROM jph
+       |         UNION ALL
+       |         SELECT doc_id + 4500000 AS doc_id, dhash FROM jph
        |         WHERE doc_id % 3 = 0)""".stripMargin
 
   /** Shared audio-envelope CTE chain for the q_mm_ahash oracles: sanitized
@@ -1999,15 +2024,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Perceptual image hash (r17 verdict #5; r19 mixed-format): decode
-    // every payload of the MIXED plant fixture — PPM raw rasters, PNG
-    // through CRC+INFLATE+defilter, JPEG through Huffman+dequant+IDCT —
-    // via the magic dispatch, and emit its dHash-64 off the DECODED
-    // raster. The oracle recomputes each BASE hash from the construction
-    // arithmetic (integer-div sampling + ord-addressed bytes; the PNG
-    // raster is the text bytes, the JPEG raster is DC-exact by fixture
-    // construction) and asserts every plant's hash EQUALS its original's:
-    // PPM re-encode/2× resize, PNG refilter, JPEG requantization — none
+    // Perceptual image hash (r17 verdict #5; r19 mixed-format; r20 color):
+    // decode every payload of the MIXED plant fixture — PPM raw rasters,
+    // PNG through CRC+INFLATE+defilter, grayscale AND 4:2:0 YCbCr color
+    // JPEG through Huffman+dequant+IDCT (luma-only: chroma is entropy-
+    // walked, never transformed) — via the magic dispatch, and emit its
+    // dHash-64 off the DECODED raster. The oracle recomputes each BASE
+    // hash from the construction arithmetic (integer-div sampling +
+    // ord-addressed bytes; the PNG raster is the text bytes, the JPEG
+    // raster is DC-exact by fixture construction) and asserts every
+    // plant's hash EQUALS its original's: PPM re-encode/2× resize, PNG
+    // refilter, JPEG requantization, color JPEG chroma alteration — none
     // may move the fingerprint.
     "q_mm_phash" -> ((s, d) => {
       // PERSISTED before the sort (r19): the decode+hash chain is narrow

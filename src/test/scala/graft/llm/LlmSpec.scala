@@ -1079,6 +1079,131 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("color JPEG codec: 4:2:0 luma round trip, chroma invariance, safety") {
+    import Multimodal.{jpegBytes, jpegColorBytes, parseJpegRaster}
+    val d = Array.tabulate(11)(i => (i * 23 + 7).toByte)
+    // the color form's decoded LUMA raster is bit-identical to the
+    // grayscale form's — same block-grid arithmetic, chroma discarded
+    val Some((gw, gh, gray)) = parseJpegRaster(jpegBytes(d, dcQ = 8))
+    val Some((cw, ch, luma)) = parseJpegRaster(jpegColorBytes(d, 8, cb = 90, cr = 170))
+    assert(cw == gw && ch == gh && luma.sameElements(gray))
+    // chroma-alteration plant: different bytes, identical luma raster
+    val alt = jpegColorBytes(d, 8, cb = 170, cr = 90)
+    assert(!java.util.Arrays.equals(alt, jpegColorBytes(d, 8, 90, 170)))
+    assert(parseJpegRaster(alt).exists(_._3.sameElements(luma)))
+    // requantization still composes with color
+    assert(parseJpegRaster(jpegColorBytes(d, 4, 90, 170))
+      .exists(_._3.sameElements(luma)))
+    // garbage safety: truncation anywhere must stay total
+    val good = jpegColorBytes(d, 8, 90, 170)
+    for (cut <- 1 until good.length) parseJpegRaster(good.take(cut))
+    // odd block grids (bw=3 → padded MCU columns) stay DC-exact
+    val d2 = Array.tabulate(5)(i => (i * 41 + 3).toByte) // bw=3, bh=2
+    val Some((w2, h2, r2)) = parseJpegRaster(jpegColorBytes(d2, 8, 200, 30))
+    assert(w2 == 24 && h2 == 16)
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val bi = (y / 8) * 3 + (x / 8)
+      val want = if (bi < d2.length) d2(bi) & 0xff else 0
+      assert((r2(y * w2 + x) & 0xff) == want, s"pixel ($x,$y)")
+    }
+  }
+
+  test("color JPEG decoder: sampling factors + chroma AC walk vs independent IDCT") {
+    import Multimodal.{jpegColorEncode420, parseJpegRaster}
+    // non-flat tables, Y blocks with dense AC (incl. a ZRL run), chroma
+    // blocks with NONZERO AC — if the decoder mis-walks the chroma
+    // entropy (wrong table, wrong run semantics), every later Y block
+    // desyncs and the raster diverges from the reference IDCT
+    val qY = Array.tabulate(64)(k => 1 + (k * 5) % 16)
+    val qC = Array.tabulate(64)(k => 1 + (k * 3) % 9)
+    def blk(dc: Int, ac: (Int, Int)*): Array[Int] = {
+      val a = new Array[Int](64); a(0) = dc; ac.foreach { case (k, v) => a(k) = v }; a
+    }
+    val y = Array(
+      blk(-40, 1 -> 12, 2 -> -7, 5 -> 3, 20 -> -2, 63 -> 1),
+      blk(35, 1 -> -1, 30 -> 4), // 28-zero gap → ZRL
+      blk(-10),
+      blk(22, 7 -> -5, 40 -> 2))
+    val cbB = Array(blk(-30, 3 -> 9, 50 -> -1)) // real chroma AC traffic
+    val crB = Array(blk(18, 1 -> -4, 25 -> 2, 63 -> -1))
+    // one 4:2:0 MCU: 16×16, 4 Y blocks row-major
+    val Some((w, h, raster)) = parseJpegRaster(
+      jpegColorEncode420(16, 16, qY, qC, y, cbB, crB))
+    assert(w == 16 && h == 16)
+    for (bi <- 0 until 4) {
+      val want = refIdct(y(bi), qY)
+      val by0 = (bi / 2) * 8; val bx0 = (bi % 2) * 8
+      for (py <- 0 until 8; x <- 0 until 8)
+        assert((raster((by0 + py) * 16 + bx0 + x) & 0xff) == want(py * 8 + x),
+          s"4:2:0 block $bi pixel ($x,$py)")
+    }
+    // 4:4:4 (1×1 luma): MCU = 1 Y + 1 Cb + 1 Cr, two MCUs across — DC
+    // prediction threads through interleaved chroma between the Y blocks
+    val y444 = Array(blk(-16, 2 -> 6), blk(24, 11 -> -3))
+    val cb2 = Array(blk(5), blk(-9, 4 -> 2))
+    val cr2 = Array(blk(-7, 1 -> 1), blk(12))
+    val Some((w4, h4, r4)) = parseJpegRaster(
+      jpegColorEncode420(16, 8, qY, qC, y444, cb2, cr2, sampH = 1, sampV = 1))
+    assert(w4 == 16 && h4 == 8)
+    for (bi <- 0 until 2) {
+      val want = refIdct(y444(bi), qY)
+      for (py <- 0 until 8; x <- 0 until 8)
+        assert((r4(py * 16 + bi * 8 + x) & 0xff) == want(py * 8 + x),
+          s"4:4:4 block $bi pixel ($x,$py)")
+    }
+    // 4:2:2 (2×1 luma): 2 Y + Cb + Cr per MCU
+    val y422 = Array(blk(-16, 2 -> 6), blk(24, 11 -> -3))
+    val Some((w22, h22, r22)) = parseJpegRaster(
+      jpegColorEncode420(16, 8, qY, qC, y422,
+        Array(blk(5)), Array(blk(-7, 1 -> 1)), sampH = 2, sampV = 1))
+    assert(w22 == 16 && h22 == 8)
+    for (bi <- 0 until 2) {
+      val want = refIdct(y422(bi), qY)
+      for (py <- 0 until 8; x <- 0 until 8)
+        assert((r22(py * 16 + bi * 8 + x) & 0xff) == want(py * 8 + x),
+          s"4:2:2 block $bi pixel ($x,$py)")
+    }
+  }
+
+  test("color JPEG decoder honors DRI/RSTn across interleaved MCUs") {
+    import Multimodal.{jpegColorEncode420, parseJpegRaster}
+    // two single-MCU 4:4:4 color images spliced into one two-MCU scan
+    // with DRI=1 and RST0 between — the restart must reset ALL three
+    // component predictors and realign the reader
+    val qY = Array.fill(64)(1); qY(0) = 8
+    val qC = Array.fill(64)(1)
+    def zz(dc: Int): Array[Int] = { val a = new Array[Int](64); a(0) = dc; a }
+    def entropy(img: Array[Byte]): Array[Byte] = {
+      var i = 2
+      while (!((img(i) & 0xff) == 0xff && (img(i + 1) & 0xff) == 0xda))
+        i += 2 + (((img(i + 2) & 0xff) << 8) | (img(i + 3) & 0xff))
+      val sosLen = ((img(i + 2) & 0xff) << 8) | (img(i + 3) & 0xff)
+      img.slice(i + 2 + sosLen, img.length - 2)
+    }
+    val one = jpegColorEncode420(8, 8, qY, qC, Array(zz(-16)),
+      Array(zz(20)), Array(zz(-20)), sampH = 1, sampV = 1) // Y=112
+    val two = jpegColorEncode420(8, 8, qY, qC, Array(zz(24)),
+      Array(zz(-20)), Array(zz(20)), sampH = 1, sampV = 1) // Y=152
+    val frame = jpegColorEncode420(16, 8, qY, qC, Array(zz(-16), zz(24)),
+      Array(zz(20), zz(-20)), Array(zz(-20), zz(20)), sampH = 1, sampV = 1)
+    var i = 2
+    while (!((frame(i) & 0xff) == 0xff && (frame(i + 1) & 0xff) == 0xda))
+      i += 2 + (((frame(i + 2) & 0xff) << 8) | (frame(i + 3) & 0xff))
+    val sosLen = ((frame(i + 2) & 0xff) << 8) | (frame(i + 3) & 0xff)
+    val spliced =
+      frame.take(i) ++
+      Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01).map(_.toByte) ++ // DRI=1
+      frame.slice(i, i + 2 + sosLen) ++
+      entropy(one) ++ Array(0xff, 0xd0).map(_.toByte) ++ entropy(two) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val Some((w, h, raster)) = parseJpegRaster(spliced)
+    assert(w == 16 && h == 8)
+    for (y <- 0 until 8) {
+      assert((raster(y * 16) & 0xff) == 112, s"left MCU row $y")
+      assert((raster(y * 16 + 8) & 0xff) == 152, s"right MCU row $y")
+    }
+  }
+
   test("dHashMedia: dispatch + per-format re-encode invariance") {
     val s = spark
     import s.implicits._
@@ -1104,6 +1229,10 @@ class LlmSpec extends SparkSpec {
     // JPEG: dcQ=8 vs dcQ=4 — different quant/Huffman bytes, SAME hash
     val j8 = hashOf(jpegBytes(data, 8))
     assert(j8.isDefined && hashOf(jpegBytes(data, 4)) === j8)
+    // COLOR JPEG: chroma planes (and their alteration) never move the
+    // luma hash — and it equals the grayscale form's (same block grid)
+    assert(hashOf(jpegColorBytes(data, 8, 90, 170)) === j8)
+    assert(hashOf(jpegColorBytes(data, 8, 170, 90)) === j8)
     // unrecognizable payloads yield null, not an exception
     assert(hashOf("?junk".getBytes("US-ASCII")).isEmpty)
     assert(hashOf(Array.emptyByteArray).isEmpty)
