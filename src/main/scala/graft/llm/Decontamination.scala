@@ -67,4 +67,63 @@ object Decontamination {
     docs.join(broadcast(flagged),
       id === col("contaminated_id"), "left_anti")
   }
+
+  /** The benchmark's distinct WINNOWING fingerprint set
+    * ([[Dedup.winnowFingerprints]] over the normalized text) — the fuzzy
+    * twin of [[benchmarkShingles]]. */
+  def benchmarkFingerprints(bench: DataFrame, benchText: Column,
+      k: Int, w: Int): DataFrame =
+    bench
+      .filter(length(TextAnalysis.normalize(benchText)) >= k)
+      .select(explode(
+        Dedup.winnowFingerprints(TextAnalysis.normalize(benchText), k, w)).as("f"))
+      .distinct()
+
+  /** FUZZY decontamination (r19 verdict #3): flag a corpus document when it
+    * shares at least `minHits` winnowing fingerprints with the benchmark
+    * set. Exact n-gram decontamination ([[contaminationHits]]) is defeated
+    * by the edits benchmark leakage survives in practice — case folding,
+    * punctuation splices, token-boundary noise — because every edited
+    * word kills the n word-grams through it. Winnowing fingerprints are
+    * case-normalized CHARACTER-level features with guaranteed coverage
+    * (any unedited run of ≥ k+w−1 chars shares a fingerprint), so an
+    * edited copy still accumulates hits from its untouched spans.
+    *
+    * 100 TB shape: identical to the exact pass — the benchmark fingerprint
+    * set broadcasts, the corpus never shuffles for the match, and the only
+    * aggregation is the per-doc hit count on matching rows. Fingerprints
+    * are per-doc distinct ([[graft.functions.WinnowFingerprintExpr]]
+    * dedups), so count(*) after the join IS the distinct-overlap count. No
+    * df cut: unlike the pair-join dedups there is no quadratic fan-out to
+    * guard — a ubiquitous fingerprint costs one counted row per corpus doc,
+    * and dropping it would be a recall hole in a compliance gate. */
+  def fuzzyHits(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, k: Int, w: Int,
+      minHits: Int): DataFrame =
+    fuzzyHitsAgainst(docs, id, text,
+      benchmarkFingerprints(bench, benchText, k, w), k, w, minHits)
+
+  /** [[fuzzyHits]] against a precomputed [[benchmarkFingerprints]] set. */
+  def fuzzyHitsAgainst(docs: DataFrame, id: Column, text: Column,
+      benchFps: DataFrame, k: Int, w: Int, minHits: Int): DataFrame = {
+    val docFps = docs
+      .filter(length(TextAnalysis.normalize(text)) >= k)
+      .select(id.as("doc_id"), explode(
+        Dedup.winnowFingerprints(TextAnalysis.normalize(text), k, w)).as("f"))
+    docFps.join(broadcast(benchFps), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** The corpus with fuzzily-contaminated documents removed — [[clean]]'s
+    * winnowing twin, same broadcast anti-join shape. */
+  def fuzzyClean(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, k: Int, w: Int,
+      minHits: Int): DataFrame = {
+    val flagged = fuzzyHits(docs, id, text, bench, benchText, k, w, minHits)
+      .select(col("doc_id").as("contaminated_id"))
+    docs.join(broadcast(flagged),
+      id === col("contaminated_id"), "left_anti")
+  }
 }

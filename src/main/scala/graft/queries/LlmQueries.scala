@@ -325,6 +325,22 @@ object LlmQueries {
       |         SELECT doc_id + 600000 AS doc_id, dhash FROM ph
       |         WHERE doc_id % 3 = 0)""".stripMargin
 
+  /** documents ∪ EDITED benchmark leakage (r19 verdict #3): for every
+    * benchmark doc (%17==3, the q_decontam stride) a plant at +700000
+    * carries its 120-char prefix CASE-FOLDED to upper with a comma
+    * spliced at char 60 — the edit family real eval leakage survives.
+    * The edit kills EVERY shared word-5-gram (tokens are case-sensitive,
+    * so exact q_decontam provably misses the plant — pinned in
+    * DecontaminationSpec) while the case-NORMALIZED character stream
+    * keeps every winnow fingerprint of its unedited runs. */
+  def docsFuzzyContam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mut = upper(concat(substring(col("text"), 1, 60), lit(","),
+      substring(col("text"), 61, 60)))
+    docs.unionAll(docs.filter(col("doc_id") % 17 === 3)
+      .select((col("doc_id") + 700000L).as("doc_id"), mut.as("text")))
+  }
+
   private val NearDupCte =
     """WITH d3 AS (
       |  SELECT doc_id, text FROM documents
@@ -930,6 +946,14 @@ object LlmQueries {
   private val WinnowK = 12
   private val WinnowW = 8
 
+  /** Fuzzy-decontamination k-gram length — LONGER than the dedup pass's
+    * [[WinnowK]] on purpose: a contamination gate wants phrase-length
+    * specificity (≈ a 5-word shingle, matching the exact pass's n=5),
+    * measured on this corpus to separate plants (min 5 hits at sf0.1)
+    * from incidental shared-phrase overlap (3 docs ≥ 4 hits at sf0.01,
+    * all genuine ≥24-char shared runs). */
+  private val FuzzyK = 24
+
   /** Single-line unrolled restatement of the rolling k-gram hash — the
     * left fold h = (h·B + ord(char)) mod P that WinnowFingerprintExpr
     * computes rollingly. Single-line on purpose: interpolating multi-line
@@ -942,11 +966,14 @@ object LlmQueries {
     }
 
   /** Oracle CTE chain `norm → grams → fps` computing per-doc winnowing
-    * fingerprint lists from a docs relation named `src(doc_id, text)`. */
-  private def winnowFpsCtes(src: String): String =
-    s"norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM $src), " +
-      s"grams AS (SELECT doc_id, list_transform(generate_series(1, length(nt) - ${WinnowK - 1}), p -> ${winnowGramHashSql(WinnowK)}) AS g FROM norm WHERE length(nt) >= $WinnowK), " +
-      s"fps AS (SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, greatest(len(g) - ${WinnowW - 1}, 1)), p -> list_aggregate(list_slice(g, p, p + ${WinnowW - 1}), 'min')))) AS fp FROM grams)"
+    * fingerprint lists from a docs relation named `src(doc_id, text)`.
+    * `pfx` renames the chain (`bnorm/bgrams/bfps`) so two sources can
+    * coexist in one oracle (q_decontam_fuzzy's corpus + benchmark). */
+  private def winnowFpsCtes(src: String, pfx: String = "",
+      k: Int = WinnowK): String =
+    s"${pfx}norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM $src), " +
+      s"${pfx}grams AS (SELECT doc_id, list_transform(generate_series(1, length(nt) - ${k - 1}), p -> ${winnowGramHashSql(k)}) AS g FROM ${pfx}norm WHERE length(nt) >= $k), " +
+      s"${pfx}fps AS (SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, greatest(len(g) - ${WinnowW - 1}, 1)), p -> list_aggregate(list_slice(g, p, p + ${WinnowW - 1}), 'min')))) AS fp FROM ${pfx}grams)"
 
   /** Shared PQ oracle CTEs (quantized corpus/codebook/probes, subspace
     * slices, per-(vector, subspace) codes, probe ADC table) — consumed by
@@ -985,6 +1012,27 @@ object LlmQueries {
       |         CAST(list_sum(list_transform(generate_series(1, 16),
       |           t -> (p.sv[t] - c.sv[t]) * (p.sv[t] - c.sv[t]))) AS BIGINT) AS pd
       |       FROM psub p JOIN csub c ON p.j = c.j)""".stripMargin
+
+  /** Shared CTE prelude for the q_decontam_fuzzy oracles: the edited-plant
+    * corpus `c2`, the benchmark prefix slice `bsrc`, both winnow chains
+    * ([[winnowFpsCtes]] — corpus unprefixed, benchmark `b`-prefixed), the
+    * distinct benchmark fingerprint set, and per-doc hit counts `fhits`. */
+  private lazy val FuzzyContamCtes: String =
+    """WITH c2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 700000 AS doc_id,
+      |         upper(substring(text, 1, 60) || ',' || substring(text, 61, 60)) AS text
+      |  FROM documents WHERE doc_id % 17 = 3),
+      |bsrc AS (SELECT doc_id, substring(text, 1, 120) AS text
+      |         FROM documents WHERE doc_id % 17 = 3),
+      |""".stripMargin +
+      s"${winnowFpsCtes("c2", k = FuzzyK)}, ${winnowFpsCtes("bsrc", "b", k = FuzzyK)}, " +
+      """bset AS (SELECT DISTINCT unnest(fp) AS f FROM bfps),
+        |fhits AS (SELECT doc_id, count(*) AS hits
+        |          FROM (SELECT doc_id, unnest(fp) AS f FROM fps) cf
+        |          JOIN bset USING (f) GROUP BY 1)
+        |""".stripMargin
 
   /** Continues [[winnowFpsCtes]] with the inverted index, df cut (cap 64),
     * post-cut sizes, and the resemblance-scored pair set `wp` — the oracle
@@ -1152,6 +1200,32 @@ object LlmQueries {
           docs.filter(col("doc_id") % 17 === 3), substring(col("text"), 1, 120),
           n = 5, minHits = 2)
         .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // FUZZY decontamination (r19 verdict #3): winnowing-fingerprint
+    // overlap against the broadcast benchmark set catches EDITED leakage.
+    // The corpus carries a case-folded comma-spliced copy of every
+    // benchmark prefix (+700000) that shares ZERO word-5-grams with the
+    // benchmark — exact q_decontam provably misses it (differential
+    // pinned in DecontaminationSpec) — yet shares the winnow fingerprints
+    // of all its unedited ≥19-char runs. Engine-portable integer
+    // fingerprints → FULL oracle, both forms.
+    "q_decontam_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.fuzzyHits(docsFuzzyContam(s, d), col("doc_id"),
+          col("text"),
+          docs.filter(col("doc_id") % 17 === 3), substring(col("text"), 1, 120),
+          k = FuzzyK, w = WinnowW, minHits = 4)
+        .orderBy(col("doc_id"))
+    }),
+    "q_decontam_fuzzy_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.fuzzyClean(docsFuzzyContam(s, d), col("doc_id"),
+          col("text"),
+          docs.filter(col("doc_id") % 17 === 3), substring(col("text"), 1, 120),
+          k = FuzzyK, w = WinnowW, minHits = 4)
+        .agg(count(lit(1)).as("n_clean"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
     }),
 
     // PII redaction over a deterministically planted stride (the synthetic
@@ -2470,6 +2544,19 @@ object LlmQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= 2)""".stripMargin,
+
+    // the fuzzy pass restated end to end: the edited-plant corpus, the
+    // winnow chains for corpus AND benchmark (shared gram-hash unroll),
+    // distinct-fingerprint semi-join, per-doc hit count ≥ 4
+    "q_decontam_fuzzy" -> (FuzzyContamCtes +
+      """SELECT doc_id, hits FROM fhits WHERE hits >= 4
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_decontam_fuzzy_apply" -> (FuzzyContamCtes +
+      """SELECT CAST(count(*) AS BIGINT) AS n_clean,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM c2
+        |WHERE doc_id NOT IN (SELECT doc_id FROM fhits WHERE hits >= 4)""".stripMargin),
 
     "q_clean_full" -> """WITH tk AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

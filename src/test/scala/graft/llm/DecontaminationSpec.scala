@@ -79,4 +79,76 @@ class DecontaminationSpec extends SparkSpec {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(2L, 3L, 4L))
   }
+
+  test("fuzzy differential: edited leakage exact provably misses, winnow catches") {
+    import spark.implicits._
+    val benchLine =
+      "the committee reviewed seventeen benchmark submissions during the " +
+        "autumn evaluation cycle and published detailed results"
+    // the edit family real leakage survives: case-fold + a comma splice —
+    // every word-5-gram differs (tokens are case-sensitive), yet long
+    // character runs are untouched after normalization
+    val edited = (benchLine.take(60) + "," + benchLine.drop(60)).toUpperCase
+    val docs = Seq(
+      (1L, edited), // edited copy of the benchmark line
+      (2L, "completely unrelated prose about gardening tools and weather")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(benchLine)).toDF("bench_text")
+    // EXACT pass: zero shared shingles even at minHits = 1 — the miss
+    val exact = Decontamination.contaminationHits(docs, col("doc_id"),
+        col("text"), bench, col("bench_text"), n = 5, minHits = 1)
+      .collect()
+    assert(exact.isEmpty, "exact n-gram pass must miss the edited copy")
+    // FUZZY pass: the unedited ≥ k+w−1 char runs still share fingerprints
+    val fuzzy = Decontamination.fuzzyHits(docs, col("doc_id"), col("text"),
+        bench, col("bench_text"), k = 24, w = 8, minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fuzzy.keySet === Set(1L), "fuzzy pass must flag ONLY the edited copy")
+    assert(fuzzy(1L) >= 2L)
+    // clean twin drops exactly the flagged doc
+    val clean = Decontamination.fuzzyClean(docs, col("doc_id"), col("text"),
+      bench, col("bench_text"), k = 24, w = 8, minHits = 2)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("fuzzy property: hits equal brute-force fingerprint intersection") {
+    import spark.implicits._
+    // reference winnow: rolling k-gram hash minima over w-wide windows,
+    // shares no code with WinnowFingerprintExpr
+    val B = 1000003L
+    val P = 2147483647L
+    def refFps(s: String, k: Int, w: Int): Set[Long] = {
+      val nt = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (nt.length < k) Set.empty
+      else {
+        val g = (0 to nt.length - k).map { p =>
+          nt.substring(p, p + k).foldLeft(0L)((h, c) => (h * B + c) % P)
+        }
+        (0 until math.max(g.length - w + 1, 1)).map { p =>
+          g.slice(p, math.min(p + w, g.length)).min
+        }.toSet
+      }
+    }
+    val rnd = new scala.util.Random(2025)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def text(): String =
+      Seq.fill(rnd.nextInt(20) + 4)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    for (round <- 1 to 3) {
+      val docRows = (0 until 30).map(i => (i.toLong, text()))
+      val benchRows = (0 until 5).map(_ => text())
+      val k = 14
+      val w = 6
+      val benchSet = benchRows.flatMap(refFps(_, k, w)).toSet
+      val expected = docRows
+        .map { case (id, s) => id -> refFps(s, k, w).count(benchSet.contains).toLong }
+        .filter(_._2 >= 3).toMap
+      val got = Decontamination.fuzzyHits(
+          docRows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          benchRows.map(Tuple1(_)).toDF("bench_text"), col("bench_text"),
+          k = k, w = w, minHits = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"round=$round")
+    }
+  }
 }
