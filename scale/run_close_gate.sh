@@ -6,7 +6,7 @@
 # stage fails, INCLUDING a ratio-gate breach.
 set -x
 cd /root/repo
-R=r19
+R=r20
 RC_ALL=0
 step() { echo "STEP_$1_RC=$2" >> /tmp/${R}c_status.log; [ "$2" -ne 0 ] && RC_ALL=1; }
 
@@ -47,6 +47,25 @@ cp scale/bench_detail_scale10x.json scale/bench_detail_10x_${R}_close.json; step
 # residual ~5x ratio is OUTPUT-driven — the 10x replica genuinely has
 # ~50x more near-dup pairs and the query LISTS them; the production
 # cluster/apply chain is ≤3x — and sits well inside the 8x gate.)
+#
+# TAIL REGISTER (r19 verdict #2; measured r20 on a quiet machine): apply-
+# family ratios INSIDE the 8x gate but at/above the ~3x cluster target,
+# each with its named data-driven term. These are registered, not waived —
+# they still fail the gate if they breach 8x; re-justify if the corpus
+# shape shifts.
+#   q_dedup_substring_apply  4.5x bench min-of-3 (2.9x warm steady-state,
+#     Scratch span_ab second iteration) — the flagged join+collect is
+#     OUTPUT-proportional: the 10x replica is ~90% duplicated, flagged
+#     fraction -> 1.0, and every flagged occurrence must reach its doc to
+#     be cut. Stage decomposition in SpanDedup.dedupApply's scaladoc:
+#     owners agg 0.91->1.81s (2.0x, linear), flagged join+collect
+#     1.66->4.93s (3.0x). A per-hash df cap is inapplicable (replica df~10).
+#   q_dedup_winnow_apply     3.0x (r20: 4.73->14.11s) — same apply-family
+#     shape: the loser join's row count IS the near-dup mass (~50x pairs
+#     at 10x by replica construction); dfCap=64 bounds per-bucket work,
+#     the residual term is output-proportional.
+#   q_mm_dedup_phash_apply   2.6x (r20: 7.30->19.11s; the color-JPEG arm
+#     added equal decode work to both scales) — back under the 3x target.
 python3 tools/scale_ratio_gate.py \
   --waive q_dedup_simhash \
   scale/bench_detail_sf0.1_${R}_close.json \

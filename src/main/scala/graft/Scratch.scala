@@ -379,6 +379,111 @@ object Scratch {
           graft.llm.SpanDedup.probeOwners(docs, col("doc_id"), col("text"))))
         CacheHygiene.releaseAll(spark)
       }
+    } else if (args.headOption.contains("skew_ab")) {
+      // r19 verdict #4: ADVERSARIAL hot-cell stress for the salted-anchor
+      // paths — ~30% of all rows share ONE band/bucket (dHashDedupApply)
+      // or one (cell, bucket) (semDeDupSurvivors). The salting contract
+      // under test: no single task owns the hot key (task-time spread
+      // stays bounded) and the skewed corpus does not blow up wall-clock
+      // vs a uniform corpus of the same size. Prints per-stage task
+      // max/med for the heaviest stages and a PASS/VIOLATION verdict.
+      import org.apache.spark.sql.DataFrame
+      import scala.collection.mutable
+      def noop(dfb: DataFrame): Unit =
+        dfb.write.mode("overwrite").format("noop").save()
+      val taskTimes = mutable.Map[Int, mutable.ArrayBuffer[Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskTimes.synchronized {
+            taskTimes.getOrElseUpdate(te.stageId,
+              mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // AQE's partition coalescing folds this probe's MB-scale shuffles
+      // into 1-4 tasks, which hides the per-task spread the probe exists
+      // to measure — run it on fixed 32-partition shuffles (production
+      // AQE keeps coalescing AND adds skew-split on top; disabling it
+      // here is the conservative direction for a straggler probe)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // max/med over the heaviest stage with enough tasks to have a
+      // meaningful spread; single-digit-task stages are setup noise
+      def spread(label: String): Double = taskTimes.synchronized {
+        println(s"[scratch] $label stages=${taskTimes.size} " +
+          s"tasks=${taskTimes.values.map(_.length).sum}")
+        val top = taskTimes.toSeq.filter(_._2.length >= 8)
+          .sortBy(-_._2.sum).take(3)
+        var worst = 0.0
+        top.foreach { case (sid, ts) =>
+          val s = ts.sorted.toIndexedSeq
+          val med = math.max(s(s.length / 2), 1L)
+          val r = s.last.toDouble / med
+          worst = math.max(worst, r)
+          println(f"[scratch] $label stage $sid: tasks=${s.length} " +
+            f"total=${s.sum}ms max=${s.last}ms med=${med}ms max/med=$r%.1f")
+        }
+        taskTimes.clear()
+        worst
+      }
+      val n = 200000L
+      // dhash arm: skewFrac of rows carry ONE 64-bit hash (all 4 bands
+      // hot); the rest spread via xxhash64
+      def hashes(skewPct: Int): DataFrame =
+        spark.range(n).select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(100)) < skewPct, lit(0x1234567890abcdefL))
+            .otherwise(xxhash64(col("id"))).as("dhash"))
+      // semdedup arm: skewed rows are NEARLY-parallel DISTINCT unit
+      // vectors (per-id jitter defeats the exact collapse, so the hot
+      // (cell, bucket) really carries 30% of the corpus through the
+      // anchor machinery); cold rows spread by sin()
+      def embs(skewPct: Int): DataFrame = {
+        val dims = 8
+        val hot = array((0 until dims).map(j =>
+          if (j == 0) lit(1.0)
+          else if (j == 1) col("id").cast("double") * lit(1e-12)
+          else lit(0.0)): _*)
+        val cold = array((0 until dims).map(j =>
+          sin((col("id") + 1).cast("double") * (j + 1))): _*)
+        spark.range(n / 2).select(col("id").as("vec_id"),
+          when(pmod(col("id"), lit(100)) < skewPct, hot)
+            .otherwise(cold).as("embedding"))
+      }
+      val cents = spark.range(16).select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          sin((col("id") + 3).cast("double") * (2 * j + 1))): _*).as("embedding"))
+      for (round <- 1 to 2) {
+        var verdictOk = true
+        def arm(label: String, uniform: => Unit, skewed: => Unit): Unit = {
+          val t0 = System.nanoTime(); uniform
+          val uWall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000) // listener bus is async; let task events land
+          spread(s"$label uniform")
+          val t1 = System.nanoTime(); skewed
+          val sWall = (System.nanoTime() - t1) / 1e9
+          Thread.sleep(1000)
+          val sSpread = spread(s"$label 30%-hot")
+          println(f"[scratch] $label wall skewed/uniform = ${sWall / uWall}%.2f " +
+            f"($uWall%.2f -> $sWall%.2f s), hot max/med = $sSpread%.1f")
+          // straggler bound: the hottest stage's slowest task may not be
+          // more than ~8x its median (32 salts would leave ~32x unsalted),
+          // and skew may not cost more than ~3x the uniform wall
+          if (sSpread > 8.0 || sWall / uWall > 3.0) verdictOk = false
+        }
+        arm("dhash",
+          noop(graft.llm.Multimodal.dHashDedupApply(hashes(0), maxDist = 3)),
+          noop(graft.llm.Multimodal.dHashDedupApply(hashes(30), maxDist = 3)))
+        arm("semdedup",
+          noop(graft.llm.Similarity.semDeDupSurvivors(embs(0), cents,
+            tau = 0.9, nBits = 4, anchorCap = 8)),
+          noop(graft.llm.Similarity.semDeDupSurvivors(embs(30), cents,
+            tau = 0.9, nBits = 4, anchorCap = 8)))
+        println(s"[scratch] skew_ab round $round: " +
+          (if (verdictOk) "SKEW GUARD OK" else "SKEW GUARD VIOLATION"))
+        CacheHygiene.releaseAll(spark)
+      }
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
     } else if (args.headOption.contains("phash_ab")) {
       // q_mm_phash cost decomposition: fixture encode vs decode+hash
       import org.apache.spark.sql.DataFrame

@@ -54,18 +54,24 @@ object SpanDedup {
     * count) and the cut is a per-row coverage filter — no text ever joins
     * against text.
     *
-    * Measured 10× scaling term (r19, warm stage decomposition on the
-    * replica): owners agg 0.7→1.8 s, flagged join + per-doc collect
-    * 0.8→3.6 s, coverage filter ~0.1 s flat, output sort 0.8→1.7 s —
-    * whole registered query 2.48→6.76 s (2.7×). The join+collect stage is
-    * the above-linear term and it is DATA-driven, not plan-driven: the
-    * replica corpus is ~90% duplicated, so the flagged fraction rises
-    * from ~0.1 to ~1.0 of all windows and every flagged occurrence must
-    * flow to its document to be cut — the work IS the output. A per-hash
-    * df cap would not shrink it here (replica hashes sit at df≈10, far
-    * under any boilerplate threshold), and fusing the owner aggregate into
-    * a per-hash collect_list would re-introduce the hot-hash straggler the
-    * two-aggregate shape exists to avoid. */
+    * Measured 10× scaling term (r20 re-measurement, quiet machine — the
+    * r19 scaladoc's 2.7× was a stale/loaded reading; the close gate's
+    * 4.5× is real for the bench's min-of-3 protocol): WARM steady-state
+    * (second `Scratch span_ab` iteration) registered query 2.48→7.08 s
+    * (2.9×), apply chain 1.74→5.69 s (3.3×), of which owners agg
+    * 0.91→1.81 s (2.0×, linear) and the flagged join + per-doc collect
+    * 1.66→4.93 s (3.0×) — the bench's 4.5× adds first-run scan/codegen
+    * init that min-of-3 does not amortize at 10x partition counts. The
+    * join+collect stage is the above-linear term and it is DATA-driven,
+    * not plan-driven: the replica corpus is ~90% duplicated, so the
+    * flagged fraction rises from ~0.1 to ~1.0 of all windows and every
+    * flagged occurrence must flow to its document to be cut — the work IS
+    * the output (formally registered in scale/run_close_gate.sh's tail
+    * register). A per-hash df cap would not shrink it here (replica
+    * hashes sit at df≈10, far under any boilerplate threshold), and
+    * fusing the owner aggregate into a per-hash collect_list would
+    * re-introduce the hot-hash straggler the two-aggregate shape exists
+    * to avoid. */
   def dedupApply(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val wins = windows(docs, id, text)
       .select(col("doc_id"), col("s"), col("h"), col("h2"))
