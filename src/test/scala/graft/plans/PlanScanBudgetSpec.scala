@@ -95,6 +95,14 @@ class PlanScanBudgetSpec extends SparkSpec {
     // projection), then re-read the corpus to subtract it — the standard
     // filter-by-derived-set shape
     "q_decontam_apply" -> 3,
+    // fuzzy twin: the CORPUS here is a 2-scan union FIXTURE (base ∪
+    // edited-benchmark plants, the plants branch re-reading the benchmark
+    // stride) + the benchmark fingerprint scan — a production corpus is
+    // one relation, so the operator's real shape is q_decontam's 2
+    "q_decontam_fuzzy" -> 3,
+    // + the anti-join re-reads the 2-scan union corpus (filter-by-derived-
+    // set, as q_decontam_apply) — production shape 3
+    "q_decontam_fuzzy_apply" -> 5,
     // same derive-then-anti-join shape, then the dedup stage reads the kept
     // side it already holds
     "q_clean_full" -> 3,
