@@ -1582,6 +1582,7 @@ object Multimodal {
                       }
                       var k = 1
                       var eob = false
+                      var acNonzero = false
                       while (k < 64 && !eob) {
                         val rs = acT.decode(r)
                         if (rs < 0) return None
@@ -1595,48 +1596,76 @@ object Multimodal {
                           if (raw < 0) return None
                           // chroma: the amplitude bits must be CONSUMED
                           // to stay in sync, but never transformed
-                          if (isLuma)
+                          if (isLuma) {
                             coef(JpegZigzag(k)) = jpegExtend(raw, sz) * q(k)
+                            acNonzero = true
+                          }
                           k += 1
                         }
                       }
                       if (isLuma) {
-                        // separable 2D IDCT: rows over v, then cols over u
-                        var yy = 0
-                        while (yy < 8) {
-                          var u = 0
-                          while (u < 8) {
-                            var acc = 0.0
-                            var v = 0
-                            while (v < 8) {
-                              acc += JpegIdctBasis(yy)(v) * coef(v * 8 + u)
-                              v += 1
-                            }
-                            tmp(yy * 8 + u) = acc
-                            u += 1
-                          }
-                          yy += 1
-                        }
                         val by0 = ((mi / mcusX) * compV(0) + bv) * 8
                         val bx0 = ((mi % mcusX) * compH(0) + bu) * 8
-                        var py = 0
-                        while (py < 8) {
-                          var x = 0
-                          while (x < 8) {
-                            var acc = 0.0
+                        if (!acNonzero) {
+                          // DC-only fast path (libjpeg's IDCT skip): the
+                          // 2D IDCT of a lone F(0,0) is the constant
+                          // F(0,0)/8 everywhere (C(0)²/4 = 1/8, exact in
+                          // binary — the separable path lands within 1
+                          // ulp, same rounded sample for any non-half
+                          // boundary). Flat regions dominate real photos
+                          // and EVERY block of the DC-exact fixtures.
+                          val v = math.round(coef(0) / 8.0 + 128.0).toInt
+                          val cl = (if (v < 0) 0 else if (v > 255) 255
+                                    else v).toByte
+                          var py = 0
+                          while (py < 8) {
+                            val gy = by0 + py
+                            if (gy < h) {
+                              var x = 0
+                              while (x < 8) {
+                                val gx = bx0 + x
+                                if (gx < w) raster(gy * w + gx) = cl
+                                x += 1
+                              }
+                            }
+                            py += 1
+                          }
+                        } else {
+                          // separable 2D IDCT: rows over v, then cols over u
+                          var yy = 0
+                          while (yy < 8) {
                             var u = 0
                             while (u < 8) {
-                              acc += JpegIdctBasis(x)(u) * tmp(py * 8 + u)
+                              var acc = 0.0
+                              var v = 0
+                              while (v < 8) {
+                                acc += JpegIdctBasis(yy)(v) * coef(v * 8 + u)
+                                v += 1
+                              }
+                              tmp(yy * 8 + u) = acc
                               u += 1
                             }
-                            val v = math.round(acc + 128.0).toInt
-                            val cl = if (v < 0) 0 else if (v > 255) 255 else v
-                            val gx = bx0 + x
-                            val gy = by0 + py
-                            if (gx < w && gy < h) raster(gy * w + gx) = cl.toByte
-                            x += 1
+                            yy += 1
                           }
-                          py += 1
+                          var py = 0
+                          while (py < 8) {
+                            var x = 0
+                            while (x < 8) {
+                              var acc = 0.0
+                              var u = 0
+                              while (u < 8) {
+                                acc += JpegIdctBasis(x)(u) * tmp(py * 8 + u)
+                                u += 1
+                              }
+                              val v = math.round(acc + 128.0).toInt
+                              val cl = if (v < 0) 0 else if (v > 255) 255 else v
+                              val gx = bx0 + x
+                              val gy = by0 + py
+                              if (gx < w && gy < h) raster(gy * w + gx) = cl.toByte
+                              x += 1
+                            }
+                            py += 1
+                          }
                         }
                       }
                       bu += 1
