@@ -1241,6 +1241,273 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** A legal 256-symbol Huffman table (255 codes at length 8, the last at
+    * length 9 — the all-ones 8-bit code stays reserved per T.81 C.2): the
+    * progressive AC scans need EOBn symbols (0x10, 0x20, …) that the
+    * baseline Annex-K tables deliberately lack. */
+  private lazy val JpegFlatBits: Array[Int] =
+    Array.tabulate(17)(l => if (l == 8) 255 else if (l == 9) 1 else 0)
+  private lazy val JpegFlatVals: Array[Int] = (0 to 255).toArray
+
+  /** Assemble a PROGRESSIVE (SOF2) YCbCr color JPEG from the SAME
+    * quantized zig-zag coefficient blocks [[jpegColorEncode420]] takes —
+    * the libjpeg-style scan script, exercising every Annex-G decode path:
+    *   1. DC first, all components interleaved, point transform Al=dcAl;
+    *   2. a DHT BETWEEN scans (the flat AC table — tables may be redefined
+    *      mid-file and real writers do);
+    *   3. AC luma first passes, spectral bands [1, acSplit] and
+    *      [acSplit+1, 63], successive approximation Al=acAl;
+    *   4. AC luma refinement scans Al=acAl−1 … 0 (cross-block EOB runs
+    *      with buffered correction bits, per T.81 G.1.2.3);
+    *   5. DC refinement scans Al=dcAl−1 … 0 (one raw bit per block);
+    *   6. chroma AC scans (full band) — the luma-only decoder steps over
+    *      them byte-wise.
+    * Successive approximation is EXACT on reconstruction (DC: arithmetic
+    * shift + bit-OR; AC: sign-magnitude corrections), so the decoded
+    * raster is bit-identical to the baseline encode of the same blocks —
+    * the equivalence the spec pins. */
+  private[llm] def jpegProgressiveEncode(w: Int, h: Int, qtabY: Array[Int],
+      qtabC: Array[Int], yBlocks: Array[Array[Int]],
+      cbBlocks: Array[Array[Int]], crBlocks: Array[Array[Int]],
+      sampH: Int = 2, sampV: Int = 2, dcAl: Int = 1, acAl: Int = 2,
+      acSplit: Int = 5): Array[Byte] = {
+    require(qtabY.length == 64 && qtabC.length == 64, "64-entry quant tables")
+    require(w >= 1 && w <= 65535 && h >= 1 && h <= 65535, "16-bit dims")
+    require(dcAl >= 0 && dcAl <= 8 && acAl >= 0 && acAl <= 8 &&
+      acSplit >= 1 && acSplit < 63, "scan-script knobs out of range")
+    val mX = (w + 8 * sampH - 1) / (8 * sampH)
+    val mY = (h + 8 * sampV - 1) / (8 * sampV)
+    val bwY = sampH * mX
+    require(yBlocks.length == sampH * sampV * mX * mY &&
+      cbBlocks.length == mX * mY && crBlocks.length == mX * mY,
+      "block grids must tile the frame")
+    val lumaWB = (w + 7) / 8
+    val lumaHB = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(b => out.write(b & 0xff))
+    }
+    def sosSeg(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int,
+        al: Int): Unit =
+      seg(0xda, (Array(comps.length) ++
+        comps.flatMap { case (id, tt) => Seq(id, tt) } ++
+        Array(ss, se, (ah << 4) | al)).map(identity))
+    marker(0xd8)
+    seg(0xdb, (0 +: qtabY) ++ (1 +: qtabC))
+    seg(0xc2, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      3, 1, (sampH << 4) | sampV, 0, 2, 0x11, 1, 3, 0x11, 1)) // SOF2
+    seg(0xc4, (0x00 +: JpegDcBits.tail) ++ JpegDcVals)
+    seg(0xc4, (0x01 +: JpegDcChromaBits.tail) ++ JpegDcChromaVals)
+    val dcY = jpegHuffEncodeTable(JpegDcBits, JpegDcVals)
+    val dcC = jpegHuffEncodeTable(JpegDcChromaBits, JpegDcChromaVals)
+    val acF = jpegHuffEncodeTable(JpegFlatBits, JpegFlatVals)
+    // luma block at REAL raster index bi (AC scans never visit padding)
+    def yBlockAt(bi: Int): Array[Int] =
+      yBlocks((bi / lumaWB) * bwY + (bi % lumaWB))
+
+    // ---- scan 1: DC first, interleaved, point transform dcAl ----
+    sosSeg(Seq((1, 0x00), (2, 0x10), (3, 0x10)), 0, 0, 0, dcAl)
+    locally {
+      val bw = new JpegBitWriter(out)
+      val preds = new Array[Int](3)
+      var mi = 0
+      while (mi < mX * mY) {
+        var c = 0
+        while (c < 3) {
+          val (hN, vN) = if (c == 0) (sampH, sampV) else (1, 1)
+          val tab = if (c == 0) dcY else dcC
+          var bv = 0
+          while (bv < vN) {
+            var bu = 0
+            while (bu < hN) {
+              val zz = c match {
+                case 0 => yBlocks((sampV * (mi / mX) + bv) * bwY +
+                  sampH * (mi % mX) + bu)
+                case 1 => cbBlocks(mi)
+                case _ => crBlocks(mi)
+              }
+              val v = zz(0) >> dcAl // arithmetic: T.81 point transform
+              val diff = v - preds(c)
+              preds(c) = v
+              val s = jpegCategory(diff)
+              val (cd, l) = tab(s)
+              bw.put(cd, l)
+              if (s > 0)
+                bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+              bu += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        mi += 1
+      }
+      bw.flush()
+    }
+
+    // the flat AC table arrives BETWEEN scans
+    seg(0xc4, (0x10 +: JpegFlatBits.tail) ++ JpegFlatVals)
+
+    // ---- AC first pass over a band (shared by luma + chroma scans) ----
+    def acFirstScan(compId0: Int, blocks: Int => Array[Int], n: Int,
+        ss: Int, se: Int, al: Int): Unit = {
+      sosSeg(Seq((compId0, 0x00)), ss, se, 0, al)
+      val bw = new JpegBitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acF(nb << 4)
+        bw.put(c, l)
+        if (nb > 0) bw.put(eobrun & ((1 << nb) - 1), nb)
+        eobrun = 0
+      }
+      var bi = 0
+      while (bi < n) {
+        val zz = blocks(bi)
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val mag = math.abs(zz(k)) >> al
+          if (mag == 0) r += 1
+          else {
+            flushEob()
+            while (r > 15) {
+              val (zc, zl) = acF(0xf0); bw.put(zc, zl); r -= 16
+            }
+            val s = jpegCategory(mag)
+            val (c, l) = acF((r << 4) | s)
+            bw.put(c, l)
+            bw.put(if (zz(k) >= 0) mag else -mag + (1 << s) - 1, s)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        bi += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    // ---- AC refinement pass (T.81 G.1.2.3 / libjpeg jcphuff) ----
+    def acRefineScan(ss: Int, se: Int, al: Int): Unit = {
+      sosSeg(Seq((1, 0x00)), ss, se, al + 1, al)
+      val bw = new JpegBitWriter(out)
+      val p1 = 1 << al
+      var eobrun = 0
+      val attached = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (c, l) = acF(nb << 4)
+          bw.put(c, l)
+          if (nb > 0) bw.put(eobrun & ((1 << nb) - 1), nb)
+          attached.foreach(b => bw.put(b, 1))
+          attached.clear()
+          eobrun = 0
+        }
+      }
+      def putCur(): Unit = { cur.foreach(b => bw.put(b, 1)); cur.clear() }
+      var bi = 0
+      while (bi < lumaWB * lumaHB) {
+        val zz = yBlockAt(bi)
+        // last newly-significant position: ZRLs beyond it fold into EOB
+        var eobPos = ss - 1
+        var k0 = ss
+        while (k0 <= se) {
+          if ((math.abs(zz(k0)) >> al) == 1) eobPos = k0
+          k0 += 1
+        }
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val mag = math.abs(zz(k)) >> al
+          if (mag == 0) r += 1
+          else {
+            var zrl = r > 15 && k <= eobPos
+            while (zrl) {
+              flushEob()
+              val (zc, zl) = acF(0xf0)
+              bw.put(zc, zl)
+              r -= 16
+              putCur()
+              zrl = r > 15 && k <= eobPos
+            }
+            if (mag > 1) cur += (mag & 1) // old-significant: correction bit
+            else {
+              flushEob()
+              val (c, l) = acF((r << 4) | 1)
+              bw.put(c, l)
+              bw.put(if (zz(k) >= 0) 1 else 0, 1)
+              putCur()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || cur.nonEmpty) {
+          eobrun += 1
+          attached ++= cur
+          cur.clear()
+          if (eobrun == 0x7fff) flushEob()
+        }
+        bi += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    // ---- luma AC: spectral split at acAl, then refinements down to 0 ----
+    acFirstScan(1, yBlockAt, lumaWB * lumaHB, 1, acSplit, acAl)
+    acFirstScan(1, yBlockAt, lumaWB * lumaHB, acSplit + 1, 63, acAl)
+    var a = acAl - 1
+    while (a >= 0) { acRefineScan(1, 63, a); a -= 1 }
+
+    // ---- DC refinements: one raw bit per block, interleaved ----
+    a = dcAl - 1
+    while (a >= 0) {
+      sosSeg(Seq((1, 0x00), (2, 0x00), (3, 0x00)), 0, 0, a + 1, a)
+      val bw = new JpegBitWriter(out)
+      var mi = 0
+      while (mi < mX * mY) {
+        var c = 0
+        while (c < 3) {
+          val (hN, vN) = if (c == 0) (sampH, sampV) else (1, 1)
+          var bv = 0
+          while (bv < vN) {
+            var bu = 0
+            while (bu < hN) {
+              val zz = c match {
+                case 0 => yBlocks((sampV * (mi / mX) + bv) * bwY +
+                  sampH * (mi % mX) + bu)
+                case 1 => cbBlocks(mi)
+                case _ => crBlocks(mi)
+              }
+              bw.put((zz(0) >> a) & 1, 1)
+              bu += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        mi += 1
+      }
+      bw.flush()
+      a -= 1
+    }
+
+    // ---- chroma AC (full band, Al=0) — skipped by the luma-only decode
+    acFirstScan(2, cbBlocks(_), mX * mY, 1, 63, 0)
+    acFirstScan(3, crBlocks(_), mX * mY, 1, 63, 0)
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Wrap `data` as a DC-EXACT baseline 4:2:0 COLOR JPEG: the [[jpegBytes]]
     * luma grid (one constant 8×8 Y block per data byte on the bw×bh grid,
     * zero blocks padding out to the even MCU tiling) under CONSTANT-chroma
@@ -1281,6 +1548,58 @@ object Multimodal {
         zz
       }
     jpegColorEncode420(w, h, qY, qC, yBlocks, chromaPlane(cb), chromaPlane(cr))
+  }
+
+  /** [[jpegColorBytes]] re-encoded PROGRESSIVE (SOF2, the full libjpeg
+    * scan script — DC point transform + refinement, split AC spectral
+    * bands, AC successive approximation, chroma scans the luma-only
+    * decode steps over): same constant-Y 4:2:0 grids, so the decoded luma
+    * raster — and the dHash — is bit-identical to the baseline forms.
+    * The progressive-re-encode plant for the perceptual fixture. */
+  private[llm] def jpegProgressiveBytes(data: Array[Byte], dcQ: Int = 8,
+      cb: Int = 128, cr: Int = 128): Array[Byte] = {
+    require(dcQ >= 1 && dcQ <= 8 && 8 % dcQ == 0, "dcQ must divide 8")
+    val bwG = jpegBlocksW(data.length.toLong)
+    val bhG = jpegBlocksH(data.length.toLong)
+    val w = bwG * 8
+    val h = bhG * 8
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    val qY = Array.fill(64)(1)
+    qY(0) = dcQ
+    val qC = Array.fill(64)(1)
+    val yBlocks = Array.tabulate(4 * mcusX * mcusY) { i =>
+      val by = i / (2 * mcusX)
+      val bx = i % (2 * mcusX)
+      val v = if (bx < bwG && by < bhG && by * bwG + bx < data.length)
+        data(by * bwG + bx) & 0xff
+      else 0
+      val zz = new Array[Int](64)
+      zz(0) = 8 * (v - 128) / dcQ
+      zz
+    }
+    def chromaPlane(cv: Int): Array[Array[Int]] =
+      Array.fill(mcusX * mcusY) {
+        val zz = new Array[Int](64)
+        zz(0) = 8 * (cv - 128)
+        zz
+      }
+    jpegProgressiveEncode(w, h, qY, qC, yBlocks,
+      chromaPlane(cb), chromaPlane(cr))
+  }
+
+  /** [[asJpegColor]]'s PROGRESSIVE twin (see [[jpegProgressiveBytes]]). */
+  def asJpegProgressive(df: DataFrame, id: Column, payloadText: Column,
+      dcQ: Int = 8, cb: Int = 128, cr: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), payloadText.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        (i, jpegProgressiveBytes(Option(t).getOrElse("").getBytes("UTF-8"),
+          dcQ, cb, cr))
+      })
+      .toDF("doc_id", "payload")
   }
 
   /** [[asJpeg]]'s 4:2:0 COLOR twin — the chroma-plane constants select the
@@ -1414,6 +1733,88 @@ object Multimodal {
       0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
+  /** IDCT one DEQUANTIZED natural-order block and place its level-shifted
+    * clamped samples at (bx0, by0), clipping to the frame — with the
+    * DC-only fast path (a lone F(0,0) transforms to the constant F(0,0)/8,
+    * exact in binary; the separable path lands within 1 ulp). Shared by
+    * the baseline and progressive decode drivers. `tmp` is a caller-owned
+    * 64-slot scratch so the hot loop never allocates. */
+  private def jpegIdctPlace(coef: Array[Int], acNonzero: Boolean,
+      raster: Array[Byte], w: Int, h: Int, bx0: Int, by0: Int,
+      tmp: Array[Double]): Unit = {
+    if (!acNonzero) {
+      val v = math.round(coef(0) / 8.0 + 128.0).toInt
+      val cl = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      var py = 0
+      while (py < 8) {
+        val gy = by0 + py
+        if (gy < h) {
+          var x = 0
+          while (x < 8) {
+            val gx = bx0 + x
+            if (gx < w) raster(gy * w + gx) = cl
+            x += 1
+          }
+        }
+        py += 1
+      }
+    } else {
+      // separable 2D IDCT: rows over v, then cols over u
+      var yy = 0
+      while (yy < 8) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0.0
+          var v = 0
+          while (v < 8) {
+            acc += JpegIdctBasis(yy)(v) * coef(v * 8 + u)
+            v += 1
+          }
+          tmp(yy * 8 + u) = acc
+          u += 1
+        }
+        yy += 1
+      }
+      var py = 0
+      while (py < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var u = 0
+          while (u < 8) {
+            acc += JpegIdctBasis(x)(u) * tmp(py * 8 + u)
+            u += 1
+          }
+          val v = math.round(acc + 128.0).toInt
+          val cl = if (v < 0) 0 else if (v > 255) 255 else v
+          val gx = bx0 + x
+          val gy = by0 + py
+          if (gx < w && gy < h) raster(gy * w + gx) = cl.toByte
+          x += 1
+        }
+        py += 1
+      }
+    }
+  }
+
+  /** Scan forward from `from` to the next REAL marker: skips entropy
+    * bytes, 0xFF00 stuffing, RSTn, and 0xFF fill runs. Used to step over
+    * scans the luma-only progressive decode does not need (chroma-only
+    * scans have self-terminating entropy data with no length field — the
+    * only way past them is this walk). */
+  private def jpegSkipEntropy(bytes: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff) {
+        val m = bytes(i + 1) & 0xff
+        if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else if (m == 0xff) i += 1 // fill byte: the next 0xFF may pair
+        else return i
+      } else i += 1
+    }
+    bytes.length
+  }
+
   /** A REAL dependency-free baseline JPEG decoder — LUMA ONLY: grayscale
     * (one component, 8-bit, 1×1 sampling) or 3-component YCbCr color in a
     * single interleaved baseline scan (any 1–4 sampling factors with Y at
@@ -1450,12 +1851,48 @@ object Multimodal {
       val compV = new Array[Int](3)
       val compTq = new Array[Int](3)
       var sofSeen = false
+      // progressive (SOF2) state: luma coefficients accumulate across
+      // scans on the MCU-padded block grid; IDCT happens once at EOI
+      var progressive = false
+      var lumaCoef: Array[Int] = null // (bhFull × bwFull) blocks × 64
+      var bwFull = 0 // padded grid width in luma blocks (interleaved walk)
+      var lumaWB = 0 // real luma block dims (non-interleaved walk)
+      var lumaHB = 0
+      var sawLumaDc = false
+      var posOverride = -1 // SOS entropy data has no length field
       def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
       while (pos + 2 <= bytes.length) {
         if ((bytes(pos) & 0xff) != 0xff) return None
         val m = bytes(pos + 1) & 0xff
         if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
-        else if (m == 0xd9) return None // EOI before any SOS decoded
+        else if (m == 0xd9) {
+          // EOI: a progressive frame finishes HERE — every scan has
+          // accumulated into lumaCoef; dequantize and IDCT once.
+          // (Baseline returns from its single SOS, so EOI-first is None.)
+          if (!progressive || !sawLumaDc) return None
+          val q = qtabs(compTq(0))
+          if (q == null) return None
+          val raster = new Array[Byte](w * h)
+          val dq = new Array[Int](64)
+          val tmp = new Array[Double](64)
+          var bi = 0
+          while (bi < lumaWB * lumaHB) {
+            val base = ((bi / lumaWB) * bwFull + (bi % lumaWB)) * 64
+            var acNonzero = false
+            var k = 0
+            while (k < 64) {
+              val nat = JpegZigzag(k)
+              val c = lumaCoef(base + nat)
+              dq(nat) = c * q(k)
+              if (k > 0 && c != 0) acNonzero = true
+              k += 1
+            }
+            jpegIdctPlace(dq, acNonzero, raster, w, h,
+              (bi % lumaWB) * 8, (bi / lumaWB) * 8, tmp)
+            bi += 1
+          }
+          return Some((w, h, raster))
+        }
         else {
           if (pos + 4 > bytes.length) return None
           val len = u16(pos + 2)
@@ -1487,13 +1924,17 @@ object Multimodal {
                 if (tc == 0) dcTabs(th) = d else acTabs(th) = d
                 o += 17 + n
               }
-            case 0xc0 => // SOF0 baseline: 1 (gray) or 3 (YCbCr) components
+            case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
               if (sofSeen || bodyLen < 9) return None
               if ((bytes(body) & 0xff) != 8) return None
+              progressive = m == 0xc2
               h = u16(body + 1); w = u16(body + 3)
               nComp = bytes(body + 5) & 0xff
+              // progressive holds ALL luma coefficients until EOI (4 B per
+              // sample vs the baseline's 1), so its bomb cap is 4× tighter
+              val pixCap = if (progressive) 1L << 24 else 1L << 26
               if ((nComp != 1 && nComp != 3) || w <= 0 || h <= 0 ||
-                w.toLong * h.toLong > (1L << 26) ||
+                w.toLong * h.toLong > pixCap ||
                 bodyLen < 6 + 3 * nComp) return None
               var ci = 0
               while (ci < nComp) {
@@ -1513,13 +1954,271 @@ object Multimodal {
               if (nComp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
               if (compH.take(nComp).max != compH(0) ||
                 compV.take(nComp).max != compV(0)) return None
+              if (progressive) {
+                val mX = (w + 8 * compH(0) - 1) / (8 * compH(0))
+                val mY = (h + 8 * compV(0) - 1) / (8 * compV(0))
+                bwFull = compH(0) * mX
+                val bhFull = compV(0) * mY
+                lumaWB = (w + 7) / 8
+                lumaHB = (h + 7) / 8
+                lumaCoef = new Array[Int](bwFull * bhFull * 64)
+              }
               sofSeen = true
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                 0xcb | 0xcd | 0xce | 0xcf =>
-              return None // non-baseline SOF / arithmetic coding
+              return None // other SOFs / arithmetic coding
             case 0xdd => // DRI
               if (bodyLen != 2) return None
               restartInterval = u16(body)
+            case 0xda if progressive =>
+              // progressive scan (T.81 Annex G): DC scans may interleave
+              // all components; AC scans are single-component with a
+              // spectral band [Ss, Se] and successive-approximation shift
+              // Al (first pass Ah=0, refinements Ah=Al+1). LUMA-ONLY
+              // discipline: scans without Y are stepped over byte-wise
+              // (their entropy data is self-terminating — no decode
+              // needed); interleaved DC scans decode chroma bits to stay
+              // in sync but store only Y.
+              if (!sofSeen || bodyLen < 6) return None
+              val ns = bytes(body) & 0xff
+              if (ns < 1 || ns > nComp || bodyLen < 4 + 2 * ns) return None
+              val scanComp = new Array[Int](ns)
+              val sTd = new Array[Int](ns)
+              val sTa = new Array[Int](ns)
+              var pj = 0
+              while (pj < ns) {
+                val cs = bytes(body + 1 + 2 * pj) & 0xff
+                var ci2 = -1
+                var t = 0
+                while (t < nComp) { if (compId(t) == cs) ci2 = t; t += 1 }
+                if (ci2 < 0) return None
+                scanComp(pj) = ci2
+                sTd(pj) = (bytes(body + 2 + 2 * pj) & 0xf0) >> 4
+                sTa(pj) = bytes(body + 2 + 2 * pj) & 0x0f
+                if (sTd(pj) > 3 || sTa(pj) > 3) return None
+                pj += 1
+              }
+              val ss = bytes(body + 1 + 2 * ns) & 0xff
+              val se = bytes(body + 2 + 2 * ns) & 0xff
+              val ahal = bytes(body + 3 + 2 * ns) & 0xff
+              val ah = (ahal >> 4) & 0x0f
+              val al = ahal & 0x0f
+              if (al > 13 || ah > 13) return None
+              val entStart = pos + 2 + len
+              var hasLuma = false
+              var t2 = 0
+              while (t2 < ns) { if (scanComp(t2) == 0) hasLuma = true; t2 += 1 }
+              if (!hasLuma) {
+                posOverride = jpegSkipEntropy(bytes, entStart)
+              } else {
+                val r = new JpegBitReader(bytes, entStart)
+                def expectRst(): Boolean = {
+                  r.align()
+                  val p = r.pos
+                  if (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+                    (bytes(p + 1) & 0xff) >= 0xd0 &&
+                    (bytes(p + 1) & 0xff) <= 0xd7) { r.pos = p + 2; true }
+                  else false
+                }
+                if (ss == 0) { // DC scan (first or refinement)
+                  if (se != 0) return None
+                  if (ah != 0 && ah != al + 1) return None
+                  val dcTs = new Array[JpegHuffDecoder](ns)
+                  if (ah == 0) {
+                    var j2 = 0
+                    while (j2 < ns) {
+                      dcTs(j2) = dcTabs(sTd(j2))
+                      if (dcTs(j2) == null) return None
+                      j2 += 1
+                    }
+                  }
+                  val preds = new Array[Int](ns)
+                  // one walk covers both shapes: ns>1 is the interleaved
+                  // MCU grid (padding blocks included); ns==1 (luma, since
+                  // hasLuma) is the component's REAL block raster
+                  val mX = (w + 8 * compH(0) - 1) / (8 * compH(0))
+                  val mY = (h + 8 * compV(0) - 1) / (8 * compV(0))
+                  val nUnits = if (ns > 1) mX * mY else lumaWB * lumaHB
+                  var mi = 0
+                  while (mi < nUnits) {
+                    if (restartInterval > 0 && mi > 0 &&
+                      mi % restartInterval == 0) {
+                      if (!expectRst()) return None
+                      java.util.Arrays.fill(preds, 0)
+                    }
+                    if (ns > 1) {
+                      var j2 = 0
+                      while (j2 < ns) {
+                        val c = scanComp(j2)
+                        var bv = 0
+                        while (bv < compV(c)) {
+                          var bu = 0
+                          while (bu < compH(c)) {
+                            if (ah == 0) {
+                              val s2 = dcTs(j2).decode(r)
+                              if (s2 < 0 || s2 > 11) return None
+                              if (s2 > 0) {
+                                val raw = r.bits(s2)
+                                if (raw < 0) return None
+                                preds(j2) += jpegExtend(raw, s2)
+                              }
+                              if (c == 0)
+                                lumaCoef((((mi / mX) * compV(0) + bv) * bwFull +
+                                  (mi % mX) * compH(0) + bu) * 64) = preds(j2) << al
+                            } else {
+                              val b = r.bit()
+                              if (b < 0) return None
+                              if (c == 0 && b == 1)
+                                lumaCoef((((mi / mX) * compV(0) + bv) * bwFull +
+                                  (mi % mX) * compH(0) + bu) * 64) |= (1 << al)
+                            }
+                            bu += 1
+                          }
+                          bv += 1
+                        }
+                        j2 += 1
+                      }
+                    } else {
+                      val base = ((mi / lumaWB) * bwFull + (mi % lumaWB)) * 64
+                      if (ah == 0) {
+                        val s2 = dcTs(0).decode(r)
+                        if (s2 < 0 || s2 > 11) return None
+                        if (s2 > 0) {
+                          val raw = r.bits(s2)
+                          if (raw < 0) return None
+                          preds(0) += jpegExtend(raw, s2)
+                        }
+                        lumaCoef(base) = preds(0) << al
+                      } else {
+                        val b = r.bit()
+                        if (b < 0) return None
+                        if (b == 1) lumaCoef(base) |= (1 << al)
+                      }
+                    }
+                    mi += 1
+                  }
+                  sawLumaDc = true
+                } else { // AC scan: single-component only (T.81 G.1)
+                  if (ns != 1 || scanComp(0) != 0 || se < ss || se > 63)
+                    return None
+                  if (ah != 0 && ah != al + 1) return None
+                  val acT = acTabs(sTa(0))
+                  if (acT == null) return None
+                  val p1 = 1 << al
+                  var eobrun = 0
+                  var bi = 0
+                  while (bi < lumaWB * lumaHB) {
+                    if (restartInterval > 0 && bi > 0 &&
+                      bi % restartInterval == 0) {
+                      if (!expectRst()) return None
+                      eobrun = 0
+                    }
+                    val base = ((bi / lumaWB) * bwFull + (bi % lumaWB)) * 64
+                    if (ah == 0) { // AC first pass (G.1.2.2)
+                      if (eobrun > 0) eobrun -= 1
+                      else {
+                        var k = ss
+                        var done = false
+                        while (k <= se && !done) {
+                          val rs = acT.decode(r)
+                          if (rs < 0) return None
+                          val rr = rs >> 4
+                          val s2 = rs & 15
+                          if (s2 == 0) {
+                            if (rr == 15) k += 16 // ZRL
+                            else {
+                              eobrun = (1 << rr) - 1
+                              if (rr > 0) {
+                                val eb = r.bits(rr)
+                                if (eb < 0) return None
+                                eobrun += eb
+                              }
+                              done = true
+                            }
+                          } else {
+                            k += rr
+                            if (k > se) return None
+                            val raw = r.bits(s2)
+                            if (raw < 0) return None
+                            lumaCoef(base + JpegZigzag(k)) =
+                              jpegExtend(raw, s2) << al
+                            k += 1
+                          }
+                        }
+                      }
+                    } else { // AC refinement pass (G.1.2.3)
+                      var k = ss
+                      if (eobrun == 0) {
+                        var brk = false
+                        while (k <= se && !brk) {
+                          val rs = acT.decode(r)
+                          if (rs < 0) return None
+                          var rr = rs >> 4
+                          val s2 = rs & 15
+                          var newval = 0
+                          if (s2 != 0) {
+                            if (s2 != 1) return None
+                            val b = r.bit()
+                            if (b < 0) return None
+                            newval = if (b == 1) p1 else -p1
+                          } else if (rr != 15) {
+                            eobrun = 1 << rr
+                            if (rr > 0) {
+                              val eb = r.bits(rr)
+                              if (eb < 0) return None
+                              eobrun += eb
+                            }
+                            brk = true
+                          }
+                          if (!brk) {
+                            // advance to the rr-th zero-history slot,
+                            // correcting nonzero-history coefficients on
+                            // the way (one raw bit each)
+                            var placed = false
+                            while (k <= se && !placed) {
+                              val idx = base + JpegZigzag(k)
+                              if (lumaCoef(idx) != 0) {
+                                val cb = r.bit()
+                                if (cb < 0) return None
+                                if (cb == 1 && (lumaCoef(idx) & p1) == 0)
+                                  lumaCoef(idx) +=
+                                    (if (lumaCoef(idx) >= 0) p1 else -p1)
+                                k += 1
+                              } else {
+                                if (rr == 0) placed = true
+                                else { rr -= 1; k += 1 }
+                              }
+                            }
+                            if (newval != 0) {
+                              if (k > se) return None
+                              lumaCoef(base + JpegZigzag(k)) = newval
+                            }
+                            k += 1
+                          }
+                        }
+                      }
+                      if (eobrun > 0) {
+                        // EOB sweep: correction bits for every nonzero-
+                        // history coefficient left in this block's band
+                        while (k <= se) {
+                          val idx = base + JpegZigzag(k)
+                          if (lumaCoef(idx) != 0) {
+                            val cb = r.bit()
+                            if (cb < 0) return None
+                            if (cb == 1 && (lumaCoef(idx) & p1) == 0)
+                              lumaCoef(idx) +=
+                                (if (lumaCoef(idx) >= 0) p1 else -p1)
+                          }
+                          k += 1
+                        }
+                        eobrun -= 1
+                      }
+                    }
+                    bi += 1
+                  }
+                }
+                posOverride = jpegSkipEntropy(bytes, r.pos)
+              }
             case 0xda => // SOS → entropy-coded data follows
               // one interleaved scan carrying EVERY frame component, in
               // frame order (ns = nComp; for gray this degenerates to the
@@ -1604,69 +2303,13 @@ object Multimodal {
                         }
                       }
                       if (isLuma) {
-                        val by0 = ((mi / mcusX) * compV(0) + bv) * 8
-                        val bx0 = ((mi % mcusX) * compH(0) + bu) * 8
-                        if (!acNonzero) {
-                          // DC-only fast path (libjpeg's IDCT skip): the
-                          // 2D IDCT of a lone F(0,0) is the constant
-                          // F(0,0)/8 everywhere (C(0)²/4 = 1/8, exact in
-                          // binary — the separable path lands within 1
-                          // ulp, same rounded sample for any non-half
-                          // boundary). Flat regions dominate real photos
-                          // and EVERY block of the DC-exact fixtures.
-                          val v = math.round(coef(0) / 8.0 + 128.0).toInt
-                          val cl = (if (v < 0) 0 else if (v > 255) 255
-                                    else v).toByte
-                          var py = 0
-                          while (py < 8) {
-                            val gy = by0 + py
-                            if (gy < h) {
-                              var x = 0
-                              while (x < 8) {
-                                val gx = bx0 + x
-                                if (gx < w) raster(gy * w + gx) = cl
-                                x += 1
-                              }
-                            }
-                            py += 1
-                          }
-                        } else {
-                          // separable 2D IDCT: rows over v, then cols over u
-                          var yy = 0
-                          while (yy < 8) {
-                            var u = 0
-                            while (u < 8) {
-                              var acc = 0.0
-                              var v = 0
-                              while (v < 8) {
-                                acc += JpegIdctBasis(yy)(v) * coef(v * 8 + u)
-                                v += 1
-                              }
-                              tmp(yy * 8 + u) = acc
-                              u += 1
-                            }
-                            yy += 1
-                          }
-                          var py = 0
-                          while (py < 8) {
-                            var x = 0
-                            while (x < 8) {
-                              var acc = 0.0
-                              var u = 0
-                              while (u < 8) {
-                                acc += JpegIdctBasis(x)(u) * tmp(py * 8 + u)
-                                u += 1
-                              }
-                              val v = math.round(acc + 128.0).toInt
-                              val cl = if (v < 0) 0 else if (v > 255) 255 else v
-                              val gx = bx0 + x
-                              val gy = by0 + py
-                              if (gx < w && gy < h) raster(gy * w + gx) = cl.toByte
-                              x += 1
-                            }
-                            py += 1
-                          }
-                        }
+                        // DC-only fast path + separable IDCT live in
+                        // jpegIdctPlace (shared with progressive): flat
+                        // regions dominate real photos and EVERY block of
+                        // the DC-exact fixtures skips both IDCT passes.
+                        jpegIdctPlace(coef, acNonzero, raster, w, h,
+                          ((mi % mcusX) * compH(0) + bu) * 8,
+                          ((mi / mcusX) * compV(0) + bv) * 8, tmp)
                       }
                       bu += 1
                     }
@@ -1679,7 +2322,10 @@ object Multimodal {
               return Some((w, h, raster))
             case _ => // APPn, COM, anything else with a length: skip
           }
-          pos += 2 + len
+          // a progressive SOS owns its advance: entropy data has no
+          // length field, so the scan decoder reports where it ended
+          if (posOverride >= 0) { pos = posOverride; posOverride = -1 }
+          else pos += 2 + len
         }
       }
       None

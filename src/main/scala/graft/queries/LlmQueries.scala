@@ -110,7 +110,12 @@ object LlmQueries {
     *     entropy byte past the headers changes, the luma raster doesn't,
     *     so the plant hashes EQUAL (luma-only invariance). The color
     *     arm's hash also equals the grayscale arm's for the same doc —
-    *     cross-arm evidence the interleaved MCU walk lands Y exactly.
+    *     cross-arm evidence the interleaved MCU walk lands Y exactly;
+    *   - PROGRESSIVE re-encode (r20: SOF2, the full libjpeg scan script —
+    *     DC point transform + refinement, split AC bands, successive
+    *     approximation, chroma scans the luma-only decode steps over) at
+    *     +5000000 for every 3rd doc — a wholly different wire format of
+    *     the same image, identical decoded luma, identical hash.
     * Sanitized to printable ASCII like ppmDupFix so the oracle's ord()
     * sees the same bytes the encoders consumed. */
   def mediaPhashFix(s: SparkSession, d: String): DataFrame = {
@@ -137,9 +142,13 @@ object LlmQueries {
       san.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 4500000L).as("doc_id"), col("t")),
       col("doc_id"), col("t"), dcQ = 8, cb = 170, cr = 90)
+    val jpgProg = Multimodal.asJpegProgressive(
+      san.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("t")),
+      col("doc_id"), col("t"), dcQ = 8, cb = 90, cr = 170)
     ppmDupFix(s, d).unionAll(png).unionAll(pngSub)
       .unionAll(jpg).unionAll(jpgRe)
-      .unionAll(jpgColor).unionAll(jpgChroma)
+      .unionAll(jpgColor).unionAll(jpgChroma).unionAll(jpgProg)
   }
 
   /** WAV payload fixture with PERCEPTUAL plants — [[ppmDupFix]]'s audio
@@ -261,10 +270,11 @@ object LlmQueries {
     * decoded raster is DC-exact by fixture construction, so
     * gray(x, y) = text byte at block (y÷8)·bw + (x÷8) (0 past n); base
     * rows at +3000000, requantized plants at +3500000. The COLOR arm
-    * (+4000000 base, +4500000 chroma-altered plants) shares the SAME
-    * luma arithmetic — constant Y blocks on the identical grid, chroma
-    * discarded by the luma-only decode — so its oracle rows are the same
-    * jph hashes under the color ids. */
+    * (+4000000 base, +4500000 chroma-altered plants) and the PROGRESSIVE
+    * re-encode arm (+5000000) share the SAME luma arithmetic — constant Y
+    * blocks on the identical grid, chroma discarded by the luma-only
+    * decode, SOF0 vs SOF2 wire format invisible to the raster — so their
+    * oracle rows are the same jph hashes under the shifted ids. */
   private lazy val JpegPhashCtes: String =
     s"""jm AS (SELECT doc_id, t, n, bw, greatest((n + bw - 1) // bw, 1) AS bh
        |      FROM (SELECT doc_id, t, CAST(strlen(t) AS BIGINT) AS n,
@@ -288,6 +298,9 @@ object LlmQueries {
        |         SELECT doc_id + 4000000 AS doc_id, dhash FROM jph
        |         UNION ALL
        |         SELECT doc_id + 4500000 AS doc_id, dhash FROM jph
+       |         WHERE doc_id % 3 = 0
+       |         UNION ALL
+       |         SELECT doc_id + 5000000 AS doc_id, dhash FROM jph
        |         WHERE doc_id % 3 = 0)""".stripMargin
 
   /** Shared audio-envelope CTE chain for the q_mm_ahash oracles: sanitized

@@ -1204,6 +1204,65 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("progressive JPEG: full scan script decodes identically to baseline") {
+    import Multimodal.{jpegColorEncode420, jpegProgressiveEncode, parseJpegRaster}
+    val qY = Array.tabulate(64)(k => 1 + (k * 5) % 16)
+    val qC = Array.tabulate(64)(k => 1 + (k * 3) % 9)
+    def blk(dc: Int, ac: (Int, Int)*): Array[Int] = {
+      val a = new Array[Int](64); a(0) = dc; ac.foreach { case (k, v) => a(k) = v }; a
+    }
+    // adversarial coefficient structure: dense AC with magnitudes needing
+    // several successive-approximation bits, a ZRL-length zero run,
+    // negatives, an ALL-ZERO block (cross-block EOB run + buffered
+    // correction bits), small magnitudes that only appear in refinement
+    // scans (the newly-significant insertion path)
+    val y = Array(
+      blk(-45, 1 -> 13, 2 -> -7, 5 -> 3, 20 -> -2, 63 -> 1),
+      blk(35, 1 -> -1, 30 -> 4),
+      blk(0),
+      blk(22, 7 -> -5, 40 -> 2, 62 -> -9))
+    val cb = Array(blk(-30, 3 -> 9), blk(18), blk(0), blk(5, 50 -> -2))
+    val cr = Array(blk(12, 1 -> -4), blk(0), blk(-3), blk(7))
+    // 4:4:4, four MCUs across (32×8)
+    val Some((bw0, bh0, base)) =
+      parseJpegRaster(jpegColorEncode420(32, 8, qY, qC, y, cb, cr, 1, 1))
+    assert(bw0 == 32 && bh0 == 8)
+    val Some((pw, ph, prog)) =
+      parseJpegRaster(jpegProgressiveEncode(32, 8, qY, qC, y, cb, cr, 1, 1))
+    assert(pw == 32 && ph == 8 && prog.sameElements(base))
+    // ...and against the independent direct IDCT, not just each other
+    for (bi <- 0 until 4) {
+      val want = refIdct(y(bi), qY)
+      for (py <- 0 until 8; x <- 0 until 8)
+        assert((prog(py * 32 + bi * 8 + x) & 0xff) == want(py * 8 + x),
+          s"prog block $bi pixel ($x,$py)")
+    }
+    // scan-script knobs: deeper point transforms, different spectral split
+    assert(parseJpegRaster(jpegProgressiveEncode(32, 8, qY, qC, y, cb, cr,
+      1, 1, dcAl = 2, acAl = 3, acSplit = 20)).exists(_._3.sameElements(base)))
+    // pure spectral selection (no refinement scans at all)
+    assert(parseJpegRaster(jpegProgressiveEncode(32, 8, qY, qC, y, cb, cr,
+      1, 1, dcAl = 0, acAl = 0)).exists(_._3.sameElements(base)))
+    // 4:2:0: one MCU (16×16), luma on the 2×2 grid — interleaved DC scans
+    // walk sampled blocks, AC scans walk the real luma raster
+    val Some((_, _, base420)) =
+      parseJpegRaster(jpegColorEncode420(16, 16, qY, qC, y,
+        Array(cb(0)), Array(cr(0))))
+    val Some((w4, h4, prog420)) =
+      parseJpegRaster(jpegProgressiveEncode(16, 16, qY, qC, y,
+        Array(cb(0)), Array(cr(0))))
+    assert(w4 == 16 && h4 == 16 && prog420.sameElements(base420))
+    // garbage safety: truncation anywhere stays total, fuzz stays total
+    val good = jpegProgressiveEncode(32, 8, qY, qC, y, cb, cr, 1, 1)
+    for (cut <- 1 until good.length) parseJpegRaster(good.take(cut))
+    val rnd = new scala.util.Random(97531)
+    for (_ <- 1 to 500) {
+      val arr = good.clone()
+      arr(rnd.nextInt(arr.length)) = rnd.nextInt(256).toByte
+      parseJpegRaster(arr) // must be total on corrupted progressive streams
+    }
+  }
+
   test("dHashMedia: dispatch + per-format re-encode invariance") {
     val s = spark
     import s.implicits._
@@ -1233,6 +1292,9 @@ class LlmSpec extends SparkSpec {
     // luma hash — and it equals the grayscale form's (same block grid)
     assert(hashOf(jpegColorBytes(data, 8, 90, 170)) === j8)
     assert(hashOf(jpegColorBytes(data, 8, 170, 90)) === j8)
+    // PROGRESSIVE re-encode: a wholly different wire format (SOF2 multi-
+    // scan), identical decoded luma, identical hash
+    assert(hashOf(jpegProgressiveBytes(data, 8, 90, 170)) === j8)
     // unrecognizable payloads yield null, not an exception
     assert(hashOf("?junk".getBytes("US-ASCII")).isEmpty)
     assert(hashOf(Array.emptyByteArray).isEmpty)
