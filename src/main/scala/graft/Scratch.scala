@@ -562,6 +562,128 @@ object Scratch {
       }
       println(s"[scratch] winnow_cc rounds=${r.rounds} converged=${r.converged}")
       graft.CacheHygiene.releaseAll(spark)
+    } else if (args.headOption.contains("xchg_audit")) {
+      // r21: fleet-wide executed-plan waste audit. For each benched query:
+      // tree-aware exchange count (reuse credited), duplicate-exchange
+      // groups (identical modulo expression ids — each duplicate is a
+      // shuffle the plan pays twice for the same data), and physical scan
+      // count. Queries named in args override the full benched set.
+      val names =
+        if (args.length > 1) args.drop(1).toSeq
+        else graft.SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(graft.SparkEntry.verifyOnly)
+      names.foreach { name =>
+        try {
+          val qe = graft.SparkEntry.queries(name)(spark, d).queryExecution
+          qe.toRdd.foreach(_ => ())
+          // collect exchange NODES (not just labels) so duplicates can be
+          // confirmed on the whole canonicalized child subtree — identical
+          // exchange keys over different inputs (two-phase top-k) are fine;
+          // identical subtrees mean the same data shuffled twice
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+          def nodes(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+            val self = p match {
+              case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+              case q: QueryStageExec => nodes(q.plan)
+              case _: ReusedExchangeExec => Seq.empty
+              case e: ShuffleExchangeLike => Seq(e)
+              case _ => Seq.empty
+            }
+            self ++ p.children.flatMap(nodes)
+          }
+          val ex = nodes(qe.executedPlan)
+          def canon(e: ShuffleExchangeLike): String =
+            (e.simpleString(200) + "\n" + e.child.canonicalized.toString)
+              .replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "p")
+          val dups = ex.groupBy(canon).filter(_._2.size > 1)
+          val scans = graft.plans.PlanAudit.scannedPaths(qe.executedPlan)
+          println(s"[scratch] xchg $name: exchanges=${ex.size} " +
+            s"dupGroups=${dups.size} dupExtra=${dups.values.map(_.size - 1).sum} " +
+            s"scans=${scans.size}")
+          dups.keys.foreach(k =>
+            println(s"[scratch]   dup: ${k.linesIterator.next().take(140)}"))
+        } catch { case e: Throwable =>
+          println(s"[scratch] xchg $name: ERR ${e.getClass.getSimpleName}")
+        }
+        CacheHygiene.releaseAll(spark)
+      }
+    } else if (args.headOption.contains("conf_ab")) {
+      // r21: A/B a single SQL conf across named queries, Bench-style
+      // (min-of-2 noop-sink samples per arm). Usage:
+      //   conf_ab <key>=<value> <query...>
+      val Array(key, value) = args(1).split("=", 2)
+      val default = spark.conf.getOption(key)
+      def best(name: String): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, d)
+          .write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        CacheHygiene.releaseAll(spark); t
+      }.min
+      args.drop(2).foreach { name =>
+        // alternate arms 3× and take each arm's min — a single ordered pass
+        // confounds the conf with JIT/codegen warm-up
+        var baseMin = Double.MaxValue
+        var flipMin = Double.MaxValue
+        for (_ <- 1 to 3) {
+          default.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+          baseMin = math.min(baseMin, best(name))
+          spark.conf.set(key, value)
+          flipMin = math.min(flipMin, best(name))
+        }
+        default.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+        println(f"[scratch] conf_ab $name: base=$baseMin%.2f s  " +
+          f"$key=$value: $flipMin%.2f s")
+      }
+    } else if (args.headOption.contains("stage_q")) {
+      // r21: per-stage task-time breakdown for named queries — the "which
+      // stage owns the time" instrument (optimization guide §1/§7.1, no UI
+      // in this sandbox). Prints each stage's wall-relevant task-time sum,
+      // task count, and max task, plus the setup/exec split, twice (run 2
+      // is the warm signal the bench's min-of-2 reports).
+      import scala.collection.mutable
+      case class St(var sumMs: Long = 0, var maxMs: Long = 0, var n: Int = 0,
+        var name: String = "?")
+      val stages = mutable.LinkedHashMap[Int, St]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          stages.synchronized {
+            val s = stages.getOrElseUpdate(te.stageId, St())
+            s.sumMs += te.taskInfo.duration
+            s.maxMs = math.max(s.maxMs, te.taskInfo.duration)
+            s.n += 1
+          }
+        override def onStageSubmitted(
+            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          stages.synchronized {
+            stages.getOrElseUpdate(ss.stageInfo.stageId, St()).name =
+              ss.stageInfo.name.take(90)
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try args.drop(1).foreach { name =>
+        for (run <- 1 to 2) {
+          stages.synchronized(stages.clear())
+          val t0 = System.nanoTime()
+          val df = graft.SparkEntry.queries(name)(spark, d)
+          val t1 = System.nanoTime()
+          df.write.mode("overwrite").format("noop").save()
+          val t2 = System.nanoTime()
+          Thread.sleep(800) // listener bus is async
+          println(f"[scratch] $name run$run: setup=${(t1 - t0) / 1e9}%.2f s " +
+            f"exec=${(t2 - t1) / 1e9}%.2f s")
+          stages.synchronized {
+            stages.toSeq.sortBy(-_._2.sumMs).take(14).foreach { case (sid, s) =>
+              println(f"[scratch]   stage $sid%5d: sum=${s.sumMs}%6d ms " +
+                f"tasks=${s.n}%4d max=${s.maxMs}%5d ms  ${s.name}")
+            }
+          }
+          CacheHygiene.releaseAll(spark)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
     } else if (args.nonEmpty) {
       // time the named queries (forcing full execution, Bench-style)
       args.foreach { name =>

@@ -36,8 +36,13 @@ case class LearnedBpeCountExpr(child: Expression,
     LearnedBpeCountExpr.compute(input.asInstanceOf[ArrayData], mergeArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMerges", mergeArr,
-      "scala.Tuple2<String, String>[]")
+    // RAW scala.Tuple2[] cast (r21): Janino cannot parse a generic-ARRAY
+    // cast — "(scala.Tuple2<String, String>[]) references[i]" failed to
+    // compile ("')' expected instead of '['") and the whole stage silently
+    // fell back to interpreted mode, which is exactly the non-codegen hot
+    // path this expression exists to avoid. compute's erased signature
+    // takes Tuple2[], so the raw cast is the correct generated Java.
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "scala.Tuple2[]")
     nullSafeCodeGen(ctx, ev, arr =>
       s"${ev.value} = graft.functions.LearnedBpeCountExpr.compute($arr, $ref);")
   }

@@ -62,8 +62,9 @@ case class LearnedBpeIdsExpr(child: Expression,
     LearnedBpeIdsExpr.compute(input.asInstanceOf[ArrayData], mergeArr, idMap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val refM = ctx.addReferenceObj("bpeMerges", mergeArr,
-      "scala.Tuple2<String, String>[]")
+    // RAW scala.Tuple2[] cast — Janino rejects generic-ARRAY casts and the
+    // stage fell back to interpreted mode (see LearnedBpeCountExpr.doGenCode)
+    val refM = ctx.addReferenceObj("bpeMerges", mergeArr, "scala.Tuple2[]")
     val refV = ctx.addReferenceObj("bpeIdMap", idMap,
       "java.util.HashMap<String, java.lang.Long>")
     nullSafeCodeGen(ctx, ev, arr =>

@@ -155,7 +155,15 @@ object Bpe {
     import org.apache.spark.sql.functions._
     require(rounds > 0, "rounds must be positive")
     val spark = docs.sparkSession
-    var words = wordTable(docs, text).localCheckpoint()
+    // LAZY checkpoints (r21): an eager localCheckpoint is its own Spark job,
+    // so each round paid TWO driver round-trips (materialize + argmax
+    // collect). Lazy checkpointing folds materialization into the next
+    // round's collect — one job per round, same blocks, same result. The
+    // superseded round's blocks are released only AFTER the collect that
+    // materialized its successor (a lazily-checkpointed plan cannot
+    // recompute once its parent's truncated-lineage blocks are gone).
+    var words = wordTable(docs, text).localCheckpoint(false)
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -163,21 +171,22 @@ object Bpe {
       val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      // `words` is materialized now — the prior round's blocks are dead
+      // weight, free them or storage grows linearly with rounds (r14 ADVICE)
+      prev.foreach(unpersistCheckpoint)
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val (l, ri, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r.toLong, l, ri, c))
-        val prev = words
+        prev = Some(words)
         words = words.withColumn("sym", mergeSyms(col("sym"), l, ri))
-          .localCheckpoint()
-        // the new checkpoint is materialized (eager), so the prior round's
-        // blocks are dead weight — free them or storage grows linearly
-        // with merge rounds (r14 ADVICE)
-        unpersistCheckpoint(prev)
+          .localCheckpoint(false)
         r += 1
       }
     }
+    prev.foreach(unpersistCheckpoint)
     unpersistCheckpoint(words)
     import spark.implicits._
     merges.result().toDF("merge_rank", "sym_l", "sym_r", "pair_count")
@@ -271,7 +280,9 @@ object Bpe {
     import org.apache.spark.sql.functions._
     require(rounds > 0 && batch > 0, "rounds and batch must be positive")
     val spark = docs.sparkSession
-    var words = wordTable(docs, text).localCheckpoint()
+    // lazy checkpoints, one job per round — see trainMerges' r21 note
+    var words = wordTable(docs, text).localCheckpoint(false)
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 0L
     var r = 0
@@ -281,6 +292,8 @@ object Bpe {
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(BatchCandidateFactor * batch).collect()
         .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      prev.foreach(unpersistCheckpoint)
+      prev = None
       if (cands.isEmpty) exhausted = true
       else {
         val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -297,15 +310,15 @@ object Bpe {
         kept.foreach { case (l, ri, c) =>
           merges += ((rank, l, ri, c)); rank += 1L
         }
-        val prev = words
+        prev = Some(words)
         words = words
           .withColumn("sym",
             mergeSymsChain(col("sym"), kept.toSeq.map { case (l, ri, _) => (l, ri) }))
-          .localCheckpoint()
-        unpersistCheckpoint(prev)
+          .localCheckpoint(false)
         r += 1
       }
     }
+    prev.foreach(unpersistCheckpoint)
     unpersistCheckpoint(words)
     import spark.implicits._
     merges.result().toDF("merge_rank", "sym_l", "sym_r", "pair_count")

@@ -55,17 +55,19 @@ object Decontamination {
   }
 
   /** The corpus with contaminated documents removed — the pass a training
-    * run actually consumes. Anti-join on the flagged ids: the flagged set is
-    * small (it is bounded by benchmark overlap), so the anti-join broadcasts
-    * and the corpus still never shuffles. */
+    * run actually consumes. Anti-join on the flagged ids with NO forced
+    * broadcast hint (r20 verdict #4, the r12 dropNearDups precedent): the
+    * flagged set is contamination-rate-proportional, so on a heavily
+    * contaminated corpus with a large benchmark suite it is NOT bounded —
+    * AQE sizes the anti-join at runtime and still broadcasts the
+    * usual-case small side (pinned in DecontaminationSpec). */
   def clean(docs: DataFrame, id: Column, text: Column,
       bench: DataFrame, benchText: Column, n: Int, minHits: Int): DataFrame = {
     // distinct alias: `docs` carries its own id column, and an unanchored
     // join condition on the shared name would be ambiguous
     val flagged = contaminationHits(docs, id, text, bench, benchText, n, minHits)
       .select(col("doc_id").as("contaminated_id"))
-    docs.join(broadcast(flagged),
-      id === col("contaminated_id"), "left_anti")
+    docs.join(flagged, id === col("contaminated_id"), "left_anti")
   }
 
   /** The benchmark's distinct WINNOWING fingerprint set
@@ -117,13 +119,13 @@ object Decontamination {
   }
 
   /** The corpus with fuzzily-contaminated documents removed — [[clean]]'s
-    * winnowing twin, same broadcast anti-join shape. */
+    * winnowing twin: same un-hinted AQE-sized anti-join (the flagged set is
+    * contamination-rate-proportional, not bounded). */
   def fuzzyClean(docs: DataFrame, id: Column, text: Column,
       bench: DataFrame, benchText: Column, k: Int, w: Int,
       minHits: Int): DataFrame = {
     val flagged = fuzzyHits(docs, id, text, bench, benchText, k, w, minHits)
       .select(col("doc_id").as("contaminated_id"))
-    docs.join(broadcast(flagged),
-      id === col("contaminated_id"), "left_anti")
+    docs.join(flagged, id === col("contaminated_id"), "left_anti")
   }
 }

@@ -833,8 +833,14 @@ object Dedup {
     val kept = inv.groupBy(col("f")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select(col("f"))
     // shuffle join on f (kept is |distinct fps|-sized — data-dependent, so
-    // no broadcast hint; AQE may still convert when it measures small)
-    val kinv = inv.join(kept, "f")
+    // no broadcast hint; AQE may still convert when it measures small).
+    // PERSISTED (r21): kinv feeds the sizes branch AND both sides of the
+    // pair join — four consumers total — and exchange reuse does NOT
+    // deduplicate them (measured: reused=0, the df-cut aggregate and this
+    // join each appeared 4× in the executed plan, i.e. the inverted index
+    // shuffled 4× instead of once — at corpus scale that is 3 extra
+    // token-scale shuffles). The cached relation is (doc_id, f) longs.
+    val kinv = inv.join(kept, "f").persist()
     val sizes = kinv.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val pairs = kinv.as("a").hint("shuffle_merge")
       .join(kinv.as("b").hint("shuffle_merge"),

@@ -591,8 +591,12 @@ object Similarity {
         .select(col("b.vec_id").as("loser")).distinct()
     val n0 = normalized(emb)
     if (anchorCap <= 0) {
-      // the paper's literal form: all-pairs within (cell, bucket)
-      val keyed = keyOf(n0)
+      // the paper's literal form: all-pairs within (cell, bucket).
+      // PERSISTED (r21): keyed feeds both join sides and keyOf itself
+      // evaluates its input twice (the row + its assign() lookup) —
+      // uncached, the centroid-assignment chain re-ran per branch
+      // (measured as repeated physical embedding scans).
+      val keyed = keyOf(n0).persist()
       val losers = pairs(keyed, keyed)
       emb.join(losers, emb("vec_id") === losers("loser"), "left_anti")
     } else {
@@ -616,7 +620,11 @@ object Similarity {
         .groupBy(col("nv"), col("zk"))
         .agg(min(col("vec_id")).as("vec_id"))
         .select(col("vec_id"), col("nv"), quant(col("nv"), 100).as("qv"))
-      val keyed = keyOf(reps)
+      // PERSISTED (r21): keyed feeds the anchor windows, the salted b-side,
+      // and (via reps) the survivor anti-join — uncached, the collapse +
+      // centroid-assignment chain re-ran per branch (measured as repeated
+      // physical embedding scans; exchange reuse does not bridge them).
+      val keyed = keyOf(reps).persist()
       // stage b: a-side capped to the per-(cell, bucket) anchor set.
       // Skew posture (r18 advice): the dense hot cell — the exact shape
       // that motivates anchorCap — must not sort or join in one task, so

@@ -73,8 +73,15 @@ object SpanDedup {
     * re-introduce the hot-hash straggler the two-aggregate shape exists
     * to avoid. */
   def dedupApply(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // PERSISTED (r21): the window extraction (tokenize + two poly hashes +
+    // posexplode — the corpus-token-scale pass) feeds the owner aggregate
+    // AND the flagged join, and exchange reuse does not deduplicate them
+    // (measured: 6 physical fixture scans = the extraction executing
+    // twice plus the text pass). Cached rows are (doc_id, s, h, h2) longs;
+    // CacheHygiene releases per query.
     val wins = windows(docs, id, text)
       .select(col("doc_id"), col("s"), col("h"), col("h2"))
+      .persist()
     val owners = wins.groupBy(col("h"), col("h2"))
       .agg(min(struct(col("doc_id"), col("s"))).as("own"),
         count(lit(1)).as("n_occ"))
@@ -152,19 +159,26 @@ object SpanDedup {
   def report(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val wins = windows(docs, id, text)
       .select(col("doc_id"), col("h"), col("h2"))
-    // hash pairs seen in >= 2 distinct docs (the (doc, h, h2) distinct
-    // collapses first, so the count is exact and map-side combined)
-    val shared = wins.distinct()
+    // ONE token-scale aggregation (r21): the old shape ran the window
+    // extraction twice and shuffled the full window table twice — once for
+    // a distinct() feeding the shared-hash set and once for the per-doc
+    // occurrence counts. Both derive from the SAME (doc, h, h2) aggregate:
+    // its rows are distinct by construction, so the cross-doc count is a
+    // second, already-reduced aggregation over it. occ is persisted — it
+    // feeds the shared-set branch and the flag join (occurrence-grain
+    // rows, far smaller than the raw window stream).
+    val occ = wins.groupBy(col("doc_id"), col("h"), col("h2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .persist()
+    val shared = occ
       .groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("h"), col("h2"), lit(true).as("dup"))
-    wins.groupBy(col("doc_id"), col("h"), col("h2"))
-      .agg(count(lit(1)).as("n_occ"))
-      // un-hinted: AQE sizes the shared set at runtime (a crawl-scale
-      // corpus can carry a broadcast-hostile number of shared spans —
-      // the dedup-apply r11 lesson)
-      .join(shared, Seq("h", "h2"), "left")
+    // un-hinted: AQE sizes the shared set at runtime (a crawl-scale
+    // corpus can carry a broadcast-hostile number of shared spans —
+    // the dedup-apply r11 lesson)
+    occ.join(shared, Seq("h", "h2"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_windows"),
         sum(when(col("dup"), col("n_occ")).otherwise(0L)).as("n_dup"))

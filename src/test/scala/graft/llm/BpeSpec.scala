@@ -191,6 +191,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learned BPE expressions compile under CODEGEN_ONLY (no interpreted fallback)") {
+    // r21: the generated cast for the merge-table reference was a generic
+    // ARRAY cast ("(scala.Tuple2<String, String>[]) references[i]") which
+    // Janino cannot parse — codegen failed and every learned-BPE stage
+    // silently ran interpreted. CODEGEN_ONLY makes any such failure loud.
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val vocab = Seq("a", "b", "c") ++ merges.map { case (l, r) => l + r }
+    val key = "spark.sql.codegen.factoryMode"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val rows = Seq("abc ab a", "cab abc").toDF("text")
+        .select(
+          Bpe.learnedSubwordCount(TextAnalysis.tokens(col("text")), merges)
+            .as("n"),
+          Bpe.tokenizeIds(TextAnalysis.tokens(col("text")), merges, vocab)
+            .as("ids"))
+        .collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(3L, 3L))
+    } finally prior.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   test("tokenizeIds: id sequence matches a by-hand walk; UNK; count parity") {
     val s = spark
     import s.implicits._

@@ -80,6 +80,37 @@ class DecontaminationSpec extends SparkSpec {
       Seq(2L, 3L, 4L))
   }
 
+  test("clean/fuzzyClean: no forced hint; AQE still broadcasts a small flagged set") {
+    // r20 verdict #4 (the r12 dropNearDups precedent): the flagged set is
+    // contamination-rate-proportional — on a heavily contaminated corpus it
+    // is NOT bounded, so the anti-join must carry no broadcast hint; the
+    // planner/AQE still broadcasts the usual-case small side at runtime.
+    val (docs, bench) = fixture
+    for (out <- Seq(
+        Decontamination.clean(docs, col("doc_id"), col("text"),
+          bench, col("bench_text"), n = 5, minHits = 2),
+        Decontamination.fuzzyClean(docs, col("doc_id"), col("text"),
+          bench, col("bench_text"), k = 24, w = 8, minHits = 2))) {
+      // materialize so AQE finalizes the runtime join strategy
+      out.write.format("noop").mode("overwrite").save()
+      // the flagged-side anti-join must be un-hinted (the benchmark
+      // shingle/fingerprint set's broadcast — bounded by the benchmark
+      // suite — is fine and stays, but it sits BELOW an aggregation, never
+      // as a direct anti-join child)
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      val hintedAnti = out.queryExecution.analyzed.collect {
+        case j: Join if j.joinType == LeftAnti &&
+          j.children.exists(_.isInstanceOf[ResolvedHint]) => j
+      }
+      assert(hintedAnti.isEmpty,
+        s"forced hint on an anti-join child:\n${hintedAnti.mkString("\n")}")
+      assert(out.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+        "small flagged set not broadcast by the planner/AQE")
+    }
+  }
+
   test("fuzzy differential: edited leakage exact provably misses, winnow catches") {
     import spark.implicits._
     val benchLine =
