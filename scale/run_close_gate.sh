@@ -6,7 +6,7 @@
 # stage fails, INCLUDING a ratio-gate breach.
 set -x
 cd /root/repo
-R=r20
+R=r21
 RC_ALL=0
 step() { echo "STEP_$1_RC=$2" >> /tmp/${R}c_status.log; [ "$2" -ne 0 ] && RC_ALL=1; }
 

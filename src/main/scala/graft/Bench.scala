@@ -193,8 +193,15 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(detailFileName(sfDir))
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      // wall + load ride the detail artifact too (r21, the r20 verdict #3
+      // reconciliation: the ratio gate can then print each run's load next
+      // to its ratios, so a loaded-machine ratio is distinguishable from a
+      // real super-linear term without re-running anything)
+      val loadNow = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val loadJson = if (loadNow < 0) "null" else ms(loadNow)
       java.nio.file.Files.writeString(p,
-        s"""{"sf":"${sfBase(sfDir)}","queries":$full}""" + "\n")
+        s"""{"sf":"${sfBase(sfDir)}","wall":${ms((System.nanoTime() - wall0) / 1e9)},"load":$loadJson,"queries":$full}""" + "\n")
     } catch { case e: Exception =>
       // the artifact is best-effort (a read-only CWD must not fail a bench)
       System.err.println(s"[bench] detail artifact write failed: ${e.getMessage}")

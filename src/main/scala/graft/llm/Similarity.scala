@@ -592,11 +592,12 @@ object Similarity {
     val n0 = normalized(emb)
     if (anchorCap <= 0) {
       // the paper's literal form: all-pairs within (cell, bucket).
-      // PERSISTED (r21): keyed feeds both join sides and keyOf itself
-      // evaluates its input twice (the row + its assign() lookup) —
-      // uncached, the centroid-assignment chain re-ran per branch
-      // (measured as repeated physical embedding scans).
-      val keyed = keyOf(n0).persist()
+      // NOT persisted (r21, measured): caching keyed looked attractive
+      // (keyOf's branches re-scan the embeddings), but the head-to-head
+      // A/B showed the cache fill+scan COSTS more than the saved
+      // recompute — the re-evaluated passes are narrow columnar scans +
+      // a broadcast-nested-loop over a bounded centroid table.
+      val keyed = keyOf(n0)
       val losers = pairs(keyed, keyed)
       emb.join(losers, emb("vec_id") === losers("loser"), "left_anti")
     } else {
@@ -620,11 +621,14 @@ object Similarity {
         .groupBy(col("nv"), col("zk"))
         .agg(min(col("vec_id")).as("vec_id"))
         .select(col("vec_id"), col("nv"), quant(col("nv"), 100).as("qv"))
-      // PERSISTED (r21): keyed feeds the anchor windows, the salted b-side,
-      // and (via reps) the survivor anti-join — uncached, the collapse +
-      // centroid-assignment chain re-ran per branch (measured as repeated
-      // physical embedding scans; exchange reuse does not bridge them).
-      val keyed = keyOf(reps).persist()
+      // NOT persisted (r21, measured): keyed feeds the anchor windows and
+      // the salted b-side, so caching it looked attractive — but the
+      // head-to-head A/B regressed ~0.9 s at sf0.1 (2.4 vs 1.5 s warm):
+      // the re-evaluated chain is narrow columnar scans + one map-side
+      // aggregate + a broadcast centroid lookup, cheaper than writing and
+      // re-reading the vector-carrying cache. Revisit only with a 10x
+      // measurement showing recompute dominating.
+      val keyed = keyOf(reps)
       // stage b: a-side capped to the per-(cell, bucket) anchor set.
       // Skew posture (r18 advice): the dense hot cell — the exact shape
       // that motivates anchorCap — must not sort or join in one task, so

@@ -169,7 +169,6 @@ object SpanDedup {
     // rows, far smaller than the raw window stream).
     val occ = wins.groupBy(col("doc_id"), col("h"), col("h2"))
       .agg(count(lit(1)).as("n_occ"))
-      .persist()
     val shared = occ
       .groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("n_docs"))

@@ -323,17 +323,26 @@ object CurationQueries {
     // exact-blocked domain, two suffix-blocked ones, and a /casino/
     // pattern arm; the dot-suffix rule must NOT catch notbad-style
     // siblings (UrlCurationSpec pins that boundary).
-    // projectSorted, not orderBy (r19): the canonicalize+blocklist regex
-    // battery is a heavy NARROW projection, and a plain orderBy's range
-    // sampling pass would execute it twice — the RangeSort doctrine
-    "q_url_filter" -> ((s, d) => graft.query.RangeSort.projectSorted(
-      docsUrlFix(s, d), Seq(col("doc_id"))) { base =>
-      val canon = base
+    // PERSIST barrier, not RangeSort (r21): the blocklist FILTER references
+    // the canonicalize battery, and predicate pushdown drags it below any
+    // exchange/projection back into the scan stage — the r19 RangeSort
+    // shape still executed the battery inlined ~3× inside the pushed
+    // filter (measured: 113 regexp ops on the Filter node) plus once in
+    // the output projection, all in the scan-side stage the range sampler
+    // runs twice. The cache boundary is the only shape Catalyst cannot
+    // re-inline through: the battery runs exactly once per row into a
+    // (doc_id, url_canon, host) relation — the URL table, input-sized —
+    // and the blocklist predicate + sort read the cache (the q_mm_phash
+    // persist-before-sort precedent; CacheHygiene releases per query).
+    "q_url_filter" -> ((s, d) => {
+      val canon = docsUrlFix(s, d)
         .select(col("doc_id"),
           graft.llm.UrlCuration.canonicalize(col("url")).as("url_canon"))
         .withColumn("host", graft.llm.UrlCuration.host(col("url_canon")))
+        .persist()
       graft.llm.UrlCuration.blocklistFilter(canon, col("url_canon"))
         .select(col("doc_id"), col("host"), col("url_canon"))
+        .orderBy(col("doc_id"))
     }))
 
   /** URL fixture host pool — position 2 is mixed-case (canonicalization

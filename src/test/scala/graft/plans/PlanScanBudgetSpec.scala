@@ -61,7 +61,10 @@ class PlanScanBudgetSpec extends SparkSpec {
     "q_c4_clean" -> 4,
     // scaled-duplicate fixture (2 branches) × three corpus passes (cell
     // assignment, cell keying, final anti-join — the standard
-    // derive-then-filter shape, uncached by doctrine) + centroid stride
+    // derive-then-filter shape, uncached by doctrine: an r21 A/B of
+    // persisting the keyed relation REGRESSED ~0.9 s warm at sf0.1, the
+    // narrow columnar re-scans are cheaper than the vector cache)
+    // + centroid stride
     "q_dedup_semdedup" -> 7,
     // same chain with the text→embed fixture's two branches
     "q_dedup_semdedup_text" -> 7,
@@ -141,13 +144,19 @@ class PlanScanBudgetSpec extends SparkSpec {
     // the model's two count passes + the scoring pass
     "q_lm_train_score" -> 3,
     // cross-copy fixture (2 branches) × derive-shared-set + flag passes
+    // (r21: both passes now fold through ONE (doc, h, h2) aggregate — the
+    // distinct() pass is gone — but the aggregate itself is deliberately
+    // NOT cached, so the extraction still evaluates per branch: the A/B
+    // showed the cache costing more than the recompute at sf0.1)
     "q_dedup_substring" -> 4,
-    // same fixture × (owner aggregate + flag probe + the text pass the
-    // cut filter rewrites): the flag step is groupBy-then-join rather
-    // than one count()/row_number() window over each hash's occurrences
-    // — a boilerplate span shared by millions of docs would put that
-    // whole partition through one task (the whole-group-window doctrine)
-    "q_dedup_substring_apply" -> 6,
+    // same fixture × (persisted window table + the text pass the cut
+    // filter rewrites) — r21 tightened from 6: the owner aggregate and
+    // flag probe now read the cached windows instead of re-extracting.
+    // The flag step stays groupBy-then-join rather than one
+    // count()/row_number() window over each hash's occurrences — a
+    // boilerplate span shared by millions of docs would put that whole
+    // partition through one task (the whole-group-window doctrine)
+    "q_dedup_substring_apply" -> 2,
     // corpus pass + centroid stride over the same embeddings table
     "q_sample_cluster" -> 2,
     // corpus-statistics pass (N, avg len, per-term df) + the scoring pass

@@ -46,9 +46,16 @@ def main() -> int:
     args = ap.parse_args()
 
     with open(args.base) as f:
-        base = json.load(f)["queries"]
+        base_doc = json.load(f)
     with open(args.scaled) as f:
-        scaled = json.load(f)["queries"]
+        scaled_doc = json.load(f)
+    base, scaled = base_doc["queries"], scaled_doc["queries"]
+    # r21 (r20 verdict #3): the detail artifacts now carry the run's load
+    # average — print it so a loaded-machine ratio is distinguishable from
+    # a real super-linear term when reading the committed ratios file
+    loads = (base_doc.get("load"), scaled_doc.get("load"))
+    if any(l is not None for l in loads):
+        print(f"run load: 1x={loads[0]}  10x={loads[1]}")
 
     rows = []
     for name in sorted(set(base) & set(scaled)):
