@@ -405,8 +405,11 @@ object Scratch {
       // into 1-4 tasks, which hides the per-task spread the probe exists
       // to measure — run it on fixed 32-partition shuffles (production
       // AQE keeps coalescing AND adds skew-split on top; disabling it
-      // here is the conservative direction for a straggler probe)
+      // here is the conservative direction for a straggler probe).
+      // try/finally (r20 ADVICE): an arm that throws must not leave the
+      // session with coalescing off and the listener attached.
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
       // max/med over the heaviest stage with enough tasks to have a
       // meaningful spread; single-digit-task stages are setup noise
       def spread(label: String): Double = taskTimes.synchronized {
@@ -482,8 +485,10 @@ object Scratch {
           (if (verdictOk) "SKEW GUARD OK" else "SKEW GUARD VIOLATION"))
         CacheHygiene.releaseAll(spark)
       }
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      spark.sparkContext.removeSparkListener(listener)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.sparkContext.removeSparkListener(listener)
+      }
     } else if (args.headOption.contains("phash_ab")) {
       // q_mm_phash cost decomposition: fixture encode vs decode+hash
       import org.apache.spark.sql.DataFrame

@@ -1221,8 +1221,9 @@ object LlmQueries {
     // benchmark prefix (+700000) that shares ZERO word-5-grams with the
     // benchmark — exact q_decontam provably misses it (differential
     // pinned in DecontaminationSpec) — yet shares the winnow fingerprints
-    // of all its unedited ≥19-char runs. Engine-portable integer
-    // fingerprints → FULL oracle, both forms.
+    // of all its unedited ≥31-char runs (k+w−1 for FuzzyK=24, WinnowW=8 —
+    // r20 ADVICE: 19 was the stale WinnowK=12 figure). Engine-portable
+    // integer fingerprints → FULL oracle, both forms.
     "q_decontam_fuzzy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Decontamination.fuzzyHits(docsFuzzyContam(s, d), col("doc_id"),
