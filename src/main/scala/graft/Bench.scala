@@ -98,12 +98,24 @@ object Bench {
     val benched = SparkEntry.queries.filterNot {
       case (name, _) => SparkEntry.verifyOnly(name)
     }.filter { case (name, _) => only.forall(_.contains(name)) }
+    // Per-query load samples (r21 ADVICE #4): a single end-of-run load
+    // average cannot exonerate or indict an individual query's timing —
+    // a mid-run spike would go unrecorded. One OS-bean read per query is
+    // free; min/mean/max ride the detail artifact so the ratio gate can
+    // report the load BAND the run actually saw.
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleLoad(): Unit = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l >= 0) loadSamples += l
+    }
     val results = benched.map { case (name, fn) =>
       // settle the JVM before the first sample: without this, a prior
       // query's garbage ages into the next query's GC pauses — r7 measured
       // two sub-1s queries at 2× on unchanged code and plans from exactly
       // this interference
       System.gc()
+      sampleLoad()
       // Each sample splits SETUP (the query-builder call — for the
       // pipeline-shaped queries this is where scratch tiers are written and
       // cascaded, eagerly) from READ (executing the returned DataFrame).
@@ -200,8 +212,15 @@ object Bench {
       val loadNow = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val loadJson = if (loadNow < 0) "null" else ms(loadNow)
+      // per-query load band (r21 ADVICE #4): min/mean/max across one sample
+      // taken before each benched query — "load" keeps its end-of-run
+      // semantics for artifact continuity
+      val band =
+        if (loadSamples.isEmpty) ""
+        else s""","load_min":${ms(loadSamples.min)},"load_mean":${
+          ms(loadSamples.sum / loadSamples.size)},"load_max":${ms(loadSamples.max)}"""
       java.nio.file.Files.writeString(p,
-        s"""{"sf":"${sfBase(sfDir)}","wall":${ms((System.nanoTime() - wall0) / 1e9)},"load":$loadJson,"queries":$full}""" + "\n")
+        s"""{"sf":"${sfBase(sfDir)}","wall":${ms((System.nanoTime() - wall0) / 1e9)},"load":$loadJson$band,"queries":$full}""" + "\n")
     } catch { case e: Exception =>
       // the artifact is best-effort (a read-only CWD must not fail a bench)
       System.err.println(s"[bench] detail artifact write failed: ${e.getMessage}")

@@ -284,6 +284,79 @@ object Scratch {
             .write.mode("overwrite").format("noop").save())
       }
       spark.conf.unset("spark.sql.parquet.compression.codec")
+    } else if (args.headOption.contains("sink_ab")) {
+      // r22: raw-tier write A/B — heavy projection before the range exchange
+      // (old shape: sampler + shuffle both carry/evaluate the arrays) vs
+      // derived after it (narrow rows shuffle; arrays computed once). Also
+      // prints the derive shape's plan so the exchange payload is auditable.
+      import graft.sink.MetricsSink
+      import graft.metrics.EventsMetrics
+      val keys = Seq(col("workspace_id"), col("metric"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_ab"
+      val parted = EventsMetrics.fromEvents(spark, d)
+        .withColumn("p_date", MetricsSink.partitionValue(MetricsSink.Raw, col("ts_ms")))
+      val ranged = parted.repartitionByRange(col("p_date") +: keys: _*)
+      val derived = EventsMetrics.withHistogram(ranged)
+        .withColumn("p_date", MetricsSink.partitionValue(MetricsSink.Raw, col("ts_ms")))
+        .sortWithinPartitions(col("p_date") +: keys :+ col("ts_ms"): _*)
+      derived.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Scan") ||
+          l.contains("Project") || l.contains("Sort"))
+        .foreach(l => println("[scratch] " + l.trim.take(220)))
+      // per-stage listener: where does each write arm spend its wall?
+      import scala.collection.mutable
+      case class St(var sumMs: Long = 0, var maxMs: Long = 0, var n: Int = 0)
+      val stages = mutable.LinkedHashMap[Int, St]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          stages.synchronized {
+            val s = stages.getOrElseUpdate(te.stageId, St())
+            s.sumMs += te.taskInfo.duration
+            s.maxMs = math.max(s.maxMs, te.taskInfo.duration)
+            s.n += 1
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def staged[T](label: String)(f: => T): Unit = {
+        stages.synchronized(stages.clear())
+        time(label)(f)
+        Thread.sleep(600)
+        stages.synchronized {
+          stages.toSeq.foreach { case (sid, s) =>
+            println(f"[scratch]   stage $sid%5d: tasks=${s.n}%3d " +
+              f"sum=${s.sumMs}%5d ms max=${s.maxMs}%5d ms")
+          }
+        }
+      }
+      // the narrow arm restated inline (MetricsSink.write stays wide — this
+      // arm records the r22 experiment that was REVERTED: narrow rows
+      // through the range exchange shuffle ~3× fewer bytes and the sampler
+      // skips the payload projection, but AQE's BYTE-driven partition
+      // coalescing then folds the ~2 MB narrow shuffle into 2 write tasks
+      // (vs 8 wide), serializing the post-shuffle derive+encode — measured
+      // 1.4-2.7 s vs 1.0-1.2 s warm at sf0.1. At 100 TB partition counts
+      // are byte-proportional either way and the narrow shuffle would win;
+      // at bench scale the parallelism loss dominates.)
+      def narrowWrite(): Unit = {
+        val r2 = EventsMetrics.fromEvents(spark, d)
+          .withColumn("p_date",
+            MetricsSink.partitionValue(MetricsSink.Raw, col("ts_ms")))
+          .repartitionByRange(col("p_date") +: keys: _*)
+        EventsMetrics.withHistogram(r2)
+          .withColumn("p_date",
+            MetricsSink.partitionValue(MetricsSink.Raw, col("ts_ms")))
+          .sortWithinPartitions(col("p_date") +: keys :+ col("ts_ms"): _*)
+          .write.partitionBy("p_date").mode("overwrite")
+          .parquet(base + "_n/metrics_raw")
+      }
+      for (_ <- 1 to 3) {
+        staged("narrow (derive post-shuffle)")(narrowWrite())
+        staged("wide (derive pre-shuffle)")(MetricsSink.write(
+          EventsMetrics.withHistogram(EventsMetrics.fromEvents(spark, d)),
+          base + "_w", MetricsSink.Raw, col("ts_ms"), keys, mode = "overwrite"))
+      }
+      spark.sparkContext.removeSparkListener(listener)
     } else if (args.headOption.contains("fscalars_ab")) {
       // decompose q_f_scalars: regex extraction vs substring arithmetic
       val ev = graft.metrics.EventsMetrics.fromEvents(spark, d)

@@ -631,23 +631,28 @@ object Dedup {
     * of throwing. Same eager-execution contract. */
   def componentsBestEffort(pairs: DataFrame, idA: Column, idB: Column,
       maxIter: Int = 25): ComponentsResult = {
-    // materialize the DIRECTED pair list first, then mirror the
-    // checkpointed rows: unionAll over the raw pairs plan would evaluate
-    // the whole candidate-generation DAG twice (one evaluation per branch —
-    // measured at ~2× the pair cost on the winnow graph), while mirroring
-    // after the checkpoint is a projection over materialized rows
-    val directed = pairs.select(idA.as("src"), idB.as("dst"))
+    // ONE evaluation of the candidate-generation DAG, mirrored inline
+    // (r22): explode-of-both-directions doubles rows inside the same pass,
+    // so the mirror needs no second checkpoint stage — the old shape
+    // (checkpoint the directed list, union its reverse, checkpoint again)
+    // paid two eager materialization jobs for the same edge set
+    val edges = pairs
+      .select(explode(array(
+        struct(idA.as("src"), idB.as("dst")),
+        struct(idB.as("src"), idA.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
-    val edges = directed
-      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
+    // SEEDED initialization (r22, guide §1.2 — remove passes): the label
+    // init is itself the first propagation round, label₀(u) = min(u, N(u)),
+    // at the exact cost of the plain distinct() it replaces (one agg over
+    // the mirrored edges). Every converging graph saves one full edge-set
+    // join+agg round — at corpus scale that is one whole pass over the
+    // edge relation, locally one Spark job per components() call.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nbr")).as("label"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    // edges (mirrored) is materialized — the directed list's blocks are
-    // now dead weight (the r14-ADVICE per-round release discipline; at
-    // corpus scale these are edge-set-sized blocks, not metadata)
-    graft.CacheHygiene.unpersistCheckpoint(directed)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -672,6 +677,10 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    // the loop always runs at least once and its count materialized the
+    // final labels checkpoint, so the edge blocks are dead weight now —
+    // free them here instead of waiting for the caller's CacheHygiene
+    graft.CacheHygiene.unpersistCheckpoint(edges)
     ComponentsResult(
       labels.select(col("id").as("doc_id"), col("label").as("component")),
       converged = changed == 0, rounds = iter)
@@ -840,6 +849,11 @@ object Dedup {
     // join each appeared 4× in the executed plan, i.e. the inverted index
     // shuffled 4× instead of once — at corpus scale that is 3 extra
     // token-scale shuffles). The cached relation is (doc_id, f) longs.
+    // RELEASE OBLIGATION (the jaccardPairs caching contract, r21 ADVICE):
+    // neither fps nor kinv is unpersisted here — after materializing the
+    // result, callers must release via graft.CacheHygiene.releaseAll
+    // (Verify/Bench/the query harness already do), or a long-lived session
+    // accumulates the cached relations.
     val kinv = inv.join(kept, "f").persist()
     val sizes = kinv.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val pairs = kinv.as("a").hint("shuffle_merge")

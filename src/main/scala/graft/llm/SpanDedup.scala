@@ -77,8 +77,11 @@ object SpanDedup {
     // posexplode — the corpus-token-scale pass) feeds the owner aggregate
     // AND the flagged join, and exchange reuse does not deduplicate them
     // (measured: 6 physical fixture scans = the extraction executing
-    // twice plus the text pass). Cached rows are (doc_id, s, h, h2) longs;
-    // CacheHygiene releases per query.
+    // twice plus the text pass). Cached rows are (doc_id, s, h, h2) longs.
+    // RELEASE OBLIGATION (r21 ADVICE): not unpersisted here — CALLERS must
+    // release via graft.CacheHygiene.releaseAll after materializing
+    // (Verify/Bench/the query harness do); direct library use in a
+    // long-lived session otherwise accumulates the cached relation.
     val wins = windows(docs, id, text)
       .select(col("doc_id"), col("s"), col("h"), col("h2"))
       .persist()
@@ -164,9 +167,11 @@ object SpanDedup {
     // a distinct() feeding the shared-hash set and once for the per-doc
     // occurrence counts. Both derive from the SAME (doc, h, h2) aggregate:
     // its rows are distinct by construction, so the cross-doc count is a
-    // second, already-reduced aggregation over it. occ is persisted — it
-    // feeds the shared-set branch and the flag join (occurrence-grain
-    // rows, far smaller than the raw window stream).
+    // second, already-reduced aggregation over it. occ is deliberately NOT
+    // persisted (it feeds the shared-set branch and the flag join, but the
+    // r21 A/B measured the cache fill+scan costing more than recomputing
+    // the already-reduced aggregate — 1.70 s cached vs 1.19-1.24 s
+    // recomputed at sf0.1; PlanScanBudgetSpec pins the same rationale).
     val occ = wins.groupBy(col("doc_id"), col("h"), col("h2"))
       .agg(count(lit(1)).as("n_occ"))
     val shared = occ

@@ -91,8 +91,11 @@ class DecontaminationSpec extends SparkSpec {
           bench, col("bench_text"), n = 5, minHits = 2),
         Decontamination.fuzzyClean(docs, col("doc_id"), col("text"),
           bench, col("bench_text"), k = 24, w = 8, minHits = 2))) {
-      // materialize so AQE finalizes the runtime join strategy
-      out.write.format("noop").mode("overwrite").save()
+      // drive THIS QueryExecution to completion so AQE finalizes the
+      // runtime join strategy in the SAME plan the assertion below reads —
+      // a noop write would execute a separate QueryExecution and leave
+      // out.queryExecution's plan un-executed (r21 ADVICE)
+      out.queryExecution.toRdd.foreach(_ => ())
       // the flagged-side anti-join must be un-hinted (the benchmark
       // shingle/fingerprint set's broadcast — bounded by the benchmark
       // suite — is fine and stays, but it sits BELOW an aggregation, never

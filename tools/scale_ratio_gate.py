@@ -56,6 +56,17 @@ def main() -> int:
     loads = (base_doc.get("load"), scaled_doc.get("load"))
     if any(l is not None for l in loads):
         print(f"run load: 1x={loads[0]}  10x={loads[1]}")
+    # r22 (r21 ADVICE #4): the artifacts now also carry the per-query load
+    # BAND (one sample before each benched query) — an end-of-run average
+    # alone cannot exonerate a mid-run spike
+    def band(doc):
+        if doc.get("load_max") is None:
+            return None
+        return (f"min={doc.get('load_min')} mean={doc.get('load_mean')} "
+                f"max={doc.get('load_max')}")
+    bands = (band(base_doc), band(scaled_doc))
+    if any(b is not None for b in bands):
+        print(f"load band: 1x=[{bands[0]}]  10x=[{bands[1]}]")
 
     rows = []
     for name in sorted(set(base) & set(scaled)):
