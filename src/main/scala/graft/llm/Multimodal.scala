@@ -670,6 +670,15 @@ object Multimodal {
     // b-side, final anti-join) — uncached, the payload bytes would decode
     // 3× (21 fixture scans on the mixed corpus; CacheHygiene releases it).
     val keyed = hashed.persist()
+    // EAGER fill (r22): the three consumers' leaf stages are submitted
+    // concurrently and race on the unfilled cache — per-block locks make
+    // the decode run once, but every racing task blocks for the full
+    // decode while holding an executor slot, and the stage walls stack
+    // (measured at sf0.1: 3.16 s racing vs 3.00 s prefilled warm, 15 s vs
+    // 4.3 s on a cold JVM). One count() materializes the 16 B/row cache in
+    // a single parallel pass; this makes the builder eager, like
+    // Dedup.components — call where running jobs is acceptable.
+    keyed.count()
     val banded = dHashBanded(keyed)
     val salt = pmod(Sampling.scrambleKey(col("doc_id")), lit(nSalts.toLong))
     val anchors = banded

@@ -1719,11 +1719,17 @@ object LlmQueries {
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val vocab = graft.llm.Bpe.idVocab(docs, col("text"), merges)
+      // PERSISTED before the sort (r22, the q_mm_phash precedent): the
+      // learned_bpe_ids walk + posexplode sit below the ordered dump's
+      // range exchange, so the boundary sampler re-ran the whole BPE
+      // segmentation per doc a second time; the cached relation is
+      // (doc_id, pos, id) — 24 B/row. CacheHygiene releases per query.
       docs
         .select(col("doc_id"),
           posexplode(graft.llm.Bpe.tokenizeIds(TextAnalysis.tokens(col("text")),
             merges, vocab)).as(Seq("pos", "id")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("id"))
+        .persist()
         .orderBy(col("doc_id"), col("pos"))
     }),
 
