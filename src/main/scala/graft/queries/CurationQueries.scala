@@ -191,6 +191,10 @@ object CurationQueries {
         .select(col("doc_id"),
           aggregate(col("embedding"), lit(0L), (a, v) => a + v).as("n_grams"),
           concat_ws(",", col("embedding")).as("embedding_csv"))
+        // persist-before-sort (r22): the hashed-embedding battery sits
+        // below the ordered dump's sampler otherwise. CacheHygiene
+        // releases per query.
+        .persist()
         .orderBy(col("doc_id"))
     }),
 

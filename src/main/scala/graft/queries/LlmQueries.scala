@@ -1390,6 +1390,10 @@ object LlmQueries {
           element_at(col("fp"), 1).as("fp_min"),
           element_at(col("fp"), -1).as("fp_max"),
           aggregate(col("fp"), lit(0L), (a, x) => a + x).as("fp_sum"))
+        // persist-before-sort (r22): the pushed short-doc filter drags the
+        // normalize below the exchange and the sampler pays it again;
+        // cached rows are 5 scalars. CacheHygiene releases per query.
+        .persist()
         .orderBy(col("doc_id"))
     }),
 
@@ -1492,6 +1496,9 @@ object LlmQueries {
           col("tb.gram").as("top2_gram"),
           round(col("tb.cnt") * length(col("tb.gram")) / length(col("text")), 6)
             .as("top2_frac"))
+        // persist-before-sort (r22): the sampler re-evaluated the spam
+        // fixture + line/bigram battery; cached rows are 7 scalars.
+        .persist()
         .orderBy(col("doc_id"))
     }),
 
@@ -1501,6 +1508,13 @@ object LlmQueries {
     // the canonical pre-training heuristic filter. Zero-shuffle per-row
     // projections; the fixture plants one mutant family per line rule.
     "q_gopher_rules" -> ((s, d) => {
+      // PERSISTED before the sort (r22, the q_mm_phash precedent): the
+      // battery itself is already deferred above the exchange by
+      // DeferProjectPastSort, but the ordered dump's boundary sampler
+      // still re-evaluated the FIXTURE (the mutant union arms). The cache
+      // is the battery OUTPUT — doc_id + 7 numeric/bool columns, ~60 B/row
+      // — never the corpus text; sampler and sort read it.
+      // CacheHygiene releases per query.
       TextAnalysis.withGopherSignals(docsGopherFix(s, d), col("text"))
         .select(col("doc_id"), col("n_words"),
           round(col("mean_word_len"), 6).as("mean_word_len"),
@@ -1509,6 +1523,7 @@ object LlmQueries {
           round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
           round(col("alpha_frac"), 6).as("alpha_frac"),
           col("stop_hits"), col("gopher_pass"))
+        .persist()
         .orderBy(col("doc_id"))
     }),
 
@@ -1525,6 +1540,10 @@ object LlmQueries {
           round(col("symbol_ratio"), 6).as("symbol_ratio"),
           round(col("alpha_frac"), 6).as("alpha_frac"),
           col("stop_hits"), col("gopher_pass"))
+        // persist-before-sort (r22, the q_gopher_rules measurement): the
+        // sampler re-evaluated the lang-plant fixture; the cache is the
+        // narrow battery output. CacheHygiene releases per query.
+        .persist()
         .orderBy(col("doc_id"))
     }),
 
@@ -2175,7 +2194,12 @@ object LlmQueries {
     // asserts the plants (metadata re-encode; polarity inversion) hash
     // IDENTICALLY — both transforms change bytes, neither changes energy.
     "q_mm_ahash" -> ((s, d) => {
+      // persist-before-sort (r22, the q_mm_phash precedent): the envelope
+      // hash is an opaque mapPartitions decode — DeferProjectPastSort
+      // cannot lift it, so the sampler re-decoded every WAV; the cached
+      // relation is 16 B/row. CacheHygiene releases per query.
       Multimodal.envelopeHashWav(wavDupFix(s, d))
+        .persist()
         .orderBy(col("doc_id"))
     }),
 
